@@ -1,0 +1,293 @@
+"""Deduplication operators for large text corpora (north-star surface).
+
+Four tiers, all shuffle-conscious:
+
+- ``exact_dedup``          — hash-groupBy on a content fingerprint; keeps the
+  smallest id per group (deterministic winner). One shuffle on a 64-hex key.
+- ``ngram_jaccard_pairs``  — exact Jaccard over word n-gram shingle sets via
+  shingle-explode + self-join on shingle. Quadratic only within a shingle
+  bucket, not the corpus; this is also the *verifier* for the LSH path.
+- ``minhash_lsh_dedup``    — MinHash signatures + banded LSH: candidate pairs
+  only where a band matches (one shuffle on band key), then exact-Jaccard
+  verification of candidates. At 100 TB this is the scale path: cost is
+  O(docs × bands) + verification of the (tiny) candidate set.
+- ``simhash``              — 60-bit SimHash fingerprint; near-dups differ in
+  few bits. Provided as a column op + banded candidate pairing.
+
+Hashes derive from SHA-256 (``functions.hashing``) so results are
+deterministic and reproducible across engines (oracle-checkable); pass
+``fast=True`` for xxhash64 where parity doesn't matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from commerce_sessionization_spark.functions.hashing import hex_to_long
+
+#: Mersenne prime 2^61 - 1: modulus for the MinHash permutation family.
+MERSENNE_61 = (1 << 61) - 1
+
+
+def normalized_words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != "")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document, as array<string>."""
+    words = normalized_words(text)
+    count = F.size(words)
+    idx = F.when(count >= n, F.sequence(F.lit(0), count - n)).otherwise(
+        F.array()
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    )
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep one deterministic representative (min id) per identical text.
+
+    window-argmin over the fingerprint (the generalized W5 pattern,
+    cf. ``SessionizationBuiltIn.scala:121-132``). The shuffle key is the
+    64-hex fingerprint — uniformly distributed, no skew by construction.
+    """
+    t = F.col(text_col)
+    if normalize:
+        t = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    w = Window.partitionBy(F.sha2(t, 256)).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs (a < b) with Jaccard(word-n-gram sets) ≥ threshold.
+
+    Explode distinct shingles → self-join on shingle → per-pair intersection
+    count → |A∪B| = |A|+|B|−|A∩B|. The join key is the shingle string, so
+    pairs sharing zero shingles are never materialized. Common-shingle skew
+    (a shingle present in thousands of docs) is the known failure mode at
+    scale — use ``minhash_lsh_dedup`` there.
+
+    Output: (a, b, jaccard) with jaccard rounded to 6 decimals.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+
+    left = sh.alias("l")
+    right = sh.alias("r")
+    inter = (
+        left.join(right, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "a").withColumnRenamed("_n", "na"), "a")
+        .join(sizes.withColumnRenamed("_id", "b").withColumnRenamed("_n", "nb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_signature(
+    text: Column, n: int = 3, num_hashes: int = 64, fast: bool = False
+) -> Column:
+    """MinHash signature as array<bigint> of length ``num_hashes``.
+
+    One base 60-bit hash per distinct shingle (SHA-256-derived for
+    cross-engine determinism), then the standard universal-hash family
+    h_i(x) = (a_i·x + b_i) mod (2^61−1) with fixed odd coefficients, min
+    per i. All array built-ins — no UDF, no shuffle.
+    """
+    from commerce_sessionization_spark.functions.hashing import stable_long_hash
+
+    shingles = word_shingles(text, n)
+    base = F.transform(shingles, lambda s: stable_long_hash(s, fast=fast))
+    sigs = []
+    for i in range(num_hashes):
+        # fixed, reproducible coefficients (must match any oracle re-impl)
+        a = 2 * i + 1
+        b = 7919 * (i + 1)
+        sigs.append(
+            F.array_min(
+                F.transform(base, lambda x, a=a, b=b: (x * a + b) % MERSENNE_61)
+            )
+        )
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing ≥ 1 LSH band.
+
+    Signature → ``bands`` slices of ``num_hashes/bands`` values → hash each
+    slice to a band key → self-join on (band_idx, band_key). The join input
+    has #docs × bands rows; matching probability follows the usual S-curve
+    1−(1−j^r)^b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), n=n, num_hashes=num_hashes)
+    banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.sha2(
+                            F.concat_ws(
+                                ",", F.slice("_sig", i * rows_per_band + 1, rows_per_band)
+                            ),
+                            256,
+                        ).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.key")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard — same contract (and same
+    exact output, barring LSH false-negative misses) as
+    ``ngram_jaccard_pairs``, at a fraction of the join cost.
+    """
+    cands = minhash_lsh_candidates(
+        df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes, bands=bands
+    )
+    shingled = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh")
+    )
+    a = shingled.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "sha_")
+    b = shingled.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "shb_")
+    return (
+        cands.join(a, "a")
+        .join(b, "b")
+        .withColumn("inter", F.size(F.array_intersect("sha_", "shb_")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sha_") + F.size("shb_") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(text: Column, n: int = 2, bits: int = 60, fast: bool = False) -> Column:
+    """SimHash fingerprint (bigint): sign-sum of shingle hash bits.
+
+    Pure array expressions: per bit position, count shingles with that bit
+    set vs total; majority sets the output bit.
+    """
+    from commerce_sessionization_spark.functions.hashing import stable_long_hash
+
+    shingles = word_shingles(text, n)
+    hashes = F.transform(shingles, lambda s: stable_long_hash(s, fast=fast))
+    total = F.size(hashes)
+    bit_terms = []
+    for i in range(bits):
+        ones = F.size(
+            F.filter(hashes, lambda h, i=i: h.bitwiseAND(F.lit(1 << i)) != 0)
+        )
+        bit_terms.append(
+            F.when(ones * 2 >= total, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def simhash_dedup_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    bits: int = 60,
+    band_bits: int = 15,
+) -> DataFrame:
+    """Near-dup candidates where any ``band_bits``-wide SimHash band matches
+    (docs within Hamming distance bits/band_bits − 1 are guaranteed caught).
+    """
+    nbands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    sh = df.select(
+        F.col(id_col).alias("_id"), simhash(F.col(text_col), n=n, bits=bits).alias("_sh")
+    )
+    banded = sh.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("_sh", i * band_bits).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.key")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .distinct()
+    )

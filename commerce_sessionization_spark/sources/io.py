@@ -1,0 +1,67 @@
+"""Source / sink adapters (SURVEY §2.1, S1-S6).
+
+All reads take an explicit schema (never inferred — reference passes
+``Encoders.product[T].schema`` everywhere, ``SessionizationBuiltIn.scala:42``),
+so Catalyst gets exact column pruning and the scan never pays an inference
+pass. Writes are hive-partitioned parquet with *dynamic* partition overwrite:
+re-running an hour replaces only that hour's partition
+(``SessionizationBuiltIn.scala:21,59-63``), which makes the hourly job
+idempotent under scheduler retries/backfills — a correctness requirement,
+not an optimization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from commerce_sessionization_spark.schemas import BEHAVIOR_SCHEMA
+
+
+def read_behaviors_csv(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """S1 — monthly raw behavior CSV with header (``DailyFileDivider.scala:21-24``)."""
+    return (
+        spark.read.option("header", True)
+        .schema(schema or BEHAVIOR_SCHEMA)
+        .csv(path)
+    )
+
+
+def read_parquet(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """S2/S3/S4 — parquet scan with explicit schema.
+
+    Passing the schema (instead of footer inference) keeps reads cheap on
+    object stores with many partitions and pins the contract: a drifted file
+    surfaces as nulls/errors at read, not silent schema widening.
+    """
+    return spark.read.schema(schema).parquet(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("event_date", "event_hour"),
+    cluster_before_write: bool = True,
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """S5/S6 — partitioned parquet sink with dynamic overwrite.
+
+    ``repartition(*partition_cols)`` before the write clusters each output
+    partition into one task's files (``DailyFileDivider.scala:42-48``),
+    avoiding the small-files explosion of N tasks × M partitions. At 100 TB
+    pair this with AQE (coalesces the shuffle) and ``maxRecordsPerFile``
+    (splits oversized partitions instead of emitting single multi-GB files).
+
+    Requires ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by
+    ``session.get_spark``) so only touched partitions are replaced.
+    """
+    if cluster_before_write:
+        df = df.repartition(*[df[c] for c in partition_cols])
+    (
+        df.write.partitionBy(*partition_cols)
+        .mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
