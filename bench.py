@@ -1,0 +1,81 @@
+"""Benchmark harness — times the headline catalog queries.
+
+Runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32) against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes fully distributed via the noop sink (no driver-side
+collect); a warmup pass on the smallest table absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from commerce_sessionization_spark.plans.queries import spark_queries  # noqa: E402
+from commerce_sessionization_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: Headline set: the flagship sessionization chain plus one representative
+#: per operator family (scan+agg, star join, window top-k, text, dedup,
+#: LSH, ANN). Kept deliberately small so the per-round signal is stable.
+HEADLINE = [
+    "sessionize_events",
+    "session_stats",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "order_gaps",
+    "doc_stats",
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "knn_cosine",
+]
+
+
+def sf_label(path: str) -> float:
+    name = os.path.basename(path.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = spark_queries()
+
+    # warmup: spin up executors + codegen paths on the tiniest table
+    queries["event_type_stats"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_label(SF_DIR),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -19,8 +19,13 @@ def hex_to_long(hex_col: Column, n_chars: int = 15) -> Column:
     return F.conv(F.substring(hex_col, 1, n_chars), 16, 10).cast("long")
 
 
-def stable_long_hash(col: Column, fast: bool = False) -> Column:
-    """Deterministic 60-bit integer hash of a string column."""
+def stable_long_hash(col: Column, fast: bool = False, n_chars: int = 15) -> Column:
+    """Deterministic integer hash of a string column (4·n_chars bits).
+
+    Callers that multiply the hash (MinHash permutations) should pick
+    ``n_chars`` small enough that a·x + b stays within int64 under ANSI
+    mode (e.g. 12 hex chars = 48 bits leaves 15 bits of headroom).
+    """
     if fast:
         return F.xxhash64(col)
-    return hex_to_long(F.sha2(col.cast("string"), 256))
+    return hex_to_long(F.sha2(col.cast("string"), 256), n_chars=n_chars)

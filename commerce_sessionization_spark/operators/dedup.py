@@ -104,38 +104,48 @@ def ngram_jaccard_pairs(
         .join(sizes.withColumnRenamed("_id", "b").withColumnRenamed("_n", "nb"), "b")
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
 
 
-def minhash_signature(
-    text: Column, n: int = 3, num_hashes: int = 64, fast: bool = False
-) -> Column:
-    """MinHash signature as array<bigint> of length ``num_hashes``.
+def minhash_signature_from_base(base: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature (array<bigint>) from a pre-hashed shingle array.
 
-    One base 60-bit hash per distinct shingle (SHA-256-derived for
-    cross-engine determinism), then the standard universal-hash family
-    h_i(x) = (a_i·x + b_i) mod (2^61−1) with fixed odd coefficients, min
-    per i. All array built-ins — no UDF, no shuffle.
+    h_i(x) = xxhash64(i, x): an independent 64-bit mix per slot, JVM-side
+    codegen, min per i. All array built-ins — no UDF. ``base`` should be a
+    *materialized* column (one hash per shingle), reused across all slots.
+
+    A linear family (a·x + b) mod p does NOT work here: with 48-bit base
+    hashes and small multipliers the product never wraps past p, the map
+    stays monotonic, and every slot picks the same argmin — the signature
+    degenerates to one effective hash (observed: recall ≈ j instead of the
+    banded S-curve). xxhash64's avalanche gives genuinely independent mins.
+    """
+    def mix(i: int):
+        # real closure: default-arg lambdas would change the visible arity
+        # and make transform() pass the element index into the salt
+        return lambda x: F.xxhash64(F.lit(i), x)
+
+    sigs = []
+    for i in range(num_hashes):
+        sigs.append(F.array_min(F.transform(base, mix(i))))
+    return F.array(*sigs)
+
+
+def shingle_base_hashes(text: Column, n: int = 3, fast: bool = False) -> Column:
+    """48-bit integer hash per distinct word n-gram shingle (array<bigint>).
+
+    48 bits (not 60) so the MinHash permutation a·x + b (a ≤ 127) cannot
+    overflow int64 under ANSI mode.
     """
     from commerce_sessionization_spark.functions.hashing import stable_long_hash
 
-    shingles = word_shingles(text, n)
-    base = F.transform(shingles, lambda s: stable_long_hash(s, fast=fast))
-    sigs = []
-    for i in range(num_hashes):
-        # fixed, reproducible coefficients (must match any oracle re-impl)
-        a = 2 * i + 1
-        b = 7919 * (i + 1)
-        sigs.append(
-            F.array_min(
-                F.transform(base, lambda x, a=a, b=b: (x * a + b) % MERSENNE_61)
-            )
-        )
-    return F.array(*sigs)
+    return F.transform(
+        word_shingles(text, n), lambda s: stable_long_hash(s, fast=fast, n_chars=12)
+    )
 
 
 def minhash_lsh_candidates(
@@ -154,8 +164,15 @@ def minhash_lsh_candidates(
     1−(1−j^r)^b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), n=n, num_hashes=num_hashes)
-    banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).select(
+    # materialize the per-shingle base hashes once, then derive all
+    # num_hashes permutations from that array (sha256 runs once per shingle)
+    based = df.select(
+        F.col(id_col).alias("_id"),
+        shingle_base_hashes(F.col(text_col), n=n).alias("_base"),
+    )
+    banded = based.select(
+        "_id", minhash_signature_from_base(F.col("_base"), num_hashes).alias("_sig")
+    ).select(
         "_id",
         F.explode(
             F.array(
@@ -214,11 +231,7 @@ def minhash_lsh_dedup_pairs(
         .withColumn("inter", F.size(F.array_intersect("sha_", "shb_")))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.size("sha_") + F.size("shb_") - F.col("inter")),
-                6,
-            ),
+            F.col("inter") / (F.size("sha_") + F.size("shb_") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
@@ -236,11 +249,12 @@ def simhash(text: Column, n: int = 2, bits: int = 60, fast: bool = False) -> Col
     shingles = word_shingles(text, n)
     hashes = F.transform(shingles, lambda s: stable_long_hash(s, fast=fast))
     total = F.size(hashes)
+    def bit_set(i: int):
+        return lambda h: h.bitwiseAND(F.lit(1 << i)) != 0
+
     bit_terms = []
     for i in range(bits):
-        ones = F.size(
-            F.filter(hashes, lambda h, i=i: h.bitwiseAND(F.lit(1 << i)) != 0)
-        )
+        ones = F.size(F.filter(hashes, bit_set(i)))
         bit_terms.append(
             F.when(ones * 2 >= total, F.lit(1 << i)).otherwise(F.lit(0))
         )

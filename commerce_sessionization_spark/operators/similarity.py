@@ -41,7 +41,7 @@ def brute_force_topk(
         df.crossJoin(q)
         .select(
             id_col,
-            F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
+            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
@@ -65,7 +65,7 @@ def all_pairs_topk(
     scored = corpus.crossJoin(q).select(
         F.col("_qid").alias(query_id_col),
         F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
+        cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
@@ -225,7 +225,7 @@ def embedding_dedup_pairs(
     )
     return (
         l.join(r, (F.col("_bucket") == F.col("_bucket_r")) & (F.col("a") < F.col("b")))
-        .withColumn("cosine", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6))
+        .withColumn("cosine", cosine_similarity(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

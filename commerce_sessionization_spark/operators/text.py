@@ -61,9 +61,9 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.withColumn("char_count", F.length(t))
         .withColumn("word_count", word_count(t))
         .withColumn("token_count", token_count(t))
-        .withColumn("avg_word_len", F.round(F.length(F.regexp_replace(t, r"\s+", "")) / word_count(t), 4))
-        .withColumn("stopword_ratio", F.round(stopword_ratio(t), 4))
-        .withColumn("punct_ratio", F.round(punct_ratio(t), 4))
+        .withColumn("avg_word_len", F.length(F.regexp_replace(t, r"\s+", "")) / word_count(t))
+        .withColumn("stopword_ratio", stopword_ratio(t))
+        .withColumn("punct_ratio", punct_ratio(t))
     )
 
 
@@ -79,7 +79,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_score = F.least(stopword_ratio(t) * 5.0, F.lit(1.0))
     return df.withColumn(
         "quality_score",
-        F.round(0.5 * length_score + 0.3 * stop_score + 0.2 * (1.0 - punct_penalty), 4),
+        0.5 * length_score + 0.3 * stop_score + 0.2 * (1.0 - punct_penalty),
     )
 
 
@@ -101,9 +101,12 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     words = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != ""
     )
+
+    def hits(sw: tuple[str, ...]):
+        return lambda w: w.isin(*sw)
+
     scores = {
-        lang: F.size(F.filter(words, lambda w, sw=sw: w.isin(*sw)))
-        for lang, sw in LANG_PROFILES.items()
+        lang: F.size(F.filter(words, hits(sw))) for lang, sw in LANG_PROFILES.items()
     }
     best = F.greatest(*scores.values())
     pred = F.lit("und")

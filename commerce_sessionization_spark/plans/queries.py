@@ -1,0 +1,759 @@
+"""Named query catalog — the engine's public query surface.
+
+Every entry pairs a Spark DataFrame program with (where SQL-expressible) an
+equivalent ANSI-SQL oracle that DuckDB runs on the same parquet tables; the
+driver hash-compares both at sf=0.01 (CORRECTNESS gate) and `bench.py` times
+the Spark side at sf=0.1.
+
+Cross-engine determinism rules (so order-insensitive value hashes match):
+
+- **Money/metric sums go through DECIMAL.** A double sum depends on
+  partition/accumulation order; casting addends to decimal makes the sum an
+  exact rational, identical in any order, then one final cast to double.
+- **Ratios of small ints / single IEEE expressions** are bit-deterministic;
+  they get ``round(x, 4..6)`` only to absorb engine-side formatting.
+- **Every window has a total order** (timestamp + id tiebreak).
+- **Hashes derive from SHA-256** (same bytes → same hex in both engines).
+- **Aliases match the oracle column names exactly** (driver sorts columns
+  by name before hashing).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from commerce_sessionization_spark.functions.vectors import cosine_similarity, l2_norm
+from commerce_sessionization_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+)
+from commerce_sessionization_spark.operators.sessions import sessionize
+from commerce_sessionization_spark.operators.similarity import brute_force_topk
+from commerce_sessionization_spark.operators.text import (
+    language_id,
+    quality_score,
+    with_text_stats,
+)
+from commerce_sessionization_spark.sources.tables import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    spark: SparkQuery
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+def _dec_sum(col, prec: int = 18) -> F.Column:
+    """Order-independent sum: exact decimal accumulation, one cast back."""
+    return F.sum(F.col(col).cast(f"decimal({prec},2)")).cast("double")
+
+
+def _quant(col: F.Column, digits: int) -> F.Column:
+    """floor(x·10^digits) as bigint — cross-engine-stable quantization.
+
+    Spark's ``round`` re-renders the double through its shortest decimal
+    string (BigDecimal.valueOf) while DuckDB rounds the binary value, so
+    ties diverge; floor on the scaled double is bit-identical in both.
+    """
+    return F.floor(col * F.lit(float(10 ** digits))).cast("long")
+
+
+GAP_US = 1800 * 1_000_000  # 30-minute session gap in microseconds
+
+#: Shared DuckDB CTE computing gap-sessionization over `events` —
+#: the SQL twin of ``operators.sessions.sessionize``.
+_SESSION_CTE = f"""
+WITH g AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_US}
+              THEN ts END AS _seed
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, last_value(_seed IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _start
+  FROM g
+), sessions AS (
+  SELECT * EXCLUDE (_seed, _start),
+         sha256(user_id::VARCHAR || '-' || epoch_us(_start)::VARCHAR) AS session_id,
+         _start
+  FROM s
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Sessionization family (reference core, generalized to the events table)
+# --------------------------------------------------------------------------
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, order_cols=("event_id",)).select(
+        "event_id", "ts", "user_id", "event_type", "value", "session_id"
+    )
+
+
+SQL_SESSIONIZE_EVENTS = (
+    _SESSION_CTE
+    + "SELECT event_id, ts, user_id, event_type, value, session_id FROM sessions"
+)
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = sessionize(load_table(spark, sf_dir, "events"), order_cols=("event_id",))
+    return ev.groupBy("session_id").agg(
+        F.first("user_id").alias("user_id"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1_000_000.0)
+        ).alias("duration_sec"),
+        _dec_sum("value").alias("sum_value"),
+    )
+
+
+SQL_SESSION_STATS = _SESSION_CTE + """
+SELECT session_id,
+       min(user_id)  AS user_id,
+       count(*)      AS n_events,
+       min(ts)       AS session_start,
+       max(ts)       AS session_end,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_sec,
+       CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM sessions GROUP BY session_id
+"""
+
+
+def q_user_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = sessionize(load_table(spark, sf_dir, "events"), order_cols=("event_id",))
+    return ev.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_USER_SESSION_COUNTS = _SESSION_CTE + """
+SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+FROM sessions GROUP BY user_id
+"""
+
+
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native ``session_window`` — must agree with the window-function
+    formulation (the oracle derives bounds from the gap CTE)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SQL_SESSION_WINDOW_AGG = _SESSION_CTE + """
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, _start
+"""
+
+
+def q_prev_active_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5+P3+P4 on the events table: one representative (latest) row per
+    session still active at the cutoff — the carry-in selection generalized
+    (``SessionizationBuiltIn.scala:117-134``)."""
+    cutoff = "2024-01-15 00:00:00"
+    ev = sessionize(
+        load_table(spark, sf_dir, "events").filter(
+            F.col("ts") < F.lit(cutoff).cast("timestamp")
+        ),
+        order_cols=("event_id",),
+    )
+    w = Window.partitionBy("session_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.filter(
+            F.col("ts")
+            >= F.lit(cutoff).cast("timestamp") - F.expr("INTERVAL 30 MINUTES")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("session_id", "event_id", "user_id", "ts")
+    )
+
+
+SQL_PREV_ACTIVE_SESSIONS = f"""
+WITH g AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_US}
+              THEN ts END AS _seed
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, last_value(_seed IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _start
+  FROM g
+), sessions AS (
+  SELECT *, sha256(user_id::VARCHAR || '-' || epoch_us(_start)::VARCHAR) AS session_id
+  FROM s
+), act AS (
+  SELECT *, row_number() OVER (PARTITION BY session_id ORDER BY ts DESC, event_id DESC) AS rank
+  FROM sessions
+  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 30 MINUTE
+)
+SELECT session_id, event_id, user_id, ts FROM act WHERE rank = 1
+"""
+
+
+def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum("value").alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_EVENT_TYPE_STATS = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the string props column (scalar-fn surface)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+SQL_EVENT_PROPS_EXTRACT = """
+SELECT event_id, CAST(props->>'$.k' AS INT) AS k_val FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational surface (joins / aggs / windows / set ops on TPC-H-ish tables)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan+agg: the pushdown/pruning showcase."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    d = lambda c: F.col(c).cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(12,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(d("l_extendedprice") * (one - d("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.sum(
+            d("l_extendedprice") * (one - d("l_discount")) * (one + d("l_tax"))
+        )
+        .cast("double")
+        .alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity::DECIMAL(12,2)) AS DOUBLE) AS sum_qty,
+       CAST(sum(l_extendedprice::DECIMAL(12,2)) AS DOUBLE) AS sum_base_price,
+       CAST(sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2)) * (1::DECIMAL(12,2) + l_tax::DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact ⋈ three broadcast dims → per-nation revenue."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("orders", "customer", "nation", "region")}
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dec_sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT r_name, n_name,
+       CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5-pattern top-k per group (row_number + rank filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface: rollup with subtotal + grand-total rows."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum("o_totalprice").alias("total"),
+    )
+
+
+SQL_ORDER_PRIORITY_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag-window surface on a non-session table: days since the customer's
+    previous order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.coalesce(
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w)),
+            F.lit(-1),
+        ).cast("long").alias("gap_days"),
+    )
+
+
+SQL_ORDER_GAPS = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       coalesce(date_diff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate), -1)::BIGINT AS gap_days
+FROM orders
+"""
+
+
+def q_purchasers_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface: users who purchased EXCEPT users who errored."""
+    ev = load_table(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return purchasers.exceptAll(erroring)
+
+
+SQL_PURCHASERS_WITHOUT_ERRORS = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def q_supplier_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ fact ⋈ dims: lineitem to part/supplier with pushdown filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+SQL_SUPPLIER_PART_JOIN = """
+SELECT s_name, p_brand, count(*) AS n_lines,
+       CAST(sum(l_quantity::DECIMAL(12,2)) AS DOUBLE) AS sum_qty
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_size <= 20
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name, p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis (documents)
+# --------------------------------------------------------------------------
+
+_WORDS_SQL = "[x for x in regexp_split_to_array(trim(text), '\\s+') if x <> '']"
+_LWORDS_SQL = "[x for x in regexp_split_to_array(lower(trim(text)), '\\s+') if x <> '']"
+_TOKEN_RE = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_text_stats(docs).select(
+        "doc_id",
+        "char_count",
+        "word_count",
+        "token_count",
+        _quant(F.col("avg_word_len"), 4).alias("avg_word_len_q4"),
+        _quant(F.col("stopword_ratio"), 4).alias("stopword_ratio_q4"),
+        _quant(F.col("punct_ratio"), 4).alias("punct_ratio_q4"),
+    )
+
+
+SQL_DOC_STATS = f"""
+SELECT doc_id,
+       length(text) AS char_count,
+       len({_WORDS_SQL}) AS word_count,
+       len(regexp_extract_all(text, '{_TOKEN_RE}')) AS token_count,
+       CAST(floor(length(regexp_replace(text, '\\s+', '', 'g')) / len({_WORDS_SQL}) * 10000.0) AS BIGINT) AS avg_word_len_q4,
+       CAST(floor(len([w for w in {_LWORDS_SQL} if w IN ('the','and','of','to','in','is','a')]) / len({_LWORDS_SQL}) * 10000.0) AS BIGINT) AS stopword_ratio_q4,
+       CAST(floor(len(regexp_extract_all(text, '[^\\w\\s]')) / length(text) * 10000.0) AS BIGINT) AS punct_ratio_q4
+FROM documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id", _quant(F.col("quality_score"), 4).alias("quality_q4")
+    )
+
+
+SQL_QUALITY_SCORES = f"""
+WITH t AS (
+  SELECT doc_id,
+         least(length(text) / 500.0, 1.0) AS length_score,
+         least((len(regexp_extract_all(text, '[^\\w\\s]')) / length(text)) * 5.0, 1.0) AS punct_penalty,
+         least((len([w for w in {_LWORDS_SQL} if w IN ('the','and','of','to','in','is','a')]) / len({_LWORDS_SQL})) * 5.0, 1.0) AS stop_score
+  FROM documents
+)
+SELECT doc_id, CAST(floor((0.5 * length_score + 0.3 * stop_score + 0.2 * (1.0 - punct_penalty)) * 10000.0) AS BIGINT) AS quality_q4
+FROM t
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+_LANG_SCORE = {
+    "en": "('the','and','of','to','in','is','a')",
+    "de": "('der','die','und','das','ist','nicht','ein')",
+    "fr": "('le','la','et','les','des','est','une')",
+    "es": "('el','la','los','que','es','una','por')",
+}
+SQL_LANGUAGE_ID = f"""
+WITH sc AS (
+  SELECT doc_id, lang,
+         len([w for w in {_LWORDS_SQL} if w IN {_LANG_SCORE['en']}]) AS s_en,
+         len([w for w in {_LWORDS_SQL} if w IN {_LANG_SCORE['de']}]) AS s_de,
+         len([w for w in {_LWORDS_SQL} if w IN {_LANG_SCORE['fr']}]) AS s_fr,
+         len([w for w in {_LWORDS_SQL} if w IN {_LANG_SCORE['es']}]) AS s_es
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM sc
+"""
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+SQL_LANG_DISTRIBUTION = """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+# --------------------------------------------------------------------------
+# Deduplication (documents)
+# --------------------------------------------------------------------------
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "lang", "source")
+
+
+SQL_EXACT_DEDUP_DOCS = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+_SHINGLE_CTE = f"""
+WITH docs AS (
+  SELECT doc_id, {_LWORDS_SQL} AS words FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(words[i+1:i+3], ' ') for i in range(0, greatest(len(words)-2, 0))]
+         )) AS shingle
+  FROM docs
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+SQL_NGRAM_JACCARD_PAIRS = _SHINGLE_CTE + """
+SELECT a, b, CAST(floor(i / (sa.n + sb.n - i) * 1000000.0) AS BIGINT) AS jaccard_q6
+FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+WHERE i / (sa.n + sb.n - i) >= 0.8
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.8).select(
+        "a", "b", _quant(F.col("jaccard"), 6).alias("jaccard_q6")
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed candidates + exact-Jaccard verification. With 16 bands ×
+    4 rows the miss probability at j ≥ 0.8 is < 3e-4 per pair, so the output
+    equals the exhaustive ``ngram_jaccard_pairs`` on this data — the oracle
+    asserts exactly that (LSH as an *optimization*, not an approximation).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup_pairs(
+        docs, n=3, threshold=0.8, num_hashes=128, bands=32
+    ).select("a", "b", _quant(F.col("jaccard"), 6).alias("jaccard_q6"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return brute_force_topk(emb, query, k=10).select(
+        "vec_id", _quant(F.col("cosine"), 6).alias("cosine_q6")
+    )
+
+
+SQL_KNN_COSINE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(floor(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))) * 1000000.0) AS BIGINT) AS cosine_q6
+FROM embeddings, q
+ORDER BY list_dot_product(embedding::DOUBLE[], qv)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qv, qv))) DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        _quant(l2_norm(F.col("embedding")), 6).alias("l2_norm_q6"),
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id, label,
+       CAST(floor(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 1000000.0) AS BIGINT) AS l2_norm_q6
+FROM embeddings
+"""
+
+
+def q_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive embedding near-dup pairs (cosine ≥ 0.95). The LSH-bucketed
+    variant is exercised in tests; the exhaustive form is the oracle-checked
+    contract."""
+    from commerce_sessionization_spark.operators.similarity import (
+        embedding_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dedup_pairs(emb, threshold=0.95, n_planes=0).select(
+        "a", "b", _quant(F.col("cosine"), 6).alias("cosine_q6")
+    )
+
+
+SQL_EMBEDDING_DEDUP_PAIRS = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT l.vec_id AS a, r.vec_id AS b,
+       CAST(floor(list_dot_product(l.v, r.v)
+             / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) * 1000000.0) AS BIGINT) AS cosine_q6
+FROM e l JOIN e r ON l.vec_id < r.vec_id
+WHERE list_dot_product(l.v, r.v)
+      / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) >= 0.95
+"""
+
+
+def q_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: nprobe=nlist (exhaustive probe) must equal brute force;
+    run with the IVF machinery to oracle-check its plumbing."""
+    from commerce_sessionization_spark.operators.similarity import (
+        ivf_assign,
+        ivf_search,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, nlist=8)
+    assigned = ivf_assign(emb, cents)
+    query = emb.filter(F.col("vec_id") == 0)
+    return ivf_search(assigned, cents, query, k=10, nprobe=8).select(
+        "vec_id", _quant(F.col("cosine"), 6).alias("cosine_q6")
+    )
+
+
+# exhaustive probe ⇒ identical to brute-force top-k
+SQL_CENTROID_TOPK = SQL_KNN_COSINE
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+CATALOG: list[QueryDef] = [
+    QueryDef("sessionize_events", q_sessionize_events, SQL_SESSIONIZE_EVENTS,
+             "per-event 30-min-gap session assignment (flagship)"),
+    QueryDef("session_stats", q_session_stats, SQL_SESSION_STATS,
+             "per-session rollup: bounds, duration, value sum"),
+    QueryDef("user_session_counts", q_user_session_counts, SQL_USER_SESSION_COUNTS,
+             "sessions/events per user"),
+    QueryDef("session_window_agg", q_session_window_agg, SQL_SESSION_WINDOW_AGG,
+             "Spark-native session_window vs window-function oracle"),
+    QueryDef("prev_active_sessions", q_prev_active_sessions, SQL_PREV_ACTIVE_SESSIONS,
+             "carry-in selection: latest row per still-active session"),
+    QueryDef("event_type_stats", q_event_type_stats, SQL_EVENT_TYPE_STATS,
+             "hash-agg with distinct"),
+    QueryDef("event_props_extract", q_event_props_extract, SQL_EVENT_PROPS_EXTRACT,
+             "JSON path extraction"),
+    QueryDef("pricing_summary", q_pricing_summary, SQL_PRICING_SUMMARY,
+             "TPC-H Q1-shaped scan+agg"),
+    QueryDef("revenue_by_nation", q_revenue_by_nation, SQL_REVENUE_BY_NATION,
+             "star join over broadcast dims"),
+    QueryDef("top_orders_per_customer", q_top_orders_per_customer,
+             SQL_TOP_ORDERS_PER_CUSTOMER, "top-k per group window"),
+    QueryDef("customers_without_orders", q_customers_without_orders,
+             SQL_CUSTOMERS_WITHOUT_ORDERS, "anti join"),
+    QueryDef("order_priority_rollup", q_order_priority_rollup,
+             SQL_ORDER_PRIORITY_ROLLUP, "rollup grouping sets"),
+    QueryDef("order_gaps", q_order_gaps, SQL_ORDER_GAPS, "lag window on orders"),
+    QueryDef("purchasers_without_errors", q_purchasers_without_errors,
+             SQL_PURCHASERS_WITHOUT_ERRORS, "set difference"),
+    QueryDef("supplier_part_join", q_supplier_part_join, SQL_SUPPLIER_PART_JOIN,
+             "multi-way join with pushdown filter"),
+    QueryDef("doc_stats", q_doc_stats, SQL_DOC_STATS, "per-doc text statistics"),
+    QueryDef("quality_scores", q_quality_scores, SQL_QUALITY_SCORES,
+             "heuristic quality scoring"),
+    QueryDef("language_id", q_language_id, SQL_LANGUAGE_ID,
+             "stopword-profile language guess"),
+    QueryDef("lang_distribution", q_lang_distribution, SQL_LANG_DISTRIBUTION,
+             "corpus composition rollup"),
+    QueryDef("exact_dedup_docs", q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS,
+             "exact dedup via fingerprint argmin"),
+    QueryDef("ngram_jaccard_pairs", q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS,
+             "exact 3-gram Jaccard near-dup pairs"),
+    QueryDef("minhash_lsh_pairs", q_minhash_lsh_pairs, SQL_NGRAM_JACCARD_PAIRS,
+             "MinHash+LSH near-dup (verified) — must equal exhaustive"),
+    QueryDef("knn_cosine", q_knn_cosine, SQL_KNN_COSINE,
+             "brute-force cosine top-10"),
+    QueryDef("embedding_norms", q_embedding_norms, SQL_EMBEDDING_NORMS,
+             "vector L2 norms"),
+    QueryDef("embedding_dedup_pairs", q_embedding_dedup_pairs,
+             SQL_EMBEDDING_DEDUP_PAIRS, "embedding-cosine near-dup pairs"),
+    QueryDef("centroid_topk", q_centroid_topk, SQL_CENTROID_TOPK,
+             "IVF ANN with exhaustive probe == brute force"),
+]
+
+
+def spark_queries() -> dict[str, SparkQuery]:
+    return {q.name: q.spark for q in CATALOG}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {q.name: q.oracle for q in CATALOG if q.oracle is not None}

@@ -22,9 +22,15 @@ from commerce_sessionization_spark.schemas import (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, converting nano-long timestamp columns."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
     for col in TESTDATA_NANO_TS_COLUMNS.get(name, []):
-        # floor-divide nanos → micros matches DuckDB's ns→µs truncation
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        if dtypes.get(col) == "bigint":
+            # floor-divide nanos → micros matches DuckDB's ns→µs truncation
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dtypes.get(col, "").startswith("timestamp_ntz"):
+            # NTZ wall-time == UTC instant for this dataset; cast so window
+            # arithmetic (unix_micros etc.) works uniformly downstream
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
