@@ -34,16 +34,20 @@ def normalized_words(text: Column) -> Column:
     return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != "")
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document, as array<string>."""
+def word_shingles(text: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles of a document, as array<string>.
+
+    ``distinct=True`` gives the set semantics Jaccard needs; MinHash callers
+    pass ``distinct=False`` — min() is idempotent under duplicates and
+    ``array_distinct`` is O(s²) per doc.
+    """
     words = normalized_words(text)
     count = F.size(words)
     idx = F.when(count >= n, F.sequence(F.lit(0), count - n)).otherwise(
         F.array()
     )
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
-    )
+    out = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    return F.array_distinct(out) if distinct else out
 
 
 def exact_dedup(
@@ -162,28 +166,40 @@ def minhash_lsh_candidates(
     slice to a band key → self-join on (band_idx, band_key). The join input
     has #docs × bands rows; matching probability follows the usual S-curve
     1−(1−j^r)^b.
+
+    The signature is computed as a *flat aggregation*: explode shingles to
+    (doc, hash) rows, then ``num_hashes`` ``min(xxhash64(slot, h))`` aggs.
+    Two reasons over the array-expression formulation: (a) Catalyst's
+    CollapseProject would inline the whole signature expression into each of
+    the ``bands`` band-key expressions (observed ~bands× blowup); (b) the
+    hash-agg gets map-side partial aggregation and whole-stage codegen, and
+    at 100 TB the shuffle carries only (doc_id, 8·num_hashes bytes) rows.
     """
     rows_per_band = num_hashes // bands
-    # materialize the per-shingle base hashes once, then derive all
-    # num_hashes permutations from that array (sha256 runs once per shingle)
-    based = df.select(
+    sh = df.select(
         F.col(id_col).alias("_id"),
-        shingle_base_hashes(F.col(text_col), n=n).alias("_base"),
+        F.explode(word_shingles(F.col(text_col), n, distinct=False)).alias("_s"),
+    ).select("_id", F.xxhash64("_s").alias("_h"))
+    sig = sh.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
     )
-    banded = based.select(
-        "_id", minhash_signature_from_base(F.col("_base"), num_hashes).alias("_sig")
-    ).select(
+    banded = sig.select(
         "_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.sha2(
-                            F.concat_ws(
-                                ",", F.slice("_sig", i * rows_per_band + 1, rows_per_band)
-                            ),
-                            256,
+                        F.xxhash64(
+                            *[
+                                F.col(f"_m{j}")
+                                for j in range(
+                                    i * rows_per_band, (i + 1) * rows_per_band
+                                )
+                            ]
                         ).alias("key"),
                     )
                     for i in range(bands)

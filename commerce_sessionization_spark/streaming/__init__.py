@@ -1,0 +1,20 @@
+"""Structured Streaming surface of the engine.
+
+The reference's incrementality is Airflow-driven hourly micro-batching
+(``airflow/dags/sessionization_batch.py:12,36-39``); this package is the
+stream-native equivalent per SURVEY §2.8/§7.2: ``session_window`` gap
+aggregation with watermarked late-data handling, and a stateful per-event
+variant whose session ids are byte-identical to the batch operator.
+"""
+
+from commerce_sessionization_spark.streaming.sessionize_stream import (
+    read_events_stream,
+    sessionize_stream_stateful,
+    sessionize_stream_window,
+)
+
+__all__ = [
+    "read_events_stream",
+    "sessionize_stream_stateful",
+    "sessionize_stream_window",
+]

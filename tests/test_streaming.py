@@ -1,0 +1,153 @@
+"""Streaming sessionization: parity with the batch operator across
+micro-batch boundaries, watermark eviction plumbing, session_window aggs.
+
+Strategy: write parquet drops into a temp dir, stream them with
+``maxFilesPerTrigger=1`` (each file = one micro-batch, so state carry
+across batches is really exercised), sink to memory, and compare with the
+batch ``sessionize`` result on the same rows.
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from commerce_sessionization_spark.operators.sessions import sessionize
+from commerce_sessionization_spark.streaming import (
+    read_events_stream,
+    sessionize_stream_stateful,
+    sessionize_stream_window,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+
+# two users; user 1 has a >30min gap inside batch 2; user 2's session
+# straddles the batch boundary with a <30min gap
+BATCH_1 = [
+    (1, ts("2024-01-01 10:00:00"), 1, "view"),
+    (2, ts("2024-01-01 10:10:00"), 1, "cart"),
+    (3, ts("2024-01-01 10:50:00"), 2, "view"),
+]
+BATCH_2 = [
+    (4, ts("2024-01-01 11:05:00"), 2, "purchase"),  # 15min gap → same session
+    (5, ts("2024-01-01 11:20:00"), 1, "view"),      # 70min gap → new session
+    (6, ts("2024-01-01 11:25:00"), 1, "purchase"),
+]
+
+
+def run_stream(spark, tmp_path, transform, out_cols):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for i, rows in enumerate([BATCH_1, BATCH_2]):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"drop_{i}.parquet")
+        )
+    stream = read_events_stream(
+        spark, f"{src}/drop_*.parquet", maxFilesPerTrigger="1"
+    )
+    name = f"sink_{abs(hash(str(tmp_path))) % 10**8}"
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    for _ in range(20):  # drain any trailing commit
+        if not q.isActive:
+            break
+        time.sleep(0.5)
+    return spark.sql(f"SELECT {', '.join(out_cols)} FROM {name}")
+
+
+def test_stateful_matches_batch(spark, tmp_path):
+    got = run_stream(
+        spark,
+        tmp_path,
+        sessionize_stream_stateful,
+        ["event_id", "session_id"],
+    ).collect()
+    all_rows = BATCH_1 + BATCH_2
+    expected = {
+        r.event_id: r.session_id
+        for r in sessionize(
+            spark.createDataFrame(all_rows, SCHEMA), order_cols=("event_id",)
+        ).collect()
+    }
+    assert len(got) == len(all_rows)  # every event emitted exactly once
+    for r in got:
+        assert r.session_id == expected[r.event_id], (
+            f"event {r.event_id}: stream id != batch id"
+        )
+
+
+def test_stateful_session_structure(spark, tmp_path):
+    got = {
+        r.event_id: r.session_id
+        for r in run_stream(
+            spark, tmp_path, sessionize_stream_stateful, ["event_id", "session_id"]
+        ).collect()
+    }
+    # user 1: events 1,2 share; event 5,6 share a DIFFERENT session
+    assert got[1] == got[2]
+    assert got[5] == got[6]
+    assert got[1] != got[5]
+    # user 2: session survives the micro-batch boundary (15min gap)
+    assert got[3] == got[4]
+
+
+def test_session_window_stream_aggregates(spark, tmp_path):
+    df = run_stream(
+        spark,
+        tmp_path,
+        lambda s: sessionize_stream_window(s, watermark="0 seconds"),
+        ["user_id", "session_start", "session_end", "n_events"],
+    )
+    rows = {
+        (r.user_id, r.session_start): r.n_events
+        for r in df.collect()
+    }
+    # append mode emits only sessions the watermark has closed; with the
+    # availableNow run ending at max ts 11:25, user 1's first session
+    # (ended 10:40 < 11:25 watermark) must be final
+    assert rows[(1, ts("2024-01-01 10:00:00"))] == 2
+
+
+def test_stream_is_streaming_plan(spark):
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 10).alias("user_id"),
+            F.lit("view").alias("event_type"),
+        )
+    )
+    out = sessionize_stream_stateful(stream)
+    assert out.isStreaming
+    assert "session_id" in out.columns
