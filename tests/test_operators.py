@@ -1,0 +1,323 @@
+"""Unit coverage for the north-star operator suites: dedup, similarity,
+text analysis, multimodal plumbing — small inline fixtures, exact asserts
+(the SURVEY §5 strategy applied to the added surface)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from commerce_sessionization_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_candidates,
+    word_shingles,
+)
+from commerce_sessionization_spark.operators.similarity import (
+    all_pairs_topk,
+    brute_force_topk,
+    embedding_dedup_pairs,
+    ivf_assign,
+    ivf_search,
+    seed_centroids,
+)
+from commerce_sessionization_spark.operators.text import (
+    language_id,
+    quality_score,
+    rolling_hash_fingerprint,
+    with_fingerprint,
+    with_text_stats,
+)
+
+DOC_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+LOREM = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest to hide from all of the other animals"
+)
+LOREM_NEAR = LOREM.replace("green", "dark")  # one word of ~26 differs
+LOREM_FAR = "completely different content about databases and query engines"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, LOREM),
+        (2, LOREM),          # exact dup of 1
+        (3, LOREM_NEAR),     # near dup of 1
+        (4, LOREM_FAR),
+        (5, "  " + LOREM.upper() + "  "),  # dup of 1 after normalization
+        (6, "tiny"),         # fewer words than shingle width
+    ]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_min_id_per_fingerprint(self, docs):
+        kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+        # 1≡2≡5 (case/whitespace-normalized) → keep 1; 3,4,6 unique
+        assert kept == [1, 3, 4, 6]
+
+    def test_exact_dedup_no_normalize_is_byte_exact(self, docs):
+        kept = sorted(r.doc_id for r in exact_dedup(docs, normalize=False).collect())
+        assert kept == [1, 3, 4, 5, 6]
+
+    def test_ngram_jaccard_finds_near_dup(self, docs):
+        pairs = {
+            (r.a, r.b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0
+        assert not any(4 in p for p in pairs)
+
+    def test_jaccard_value_exact(self, spark):
+        # hand-computable: shingle sets {a b c, b c d} vs {a b c} → J = 1/2
+        df = spark.createDataFrame([(1, "a b c d"), (2, "a b c")], DOC_SCHEMA)
+        [r] = ngram_jaccard_pairs(df, n=3, threshold=0.1).collect()
+        assert (r.a, r.b, r.jaccard) == (1, 2, 0.5)
+
+    def test_minhash_lsh_matches_exhaustive(self, docs):
+        exact = {
+            (r.a, r.b)
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+        }
+        lsh = {
+            (r.a, r.b)
+            for r in minhash_lsh_dedup_pairs(
+                docs, n=3, threshold=0.5, num_hashes=128, bands=64
+            ).collect()
+        }
+        assert lsh == exact
+
+    def test_lsh_candidates_prune_dissimilar(self, docs):
+        cands = {
+            (r.a, r.b)
+            for r in minhash_lsh_candidates(
+                docs, num_hashes=128, bands=16
+            ).collect()
+        }
+        assert (1, 2) in cands          # identical docs always collide
+        assert (1, 4) not in cands      # unrelated docs never share 8-row bands
+        assert (2, 4) not in cands
+
+    def test_simhash_candidates(self, docs):
+        cands = {
+            (r.a, r.b) for r in simhash_dedup_candidates(docs, n=2).collect()
+        }
+        assert (1, 2) in cands
+        assert (1, 5) in cands  # normalization folds case/whitespace
+
+    def test_word_shingles_short_doc(self, spark):
+        df = spark.createDataFrame([(1, "only two")], DOC_SCHEMA)
+        [r] = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()
+        assert r.s == []
+
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [1.0, 0.02, 0.0]),
+        (5, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, EMB_SCHEMA)
+
+
+def cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+class TestSimilarity:
+    def test_brute_force_topk_order_and_values(self, vectors):
+        q = vectors.filter(F.col("vec_id") == 0)
+        got = brute_force_topk(vectors, q, k=3).collect()
+        assert [r.vec_id for r in got] == [0, 4, 1]
+        assert got[1].cosine == pytest.approx(cos([1, 0, 0], [1.0, 0.02, 0.0]))
+
+    def test_all_pairs_topk(self, vectors):
+        queries = vectors.filter(F.col("vec_id").isin(0, 2)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = all_pairs_topk(vectors, queries, k=2).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append(r.vec_id)
+        assert by_q[0] == [0, 4]
+        assert by_q[2] == [2, 1]
+
+    def test_ivf_exhaustive_probe_equals_brute_force(self, vectors):
+        cents = seed_centroids(vectors, nlist=3)
+        assigned = ivf_assign(vectors, cents)
+        q = vectors.filter(F.col("vec_id") == 0)
+        ivf = [r.vec_id for r in ivf_search(assigned, cents, q, k=4, nprobe=3).collect()]
+        bf = [r.vec_id for r in brute_force_topk(vectors, q, k=4).collect()]
+        assert ivf == bf
+
+    def test_ivf_narrow_probe_prunes(self, vectors):
+        cents = seed_centroids(vectors, nlist=3)
+        assigned = ivf_assign(vectors, cents)
+        q = vectors.filter(F.col("vec_id") == 0)
+        got = [r.vec_id for r in ivf_search(assigned, cents, q, k=6, nprobe=1).collect()]
+        # probing 1 of 3 partitions cannot return the whole corpus
+        assert 0 < len(got) < 6
+        assert got[0] == 0
+
+    def test_embedding_dedup_exhaustive_vs_bucketed(self, vectors):
+        exact = {
+            (r.a, r.b)
+            for r in embedding_dedup_pairs(vectors, threshold=0.99, n_planes=0).collect()
+        }
+        bucketed = {
+            (r.a, r.b)
+            for r in embedding_dedup_pairs(
+                vectors, threshold=0.99, n_planes=4, dim=3
+            ).collect()
+        }
+        assert (0, 4) in exact
+        assert (0, 5) not in exact  # opposite vectors
+        # hyperplane buckets keep the very-high-cosine pair together
+        assert (0, 4) in bucketed
+        assert bucketed <= exact
+
+
+class TestText:
+    def test_counts_and_ratios(self, spark):
+        df = spark.createDataFrame([(1, "The cat, and the dog!")], DOC_SCHEMA)
+        [r] = with_text_stats(df).collect()
+        assert r.char_count == 21
+        assert r.word_count == 5
+        assert r.token_count == 7  # the cat , and the dog !
+        assert r.punct_ratio == pytest.approx(2 / 21)
+        assert r.stopword_ratio == pytest.approx(3 / 5)  # the, and, the
+
+    def test_quality_monotone_in_length(self, spark):
+        df = spark.createDataFrame(
+            [(1, "short text"), (2, "the " * 200)], DOC_SCHEMA
+        )
+        got = {r.doc_id: r.quality_score for r in quality_score(df).collect()}
+        assert got[2] > got[1]
+
+    def test_language_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat is in the house and it is happy"),
+                (2, "der hund ist nicht in das haus und die katze"),
+                (3, "le chat est dans la maison et les chiens"),
+                (4, "el perro es una mascota que vive por los parques"),
+                (5, "zzz qqq xxx"),
+            ],
+            DOC_SCHEMA,
+        )
+        got = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+        assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world"), (3, "other")], DOC_SCHEMA
+        )
+        fps = {r.doc_id: r.fingerprint for r in with_fingerprint(df).collect()}
+        assert fps[1] == fps[2] != fps[3]
+        assert fps[1] == hashlib.sha256(b"hello world").hexdigest()
+
+    def test_rolling_hash_fingerprint_matches_for_dups(self, docs):
+        fps = {
+            r.doc_id: r.rolling_fp
+            for r in rolling_hash_fingerprint(docs, window=8).collect()
+        }
+        assert fps[1] == fps[2]
+        assert fps[1] != fps[4]
+
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("content", BinaryType()),
+        StructField("meta", StringType()),
+    ]
+)
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            (1, "image", b"\x89PNG fake bytes 1", "{}"),
+            (2, "image", b"\x89PNG fake bytes 2", "{}"),
+            (3, "audio", b"RIFF fake wav" * 100, "{}"),
+            (4, "video", b"\x00\x00ftyp fake mp4" * 50, "{}"),
+        ]
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def test_image_features_fake_decode(self, media):
+        from commerce_sessionization_spark.operators.multimodal import (
+            extract_image_features,
+        )
+
+        got = {r.asset_id: r for r in extract_image_features(media, fake=True).collect()}
+        assert set(got) == {1, 2}
+        for r in got.values():
+            assert 64 <= r.width <= 255 and 64 <= r.height <= 255
+            assert 0.0 <= r.mean_luma <= 1.0 and len(r.phash) == 16
+        # deterministic: same payload → same features
+        again = {r.asset_id: r for r in extract_image_features(media, fake=True).collect()}
+        assert got == again
+
+    def test_real_decode_is_explicitly_stubbed(self, media):
+        from commerce_sessionization_spark.operators.multimodal import (
+            extract_image_features,
+        )
+
+        with pytest.raises(Exception, match="NotImplementedError|decode"):
+            extract_image_features(media, fake=False).collect()
+
+    def test_audio_and_video(self, media):
+        from commerce_sessionization_spark.operators.multimodal import (
+            extract_audio_features,
+            sample_video_frames,
+        )
+
+        [a] = extract_audio_features(media, fake=True).collect()
+        assert a.asset_id == 3 and a.sample_rate == 16000 and a.duration_sec > 0
+        frames = sample_video_frames(media, fake=True).collect()
+        assert frames and all(f.asset_id == 4 for f in frames)
+        assert len({f.frame_idx for f in frames}) == len(frames)
+
+    def test_metadata_stats_no_decode(self, media):
+        from commerce_sessionization_spark.operators.multimodal import (
+            media_metadata_stats,
+        )
+
+        got = {r.modality: r.n_assets for r in media_metadata_stats(media).collect()}
+        assert got == {"image": 2, "audio": 1, "video": 1}

@@ -1,0 +1,114 @@
+"""Pipeline-level tests: EP2 ingest → EP1 hourly chain → invariants.
+
+Covers what the reference's E2E data-quality DAG checks in production
+(``sessionization_batch_test.py:39-87``): row-count parity, non-null
+session ids, idempotent re-runs — plus the hive layout contract and the
+engine's generic sessionize on driver testdata.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from commerce_sessionization_spark.operators import divide_file, sessionize_hour
+from commerce_sessionization_spark.operators.sessions import sessionize
+from commerce_sessionization_spark.schemas import BEHAVIOR_SCHEMA, SESSION_SCHEMA
+from commerce_sessionization_spark.sources import read_parquet
+from commerce_sessionization_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("pipeline")
+    csv = base / "raw.csv"
+    rows = [
+        # hour 10: u1 two events; u2 one near the boundary
+        ("2019-10-01 10:00:00 UTC", "view", 1, 10, "c.a", "b1", 9.0, 1),
+        ("2019-10-01 10:10:00 UTC", "cart", 2, 10, "c.a", "b1", 9.0, 1),
+        ("2019-10-01 10:50:00 UTC", "view", 3, 11, "c.b", "b2", 5.0, 2),
+        # hour 11: u2 continues (<30m); u1 returns (>30m)
+        ("2019-10-01 11:10:00 UTC", "purchase", 3, 11, "c.b", "b2", 5.0, 2),
+        ("2019-10-01 11:05:00 UTC", "view", 4, 12, "c.c", "b3", 2.0, 1),
+    ]
+    with open(csv, "w") as f:
+        f.write(
+            "event_time,event_type,product_id,category_id,"
+            "category_code,brand,price,user_id\n"
+        )
+        for r in rows:
+            f.write(",".join(str(x) for x in r) + "\n")
+    out = str(base / "data")
+    divide_file(spark, str(csv), out)
+    sessionize_hour(spark, "2019-10-01", "10", out)
+    sessionize_hour(spark, "2019-10-01", "11", out)
+    return out
+
+
+def test_ingest_layout_and_partitioning(spark, pipeline):
+    logs = read_parquet(spark, f"{pipeline}/logs", BEHAVIOR_SCHEMA)
+    assert logs.count() == 5
+    hours = {r.event_hour for r in logs.select("event_hour").distinct().collect()}
+    assert hours == {"10", "11"}
+    import glob
+
+    files = glob.glob(f"{pipeline}/logs/event_date=*/event_hour=*/*.parquet")
+    assert files, "hive-partitioned layout expected"
+
+
+def test_hourly_chain_carry_and_parity(spark, pipeline):
+    sess = read_parquet(spark, f"{pipeline}/sessions", SESSION_SCHEMA)
+    rows = sess.collect()
+    assert len(rows) == 5  # row parity with logs; no carrier leakage
+    assert all(r.session_id is not None for r in rows)
+    by_key = {(r.user_id, r.event_time): r.session_id for r in rows}
+    # u2's session survives the hour boundary (20-min gap)
+    assert (
+        by_key[(2, "2019-10-01 10:50:00 UTC")]
+        == by_key[(2, "2019-10-01 11:10:00 UTC")]
+    )
+    # u1's 55-min silence splits sessions
+    assert (
+        by_key[(1, "2019-10-01 10:10:00 UTC")]
+        != by_key[(1, "2019-10-01 11:05:00 UTC")]
+    )
+
+
+def test_rerun_is_idempotent(spark, pipeline):
+    before = sorted(
+        (r.user_id, r.event_time, r.session_id)
+        for r in read_parquet(spark, f"{pipeline}/sessions", SESSION_SCHEMA).collect()
+    )
+    sessionize_hour(spark, "2019-10-01", "11", pipeline)
+    after = sorted(
+        (r.user_id, r.event_time, r.session_id)
+        for r in read_parquet(spark, f"{pipeline}/sessions", SESSION_SCHEMA).collect()
+    )
+    assert before == after
+
+
+def test_generic_sessionize_invariants_on_testdata(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    n = ev.count()
+    out = sessionize(ev, order_cols=("event_id",))
+    assert out.count() == n
+    assert out.filter(F.col("session_id").isNull()).count() == 0
+    # every session's events belong to exactly one user
+    bad = (
+        out.groupBy("session_id")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .filter(F.col("u") > 1)
+        .count()
+    )
+    assert bad == 0
+    # max intra-session gap ≤ 30 min
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("session_id").orderBy("ts", "event_id")
+    gaps = out.withColumn(
+        "gap", F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
+    ).filter(F.col("gap") > 1800 * 1_000_000)
+    assert gaps.count() == 0
