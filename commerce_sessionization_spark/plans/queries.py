@@ -37,6 +37,8 @@ from commerce_sessionization_spark.operators.similarity import brute_force_topk
 from commerce_sessionization_spark.operators.text import (
     language_id,
     quality_score,
+    rolling_hash_fingerprint,
+    with_fingerprint,
     with_text_stats,
 )
 from commerce_sessionization_spark.sources.tables import load_table
@@ -694,6 +696,171 @@ SQL_CENTROID_TOPK = SQL_KNN_COSINE
 
 
 # --------------------------------------------------------------------------
+# Fingerprinting (documents) — sha / winnowing / SimHash
+# --------------------------------------------------------------------------
+
+def _hex2int_sql(expr: str, n_chars: int = 15) -> str:
+    """DuckDB twin of ``functions.hashing.hex_to_long``: first ``n_chars``
+    hex chars of a digest → bigint, via positional base-16 folding."""
+    # loop var deliberately NOT `i`/`s`: this snippet nests inside caller
+    # comprehensions and DuckDB lambda vars capture lexically
+    return (
+        f"list_sum([ (strpos('0123456789abcdef', ({expr})[_hx:_hx]) - 1)"
+        f" * (1::BIGINT << (4*({n_chars}-_hx))) for _hx in range(1, {n_chars + 1})])::BIGINT"
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + winnowing fingerprints per document (near-dup prefilter keys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return rolling_hash_fingerprint(
+        with_fingerprint(docs), window=8
+    ).select("doc_id", "fingerprint", "rolling_fp")
+
+
+SQL_DOC_FINGERPRINTS = f"""
+WITH w AS (
+  SELECT doc_id,
+         sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         {_LWORDS_SQL} AS words
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       list_min([{_hex2int_sql("sha256(array_to_string(words[i+1:i+8], ' '))")}
+                 for i in range(0, greatest(len(words)-8, 0)+1)]) AS rolling_fp
+FROM w
+"""
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram under the BPE-ish tokenizer (explode+agg)."""
+    from commerce_sessionization_spark.operators.text import TOKEN_PATTERN
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0))
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_TOKEN_HISTOGRAM = f"""
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS token
+  FROM documents
+) GROUP BY token
+"""
+
+
+def _simhash_sql(bits: int = 60, n: int = 2) -> str:
+    """Machine-generated DuckDB twin of ``operators.dedup.simhash``:
+    per-bit majority over sha-derived 60-bit shingle hashes."""
+    shingles = (
+        f"list_distinct([array_to_string(words[i+1:i+{n}], ' ') "
+        f"for i in range(0, greatest(len(words)-{n}, 0)+1)])"
+    )
+    hashes = f"[{_hex2int_sql('sha256(s)')} for s in {shingles}]"
+    bit_terms = " + ".join(
+        f"CASE WHEN 2*len([h for h in hs if (h >> {i}) & 1 = 1]) >= len(hs)"
+        f" THEN (1::BIGINT << {i}) ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, {_LWORDS_SQL} AS words FROM documents),
+h AS (SELECT doc_id, {hashes} AS hs FROM w),
+fp AS (SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM h)
+"""
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from commerce_sessionization_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text"), n=2).alias("simhash"))
+
+
+SQL_SIMHASH_FINGERPRINTS = _simhash_sql() + "SELECT doc_id, simhash FROM fp"
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates: any 15-bit SimHash band equal (a < b)."""
+    from commerce_sessionization_spark.operators.dedup import (
+        simhash_dedup_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_dedup_candidates(docs, n=2, bits=60, band_bits=15)
+
+
+SQL_SIMHASH_PAIRS = _simhash_sql() + """
+, banded AS (
+  SELECT doc_id, b, (simhash >> (b*15)) & 32767 AS key
+  FROM fp, unnest([0,1,2,3]) AS t(b)
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM banded l JOIN banded r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+"""
+
+
+def q_embedding_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-bucketed similar pairs (cosine ≥ 0.4 within bucket).
+
+    The oracle re-derives the ±1 Rademacher hyperplanes from the same
+    sha-seeded constants and recomputes bucket keys in SQL, so this checks
+    the *bucketing algorithm itself*, not just the cosine filter.
+    """
+    from commerce_sessionization_spark.operators.similarity import (
+        embedding_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dedup_pairs(
+        emb, threshold=0.4, n_planes=4, dim=64
+    ).select("a", "b", _quant(F.col("cosine"), 6).alias("cosine_q6"))
+
+
+def _hyperplane_signs(seed: int, m: int, dim: int) -> list[float]:
+    import hashlib as _hl
+
+    return [
+        1.0
+        if int(_hl.sha256(f"{seed}-{m}-{d}".encode()).hexdigest()[:8], 16) % 2
+        else -1.0
+        for d in range(dim)
+    ]
+
+
+def _sql_embedding_bucket_pairs(dim: int = 64, n_planes: int = 4, seed: int = 42) -> str:
+    planes = []
+    for m in range(n_planes):
+        arr = ", ".join(str(s) for s in _hyperplane_signs(seed, m, dim))
+        planes.append(
+            f"CASE WHEN list_dot_product(v, [{arr}]::DOUBLE[]) >= 0"
+            f" THEN {1 << m} ELSE 0 END"
+        )
+    bucket = " + ".join(planes)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket}) AS bucket
+  FROM embeddings
+)
+SELECT l.vec_id AS a, r.vec_id AS b,
+       CAST(floor(list_dot_product(l.v, r.v)
+             / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) * 1000000.0) AS BIGINT) AS cosine_q6
+FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE list_dot_product(l.v, r.v)
+      / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) >= 0.4
+"""
+
+
+SQL_EMBEDDING_BUCKET_PAIRS = _sql_embedding_bucket_pairs()
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -748,6 +915,17 @@ CATALOG: list[QueryDef] = [
              SQL_EMBEDDING_DEDUP_PAIRS, "embedding-cosine near-dup pairs"),
     QueryDef("centroid_topk", q_centroid_topk, SQL_CENTROID_TOPK,
              "IVF ANN with exhaustive probe == brute force"),
+    QueryDef("doc_fingerprints", q_doc_fingerprints, SQL_DOC_FINGERPRINTS,
+             "sha256 + winnowing rolling fingerprints"),
+    QueryDef("token_histogram", q_token_histogram, SQL_TOKEN_HISTOGRAM,
+             "corpus token histogram (BPE-ish tokenizer)"),
+    QueryDef("simhash_fingerprints", q_simhash_fingerprints,
+             SQL_SIMHASH_FINGERPRINTS, "60-bit SimHash per document"),
+    QueryDef("simhash_pairs", q_simhash_pairs, SQL_SIMHASH_PAIRS,
+             "SimHash banded near-dup candidates"),
+    QueryDef("embedding_bucket_pairs", q_embedding_bucket_pairs,
+             SQL_EMBEDDING_BUCKET_PAIRS,
+             "hyperplane-LSH bucketed similar pairs (bucketing oracle-checked)"),
 ]
 
 
