@@ -1,0 +1,99 @@
+"""CLI — the engine's scheduler-facing surface (SURVEY §2.10).
+
+The reference is driven by Airflow submitting a jar with positional args
+(``sessionization_batch.py:21-25`` passes ``{{ ds }}``, ``{{ logical_date
+.strftime('%H') }}``, base path); any scheduler can drive this engine the
+same way:
+
+    python -m commerce_sessionization_spark divide --input raw.csv --path BASE
+    python -m commerce_sessionization_spark sessionize --date 2019-10-01 \
+        --hour 10 --path BASE
+    python -m commerce_sessionization_spark backfill --start "2019-10-01 00" \
+        --end "2019-10-02 23" --path BASE
+
+``backfill`` replays hours strictly in order — the batch analogue of the
+DAG's ``catchup=True, max_active_runs=1, depends_on_past=True``
+(``sessionization_batch.py:36-39``): hour t's carry-in reads hour t-1's
+output, so ordering is a correctness constraint, not a preference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from datetime import datetime, timedelta
+
+from commerce_sessionization_spark.session import get_spark
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--path", required=True, help="pipeline base dir (logs/ + sessions/)")
+    p.add_argument("--master", default=None, help="spark master (default local[CPUS])")
+
+
+def main(argv: list[str] | None = None) -> int:
+    top = argparse.ArgumentParser(prog="commerce_sessionization_spark")
+    sub = top.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("divide", help="EP2: raw CSV -> hourly logs/ partitions")
+    d.add_argument("--input", required=True, help="raw behavior CSV (with header)")
+    d.add_argument(
+        "--shift-days",
+        type=int,
+        default=0,
+        help="date-shift replay offset (reference README.md:19-30 uses 1877)",
+    )
+    _add_common(d)
+
+    s = sub.add_parser("sessionize", help="EP1: one incremental hour")
+    s.add_argument("--date", required=True, help="event_date YYYY-MM-DD")
+    s.add_argument("--hour", required=True, help="event_hour HH")
+    s.add_argument(
+        "--no-sort",
+        action="store_true",
+        help="skip the reference's global output sort (recommended at scale)",
+    )
+    _add_common(s)
+
+    b = sub.add_parser("backfill", help="ordered EP1 over an hour range")
+    b.add_argument("--start", required=True, help='"YYYY-MM-DD HH" first hour')
+    b.add_argument("--end", required=True, help='"YYYY-MM-DD HH" last hour (inclusive)')
+    b.add_argument("--no-sort", action="store_true")
+    _add_common(b)
+
+    args = top.parse_args(argv)
+    spark = get_spark(app_name=f"csz-{args.cmd}", master=args.master)
+    try:
+        if args.cmd == "divide":
+            from commerce_sessionization_spark.operators import divide_file
+
+            divide_file(spark, args.input, args.path, shift_days=args.shift_days)
+        elif args.cmd == "sessionize":
+            from commerce_sessionization_spark.operators import sessionize_hour
+
+            sessionize_hour(
+                spark, args.date, args.hour, args.path, sort_output=not args.no_sort
+            )
+        elif args.cmd == "backfill":
+            from commerce_sessionization_spark.operators import sessionize_hour
+
+            t = datetime.strptime(args.start, "%Y-%m-%d %H")
+            end = datetime.strptime(args.end, "%Y-%m-%d %H")
+            if end < t:
+                top.error("--end before --start")
+            while t <= end:
+                sessionize_hour(
+                    spark,
+                    t.strftime("%Y-%m-%d"),
+                    t.strftime("%H"),
+                    args.path,
+                    sort_output=not args.no_sort,
+                )
+                t += timedelta(hours=1)
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
