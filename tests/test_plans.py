@@ -1,0 +1,129 @@
+"""Physical-plan audits: the plan properties we rely on for 100 TB scale,
+asserted on the real optimized plans so regressions fail CI, not the
+cluster.
+
+Each test captures ``df.explain(mode="formatted")`` and checks:
+- filters reach the parquet scan (PushedFilters / PartitionFilters)
+- scans read only referenced columns (ReadSchema)
+- dimension joins broadcast (BroadcastHashJoin, no SortMergeJoin)
+- the sessionization window chain costs exactly one exchange
+- hot paths stay inside WholeStageCodegen
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from commerce_sessionization_spark.operators.sessions import sessionize
+from commerce_sessionization_spark.plans.queries import spark_queries
+from commerce_sessionization_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def node_count(plan: str, node: str) -> int:
+    """Count physical nodes by their numbered detail header (formatted mode
+    prints each node once in the tree and once in the details)."""
+    return len(re.findall(rf"\(\d+\) {node}", plan))
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return spark_queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, queries):
+    plan = plan_of(queries["pricing_summary"](spark, SF_DIR))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_shipdate" in m.group(1), plan
+
+
+def test_column_pruning(spark, queries):
+    plan = plan_of(queries["pricing_summary"](spark, SF_DIR))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # Q1 needs 7 of lineitem's 16 columns — nothing else may be read
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }, cols
+
+
+def test_star_join_broadcasts_dims(spark, queries):
+    plan = plan_of(queries["revenue_by_nation"](spark, SF_DIR))
+    assert node_count(plan, "BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_supplier_part_join_broadcasts_and_pushes_dim_filter(spark, queries):
+    plan = plan_of(queries["supplier_part_join"](spark, SF_DIR))
+    assert node_count(plan, "BroadcastHashJoin") == 2, plan
+    assert re.search(r"PushedFilters: \[[^\]]*p_size[^\]]*\]", plan), plan
+
+
+def test_sessionize_costs_one_exchange(spark):
+    """The whole lag→seed→forward-fill chain must collapse into ONE window
+    exchange on user_id (the reference relies on the same collapse,
+    SURVEY §4 'Window execution')."""
+    ev = load_table(spark, SF_DIR, "events")
+    plan = plan_of(sessionize(ev, order_cols=("event_id",)))
+    exchanges = re.findall(r"\(\d+\) Exchange\n[^\n]*\nArguments: (\w+)", plan)
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning" in exchanges[0], plan
+    # two Window nodes are expected (the forward-fill consumes the lag
+    # output so they cannot fuse) but they must share ONE exchange+sort
+    assert node_count(plan, "Window") <= 2, plan
+    assert node_count(plan, "Sort") == 1, plan
+
+
+def test_partition_pruning_on_hive_layout(spark, tmp_path):
+    """Equality filters on (event_date, event_hour) must become
+    PartitionFilters — scanning one hour of a year-long table touches one
+    directory, the property the hourly job's cost model depends on."""
+    base = str(tmp_path / "part")
+    rows = [(f"2019-10-0{d} 10:00:00 UTC", 1, f"2019-10-0{d}", "10") for d in (1, 2)]
+    df = spark.createDataFrame(rows, "event_time string, user_id long, event_date string, event_hour string")
+    df.write.partitionBy("event_date", "event_hour").parquet(base)
+    got = (
+        spark.read.parquet(base)
+        .filter((F.col("event_date") == "2019-10-01") & (F.col("event_hour") == "10"))
+    )
+    plan = plan_of(got)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1) and "event_hour" in m.group(1), plan
+
+
+def test_hot_paths_stay_jvm_side(spark, queries):
+    """No Python evaluation nodes in the declared-query hot paths: a stray
+    row-at-a-time UDF would appear as BatchEvalPython (or Arrow/Pandas
+    variants) and cost 10-100x at scale. (AQE hides codegen stars until the
+    final plan, so absence-of-Python is the statically checkable property.)"""
+    python_nodes = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                    "MapInPandas", "PythonMapInArrow")
+    for name in ("sessionize_events", "pricing_summary", "doc_stats",
+                 "minhash_lsh_pairs", "knn_cosine"):
+        plan = plan_of(queries[name](spark, SF_DIR))
+        for node in python_nodes:
+            assert node not in plan, f"{name} routes through {node}:\n{plan}"
+
+
+def test_knn_does_not_shuffle_corpus(spark, queries):
+    """Brute-force top-k must be scan → local TakeOrdered → single-partition
+    merge; a hashpartitioning exchange of the corpus would be a bug."""
+    plan = plan_of(queries["knn_cosine"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not re.search(r"Exchange hashpartitioning\([^)]*vec_id", plan), plan
