@@ -1,0 +1,103 @@
+"""Join operators beyond plain equi-joins (SURVEY §2.3 additive surface).
+
+The reference contains zero joins — its one as-of-shaped problem (prev-hour
+carry-in) is solved by union + window re-computation
+(``SessionizationBuiltIn.scala:54-57``). That union+window trick *is* the
+scalable formulation of an as-of join, so ``asof_join`` generalizes it:
+
+    tag both sides → union on (key, time) → one window per key orders the
+    merged timeline → ``last(right_payload, ignorenulls)`` carries the most
+    recent right row onto each left row → keep left rows.
+
+Cost: ONE shuffle on the key + one sort — the same exchange a plain
+sessionization pays. The naive alternative (equi-join on key + inequality
+on time + argmax) materializes every (left × earlier-right) pair per key
+before pruning; at 100 TB fact sizes that intermediate is the bottleneck,
+the merged-timeline window never builds it.
+
+``range_join`` is the declarative equi+interval join: Catalyst pushes the
+equality into the join key and evaluates the interval as a post-join
+predicate — with AQE handling skew. DuckDB mirrors both natively (ASOF
+JOIN / interval predicates), giving exact oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    right_cols: tuple[str, ...] = (),
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance_seconds: int | None = None,
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """For each left row, attach the closest right row at-or-before (``backward``)
+    or at-or-after (``forward``) its ``on`` time, per ``by`` key.
+
+    ``right_cols`` are emitted as ``{right_prefix}{col}`` (NULL when no match
+    within ``tolerance_seconds``). Right rows should be unique per
+    ``(by, on)`` — pre-aggregate otherwise (ties resolve arbitrarily).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    payload_fields = [on, *[c for c in right_cols if c != on]]
+    r = right.select(
+        F.col(by),
+        F.col(on),
+        F.struct(*[F.col(c) for c in payload_fields]).alias("_rpayload"),
+        F.lit(0 if allow_exact_matches else 2).alias("_side"),
+    )
+    l = left.withColumn("_rpayload", F.lit(None).cast(r.schema["_rpayload"].dataType)) \
+            .withColumn("_side", F.lit(1))
+
+    merged = l.unionByName(r, allowMissingColumns=True)
+    order = [F.col(on), F.col("_side")]
+    if direction == "forward":
+        order = [F.col(on).desc(), F.col("_side")]
+    w = (
+        Window.partitionBy(by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = merged.withColumn(
+        "_match", F.last("_rpayload", ignorenulls=True).over(w)
+    ).filter(F.col("_side") == 1)
+
+    if tolerance_seconds is not None:
+        delta = F.unix_micros(F.col(on)) - F.unix_micros(F.col("_match")[on])
+        if direction == "forward":
+            delta = -delta
+        matched = matched.withColumn(
+            "_match",
+            F.when(delta <= tolerance_seconds * 1_000_000, F.col("_match")),
+        )
+
+    out_cols: list[Column] = [left[c] for c in left.columns]
+    for c in payload_fields:
+        out_cols.append(F.col("_match")[c].alias(f"{right_prefix}{c}"))
+    return matched.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    interval: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi+interval join: ``on`` is the equality key condition, ``interval``
+    the range predicate (e.g. ``(r.ts >= l.start) & (r.ts < l.end)``).
+
+    Declarative on purpose: Catalyst plans the equality as the shuffle key
+    and the interval as a join-time filter, so the join never degenerates to
+    a cross product; AQE splits skewed keys.
+    """
+    return left.join(right, on & interval, how)

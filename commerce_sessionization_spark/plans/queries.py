@@ -696,6 +696,80 @@ SQL_CENTROID_TOPK = SQL_KNN_COSINE
 
 
 # --------------------------------------------------------------------------
+# As-of / range joins (events, orders×lineitem)
+# --------------------------------------------------------------------------
+
+def q_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase gets the user's latest view
+    at-or-before it (union+window formulation — one shuffle, no pair
+    blowup; see ``operators.joins``)."""
+    from commerce_sessionization_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    return asof_join(
+        purchases, views, on="ts", by="user_id", right_cols=("view_id",),
+        right_prefix="view_",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("view_view_id").alias("view_id"),
+        F.col("view_ts").alias("view_ts"),
+    )
+
+
+SQL_ASOF_PURCHASE_LAST_VIEW = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts, v.view_id, v.ts AS view_ts
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def q_order_lineitem_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+interval join: lineitems shipped within 90 days of their order's
+    date, rolled up by order status."""
+    from commerce_sessionization_spark.operators.joins import range_join
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = range_join(
+        o,
+        li,
+        on=o["o_orderkey"] == li["l_orderkey"],
+        interval=(li["l_shipdate"] >= o["o_orderdate"])
+        & (li["l_shipdate"] <= F.date_add(o["o_orderdate"].cast("date"), 90)),
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+SQL_ORDER_LINEITEM_RANGE_JOIN = """
+SELECT o_orderstatus, count(*) AS n_lines,
+       CAST(sum(l_quantity::DECIMAL(12,2)) AS DOUBLE) AS sum_qty
+FROM orders JOIN lineitem
+  ON o_orderkey = l_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate <= o_orderdate::DATE + INTERVAL 90 DAY
+GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
 # Fingerprinting (documents) — sha / winnowing / SimHash
 # --------------------------------------------------------------------------
 
@@ -915,6 +989,11 @@ CATALOG: list[QueryDef] = [
              SQL_EMBEDDING_DEDUP_PAIRS, "embedding-cosine near-dup pairs"),
     QueryDef("centroid_topk", q_centroid_topk, SQL_CENTROID_TOPK,
              "IVF ANN with exhaustive probe == brute force"),
+    QueryDef("asof_purchase_last_view", q_asof_purchase_last_view,
+             SQL_ASOF_PURCHASE_LAST_VIEW,
+             "backward as-of join via union+window (one shuffle)"),
+    QueryDef("order_lineitem_range_join", q_order_lineitem_range_join,
+             SQL_ORDER_LINEITEM_RANGE_JOIN, "equi+interval join rollup"),
     QueryDef("doc_fingerprints", q_doc_fingerprints, SQL_DOC_FINGERPRINTS,
              "sha256 + winnowing rolling fingerprints"),
     QueryDef("token_histogram", q_token_histogram, SQL_TOKEN_HISTOGRAM,

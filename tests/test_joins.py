@@ -1,0 +1,119 @@
+"""asof_join semantics: directions, tolerance, exact-match handling, nulls.
+
+The catalog query cross-checks the backward default against DuckDB's native
+ASOF JOIN; these tests pin the option matrix on hand-computable fixtures.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from commerce_sessionization_spark.operators.joins import asof_join, range_join
+
+L_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+R_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("tag", StringType()),
+    ]
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.strptime(s, "%H:%M:%S").replace(year=2024, month=1, day=1)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 1, ts("10:00:00")),
+            (2, 1, ts("10:30:00")),
+            (3, 2, ts("10:05:00")),  # user 2 has no earlier right row
+        ],
+        L_SCHEMA,
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("09:50:00"), "a"),
+            (1, ts("10:30:00"), "b"),  # exactly at left id=2
+            (1, ts("11:00:00"), "c"),
+            (2, ts("10:10:00"), "d"),  # after user 2's left row
+        ],
+        R_SCHEMA,
+    )
+    return left, right
+
+
+def result_map(df):
+    return {r.id: (r.right_tag, r.right_ts) for r in df.collect()}
+
+
+def test_backward(sides):
+    left, right = sides
+    got = result_map(asof_join(left, right, right_cols=("tag",)))
+    assert got[1] == ("a", ts("09:50:00"))
+    assert got[2] == ("b", ts("10:30:00"))  # exact match allowed by default
+    assert got[3] == (None, None)
+
+
+def test_backward_excluding_exact(sides):
+    left, right = sides
+    got = result_map(
+        asof_join(left, right, right_cols=("tag",), allow_exact_matches=False)
+    )
+    assert got[2] == ("a", ts("09:50:00"))  # 10:30 right row no longer eligible
+
+
+def test_forward(sides):
+    left, right = sides
+    got = result_map(asof_join(left, right, right_cols=("tag",), direction="forward"))
+    assert got[1] == ("b", ts("10:30:00"))
+    assert got[2] == ("b", ts("10:30:00"))
+    assert got[3] == ("d", ts("10:10:00"))
+
+
+def test_tolerance(sides):
+    left, right = sides
+    got = result_map(
+        asof_join(left, right, right_cols=("tag",), tolerance_seconds=300)
+    )
+    assert got[1] == (None, None)  # 09:50 is 10 min back, > 5 min tolerance
+    assert got[2] == ("b", ts("10:30:00"))
+
+
+def test_row_count_preserved(sides):
+    left, right = sides
+    assert asof_join(left, right, right_cols=("tag",)).count() == left.count()
+
+
+def test_range_join_interval(spark, sides):
+    left, right = sides
+    joined = range_join(
+        left.select(F.col("user_id").alias("u"), F.col("ts").alias("lts"), "id"),
+        right,
+        on=F.col("u") == F.col("user_id"),
+        interval=(F.col("ts") >= F.col("lts"))
+        & (F.col("ts") <= F.col("lts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    got = {(r.id, r.tag) for r in joined.collect()}
+    # inclusive bounds: id=2 (10:30) matches both b (10:30) and c (11:00)
+    assert got == {(1, "b"), (2, "b"), (2, "c"), (3, "d")}
