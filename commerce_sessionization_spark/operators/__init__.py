@@ -10,10 +10,22 @@ from commerce_sessionization_spark.operators.dedup import (
     minhash_lsh_dedup_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_dedup_candidates,
 )
+from commerce_sessionization_spark.operators.joins import asof_join, range_join
 from commerce_sessionization_spark.operators.similarity import (
     all_pairs_topk,
     brute_force_topk,
+    embedding_dedup_pairs,
+    ivf_assign,
+    ivf_search,
+    seed_centroids,
+)
+from commerce_sessionization_spark.operators.text import (
+    language_id,
+    quality_score,
+    with_fingerprint,
+    with_text_stats,
 )
 
 __all__ = [
@@ -27,6 +39,17 @@ __all__ = [
     "minhash_lsh_dedup_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "simhash_dedup_candidates",
+    "asof_join",
+    "range_join",
     "all_pairs_topk",
     "brute_force_topk",
+    "embedding_dedup_pairs",
+    "ivf_assign",
+    "ivf_search",
+    "seed_centroids",
+    "language_id",
+    "quality_score",
+    "with_fingerprint",
+    "with_text_stats",
 ]
