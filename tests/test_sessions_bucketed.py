@@ -1,0 +1,129 @@
+"""sessionize_bucketed ≡ sessionize — the skew-proof formulation must be
+byte-identical on every input shape: randomized fuzz, boundary-straddling
+fixtures, chains through single-session buckets, and the real testdata.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from commerce_sessionization_spark.operators.sessions import (
+    sessionize,
+    sessionize_bucketed,
+)
+from commerce_sessionization_spark.sources.tables import load_table
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+T0 = datetime(2024, 1, 1)
+
+
+def assert_equivalent(spark, rows, bucket_hours=1, gap_seconds=1800):
+    df = spark.createDataFrame(rows, SCHEMA)
+    plain = {
+        r.event_id: r.session_id
+        for r in sessionize(
+            df, gap_seconds=gap_seconds, order_cols=("event_id",)
+        ).collect()
+    }
+    bucketed = {
+        r.event_id: r.session_id
+        for r in sessionize_bucketed(
+            df,
+            gap_seconds=gap_seconds,
+            bucket_hours=bucket_hours,
+            order_cols=("event_id",),
+        ).collect()
+    }
+    assert bucketed == plain
+
+
+def test_session_straddles_bucket_boundary(spark):
+    rows = [
+        (1, 1, T0 + timedelta(minutes=50)),   # bucket 0 (1h buckets)
+        (2, 1, T0 + timedelta(minutes=65)),   # bucket 1, 15-min gap → merge
+        (3, 1, T0 + timedelta(minutes=70)),
+    ]
+    assert_equivalent(spark, rows)
+
+
+def test_exact_gap_at_boundary_is_inclusive(spark):
+    rows = [
+        (1, 1, T0 + timedelta(minutes=45)),
+        (2, 1, T0 + timedelta(minutes=75)),   # exactly 1800 s later → same
+        (3, 1, T0 + timedelta(minutes=75, seconds=1)),
+    ]
+    assert_equivalent(spark, rows)
+
+
+def test_gap_just_over_boundary_splits(spark):
+    rows = [
+        (1, 1, T0 + timedelta(minutes=45)),
+        (2, 1, T0 + timedelta(minutes=75, seconds=1)),  # 1801 s → split
+    ]
+    assert_equivalent(spark, rows)
+
+
+def test_chain_through_single_session_buckets(spark):
+    # one session alive for 5 hours via 20-min heartbeats: every bucket has
+    # exactly one tentative session, the chain start must flow to the end
+    rows = [
+        (i, 1, T0 + timedelta(minutes=20 * i)) for i in range(16)
+    ]
+    assert_equivalent(spark, rows)
+
+
+def test_empty_buckets_between_sessions(spark):
+    rows = [
+        (1, 1, T0),
+        (2, 1, T0 + timedelta(hours=6)),      # silent 6h → new session
+        (3, 1, T0 + timedelta(hours=6, minutes=10)),
+    ]
+    assert_equivalent(spark, rows)
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1337])
+def test_fuzz_random_traffic(spark, seed):
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for user in range(1, 9):
+        t = T0 + timedelta(seconds=rng.randint(0, 3600))
+        for _ in range(rng.randint(5, 60)):
+            # mix of intra-session jitter and boundary-ish gaps, incl. exact
+            gap = rng.choice([1, 30, 600, 1799, 1800, 1801, 3000, 90000])
+            t = t + timedelta(seconds=gap + rng.randint(0, 5))
+            rows.append((eid, user, t))
+            eid += 1
+    assert_equivalent(spark, rows, bucket_hours=1)
+
+
+def test_on_real_events_table(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts"
+    )
+    plain = sessionize(ev, order_cols=("event_id",)).select(
+        "event_id", "session_id"
+    )
+    bucketed = sessionize_bucketed(
+        ev, bucket_hours=6, order_cols=("event_id",)
+    ).select("event_id", "session_id")
+    assert plain.exceptAll(bucketed).count() == 0
+    assert bucketed.exceptAll(plain).count() == 0
