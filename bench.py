@@ -30,11 +30,13 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 #: LSH, ANN). Kept deliberately small so the per-round signal is stable.
 HEADLINE = [
     "sessionize_events",
+    "sessionize_events_bucketed",
     "session_stats",
     "pricing_summary",
     "revenue_by_nation",
     "top_orders_per_customer",
     "order_gaps",
+    "asof_purchase_last_view",
     "doc_stats",
     "exact_dedup_docs",
     "minhash_lsh_pairs",

@@ -112,6 +112,19 @@ SQL_SESSIONIZE_EVENTS = (
 )
 
 
+def q_sessionize_events_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof bucketed formulation — the oracle is the SAME SQL as the
+    plain operator: byte-identical output is the contract."""
+    from commerce_sessionization_spark.operators.sessions import (
+        sessionize_bucketed,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_bucketed(
+        ev, bucket_hours=6, order_cols=("event_id",)
+    ).select("event_id", "ts", "user_id", "event_type", "value", "session_id")
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sessionize(load_table(spark, sf_dir, "events"), order_cols=("event_id",))
     return ev.groupBy("session_id").agg(
@@ -941,6 +954,9 @@ SQL_EMBEDDING_BUCKET_PAIRS = _sql_embedding_bucket_pairs()
 CATALOG: list[QueryDef] = [
     QueryDef("sessionize_events", q_sessionize_events, SQL_SESSIONIZE_EVENTS,
              "per-event 30-min-gap session assignment (flagship)"),
+    QueryDef("sessionize_events_bucketed", q_sessionize_events_bucketed,
+             SQL_SESSIONIZE_EVENTS,
+             "skew-proof bucketed sessionize == plain (byte-identical)"),
     QueryDef("session_stats", q_session_stats, SQL_SESSION_STATS,
              "per-session rollup: bounds, duration, value sum"),
     QueryDef("user_session_counts", q_user_session_counts, SQL_USER_SESSION_COUNTS,
