@@ -122,6 +122,67 @@ def seed_centroids(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 16,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, all-DataFrame iterations.
+
+    Per iteration: broadcast the k×dim centroids (tiny model state — held on
+    the driver between rounds, as MLlib does), assign each vector to its
+    nearest centroid by cosine, recompute centroids as element-wise means
+    via posexplode + groupBy(cluster, pos) — a flat partial-aggregable agg,
+    never a collect of vectors. Deterministic: seeds are the ``k``
+    smallest-id vectors; ties break by centroid id.
+
+    Returns a centroid DataFrame ``(centroid_id, {vec_col})`` compatible
+    with ``ivf_assign`` / ``ivf_search``.
+    """
+    spark = df.sparkSession
+    seeds = [
+        (i + 1, [float(x) for x in r[1]])
+        for i, r in enumerate(
+            df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+        )
+    ]
+    cent_schema = f"centroid_id int, {vec_col} array<double>"
+    centroids = seeds
+    for _ in range(max_iter):
+        cdf = spark.createDataFrame(centroids, cent_schema)
+        assigned = ivf_assign(df, cdf, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col).cast("array<double>"))
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias(vec_col)
+            )
+        )
+        new_centroids = {r["centroid_id"]: list(r[vec_col]) for r in means.collect()}
+        # empty clusters keep their previous centroid
+        updated = [
+            (cid, new_centroids.get(cid, vec)) for cid, vec in centroids
+        ]
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(old, new)) ** 0.5
+            for (_, old), (_, new) in zip(centroids, updated)
+        )
+        centroids = updated
+        if shift < tol:
+            break
+    return spark.createDataFrame(centroids, cent_schema)
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: DataFrame,

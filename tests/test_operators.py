@@ -321,3 +321,47 @@ class TestMultimodal:
 
         got = {r.modality: r.n_assets for r in media_metadata_stats(media).collect()}
         assert got == {"image": 2, "audio": 1, "video": 1}
+
+
+class TestKMeans:
+    def test_converges_on_separated_clusters(self, spark):
+        from commerce_sessionization_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_assign,
+            ivf_search,
+            kmeans_fit,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+        for i in range(90):
+            c = centers[i % 3]
+            rows.append(
+                (i, [x + rng.uniform(-0.5, 0.5) for x in c])
+            )
+        df = spark.createDataFrame(rows, EMB_SCHEMA)
+        cents = kmeans_fit(df, k=3, max_iter=8)
+        assigned = ivf_assign(df, cents)
+        # every true cluster maps to exactly one learned centroid
+        m = (
+            assigned.withColumn("truth", F.col("vec_id") % 3)
+            .groupBy("truth")
+            .agg(F.countDistinct("centroid_id").alias("n"))
+            .collect()
+        )
+        assert all(r.n == 1 for r in m)
+        # and IVF search with learned centroids, exhaustive probe == brute force
+        q = df.filter(F.col("vec_id") == 0)
+        ivf = [r.vec_id for r in ivf_search(assigned, cents, q, k=5, nprobe=3).collect()]
+        bf = [r.vec_id for r in brute_force_topk(df, q, k=5).collect()]
+        assert ivf == bf
+
+    def test_deterministic(self, spark, vectors):
+        from commerce_sessionization_spark.operators.similarity import kmeans_fit
+
+        a = sorted(map(tuple, kmeans_fit(vectors, k=2, max_iter=4).collect()))
+        b = sorted(map(tuple, kmeans_fit(vectors, k=2, max_iter=4).collect()))
+        assert a == b
