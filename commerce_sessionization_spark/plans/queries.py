@@ -708,6 +708,135 @@ def q_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CENTROID_TOPK = SQL_KNN_COSINE
 
 
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-family window surface the reference never uses (SURVEY §2.5
+    notes their absence): rank, dense_rank, lead, ntile, cume_dist over one
+    spec — one exchange, one sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lead("o_orderkey", 1).over(w).alias("next_order"),
+        F.ntile(4).over(w).alias("quartile"),
+        _quant(F.cume_dist().over(w), 6).alias("cume_q6"),
+    )
+
+
+SQL_WINDOW_RANK_SUITE = """
+SELECT o_orderkey, o_custkey,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       lead(o_orderkey) OVER w AS next_order,
+       ntile(4) OVER w AS quartile,
+       CAST(floor(cume_dist() OVER w * 1000000.0) AS BIGINT) AS cume_q6
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (Spark ``percentile``
+    == DuckDB ``quantile_cont``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _quant(F.expr("percentile(value, 0.5)"), 6).alias("p50_q6"),
+        _quant(F.expr("percentile(value, 0.95)"), 6).alias("p95_q6"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       CAST(floor(quantile_cont(value, 0.5) * 1000000.0) AS BIGINT) AS p50_q6,
+       CAST(floor(quantile_cont(value, 0.95) * 1000000.0) AS BIGINT) AS p95_q6
+FROM events GROUP BY event_type
+"""
+
+
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel on sessionized events: per user, sessions where a
+    view is later followed by a purchase (order-sensitive — min view ts
+    strictly before max purchase ts within the session)."""
+    ev = sessionize(load_table(spark, sf_dir, "events"), order_cols=("event_id",))
+    per_session = ev.groupBy("session_id").agg(
+        F.first("user_id").alias("user_id"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("_v"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("_p"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            F.when(
+                F.col("_v").isNotNull()
+                & F.col("_p").isNotNull()
+                & (F.col("_v") < F.col("_p")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )
+
+
+SQL_SESSION_FUNNEL = _SESSION_CTE + """
+, per_session AS (
+  SELECT session_id, min(user_id) AS user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS _v,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS _p
+  FROM sessions GROUP BY session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       sum(CASE WHEN _v IS NOT NULL AND _p IS NOT NULL AND _v < _p
+                THEN 1 ELSE 0 END) AS n_converted
+FROM per_session GROUP BY user_id
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped: join + agg + global top-10 by revenue (TakeOrdered path)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(12,2)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - d("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_orderdate", _quant(F.col("revenue"), 2).alias("revenue_q2"))
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT o_orderkey, o_orderdate, CAST(floor(revenue * 100.0) AS BIGINT) AS revenue_q2
+FROM (
+  SELECT o_orderkey, o_orderdate,
+         CAST(sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderdate
+)
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (rollup's sibling — all 4 grouping combinations)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+SQL_ORDER_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 # --------------------------------------------------------------------------
 # As-of / range joins (events, orders×lineitem)
 # --------------------------------------------------------------------------
@@ -1005,6 +1134,15 @@ CATALOG: list[QueryDef] = [
              SQL_EMBEDDING_DEDUP_PAIRS, "embedding-cosine near-dup pairs"),
     QueryDef("centroid_topk", q_centroid_topk, SQL_CENTROID_TOPK,
              "IVF ANN with exhaustive probe == brute force"),
+    QueryDef("window_rank_suite", q_window_rank_suite, SQL_WINDOW_RANK_SUITE,
+             "rank/dense_rank/lead/ntile/cume_dist over one spec"),
+    QueryDef("value_percentiles", q_value_percentiles, SQL_VALUE_PERCENTILES,
+             "exact interpolated percentiles per group"),
+    QueryDef("session_funnel", q_session_funnel, SQL_SESSION_FUNNEL,
+             "view→purchase conversion funnel over sessions"),
+    QueryDef("top_revenue_orders", q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS,
+             "join + agg + global top-10 (TakeOrdered)"),
+    QueryDef("order_cube", q_order_cube, SQL_ORDER_CUBE, "CUBE grouping sets"),
     QueryDef("asof_purchase_last_view", q_asof_purchase_last_view,
              SQL_ASOF_PURCHASE_LAST_VIEW,
              "backward as-of join via union+window (one shuffle)"),
