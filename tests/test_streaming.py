@@ -151,3 +151,47 @@ def test_stream_is_streaming_plan(spark):
     out = sessionize_stream_stateful(stream)
     assert out.isStreaming
     assert "session_id" in out.columns
+
+
+def test_stream_pipeline_writes_partitioned_sessions(spark, tmp_path):
+    from commerce_sessionization_spark.streaming.pipeline import (
+        stream_sessions_to_parquet,
+    )
+
+    src = tmp_path / "pipe_src"
+    src.mkdir()
+    for i, rows in enumerate([BATCH_1, BATCH_2]):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"drop_{i}.parquet")
+        )
+    q = stream_sessions_to_parquet(
+        spark,
+        f"{src}/drop_*.parquet",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        maxFilesPerTrigger="1",
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out" / "sessions"))
+    rows = out.collect()
+    assert len(rows) == len(BATCH_1 + BATCH_2)
+    # bare reads re-infer hive partition types (date/int); normalize
+    assert {(str(r.event_date), f"{int(r.event_hour):02d}") for r in rows} == {
+        ("2024-01-01", "10"),
+        ("2024-01-01", "11"),
+    }
+    # ids still match the batch operator through the sink
+    expected = {
+        r.event_id: r.session_id
+        for r in sessionize(
+            spark.createDataFrame(BATCH_1 + BATCH_2, SCHEMA),
+            order_cols=("event_id",),
+        ).collect()
+    }
+    assert {r.event_id: r.session_id for r in rows} == expected
+    # layout on disk is the reference's hive contract
+    import glob
+
+    assert glob.glob(
+        str(tmp_path / "out" / "sessions" / "event_date=*" / "event_hour=*" / "*.parquet")
+    )
