@@ -236,8 +236,21 @@ def minhash_lsh_dedup_pairs(
     cands = minhash_lsh_candidates(
         df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes, bands=bands
     )
-    shingled = df.select(
-        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh")
+    # candidates feed two consumers (the id semi-join and the pair join);
+    # materialize once so the signature/banding pipeline doesn't run twice
+    cands = cands.localCheckpoint()
+    # shingle only docs that appear in a candidate pair (semi-join first):
+    # the verification set is tiny relative to the corpus, so the expensive
+    # array build runs on |candidates| docs, not 2×|corpus|
+    cand_ids = (
+        cands.select(F.col("a").alias("_id"))
+        .unionByName(cands.select(F.col("b").alias("_id")))
+        .distinct()
+    )
+    shingled = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .join(cand_ids, "_id", "left_semi")
+        .select("_id", word_shingles(F.col("_t"), n).alias("_sh"))
     )
     a = shingled.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "sha_")
     b = shingled.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "shb_")
