@@ -708,6 +708,45 @@ def q_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CENTROID_TOPK = SQL_KNN_COSINE
 
 
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: per-user event counts spread into one column per type
+    (explicit value list so the plan skips the distinct-values job)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+SQL_EVENT_TYPE_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'view')     AS view,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'error')    AS error
+FROM events GROUP BY user_id
+"""
+
+
+def q_purchasers_who_viewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface: INTERSECT (complements the EXCEPT query)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    v = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    return p.intersect(v)
+
+
+SQL_PURCHASERS_WHO_VIEWED = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+"""
+
+
 def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rank-family window surface the reference never uses (SURVEY §2.5
     notes their absence): rank, dense_rank, lead, ntile, cume_dist over one
@@ -1134,6 +1173,10 @@ CATALOG: list[QueryDef] = [
              SQL_EMBEDDING_DEDUP_PAIRS, "embedding-cosine near-dup pairs"),
     QueryDef("centroid_topk", q_centroid_topk, SQL_CENTROID_TOPK,
              "IVF ANN with exhaustive probe == brute force"),
+    QueryDef("event_type_pivot", q_event_type_pivot, SQL_EVENT_TYPE_PIVOT,
+             "pivot: per-user event-type count matrix"),
+    QueryDef("purchasers_who_viewed", q_purchasers_who_viewed,
+             SQL_PURCHASERS_WHO_VIEWED, "set intersection"),
     QueryDef("window_rank_suite", q_window_rank_suite, SQL_WINDOW_RANK_SUITE,
              "rank/dense_rank/lead/ntile/cume_dist over one spec"),
     QueryDef("value_percentiles", q_value_percentiles, SQL_VALUE_PERCENTILES,

@@ -117,3 +117,44 @@ def test_range_join_interval(spark, sides):
     got = {(r.id, r.tag) for r in joined.collect()}
     # inclusive bounds: id=2 (10:30) matches both b (10:30) and c (11:00)
     assert got == {(1, "b"), (2, "b"), (2, "c"), (3, "d")}
+
+
+@pytest.mark.parametrize("seed,direction", [(3, "backward"), (11, "backward"), (3, "forward")])
+def test_asof_fuzz_vs_pandas_merge_asof(spark, seed, direction):
+    """Cross-validate against pandas.merge_asof on randomized fixtures —
+    an independent reference implementation of as-of semantics."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(seed)
+    base = ts("08:00:00")
+    lrows, rrows = [], []
+    for user in (1, 2, 3):
+        t = 0
+        for i in range(rng.randint(3, 25)):
+            t += rng.randint(1, 900)
+            lrows.append((user * 1000 + i, user, base + pd.Timedelta(seconds=t)))
+        t = 0
+        for i in range(rng.randint(3, 25)):
+            t += rng.randint(1, 900)
+            rrows.append((user, base + pd.Timedelta(seconds=t), f"t{user}_{i}"))
+    left = spark.createDataFrame(lrows, L_SCHEMA)
+    right = spark.createDataFrame(rrows, R_SCHEMA)
+
+    got = {
+        r.id: r.right_tag
+        for r in asof_join(
+            left, right, right_cols=("tag",), direction=direction
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(lrows, columns=["id", "user_id", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(rrows, columns=["user_id", "ts", "tag"]).sort_values("ts")
+    merged = pd.merge_asof(
+        lpd, rpd, on="ts", by="user_id", direction=direction
+    )
+    expected = {
+        int(r.id): (None if pd.isna(r.tag) else r.tag) for r in merged.itertuples()
+    }
+    assert got == expected
