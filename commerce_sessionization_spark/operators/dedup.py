@@ -267,6 +267,72 @@ def minhash_lsh_dedup_pairs(
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup ``pairs`` (a, b): every document
+    gets a ``component_id`` = the smallest doc id transitively reachable
+    through dup pairs (singletons map to themselves). Keeping
+    ``doc_id == component_id`` rows yields the canonical deduped corpus.
+
+    Min-label propagation with pointer jumping: each round (1) takes the
+    min label across the (symmetrized) edge list, then (2) compresses
+    ``comp → comp_of(comp)`` — so convergence is O(log component-diameter),
+    not O(diameter). Stops when a round changes nothing. Labels are
+    ``localCheckpoint``ed per round to cut lineage; every round works on
+    the (tiny) pair set, never touching full documents.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        propagated = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["src"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jumping: follow comp one hop (comp values are node ids)
+        hop = propagated.select(
+            F.col("node").alias("c_node"), F.col("comp").alias("c_comp")
+        )
+        new_labels = (
+            propagated.join(hop, propagated["comp"] == hop["c_node"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("c_comp"), F.col("comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component_id"))
+
+
 def simhash(text: Column, n: int = 2, bits: int = 60, fast: bool = False) -> Column:
     """SimHash fingerprint (bigint): sign-sum of shingle hash bits.
 

@@ -600,6 +600,35 @@ WHERE i / (sa.n + sb.n - i) >= 0.8
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the 3-gram
+    Jaccard ≥ 0.8 pair graph (component_id = min reachable doc id)."""
+    from commerce_sessionization_spark.operators.dedup import dedup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return dedup_components(pairs, docs.select("doc_id"))
+
+
+# the recursive member needs the RECURSIVE keyword on the whole WITH chain
+SQL_DEDUP_COMPONENTS = _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """
+, pairs AS (
+  SELECT a, b
+  FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+  WHERE i / (sa.n + sb.n - i) >= 0.8
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS comp FROM documents
+  UNION
+  SELECT e.src AS node, r.comp
+  FROM reach r JOIN edges e ON e.dst = r.node
+  WHERE r.comp < e.src
+)
+SELECT node AS doc_id, min(comp) AS component_id FROM reach GROUP BY node
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=3, threshold=0.8).select(
@@ -1165,6 +1194,8 @@ CATALOG: list[QueryDef] = [
              "exact 3-gram Jaccard near-dup pairs"),
     QueryDef("minhash_lsh_pairs", q_minhash_lsh_pairs, SQL_NGRAM_JACCARD_PAIRS,
              "MinHash+LSH near-dup (verified) — must equal exhaustive"),
+    QueryDef("dedup_components", q_dedup_components, SQL_DEDUP_COMPONENTS,
+             "connected components over the near-dup pair graph"),
     QueryDef("knn_cosine", q_knn_cosine, SQL_KNN_COSINE,
              "brute-force cosine top-10"),
     QueryDef("embedding_norms", q_embedding_norms, SQL_EMBEDDING_NORMS,

@@ -365,3 +365,33 @@ class TestKMeans:
         a = sorted(map(tuple, kmeans_fit(vectors, k=2, max_iter=4).collect()))
         b = sorted(map(tuple, kmeans_fit(vectors, k=2, max_iter=4).collect()))
         assert a == b
+
+
+class TestDedupComponents:
+    def test_transitive_clusters_and_singletons(self, spark):
+        from commerce_sessionization_spark.operators.dedup import dedup_components
+
+        # chain 1-2-3 (transitive), pair 5-6, singletons 4,7
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "a long, b long"
+        )
+        ids = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+        got = {
+            r.doc_id: r.component_id
+            for r in dedup_components(pairs, ids).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+    def test_long_chain_converges(self, spark):
+        from commerce_sessionization_spark.operators.dedup import dedup_components
+
+        n = 12
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, n)], "a long, b long"
+        )
+        ids = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+        got = {
+            r.doc_id: r.component_id
+            for r in dedup_components(pairs, ids).collect()
+        }
+        assert set(got.values()) == {1}
