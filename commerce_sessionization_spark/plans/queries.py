@@ -994,6 +994,54 @@ def _hex2int_sql(expr: str, n_chars: int = 15) -> str:
     )
 
 
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF per (doc, token): tf · ln((N+1)/(df+1)).
+
+    Two flat aggs (tf, then document frequency over the tf table) + one
+    broadcast of the corpus size — the standard scalable shape: nothing
+    ever collects token lists per doc.
+    """
+    from commerce_sessionization_spark.operators.text import TOKEN_PATTERN
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("token"),
+    )
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            _quant(
+                F.col("tf") * F.log((F.col("n") + 1) / (F.col("df") + 1)), 6
+            ).alias("tfidf_q6"),
+        )
+    )
+
+
+SQL_TF_IDF = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, token, tf,
+       CAST(floor(tf * ln((n + 1) / (df + 1.0)) * 1000000.0) AS BIGINT) AS tfidf_q6
+FROM tf JOIN dfreq USING (token), n
+"""
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + winnowing fingerprints per document (near-dup prefilter keys)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1226,6 +1274,8 @@ CATALOG: list[QueryDef] = [
              "sha256 + winnowing rolling fingerprints"),
     QueryDef("token_histogram", q_token_histogram, SQL_TOKEN_HISTOGRAM,
              "corpus token histogram (BPE-ish tokenizer)"),
+    QueryDef("tf_idf", q_tf_idf, SQL_TF_IDF,
+             "smoothed TF-IDF per (doc, token)"),
     QueryDef("simhash_fingerprints", q_simhash_fingerprints,
              SQL_SIMHASH_FINGERPRINTS, "60-bit SimHash per document"),
     QueryDef("simhash_pairs", q_simhash_pairs, SQL_SIMHASH_PAIRS,
