@@ -19,6 +19,14 @@ from commerce_sessionization_spark.schemas import (
 )
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view → raw ``spark.sql``
+    surface over the same data the DataFrame queries use (timestamps
+    normalized identically via ``load_table``)."""
+    for name in ALL_TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, converting nano-long timestamp columns."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

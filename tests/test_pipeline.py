@@ -112,3 +112,22 @@ def test_generic_sessionize_invariants_on_testdata(spark):
         "gap", F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
     ).filter(F.col("gap") > 1800 * 1_000_000)
     assert gaps.count() == 0
+
+
+def test_sql_surface_over_registered_views(spark):
+    from commerce_sessionization_spark.sources.tables import register_views
+
+    register_views(spark, SF_DIR)
+    got = spark.sql(
+        """
+        SELECT e.event_type, count(*) AS n
+        FROM events e
+        GROUP BY e.event_type
+        """
+    ).collect()
+    assert sum(r.n for r in got) == spark.table("events").count()
+    # joins across registered views work too
+    n = spark.sql(
+        "SELECT count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    ).collect()[0].n
+    assert n > 0
