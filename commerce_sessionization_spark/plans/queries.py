@@ -737,6 +737,94 @@ def q_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CENTROID_TOPK = SQL_KNN_COSINE
 
 
+def q_user_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 parity (``SessionizationUdf.scala:81-82``): gather each user's
+    events into a time-ordered array via array_sort(collect_list(struct)) —
+    the struct's leading (ts, event_id) fields drive the ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("_seq")
+        )
+        .select(
+            "user_id",
+            F.transform("_seq", lambda s: s["event_type"]).alias("seq"),
+            F.size("_seq").alias("n"),
+        )
+    )
+
+
+SQL_USER_EVENT_SEQUENCE = """
+SELECT user_id,
+       list(event_type ORDER BY ts, event_id) AS seq,
+       count(*) AS n
+FROM events GROUP BY user_id
+"""
+
+
+def q_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/population-variance per event_type, order-independent: both
+    moments derive from exact DECIMAL sums (sum, sum of squares), so the
+    result is identical under any accumulation order — the float-safe way
+    to oracle-check statistical aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,2)")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(d).alias("_s"),
+        F.sum(d * d).alias("_ss"),
+    )
+    n, s, ss = F.col("_n"), F.col("_s").cast("double"), F.col("_ss").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("_n").alias("n"),
+        _quant(s / n, 6).alias("mean_q6"),
+        _quant((ss - s * s / n) / n, 6).alias("var_q6"),
+    )
+
+
+SQL_VALUE_MOMENTS = """
+WITH a AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS s,
+         CAST(sum(value::DECIMAL(18,2) * value::DECIMAL(18,2)) AS DOUBLE) AS ss
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(floor(s / n * 1000000.0) AS BIGINT) AS mean_q6,
+       CAST(floor((ss - s * s / n) / n * 1000000.0) AS BIGINT) AS var_q6
+FROM a
+"""
+
+
+def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-style event bigrams within sessions: counts of consecutive
+    (event_type → next event_type) transitions."""
+    ev = sessionize(load_table(spark, sf_dir, "events"), order_cols=("event_id",))
+    w = Window.partitionBy("session_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type", 1).over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_SESSION_TRANSITIONS = _SESSION_CTE + """
+, t AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY session_id ORDER BY ts, event_id) AS next_type
+  FROM sessions
+)
+SELECT event_type, next_type, count(*) AS n
+FROM t WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
 def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot surface: per-user event counts spread into one column per type
     (explicit value list so the plan skips the distinct-values job)."""
@@ -1252,6 +1340,13 @@ CATALOG: list[QueryDef] = [
              SQL_EMBEDDING_DEDUP_PAIRS, "embedding-cosine near-dup pairs"),
     QueryDef("centroid_topk", q_centroid_topk, SQL_CENTROID_TOPK,
              "IVF ANN with exhaustive probe == brute force"),
+    QueryDef("user_event_sequence", q_user_event_sequence,
+             SQL_USER_EVENT_SEQUENCE,
+             "ordered event array per user (A1 collect_list parity)"),
+    QueryDef("value_moments", q_value_moments, SQL_VALUE_MOMENTS,
+             "mean/variance via exact decimal sums"),
+    QueryDef("session_transitions", q_session_transitions,
+             SQL_SESSION_TRANSITIONS, "event bigram counts within sessions"),
     QueryDef("event_type_pivot", q_event_type_pivot, SQL_EVENT_TYPE_PIVOT,
              "pivot: per-user event-type count matrix"),
     QueryDef("purchasers_who_viewed", q_purchasers_who_viewed,
