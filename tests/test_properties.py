@@ -1,0 +1,110 @@
+"""Property-based specs (hypothesis) for the sessionization core — the
+invariants hold for EVERY input, not just fixtures:
+
+1. session partition: events of one user ≤ gap apart are transitively in
+   one session; a gap > threshold always splits;
+2. id determinism: session_id is a pure function of (user, session-start);
+3. row preservation: sessionize never drops, duplicates, or reorders data;
+4. input-order independence: any permutation of the input rows yields the
+   same assignment.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from commerce_sessionization_spark.operators.sessions import sessionize
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+T0 = datetime(2024, 6, 1)
+GAP = 600  # 10-minute gap keeps generated timelines interesting
+
+# per-user list of inter-event gaps (seconds); values hug the threshold
+gaps_strategy = st.lists(
+    st.one_of(
+        st.integers(min_value=1, max_value=2 * GAP),
+        st.sampled_from([GAP - 1, GAP, GAP + 1]),
+    ),
+    min_size=1,
+    max_size=12,
+)
+traffic_strategy = st.dictionaries(
+    st.integers(min_value=1, max_value=4), gaps_strategy, min_size=1, max_size=4
+)
+
+
+def materialize(traffic: dict[int, list[int]]):
+    rows, eid = [], 0
+    for user, gaps in traffic.items():
+        t = T0
+        for g in gaps:
+            t = t + timedelta(seconds=g)
+            rows.append((eid, user, t))
+            eid += 1
+    return rows
+
+
+def expected_partition(rows):
+    """Reference implementation: plain python sweep per user."""
+    out = {}
+    by_user: dict[int, list] = {}
+    for eid, user, t in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        by_user.setdefault(user, []).append((eid, t))
+    for user, evs in by_user.items():
+        start, last = None, None
+        for eid, t in evs:
+            if last is None or (t - last).total_seconds() > GAP:
+                start = t
+            last = t
+            out[eid] = (user, start)
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(traffic=traffic_strategy, seed=st.integers(min_value=0, max_value=999))
+def test_sessionize_properties(spark, traffic, seed):
+    import random
+
+    rows = materialize(traffic)
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+
+    df = spark.createDataFrame(shuffled, SCHEMA)
+    got = sessionize(df, gap_seconds=GAP, order_cols=("event_id",)).collect()
+
+    # 3: row preservation
+    assert sorted(r.event_id for r in got) == sorted(r[0] for r in rows)
+
+    # 1+2+4: assignment equals the reference sweep regardless of input order,
+    # and ids group exactly by (user, session-start)
+    exp = expected_partition(rows)
+    by_key: dict[tuple, set] = {}
+    for r in got:
+        by_key.setdefault(exp[r.event_id], set()).add(r.session_id)
+    ids_seen = {}
+    for key, ids in by_key.items():
+        assert len(ids) == 1, f"session {key} got multiple ids: {ids}"
+        (sid,) = ids
+        assert sid not in ids_seen or ids_seen[sid] == key, "id collision"
+        ids_seen[sid] = key
