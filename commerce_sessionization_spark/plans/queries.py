@@ -864,6 +864,104 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
 """
 
 
+def q_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join surface (EXISTS): customers having ≥1 urgent-priority order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_CUSTOMERS_WITH_URGENT_ORDERS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped: revenue of lineitems whose order's customer sits in one
+    region — a 5-way join with the selective filter pushed to the smallest
+    dim and broadcast up the chain."""
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ("region", "nation", "customer", "orders", "lineitem")}
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    d = lambda c: F.col(c).cast("decimal(12,2)")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - d("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT n_name,
+       CAST(sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped conditional aggregation: per linestatus, how many lines
+    belong to high- vs low-priority orders."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+    )
+
+
+SQL_PRIORITY_LINE_COUNTS = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer surface: every customer with their order count (0 kept)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
 def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rank-family window surface the reference never uses (SURVEY §2.5
     notes their absence): rank, dense_rank, lead, ntile, cume_dist over one
@@ -1351,6 +1449,14 @@ CATALOG: list[QueryDef] = [
              "pivot: per-user event-type count matrix"),
     QueryDef("purchasers_who_viewed", q_purchasers_who_viewed,
              SQL_PURCHASERS_WHO_VIEWED, "set intersection"),
+    QueryDef("customers_with_urgent_orders", q_customers_with_urgent_orders,
+             SQL_CUSTOMERS_WITH_URGENT_ORDERS, "semi join (EXISTS)"),
+    QueryDef("region_revenue", q_region_revenue, SQL_REGION_REVENUE,
+             "Q5-shaped 5-way join, filter pushed to smallest dim"),
+    QueryDef("priority_line_counts", q_priority_line_counts,
+             SQL_PRIORITY_LINE_COUNTS, "Q12-shaped conditional aggregation"),
+    QueryDef("customer_order_counts", q_customer_order_counts,
+             SQL_CUSTOMER_ORDER_COUNTS, "left outer join with count"),
     QueryDef("window_rank_suite", q_window_rank_suite, SQL_WINDOW_RANK_SUITE,
              "rank/dense_rank/lead/ntile/cume_dist over one spec"),
     QueryDef("value_percentiles", q_value_percentiles, SQL_VALUE_PERCENTILES,
