@@ -86,6 +86,35 @@ def asof_join(
     return matched.select(*out_cols)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: semantically identical to
+    ``left.join(right, key, how)`` but a hot key's rows spread over
+    ``n_salts`` reducers.
+
+    Left rows get a deterministic salt (hash of the whole row mod
+    ``n_salts``); the right side replicates once per salt; the join key
+    becomes ``(key, salt)``. Use when AQE skew-splitting is unavailable or
+    insufficient and the right side is too large to broadcast — the cost is
+    ``n_salts×`` the right side's shuffle volume, the win is no single
+    straggler reducer owning the hot key. Supports ``inner`` and ``left``
+    (right/full would change semantics under replication).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[left[c] for c in left.columns]), F.lit(n_salts))
+    l = left.withColumn("_salt", salt.cast("int"))
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l.join(r, [key, "_salt"], how).drop("_salt")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

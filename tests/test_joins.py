@@ -158,3 +158,26 @@ def test_asof_fuzz_vs_pandas_merge_asof(spark, seed, direction):
         int(r.id): (None if pd.isna(r.tag) else r.tag) for r in merged.itertuples()
     }
     assert got == expected
+
+
+def test_salted_join_equals_plain_join(spark):
+    from commerce_sessionization_spark.operators.joins import salted_join
+
+    # heavily skewed: 90% of left rows share key 1; dup keys on both sides
+    left = spark.createDataFrame(
+        [(i, 1 if i % 10 else 2, f"l{i}") for i in range(200)],
+        "id long, k long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, "r1a"), (1, "r1b"), (2, "r2"), (3, "r3")], "k long, rv string"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r.id, r.k, r.lv, r.rv)
+            for r in left.join(right, "k", how).collect()
+        )
+        salted = sorted(
+            (r.id, r.k, r.lv, r.rv)
+            for r in salted_join(left, right, "k", n_salts=4, how=how).collect()
+        )
+        assert salted == plain, how
