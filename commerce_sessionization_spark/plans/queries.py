@@ -257,6 +257,40 @@ FROM events GROUP BY event_type
 """
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values: floor((v - lo)/step) bucketing
+    (the declarative histogram shape — one scan, one agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / F.lit(10.0)).cast("long")
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum("value").alias("sum_value"),
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS n,
+       CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series rollup: daily active users + events (date_trunc surface)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_DAILY_ACTIVE_USERS = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day, count(DISTINCT user_id) AS dau,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 def q_event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction from the string props column (scalar-fn surface)."""
     ev = load_table(spark, sf_dir, "events")
@@ -1400,6 +1434,10 @@ CATALOG: list[QueryDef] = [
              "hash-agg with distinct"),
     QueryDef("event_props_extract", q_event_props_extract, SQL_EVENT_PROPS_EXTRACT,
              "JSON path extraction"),
+    QueryDef("value_histogram", q_value_histogram, SQL_VALUE_HISTOGRAM,
+             "fixed-width histogram bucketing"),
+    QueryDef("daily_active_users", q_daily_active_users, SQL_DAILY_ACTIVE_USERS,
+             "date_trunc time-series rollup"),
     QueryDef("pricing_summary", q_pricing_summary, SQL_PRICING_SUMMARY,
              "TPC-H Q1-shaped scan+agg"),
     QueryDef("revenue_by_nation", q_revenue_by_nation, SQL_REVENUE_BY_NATION,
