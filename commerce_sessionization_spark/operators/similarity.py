@@ -193,16 +193,6 @@ def ivf_search(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k probing only the ``nprobe`` centroids closest to the query."""
-    probe = (
-        ivf_assign(
-            query_df.select(F.lit(0).alias("_q"), F.col(vec_col)),
-            centroids,
-            id_col="_q",
-            vec_col=vec_col,
-        )
-        if nprobe == 1
-        else None
-    )
     q = F.broadcast(query_df.select(F.col(vec_col).alias("_qvec")))
     c = F.broadcast(centroids.select("centroid_id", F.col(vec_col).alias("_cvec")))
     probe_ids = (
@@ -215,7 +205,6 @@ def ivf_search(
         .limit(nprobe)
         .select("centroid_id")
     )
-    _ = probe  # single-probe fast path folds into the general one
     pruned = assigned.join(F.broadcast(probe_ids), "centroid_id")
     return brute_force_topk(pruned, query_df, k=k, id_col=id_col, vec_col=vec_col)
 

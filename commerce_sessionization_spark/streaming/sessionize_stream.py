@@ -124,6 +124,15 @@ def _make_session_fn(ts_col: str, gap_us: int, out_cols: list[str]):
         batch = pd.concat(list(pdfs), ignore_index=True)
         if batch.empty:
             return
+        # enforce the late-data contract ourselves: unlike aggregations,
+        # applyInPandasWithState does NOT pre-filter rows behind the
+        # watermark — without this, a straggler could resurrect or corrupt
+        # an expired session
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0:
+            batch = batch[batch[ts_col].astype("int64") // 1_000_000 >= wm_ms]
+            if batch.empty:
+                return
         batch = batch.sort_values(ts_col, kind="mergesort", ignore_index=True)
         ts_us = (batch[ts_col].astype("int64") // 1000).to_numpy()
 

@@ -195,3 +195,33 @@ def test_stream_pipeline_writes_partitioned_sessions(spark, tmp_path):
     assert glob.glob(
         str(tmp_path / "out" / "sessions" / "event_date=*" / "event_hour=*" / "*.parquet")
     )
+
+
+def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
+    """An event arriving after the watermark passed its timestamp must be
+    dropped, not resurrect an expired session — the stream's explicit
+    late-data contract (the batch reference silently mis-sessionizes here,
+    SURVEY §2.8)."""
+    late_batch = BATCH_2 + [(99, ts("2024-01-01 09:00:00"), 1, "view")]
+    src = tmp_path / "late_src"
+    src.mkdir()
+    for i, rows in enumerate([BATCH_1, late_batch]):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"drop_{i}.parquet")
+        )
+    stream = read_events_stream(spark, f"{src}/drop_*.parquet", maxFilesPerTrigger="1")
+    name = "late_sink"
+    q = (
+        sessionize_stream_stateful(stream, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id for r in spark.sql(f"SELECT event_id FROM {name}").collect()}
+    # batch 1's max ts is 10:50 → watermark 10:20 when batch 2 processes;
+    # the 09:00 straggler is behind it and must not appear
+    assert 99 not in got
+    assert {1, 2, 3, 4, 5, 6} <= got
