@@ -26,6 +26,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from commerce_sessionization_spark.functions.hashing import hex_to_long
 from commerce_sessionization_spark.functions.vectors import cosine_similarity, l2_norm
 from commerce_sessionization_spark.operators.dedup import (
     exact_dedup,
@@ -1413,6 +1414,567 @@ SQL_EMBEDDING_BUCKET_PAIRS = _sql_embedding_bucket_pairs()
 
 
 # --------------------------------------------------------------------------
+# TPC-H-shaped additions (Q3/Q6/Q10/Q14/Q17/Q18/Q19/Q22 shapes)
+#
+# The reference has no joins at all (SURVEY §2.3) — this family is the
+# additive join/agg surface, each shape picked to exercise a distinct
+# physical strategy: selective scan-agg, join + top-k, disjunctive
+# predicate pushdown, scalar-subquery broadcast, having-filtered agg join.
+# --------------------------------------------------------------------------
+
+
+def _dec(col: str, prec: int = 18, scale: int = 4) -> F.Column:
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: highly selective scan + ungrouped agg. Every predicate
+    pushes to the parquet scan; no shuffle beyond the final 1-row agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT CAST(sum(l_extendedprice::DECIMAL(18,4) * l_discount::DECIMAL(18,4)) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: 3-way join + grouped agg + deterministic global top-10.
+
+    Ranking happens on the exact decimal sum (order-independent), so the
+    limit selects the same rows in any engine; cast to double only after.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("_rev")
+        )
+        .orderBy(F.desc("_rev"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            F.col("_rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+WITH a AS (
+  SELECT l_orderkey, o_orderdate,
+         sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY l_orderkey, o_orderdate
+)
+SELECT l_orderkey, o_orderdate, CAST(rev AS DOUBLE) AS revenue
+FROM a ORDER BY rev DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: returned-lines revenue per customer, top-20 on the exact
+    decimal ranking; nation dim broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("_rev"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("_rev"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            "n_lines",
+        )
+    )
+
+
+SQL_RETURNED_ITEMS = """
+WITH a AS (
+  SELECT c_custkey, c_name, n_name,
+         sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS rev,
+         count(*) AS n_lines
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY c_custkey, c_name, n_name
+)
+SELECT c_custkey, c_name, n_name, CAST(rev AS DOUBLE) AS revenue, n_lines
+FROM a ORDER BY rev DESC, c_custkey LIMIT 20
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional-aggregation ratio (promo share of revenue).
+
+    Both sums stay decimal-exact; the single double division at the end is
+    IEEE-identical across engines, then quantized.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(18,4)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    agg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )).alias("_promo"),
+            F.sum(rev).alias("_total"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return agg.select(
+        _quant(
+            F.col("_promo").cast("double") * F.lit(100.0)
+            / F.col("_total").cast("double"),
+            6,
+        ).alias("promo_pct_q6"),
+        "n_lines",
+    )
+
+
+SQL_PROMO_REVENUE = """
+WITH a AS (
+  SELECT sum(CASE WHEN p_type = 'PROMO'
+                  THEN l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))
+                  ELSE 0::DECIMAL(18,4) END) AS promo,
+         sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS total,
+         count(*) AS n_lines
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+SELECT CAST(floor(CAST(promo AS DOUBLE) * 100.0 / CAST(total AS DOUBLE) * 1000000.0) AS BIGINT) AS promo_pct_q6,
+       n_lines
+FROM a
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated scalar subquery (per-part average quantity)
+    decorrelated into an agg + self-join; threshold compare in double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            _dec_sum("l_extendedprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+WITH pa AS (
+  SELECT l_partkey,
+         CAST(sum(l_quantity::DECIMAL(12,2)) AS DOUBLE) / count(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       CAST(sum(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN pa USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+WHERE l_quantity < 0.2 * avg_qty
+GROUP BY p_brand
+"""
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: having-filtered agg (big orders) joined back to dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_qty"))
+        .filter(F.col("_qty") > 150)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+SQL_LARGE_VOLUME_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity::DECIMAL(12,2)) AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity::DECIMAL(12,2)) > 150
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(qty AS DOUBLE) AS sum_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def q_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs predicate spanning both join sides — the
+    classic test that the planner pushes the common join key through a
+    disjunction instead of falling back to a cross product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_DISJUNCTIVE_PART_REVENUE = """
+SELECT p_brand,
+       CAST(sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+GROUP BY p_brand
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar-subquery threshold (broadcast 1-row) + anti join
+    against *recent* orders — above-average balance, nothing ordered since
+    2001 (a plain no-orders-ever anti join is vacuous on this dataset)."""
+    c = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    avg_row = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            _dec_sum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+SQL_IDLE_RICH_CUSTOMERS = """
+WITH t AS (
+  SELECT CAST(sum(c_acctbal::DECIMAL(18,2)) AS DOUBLE) / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*) AS n_custs,
+       CAST(sum(c_acctbal::DECIMAL(18,2)) AS DOUBLE) AS total_bal
+FROM customer, t
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Approximate-distinct sketches (KMV, HyperLogLog) with EXACT oracles
+#
+# Both engines compute the identical sketch from SHA-256-derived 60-bit
+# hashes, so the oracle checks the sketch itself bit-for-bit — not just
+# "estimate is close". At 100 TB these replace count(DISTINCT): one
+# map-side-combinable agg instead of a full shuffle of the key universe;
+# sketches also merge across partitions/days (max per register / k-min
+# union), which exact distinct cannot.
+# --------------------------------------------------------------------------
+
+KMV_K = 64  # kth-minimum-value estimator order (need ≥ K distinct keys)
+_KMV_NUM = float((KMV_K - 1) * (1 << 60))  # (K-1)·2^60, exact as a double
+
+_USER_HASH_SQL = _hex2int_sql("sha256(user_id::VARCHAR)")
+
+
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per event_type: the kth-smallest hash of
+    the distinct user set; estimate = (k−1)·2^60 / h_k."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    du = du.withColumn(
+        "h", hex_to_long(F.sha2(F.col("user_id").cast("string"), 256))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    return (
+        du.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == KMV_K)
+        .select(
+            "event_type",
+            F.col("h").alias("kth_hash"),
+            F.floor(F.lit(_KMV_NUM) / F.col("h").cast("double"))
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )
+
+
+SQL_KMV_DISTINCT_USERS = f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type, {_USER_HASH_SQL} AS h FROM du),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h)
+SELECT event_type, h AS kth_hash,
+       CAST(floor({_KMV_NUM!r} / h::DOUBLE) AS BIGINT) AS est_distinct
+FROM r WHERE rn = {KMV_K}
+"""
+
+
+def _bitlen_case_sql(expr: str, max_bits: int = 54) -> str:
+    """Bit length of a non-negative bigint as a generated CASE chain —
+    integer compares only, so it is identical in any engine (log2-based
+    formulations are not guaranteed to round the same way)."""
+    whens = " ".join(
+        f"WHEN ({expr}) >= {1 << (b - 1)} THEN {b}"
+        for b in range(max_bits, 0, -1)
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+HLL_M = 64  # registers; bucket = h mod 64, rank from the remaining 54 bits
+#: alpha_64 · m² · 2^55 — the estimator numerator, one exact double constant
+_HLL_EST_CONST = 0.709 * 4096.0 * float(1 << 55)
+
+
+def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("user_id").distinct()
+    h = du.withColumn(
+        "h", hex_to_long(F.sha2(F.col("user_id").cast("string"), 256))
+    )
+    b = h.select(
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr("h div 64").alias("rem"),
+    )
+    # rho = leading-zero rank within the 54 payload bits, in [1, 55]
+    rho = (F.lit(55) - F.expr(_bitlen_case_sql("rem"))).cast("long")
+    return b.withColumn("rho", rho).groupBy("bucket").agg(
+        F.max("rho").alias("max_rho"), F.count(F.lit(1)).alias("n_users")
+    )
+
+
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL sketch itself: per-register max leading-zero rank over the
+    distinct-user hash set. This is the mergeable state (max per bucket)."""
+    return _hll_registers(spark, sf_dir)
+
+
+SQL_HLL_REGISTERS = f"""
+WITH du AS (SELECT DISTINCT user_id FROM events),
+h AS (SELECT {_USER_HASH_SQL} AS h FROM du),
+b AS (SELECT h % {HLL_M} AS bucket, h // {HLL_M} AS rem FROM h)
+SELECT bucket, max(CAST(55 - {_bitlen_case_sql("rem")} AS BIGINT)) AS max_rho,
+       count(*) AS n_users
+FROM b GROUP BY bucket
+"""
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimate from the registers. The harmonic sum is computed in
+    EXACT integer arithmetic (Σ 2^(55−rho), plus 2^55 per empty register)
+    so the single final division is engine-identical."""
+    regs = _hll_registers(spark, sf_dir)
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.sum(F.expr("shiftleft(1L, cast(55 - max_rho as int))")).alias("_zf"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    z = F.col("_zf") + (F.lit(HLL_M) - F.col("n_filled")) * F.lit(1 << 55)
+    return (
+        agg.crossJoin(F.broadcast(exact))
+        .select(
+            "n_filled",
+            z.alias("z_int"),
+            F.floor(F.lit(_HLL_EST_CONST) / z.cast("double"))
+            .cast("long")
+            .alias("est_distinct"),
+            "exact_distinct",
+        )
+    )
+
+
+SQL_HLL_DISTINCT_USERS = f"""
+WITH du AS (SELECT DISTINCT user_id FROM events),
+h AS (SELECT {_USER_HASH_SQL} AS h FROM du),
+b AS (SELECT h % {HLL_M} AS bucket, h // {HLL_M} AS rem FROM h),
+regs AS (
+  SELECT bucket, max(55 - {_bitlen_case_sql("rem")}) AS max_rho
+  FROM b GROUP BY bucket
+),
+agg AS (
+  SELECT count(*) AS n_filled,
+         sum((1::BIGINT << (55 - max_rho)))::BIGINT AS zf
+  FROM regs
+)
+SELECT n_filled,
+       (zf + ({HLL_M} - n_filled) * {1 << 55}::BIGINT) AS z_int,
+       CAST(floor({_HLL_EST_CONST!r} / (zf + ({HLL_M} - n_filled) * {1 << 55}::BIGINT)::DOUBLE) AS BIGINT) AS est_distinct,
+       (SELECT count(DISTINCT user_id) FROM events) AS exact_distinct
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Cross-modal join: documents ⋈ embeddings
+# --------------------------------------------------------------------------
+
+
+def q_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding centroid: the text table joined to its
+    vector table (doc_id = vec_id), components exploded and averaged.
+
+    Components are quantized to integers BEFORE summing, so the aggregate
+    is order-independent and engine-exact; at scale this is one shuffle
+    of (lang, dim) pairs — 64·|langs| cells regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    j = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "lang", "embedding"
+    )
+    ex = j.select("lang", F.posexplode("embedding").alias("dim", "val"))
+    return (
+        ex.groupBy("lang", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.floor(F.col("val").cast("double") * F.lit(1000000.0)).cast(
+                    "long"
+                )
+            ).alias("comp_sum_q6"),
+        )
+        .withColumn(
+            "centroid_q6",
+            F.floor(
+                F.col("comp_sum_q6").cast("double") / F.col("n_docs")
+            ).cast("long"),
+        )
+    )
+
+
+SQL_LANG_CENTROIDS = """
+WITH x AS (
+  SELECT lang, t.i - 1 AS dim,
+         CAST(floor(embedding[t.i]::DOUBLE * 1000000.0) AS BIGINT) AS q
+  FROM documents
+  JOIN embeddings ON doc_id = vec_id,
+       unnest(generate_series(1, 64)) AS t(i)
+)
+SELECT lang, dim, count(*) AS n_docs,
+       sum(q)::BIGINT AS comp_sum_q6,
+       CAST(floor(sum(q)::DOUBLE / count(*)) AS BIGINT) AS centroid_q6
+FROM x GROUP BY lang, dim
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1522,6 +2084,35 @@ CATALOG: list[QueryDef] = [
     QueryDef("embedding_bucket_pairs", q_embedding_bucket_pairs,
              SQL_EMBEDDING_BUCKET_PAIRS,
              "hyperplane-LSH bucketed similar pairs (bucketing oracle-checked)"),
+    QueryDef("forecast_revenue", q_forecast_revenue, SQL_FORECAST_REVENUE,
+             "Q6-shaped selective scan + ungrouped agg (full pushdown)"),
+    QueryDef("shipping_priority", q_shipping_priority, SQL_SHIPPING_PRIORITY,
+             "Q3-shaped 3-way join + decimal-ranked global top-10"),
+    QueryDef("returned_items", q_returned_items, SQL_RETURNED_ITEMS,
+             "Q10-shaped revenue-per-customer top-20"),
+    QueryDef("promo_revenue", q_promo_revenue, SQL_PROMO_REVENUE,
+             "Q14-shaped conditional-aggregation ratio"),
+    QueryDef("small_quantity_revenue", q_small_quantity_revenue,
+             SQL_SMALL_QUANTITY_REVENUE,
+             "Q17-shaped decorrelated scalar subquery (per-part avg)"),
+    QueryDef("large_volume_orders", q_large_volume_orders,
+             SQL_LARGE_VOLUME_ORDERS, "Q18-shaped having-filtered agg join"),
+    QueryDef("disjunctive_part_revenue", q_disjunctive_part_revenue,
+             SQL_DISJUNCTIVE_PART_REVENUE,
+             "Q19-shaped OR-of-ANDs predicate join"),
+    QueryDef("idle_rich_customers", q_idle_rich_customers,
+             SQL_IDLE_RICH_CUSTOMERS,
+             "Q22-shaped scalar-subquery threshold + anti join"),
+    QueryDef("kmv_distinct_users", q_kmv_distinct_users,
+             SQL_KMV_DISTINCT_USERS,
+             "KMV distinct sketch per event_type (sketch oracle-exact)"),
+    QueryDef("hll_registers", q_hll_registers, SQL_HLL_REGISTERS,
+             "HyperLogLog register table (mergeable sketch state)"),
+    QueryDef("hll_distinct_users", q_hll_distinct_users,
+             SQL_HLL_DISTINCT_USERS,
+             "HLL estimate via exact-integer harmonic sum"),
+    QueryDef("lang_centroids", q_lang_centroids, SQL_LANG_CENTROIDS,
+             "cross-modal join: per-language embedding centroid"),
 ]
 
 

@@ -1,0 +1,91 @@
+"""Sketch + TPC-H-shaped query additions: accuracy and plan properties.
+
+The value-level cross-engine gate is the DuckDB oracle
+(tools/check_oracle.py); these tests pin the *semantics* that the oracle
+can't see — estimator accuracy vs exact counts, structural invariants,
+and the physical-plan properties that matter at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from commerce_sessionization_spark.plans.queries import spark_queries
+from tests.test_plans import node_count, plan_of
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return spark_queries()
+
+
+def test_kmv_estimate_accuracy(spark, queries):
+    rows = queries["kmv_distinct_users"](spark, SF_DIR).collect()
+    exact = {
+        r["event_type"]: r["n"]
+        for r in queries["event_type_stats"](spark, SF_DIR)
+        .select(F.col("event_type"), F.col("n_users").alias("n"))
+        .collect()
+    }
+    assert rows, "expected ≥64 distinct users per type at sf0.01"
+    for r in rows:
+        rel = abs(r["est_distinct"] - exact[r["event_type"]]) / exact[r["event_type"]]
+        # KMV k=64 → relative σ ≈ 1/√(k−2) ≈ 12.7%; allow 4σ
+        assert rel < 0.5, (r, exact[r["event_type"]])
+
+
+def test_hll_estimate_accuracy(spark, queries):
+    row = queries["hll_distinct_users"](spark, SF_DIR).collect()[0]
+    exact = row["exact_distinct"]
+    # m=64 → relative σ ≈ 1.04/√64 = 13%; allow 4σ
+    assert abs(row["est_distinct"] - exact) / exact < 0.52, row
+    assert 1 <= row["n_filled"] <= 64
+
+
+def test_hll_registers_are_mergeable_state(spark, queries):
+    regs = queries["hll_registers"](spark, SF_DIR).collect()
+    assert 1 <= len(regs) <= 64
+    for r in regs:
+        assert 0 <= r["bucket"] < 64
+        assert 1 <= r["max_rho"] <= 55
+
+
+def test_lang_centroids_cover_every_dim(spark, queries):
+    rows = queries["lang_centroids"](spark, SF_DIR).collect()
+    langs = {r["lang"] for r in rows}
+    assert len(rows) == 64 * len(langs)  # every (lang, dim) cell present
+    per_dim_docs = sum(r["n_docs"] for r in rows) // 64
+    assert per_dim_docs == 500  # all docs joined to their embedding
+
+
+def test_shipping_priority_is_ranked_top10(spark, queries):
+    rows = queries["shipping_priority"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_forecast_revenue_pushes_all_filters(spark, queries):
+    plan = plan_of(queries["forecast_revenue"](spark, SF_DIR))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in m.group(1), plan
+
+
+def test_disjunctive_join_broadcasts_part(spark, queries):
+    plan = plan_of(queries["disjunctive_part_revenue"](spark, SF_DIR))
+    assert node_count(plan, "BroadcastHashJoin") >= 1, plan
+    assert node_count(plan, "SortMergeJoin") == 0, plan
+
+
+def test_large_volume_orders_partial_aggregates(spark, queries):
+    # the HAVING-filtered agg must map-side combine before its shuffle
+    plan = plan_of(queries["large_volume_orders"](spark, SF_DIR))
+    assert node_count(plan, "HashAggregate") >= 2, plan
