@@ -1921,6 +1921,225 @@ FROM agg
 """
 
 
+def q_hll_union_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL merge: per-event_type register tables combined by per-bucket max
+    — the union sketch. The estimate MUST equal the directly-computed
+    global sketch (max over a union = max of per-part maxes), which is the
+    property that lets 100 TB jobs sketch per partition/day and fold."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    h = du.withColumn(
+        "h", hex_to_long(F.sha2(F.col("user_id").cast("string"), 256))
+    )
+    b = h.select(
+        "event_type",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr("h div 64").alias("rem"),
+    )
+    rho = (F.lit(55) - F.expr(_bitlen_case_sql("rem"))).cast("long")
+    per_type = (
+        b.withColumn("rho", rho)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    merged = per_type.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+    agg = merged.agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.sum(F.expr("shiftleft(1L, cast(55 - max_rho as int))")).alias("_zf"),
+    )
+    n_types = du.agg(F.count_distinct("event_type").alias("n_types"))
+    z = F.col("_zf") + (F.lit(HLL_M) - F.col("n_filled")) * F.lit(1 << 55)
+    return agg.crossJoin(F.broadcast(n_types)).select(
+        "n_types",
+        F.floor(F.lit(_HLL_EST_CONST) / z.cast("double"))
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
+SQL_HLL_UNION_TYPES = f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type, {_USER_HASH_SQL} AS h FROM du),
+b AS (SELECT event_type, h % {HLL_M} AS bucket, h // {HLL_M} AS rem FROM h),
+per_type AS (
+  SELECT event_type, bucket, max(55 - {_bitlen_case_sql("rem")}) AS max_rho
+  FROM b GROUP BY event_type, bucket
+),
+merged AS (SELECT bucket, max(max_rho) AS max_rho FROM per_type GROUP BY bucket),
+agg AS (
+  SELECT count(*) AS n_filled,
+         sum((1::BIGINT << (55 - max_rho)))::BIGINT AS zf
+  FROM merged
+)
+SELECT (SELECT count(DISTINCT event_type) FROM du) AS n_types,
+       CAST(floor({_HLL_EST_CONST!r} / (zf + ({HLL_M} - n_filled) * {1 << 55}::BIGINT)::DOUBLE) AS BIGINT) AS est_distinct
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling + time-range windows + co-occurrence
+# --------------------------------------------------------------------------
+
+
+def q_rolling_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour per-user activity via a RANGE window over epoch
+    microseconds — the time-based frame the reference never uses (its
+    windows are all ROWS). One shuffle on user_id; sum is decimal-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("value_1h"),
+    )
+
+
+SQL_ROLLING_USER_ACTIVITY = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       CAST(sum(value::DECIMAL(18,4)) OVER w AS DOUBLE) AS value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+_DOC_HASH_SQL = _hex2int_sql("sha256(doc_id::VARCHAR)")
+
+
+def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample: hash-mod on the key, so the
+    same rows are selected on any engine, any partitioning, any run —
+    unlike rand()-based sampling, this is reproducible AND join-stable
+    (sampling both sides of a join by the same key keeps referential
+    integrity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = hex_to_long(F.sha2(F.col("doc_id").cast("string"), 256))
+    return docs.filter(h % 10 == 0).select("doc_id", "lang", "source", "n_chars")
+
+
+SQL_HASH_SAMPLE_DOCS = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE ({_DOC_HASH_SQL}) % 10 = 0
+"""
+
+
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 5 docs per language,
+    chosen by smallest key-hash (rank over hash order) — fixed-size
+    per-stratum sampling without rand() state."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = hex_to_long(F.sha2(F.col("doc_id").cast("string"), 256))
+    w = Window.partitionBy("lang").orderBy("h")
+    return (
+        docs.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", F.col("rn").alias("rank_in_lang"))
+    )
+
+
+SQL_STRATIFIED_SAMPLE_DOCS = f"""
+WITH h AS (SELECT lang, doc_id, {_DOC_HASH_SQL} AS h FROM documents),
+r AS (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+      FROM h)
+SELECT lang, doc_id, rn AS rank_in_lang FROM r WHERE rn <= 5
+"""
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs across the
+    corpus. All counts are exact integers; PMI's log argument is built as
+    one integer-ratio division so the double math is engine-identical.
+    """
+    from commerce_sessionization_spark.operators.text import TOKEN_PATTERN
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0)
+        ).alias("toks")
+    )
+    bigrams = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks)-1),"
+                    " (x, i) -> named_struct('w1', x, 'w2', toks[i+1]))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    uni = toks.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bi = bg.agg(F.sum("c_xy").alias("n_bi"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    return (
+        bg.filter(F.col("c_xy") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            _quant(
+                F.log(
+                    (F.col("c_xy") * F.col("n_uni") * F.col("n_uni")).cast(
+                        "double"
+                    )
+                    / (F.col("n_bi") * F.col("c_x") * F.col("c_y")).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("pmi_q6"),
+        )
+    )
+
+
+SQL_BIGRAM_PMI = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '{_TOKEN_RE}') AS toks FROM documents
+),
+bg AS (
+  SELECT t.w1, t.w2, count(*) AS c_xy FROM (
+    SELECT unnest([struct_pack(w1 := toks[_bg], w2 := toks[_bg+1])
+                   for _bg in range(1, len(toks))]) AS t
+    FROM toks
+  ) GROUP BY t.w1, t.w2
+),
+uni AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM toks) GROUP BY w
+),
+n1 AS (SELECT sum(c)::BIGINT AS n_uni FROM uni),
+n2 AS (SELECT sum(c_xy)::BIGINT AS n_bi FROM bg)
+SELECT w1, w2, c_xy,
+       CAST(floor(ln((c_xy * n_uni * n_uni)::DOUBLE / (n_bi * ux.c * uy.c)::DOUBLE) * 1000000.0) AS BIGINT) AS pmi_q6
+FROM bg
+JOIN uni ux ON bg.w1 = ux.w
+JOIN uni uy ON bg.w2 = uy.w, n1, n2
+WHERE c_xy >= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Cross-modal join: documents ⋈ embeddings
 # --------------------------------------------------------------------------
@@ -2113,6 +2332,18 @@ CATALOG: list[QueryDef] = [
              "HLL estimate via exact-integer harmonic sum"),
     QueryDef("lang_centroids", q_lang_centroids, SQL_LANG_CENTROIDS,
              "cross-modal join: per-language embedding centroid"),
+    QueryDef("hll_union_types", q_hll_union_types, SQL_HLL_UNION_TYPES,
+             "HLL sketch merge across groups (per-bucket max fold)"),
+    QueryDef("rolling_user_activity", q_rolling_user_activity,
+             SQL_ROLLING_USER_ACTIVITY,
+             "trailing-1h RANGE window per user (time-based frame)"),
+    QueryDef("hash_sample_docs", q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS,
+             "deterministic hash-mod Bernoulli sample"),
+    QueryDef("stratified_sample_docs", q_stratified_sample_docs,
+             SQL_STRATIFIED_SAMPLE_DOCS,
+             "deterministic fixed-size-per-stratum sample"),
+    QueryDef("bigram_pmi", q_bigram_pmi, SQL_BIGRAM_PMI,
+             "adjacent-token PMI (exact counts, single-division log)"),
 ]
 
 
