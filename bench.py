@@ -13,13 +13,14 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from commerce_sessionization_spark.plans.queries import spark_queries  # noqa: E402
+from commerce_sessionization_spark.plans.queries import all_spark_queries  # noqa: E402
 from commerce_sessionization_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,8 +41,14 @@ HEADLINE = [
     "doc_stats",
     "exact_dedup_docs",
     "minhash_lsh_pairs",
+    "simhash_pairs",
     "knn_cosine",
 ]
+
+#: Per-query repeat count; the reported figure is the median, so one-off
+#: JIT/codegen warmup (first run) and stray GC pauses don't skew the
+#: round-over-round regression signal. Override with SPARK_GRAFT_REPEATS.
+REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
 
 
 def sf_label(path: str) -> float:
@@ -55,7 +62,7 @@ def sf_label(path: str) -> float:
 def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = spark_queries()
+    queries = all_spark_queries()
 
     # warmup: spin up executors + codegen paths on the tiniest table
     queries["event_type_stats"](spark, SF_DIR).write.format("noop").mode(
@@ -64,16 +71,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # two executions, report the faster: the first pays one-off codegen/
-        # JIT compilation, the second reflects steady-state throughput
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(REPEATS):
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     out = {
         "metric": "headline_queries_total",

@@ -9,8 +9,8 @@ from commerce_sessionization_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup_pairs,
     ngram_jaccard_pairs,
-    simhash,
     simhash_dedup_candidates,
+    simhash_table,
 )
 from commerce_sessionization_spark.operators.joins import asof_join, range_join
 from commerce_sessionization_spark.operators.similarity import (
@@ -38,8 +38,8 @@ __all__ = [
     "exact_dedup",
     "minhash_lsh_dedup_pairs",
     "ngram_jaccard_pairs",
-    "simhash",
     "simhash_dedup_candidates",
+    "simhash_table",
     "asof_join",
     "range_join",
     "all_pairs_topk",

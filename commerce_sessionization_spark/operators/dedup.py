@@ -333,30 +333,59 @@ def dedup_components(
     return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component_id"))
 
 
-def simhash(text: Column, n: int = 2, bits: int = 60, fast: bool = False) -> Column:
-    """SimHash fingerprint (bigint): sign-sum of shingle hash bits.
+def simhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    bits: int = 60,
+    fast: bool = False,
+) -> DataFrame:
+    """SimHash fingerprint per row: (id_col, ``simhash`` bigint).
 
-    Pure array expressions: per bit position, count shingles with that bit
-    set vs total; majority sets the output bit.
+    Per bit position, the majority vote of that bit across the document's
+    shingle hashes sets the output bit.
+
+    Computed as a *flat aggregation* (the same pattern as
+    ``minhash_lsh_candidates``): explode shingles to (doc, hash) rows, then
+    ONE ``groupBy(doc)`` with ``bits`` ``sum((h >> i) & 1)`` aggregates, and
+    assemble the fingerprint from the counts. An earlier array-expression
+    formulation (``F.size(F.filter(hashes, bit_set(i)))`` per bit) rescanned
+    the full hash array ``bits`` times per document and produced a giant
+    codegen expression — ~25× slower. The hash-agg here is map-side
+    combinable and the shuffle carries one (doc_id, 61 longs) row per doc.
     """
     from commerce_sessionization_spark.functions.hashing import stable_long_hash
 
-    shingles = word_shingles(text, n)
-    hashes = F.transform(shingles, lambda s: stable_long_hash(s, fast=fast))
-    total = F.size(hashes)
-    def bit_set(i: int):
-        return lambda h: h.bitwiseAND(F.lit(1 << i)) != 0
-
-    bit_terms = []
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
+    ).select("_id", stable_long_hash(F.col("_s"), fast=fast).alias("_h"))
+    counts = sh.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_total"),
+        *[
+            F.sum(F.shiftright("_h", i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
+            for i in range(bits)
+        ],
+    )
+    fp = F.lit(0)
     for i in range(bits):
-        ones = F.size(F.filter(hashes, bit_set(i)))
-        bit_terms.append(
-            F.when(ones * 2 >= total, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = fp + F.when(
+            F.col(f"_b{i}") * 2 >= F.col("_total"), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    counts = counts.select("_id", fp.cast("long").alias("simhash"))
+    # zero-shingle docs have no exploded rows; majority-of-empty (0 >= 0)
+    # sets every bit, so restore them with the all-ones fingerprint
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(counts, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("simhash"), F.lit((1 << bits) - 1)).alias(
+                "simhash"
+            ),
         )
-    out = bit_terms[0]
-    for t in bit_terms[1:]:
-        out = out + t
-    return out.cast("long")
+    )
 
 
 def simhash_dedup_candidates(
@@ -372,8 +401,8 @@ def simhash_dedup_candidates(
     """
     nbands = bits // band_bits
     mask = (1 << band_bits) - 1
-    sh = df.select(
-        F.col(id_col).alias("_id"), simhash(F.col(text_col), n=n, bits=bits).alias("_sh")
+    sh = simhash_table(df, id_col=id_col, text_col=text_col, n=n, bits=bits).select(
+        F.col(id_col).alias("_id"), F.col("simhash").alias("_sh")
     )
     banded = sh.select(
         "_id",

@@ -21,7 +21,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from commerce_sessionization_spark.operators.sessions import sessionize
-from commerce_sessionization_spark.plans.queries import spark_queries
+from commerce_sessionization_spark.plans.queries import all_spark_queries
 from commerce_sessionization_spark.sources.tables import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -42,7 +42,7 @@ def node_count(plan: str, node: str) -> int:
 
 @pytest.fixture(scope="module")
 def queries():
-    return spark_queries()
+    return all_spark_queries()
 
 
 def test_filter_pushdown_reaches_scan(spark, queries):

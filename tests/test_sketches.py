@@ -14,7 +14,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from commerce_sessionization_spark.plans.queries import spark_queries
+from commerce_sessionization_spark.plans.queries import all_spark_queries
 from tests.test_plans import node_count, plan_of
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -22,7 +22,7 @@ SF_DIR = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="module")
 def queries():
-    return spark_queries()
+    return all_spark_queries()
 
 
 def test_kmv_estimate_accuracy(spark, queries):

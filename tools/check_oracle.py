@@ -21,7 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb
 
-from commerce_sessionization_spark.plans.queries import CATALOG
+from commerce_sessionization_spark.plans.queries import FULL_CATALOG
 from commerce_sessionization_spark.schemas import ALL_TESTDATA_TABLES
 from commerce_sessionization_spark.session import get_spark
 
@@ -50,7 +50,7 @@ def main(names: list[str]) -> int:
         )
 
     failures = 0
-    for q in CATALOG:
+    for q in FULL_CATALOG:
         if names and q.name not in names:
             continue
         t0 = time.time()
