@@ -1,12 +1,14 @@
 """Multimodal column plumbing: media as opaque binary + typed metadata.
 
-The Spark-side contract is real and tested — schema (``schemas.MEDIA_SCHEMA``),
-Arrow-batched ``mapInPandas`` plumbing, partitioning by modality, stable
-output schemas. The actual codec work is stubbed: image/audio libs are not
-in this container, so ``decode`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (seeded from the
-payload bytes) produces plausible features so the pipeline shape is testable
-end-to-end.
+The Spark-side contract — schema (``schemas.MEDIA_SCHEMA``), Arrow-batched
+``mapInPandas`` plumbing, partitioning by modality, stable output schemas —
+is real and tested, and so is decode for the two formats parseable without
+codec libraries: **BMP images and PCM WAV audio** run through the real
+dependency-free decoders in ``functions.codecs`` (header parse + numpy
+pixel/sample math). Formats that need external libs (JPEG/PNG/MP3, video)
+raise ``NotImplementedError`` on the real path; ``fake=True`` swaps in a
+deterministic payload-seeded fake so pipeline shape stays testable for
+those modalities too.
 
 At 100 TB: binary payloads dominate row size — always project metadata-only
 when features suffice (column pruning keeps payload IO at zero), partition
@@ -78,20 +80,33 @@ def _fake_image_features(asset_id: int, payload: bytes) -> dict:
 def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + featurize image payloads via Arrow-batched ``mapInPandas``.
 
-    Real decode is STUBBED (``NotImplementedError``) — container lacks image
-    libs; ``fake=True`` routes to the deterministic fake so the plumbing
-    (batching, schema, partition behavior) is fully exercised.
+    The real path decodes BMP payloads with the dependency-free parser in
+    ``functions.codecs`` (width/height/channels, Rec.601 mean luma, 8×8
+    average-hash); non-BMP formats raise ``NotImplementedError`` because
+    JPEG/PNG need codec libraries this container lacks. ``fake=True``
+    routes every payload to the deterministic fake instead.
     """
+    from commerce_sessionization_spark.functions.codecs import (
+        UnsupportedMediaError,
+        bmp_features,
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/opencv; rerun with fake=True"
-                )
+            recs = []
+            for a, c in zip(pdf["asset_id"], pdf["content"]):
+                if fake:
+                    recs.append(_fake_image_features(a, c))
+                    continue
+                try:
+                    recs.append(bmp_features(a, bytes(c or b"")))
+                except UnsupportedMediaError as e:
+                    raise NotImplementedError(
+                        f"asset {a}: only BMP decodes without codec libs "
+                        f"({e}); use fake=True for other formats"
+                    ) from e
             yield pd.DataFrame.from_records(
-                _fake_image_features(a, c)
-                for a, c in zip(pdf["asset_id"], pdf["content"])
+                recs, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
             )
 
     return df.filter(F.col("modality") == "image").mapInPandas(
@@ -100,24 +115,43 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode + featurize audio payloads via Arrow-batched ``mapInPandas``.
+
+    The real path decodes 16-bit PCM RIFF/WAVE with ``functions.codecs``
+    (sample rate, duration, RMS over mono-averaged samples); compressed
+    formats (MP3/AAC/OGG) raise ``NotImplementedError``. ``fake=True``
+    routes every payload to the deterministic fake instead.
+    """
+    from commerce_sessionization_spark.functions.codecs import (
+        UnsupportedMediaError,
+        wav_features,
+    )
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real audio decode requires soundfile/librosa; rerun with fake=True"
-                )
             recs = []
             for a, c in zip(pdf["asset_id"], pdf["content"]):
-                h = hashlib.sha256(c or b"").digest()
-                recs.append(
-                    {
-                        "asset_id": a,
-                        "sample_rate": 16000,
-                        "duration_sec": round(len(c or b"") / 32000.0, 6),
-                        "rms": round(h[0] / 255.0, 6),
-                    }
-                )
-            yield pd.DataFrame.from_records(recs)
+                if fake:
+                    h = hashlib.sha256(c or b"").digest()
+                    recs.append(
+                        {
+                            "asset_id": a,
+                            "sample_rate": 16000,
+                            "duration_sec": round(len(c or b"") / 32000.0, 6),
+                            "rms": round(h[0] / 255.0, 6),
+                        }
+                    )
+                    continue
+                try:
+                    recs.append(wav_features(a, bytes(c or b"")))
+                except UnsupportedMediaError as e:
+                    raise NotImplementedError(
+                        f"asset {a}: only PCM WAV decodes without codec libs "
+                        f"({e}); use fake=True for other formats"
+                    ) from e
+            yield pd.DataFrame.from_records(
+                recs, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
 
     return df.filter(F.col("modality") == "audio").mapInPandas(
         batches, schema=AUDIO_FEATURES_SCHEMA

@@ -1,0 +1,109 @@
+"""Dependency-free BMP/WAV codecs: round-trip and known-value tests.
+
+Pure numpy — no Spark session needed; the Spark-side wiring is covered by
+``tests/test_operators.py::TestMultimodal``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from commerce_sessionization_spark.functions.codecs import (
+    UnsupportedMediaError,
+    average_hash,
+    bmp_features,
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    wav_features,
+)
+
+
+def gradient_rgb(h: int = 24, w: int = 32) -> np.ndarray:
+    """Deterministic test image: horizontal R ramp, vertical G ramp."""
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    img[:, :, 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+    img[:, :, 2] = 40
+    return img
+
+
+class TestBmp:
+    def test_round_trip_exact(self):
+        img = gradient_rgb()
+        decoded, n_channels = decode_bmp(encode_bmp(img))
+        assert n_channels == 3
+        np.testing.assert_array_equal(decoded, img)
+
+    def test_round_trip_odd_width_padding(self):
+        # width 7 → row stride 24 ≠ 21: exercises the 4-byte padding path
+        img = gradient_rgb(h=5, w=7)
+        decoded, _ = decode_bmp(encode_bmp(img))
+        np.testing.assert_array_equal(decoded, img)
+
+    def test_features_known_values(self):
+        # solid mid-gray: luma == 128/255, aHash all-zero (no cell > mean)
+        img = np.full((16, 16, 3), 128, dtype=np.uint8)
+        feats = bmp_features(7, encode_bmp(img))
+        assert feats["asset_id"] == 7
+        assert (feats["width"], feats["height"], feats["n_channels"]) == (16, 16, 3)
+        assert feats["mean_luma"] == pytest.approx(128 / 255, abs=1e-6)
+        assert feats["phash"] == "0" * 16
+
+    def test_ahash_splits_light_dark(self):
+        # left half black, right half white → 0f0f… pattern per row
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[:, 8:] = 255
+        assert average_hash(img) == "0f" * 8
+
+    def test_rejects_non_bmp(self):
+        for payload in (b"", b"\x89PNG not a bmp", b"BMtooshort"):
+            with pytest.raises(UnsupportedMediaError):
+                decode_bmp(payload)
+
+    def test_rejects_compressed_bmp(self):
+        raw = bytearray(encode_bmp(gradient_rgb(8, 8)))
+        raw[30] = 1  # BI_RLE8 compression flag
+        with pytest.raises(UnsupportedMediaError):
+            decode_bmp(bytes(raw))
+
+
+class TestWav:
+    def test_round_trip_sine(self):
+        rate = 8000
+        t = np.arange(rate // 2) / rate  # 0.5 s
+        samples = 0.5 * np.sin(2 * np.pi * 440 * t)
+        got_rate, mono = decode_wav(encode_wav(samples, rate))
+        assert got_rate == rate
+        assert len(mono) == len(samples)
+        # 16-bit quantization error only
+        np.testing.assert_allclose(mono, samples, atol=1.0 / 32768)
+
+    def test_features_known_values(self):
+        # full-scale square wave → RMS ≈ amplitude, duration exact
+        rate = 16000
+        samples = np.tile([0.5, -0.5], rate)  # 2 s
+        feats = wav_features(3, encode_wav(samples, rate))
+        assert feats["asset_id"] == 3
+        assert feats["sample_rate"] == rate
+        assert feats["duration_sec"] == pytest.approx(2.0)
+        assert feats["rms"] == pytest.approx(0.5, abs=1e-4)
+
+    def test_chunk_walker_skips_extra_chunks(self):
+        # LIST chunk between fmt and data must be skipped, not break parse
+        import struct
+
+        body = encode_wav(np.zeros(100), 8000)
+        fmt_end = 12 + 8 + 16
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        payload = body[:fmt_end] + extra + body[fmt_end:]
+        payload = payload[:4] + struct.pack("<I", len(payload) - 8) + payload[8:]
+        rate, mono = decode_wav(payload)
+        assert rate == 8000 and len(mono) == 100
+
+    def test_rejects_non_wav(self):
+        for payload in (b"", b"RIFF1234WAVX", b"ID3 mp3 bytes"):
+            with pytest.raises(UnsupportedMediaError):
+                decode_wav(payload)

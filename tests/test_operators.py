@@ -294,13 +294,66 @@ class TestMultimodal:
         again = {r.asset_id: r for r in extract_image_features(media, fake=True).collect()}
         assert got == again
 
-    def test_real_decode_is_explicitly_stubbed(self, media):
+    def test_real_decode_rejects_formats_needing_codec_libs(self, media):
         from commerce_sessionization_spark.operators.multimodal import (
             extract_image_features,
         )
 
-        with pytest.raises(Exception, match="NotImplementedError|decode"):
+        # fixture payloads are PNG-ish bytes → real path must refuse loudly
+        with pytest.raises(Exception, match="NotImplementedError|BMP"):
             extract_image_features(media, fake=False).collect()
+
+    def test_real_bmp_decode_end_to_end(self, spark):
+        import numpy as np
+
+        from commerce_sessionization_spark.functions.codecs import encode_bmp
+        from commerce_sessionization_spark.operators.multimodal import (
+            extract_image_features,
+        )
+
+        dark = np.full((10, 20, 3), 10, dtype=np.uint8)
+        light = np.full((32, 16, 3), 250, dtype=np.uint8)
+        media = spark.createDataFrame(
+            [
+                (1, "image", bytes(encode_bmp(dark)), "{}"),
+                (2, "image", bytes(encode_bmp(light)), "{}"),
+                (3, "audio", b"not an image", "{}"),
+            ],
+            MEDIA_SCHEMA,
+        )
+        got = {r.asset_id: r for r in extract_image_features(media).collect()}
+        assert set(got) == {1, 2}
+        assert (got[1].width, got[1].height) == (20, 10)
+        assert (got[2].width, got[2].height) == (16, 32)
+        assert got[1].mean_luma == pytest.approx(10 / 255, abs=1e-6)
+        assert got[2].mean_luma == pytest.approx(250 / 255, abs=1e-6)
+        # flat images: no cell exceeds the grid mean → all-zero aHash
+        assert got[1].phash == "0" * 16
+
+    def test_real_wav_decode_end_to_end(self, spark):
+        import numpy as np
+
+        from commerce_sessionization_spark.functions.codecs import encode_wav
+        from commerce_sessionization_spark.operators.multimodal import (
+            extract_audio_features,
+        )
+
+        quiet = 0.1 * np.sin(np.linspace(0, 200 * np.pi, 8000))  # 1 s @ 8 kHz
+        loud = np.tile([0.8, -0.8], 22050)  # 2 s @ 22.05 kHz
+        media = spark.createDataFrame(
+            [
+                (1, "audio", bytes(encode_wav(quiet, 8000)), "{}"),
+                (2, "audio", bytes(encode_wav(loud, 22050)), "{}"),
+            ],
+            MEDIA_SCHEMA,
+        )
+        got = {r.asset_id: r for r in extract_audio_features(media).collect()}
+        assert got[1].sample_rate == 8000
+        assert got[1].duration_sec == pytest.approx(1.0)
+        assert got[1].rms == pytest.approx(0.1 / 2**0.5, abs=1e-3)
+        assert got[2].sample_rate == 22050
+        assert got[2].duration_sec == pytest.approx(2.0)
+        assert got[2].rms == pytest.approx(0.8, abs=1e-3)
 
     def test_audio_and_video(self, media):
         from commerce_sessionization_spark.operators.multimodal import (
