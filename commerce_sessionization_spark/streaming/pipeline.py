@@ -3,21 +3,42 @@
 The stream analogue of the hourly batch pipeline (EP1's output contract):
 per-event session ids land in ``{out}/sessions/event_date=/event_hour=``,
 the same layout batch consumers and the reference's validation DAG read
-(``sessionization_batch_test.py:43,53``). ``foreachBatch`` gives the
-partitioned-parquet write (streaming file sinks can't dynamic-partition-
-overwrite); each micro-batch appends only its own rows, and exactly-once
-comes from the checkpoint + idempotent-per-epoch write.
+(``sessionization_batch_test.py:43,53``).
+
+Exactly-once: a bare ``mode("append")`` inside ``foreachBatch`` is NOT
+idempotent — if the driver dies after the write but before the checkpoint
+commit, the restarted query re-runs the epoch and appends the rows twice.
+The sink here makes epoch replay a no-op (or a clean rewrite) instead:
+
+1. if the commit marker ``{out}/_epochs/{epoch}`` exists, skip — the epoch
+   fully landed in a previous attempt;
+2. delete any ``e{epoch}-*`` files under the hive tree (debris from a
+   half-finished previous attempt of THIS epoch — every data file is
+   tagged with the epoch that wrote it, so stale output is identifiable);
+3. write the batch to a staging dir (``mode("overwrite")`` → replay-safe);
+4. rename each staged file into its final partition as
+   ``e{epoch}-{original-name}`` (rename is a cheap metadata op on
+   HDFS-like stores);
+5. write the commit marker.
+
+A crash between any two steps leaves state the next attempt repairs:
+steps 2-4 are retry-safe because the epoch tag makes the previous
+attempt's files discoverable, and the marker only appears after every
+file is in place. All filesystem access goes through the Hadoop
+FileSystem API, so the contract holds on hdfs:// and object stores with
+atomic rename, not just file://.
 
 At scale: the state store carries the per-user session state (see
 ``sessionize_stream.py``); the sink's partition clustering per micro-batch
-keeps file counts at (#hours touched per batch) × (#clustered tasks).
+keeps file counts at (#hours touched per batch) × (#clustered tasks), and
+the cleanup glob in step 2 scans only directory metadata.
 """
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from commerce_sessionization_spark.streaming.sessionize_stream import (
@@ -31,6 +52,67 @@ def with_hour_partitions(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return df.withColumn(
         "event_date", F.date_format(ts_col, "yyyy-MM-dd")
     ).withColumn("event_hour", F.date_format(ts_col, "HH"))
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jvm
+
+
+def _glob(fs, jvm, pattern: str):
+    statuses = fs.globStatus(jvm.org.apache.hadoop.fs.Path(pattern))
+    return list(statuses) if statuses is not None else []
+
+
+def make_epoch_writer(
+    spark: SparkSession, out_path: str
+) -> Callable[[DataFrame, int], None]:
+    """Build the idempotent ``foreachBatch`` function for ``{out}/sessions``.
+
+    Public so tests (and backfill drivers) can invoke an epoch write
+    directly and assert that replaying the same epoch id leaves the sink
+    byte-identical.
+    """
+    sessions_dir = f"{out_path}/sessions"
+    epochs_dir = f"{out_path}/_epochs"
+    staging_root = f"{out_path}/_staging"
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        fs, jvm = _fs_and_path(batch_df.sparkSession, out_path)
+        hpath = jvm.org.apache.hadoop.fs.Path
+        marker = hpath(f"{epochs_dir}/{epoch_id}")
+        if fs.exists(marker):
+            return  # epoch fully committed by a previous attempt
+
+        # clear debris from a half-finished attempt of this epoch
+        for st in _glob(fs, jvm, f"{sessions_dir}/*/*/e{epoch_id}-*"):
+            fs.delete(st.getPath(), False)
+
+        staging = f"{staging_root}/{epoch_id}"
+        (
+            with_hour_partitions(batch_df)
+            .repartition("event_date", "event_hour")
+            .write.partitionBy("event_date", "event_hour")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+
+        for st in _glob(
+            fs, jvm, f"{staging}/event_date=*/event_hour=*/part-*"
+        ):
+            src = st.getPath()
+            part_dir = src.getParent()  # event_hour=HH
+            rel = f"{part_dir.getParent().getName()}/{part_dir.getName()}"
+            dest_dir = hpath(f"{sessions_dir}/{rel}")
+            fs.mkdirs(dest_dir)
+            fs.rename(src, hpath(f"{dest_dir}/e{epoch_id}-{src.getName()}"))
+
+        fs.delete(hpath(staging), True)
+        fs.mkdirs(hpath(epochs_dir))
+        fs.createNewFile(marker)
+
+    return write_batch
 
 
 def stream_sessions_to_parquet(
@@ -47,25 +129,18 @@ def stream_sessions_to_parquet(
 
     Returns the started StreamingQuery; with ``available_now`` the query
     drains the backlog and stops (batch-like invocation of the stream
-    pipeline — handy for backfills with streaming semantics).
+    pipeline — handy for backfills with streaming semantics). Safe to
+    kill and restart with the same ``checkpoint``: source offsets and
+    session state resume, and the epoch-keyed sink makes replayed
+    micro-batches idempotent.
     """
     events = read_events_stream(spark, source_glob, **source_options)
     sessions = sessionize_stream_stateful(
         events, gap_seconds=gap_seconds, watermark=watermark
     )
-
-    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            with_hour_partitions(batch_df)
-            .repartition("event_date", "event_hour")
-            .write.partitionBy("event_date", "event_hour")
-            .mode("append")
-            .parquet(f"{out_path}/sessions")
-        )
-
-    writer = sessions.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint
-    )
+    writer = sessions.writeStream.foreachBatch(
+        make_epoch_writer(spark, out_path)
+    ).option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

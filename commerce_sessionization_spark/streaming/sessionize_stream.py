@@ -145,8 +145,12 @@ def _make_session_fn(ts_col: str, gap_us: int, out_cols: list[str]):
         batch["session_id"] = ids
 
         state.update((int(start_us), int(last_us)))
-        # evict idle users one gap past the watermark
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + (gap_us // 1000) + 1)
+        # evict once the watermark passes last_seen + gap: from then on any
+        # admissible event starts a fresh session, so the state is dead.
+        # (NOT watermark + gap: at batch 0 the watermark is still 0, which
+        # would schedule the timeout in 1970 and evict everyone on the
+        # next no-data batch — live state would not survive a restart.)
+        state.setTimeoutTimestamp(int(last_us) // 1000 + gap_us // 1000 + 1)
         yield batch[out_cols]
 
     return assign_sessions

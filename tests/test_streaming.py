@@ -197,6 +197,147 @@ def test_stream_pipeline_writes_partitioned_sessions(spark, tmp_path):
     )
 
 
+def test_epoch_writer_replay_is_idempotent(spark, tmp_path):
+    """Re-running the same epoch (what a post-crash restart does) must
+    leave the sink byte-identical — the foreachBatch append path is only
+    exactly-once if epoch replay is a no-op."""
+    from commerce_sessionization_spark.streaming.pipeline import make_epoch_writer
+
+    out = str(tmp_path / "out")
+    write = make_epoch_writer(spark, out)
+    df = spark.createDataFrame(BATCH_1, SCHEMA).withColumn(
+        "session_id", F.lit("s1")
+    )
+    write(df, 0)
+    first = sorted(
+        r.event_id for r in spark.read.parquet(f"{out}/sessions").collect()
+    )
+    import glob
+
+    files_before = sorted(glob.glob(f"{out}/sessions/*/*/*.parquet"))
+    # replay the SAME epoch: committed marker short-circuits, nothing changes
+    write(df, 0)
+    assert sorted(
+        r.event_id for r in spark.read.parquet(f"{out}/sessions").collect()
+    ) == first
+    assert sorted(glob.glob(f"{out}/sessions/*/*/*.parquet")) == files_before
+    # a half-finished attempt (marker missing, files present) must repair,
+    # not duplicate: drop the marker and replay
+    import os
+
+    os.remove(f"{out}/_epochs/0")
+    write(df, 0)
+    assert sorted(
+        r.event_id for r in spark.read.parquet(f"{out}/sessions").collect()
+    ) == first
+    # a different epoch's rows DO append
+    df2 = spark.createDataFrame(BATCH_2, SCHEMA).withColumn(
+        "session_id", F.lit("s2")
+    )
+    write(df2, 1)
+    assert len(spark.read.parquet(f"{out}/sessions").collect()) == len(
+        BATCH_1 + BATCH_2
+    )
+
+
+def test_stream_pipeline_restart_resumes_exactly_once(spark, tmp_path):
+    """Kill/restart contract: drain drop 0, stop, add drop 1, restart with
+    the same checkpoint — state carries across the restart (user 2's
+    session straddles it) and no row lands twice."""
+    from commerce_sessionization_spark.streaming.pipeline import (
+        stream_sessions_to_parquet,
+    )
+
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spark.createDataFrame(BATCH_1, SCHEMA).coalesce(1).write.parquet(
+        str(src / "drop_0.parquet")
+    )
+    q = stream_sessions_to_parquet(
+        spark, f"{src}/drop_*.parquet", out, ckpt, maxFilesPerTrigger="1"
+    )
+    q.awaitTermination(120)
+    assert len(spark.read.parquet(f"{out}/sessions").collect()) == len(BATCH_1)
+
+    spark.createDataFrame(BATCH_2, SCHEMA).coalesce(1).write.parquet(
+        str(src / "drop_1.parquet")
+    )
+    q = stream_sessions_to_parquet(
+        spark, f"{src}/drop_*.parquet", out, ckpt, maxFilesPerTrigger="1"
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(f"{out}/sessions").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3, 4, 5, 6]
+    expected = {
+        r.event_id: r.session_id
+        for r in sessionize(
+            spark.createDataFrame(BATCH_1 + BATCH_2, SCHEMA),
+            order_cols=("event_id",),
+        ).collect()
+    }
+    # ids minted after the restart still match batch (state survived)
+    assert {r.event_id: r.session_id for r in rows} == expected
+
+
+def test_stream_pipeline_crash_replay_no_duplicates(spark, tmp_path):
+    """Simulate dying AFTER the sink write but BEFORE the checkpoint
+    commit: delete the last commit log entry and restart. Spark re-runs
+    the epoch; the epoch-keyed sink must swallow the replay."""
+    import glob
+    import os
+
+    from commerce_sessionization_spark.streaming.pipeline import (
+        stream_sessions_to_parquet,
+    )
+
+    src = tmp_path / "crash_src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for i, rows in enumerate([BATCH_1, BATCH_2]):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"drop_{i}.parquet")
+        )
+    q = stream_sessions_to_parquet(
+        spark, f"{src}/drop_*.parquet", out, ckpt, maxFilesPerTrigger="1"
+    )
+    q.awaitTermination(120)
+    before = sorted(
+        (r.event_id, r.session_id)
+        for r in spark.read.parquet(f"{out}/sessions").collect()
+    )
+    commits = sorted(glob.glob(f"{ckpt}/commits/[0-9]*"))
+    assert len(commits) >= 2
+    os.remove(commits[-1])  # the crash: epoch ran, commit never landed
+    # the local-fs Hadoop wrapper shadows each file with a .crc; drop it
+    # too or the replay's rename trips over the stale checksum
+    crc = f"{os.path.dirname(commits[-1])}/.{os.path.basename(commits[-1])}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    # Spark 4.1's BatchCommitTracker demands a state-store commit from
+    # every partition even when a REPLAYED no-data batch legitimately
+    # short-circuits (its state version already exists on disk); relax the
+    # validation for the recovery run only — the output parity assertion
+    # below is the actual exactly-once check.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.commitValidation.enabled", "false"
+    )
+    try:
+        q = stream_sessions_to_parquet(
+            spark, f"{src}/drop_*.parquet", out, ckpt, maxFilesPerTrigger="1"
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.commitValidation.enabled"
+        )
+    after = sorted(
+        (r.event_id, r.session_id)
+        for r in spark.read.parquet(f"{out}/sessions").collect()
+    )
+    assert after == before  # replayed epoch changed nothing
+
+
 def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
     """An event arriving after the watermark passed its timestamp must be
     dropped, not resurrect an expired session — the stream's explicit
