@@ -51,6 +51,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # local-mode default is 1g, far under this box; only effective when
+        # the JVM starts here (cluster deploys size executors externally)
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
     for k, v in (extra_conf or {}).items():

@@ -127,3 +127,44 @@ def test_on_real_events_table(spark):
     ).select("event_id", "session_id")
     assert plain.exceptAll(bucketed).count() == 0
     assert bucketed.exceptAll(plain).count() == 0
+
+
+def test_hot_user_skew_identical_and_bounded(spark):
+    """90%-skew hot user: outputs must stay byte-identical AND the bucketed
+    window key must actually bound the per-task sort (the skew mechanism —
+    AQE cannot split a window partition, only the key choice can)."""
+    n, span_days = 20_000, 30
+    span_us = span_days * 86_400 * 1_000_000
+    base_us = 1_700_000_000_000_000
+    events = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.rand(7) < 0.9, F.lit(0))
+        .otherwise((F.rand(11) * 1_000).cast("long") + 1)
+        .alias("user_id"),
+        F.timestamp_micros(
+            (F.lit(base_us) + (F.rand(13) * span_us).cast("long"))
+        ).alias("ts"),
+    )
+    plain = sessionize(events, order_cols=("event_id",))
+    bucketed = sessionize_bucketed(
+        events, bucket_hours=12, order_cols=("event_id",)
+    )
+    mismatch = (
+        plain.alias("p")
+        .join(bucketed.alias("b"), "event_id")
+        .where(F.col("p.session_id") != F.col("b.session_id"))
+        .count()
+    )
+    assert mismatch == 0
+
+    bucket_us = 12 * 3600 * 1_000_000
+    max_plain = events.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    max_bucketed = (
+        events.groupBy("user_id", F.floor(F.unix_micros("ts") / F.lit(bucket_us)))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    # 30 days / 12h = 60 buckets; the hot user's sort must shrink ~60x
+    assert max_plain >= 0.9 * n
+    assert max_bucketed <= max_plain / 30
