@@ -9,8 +9,15 @@ from commerce_sessionization_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup_pairs,
     ngram_jaccard_pairs,
+    segment_dedup,
     simhash_dedup_candidates,
     simhash_table,
+)
+from commerce_sessionization_spark.operators.sketches import (
+    count_min_cells,
+    count_min_estimates,
+    histogram_quantiles,
+    histogram_sketch,
 )
 from commerce_sessionization_spark.operators.joins import asof_join, range_join
 from commerce_sessionization_spark.operators.similarity import (
@@ -38,6 +45,11 @@ __all__ = [
     "exact_dedup",
     "minhash_lsh_dedup_pairs",
     "ngram_jaccard_pairs",
+    "segment_dedup",
+    "count_min_cells",
+    "count_min_estimates",
+    "histogram_quantiles",
+    "histogram_sketch",
     "simhash_dedup_candidates",
     "simhash_table",
     "asof_join",

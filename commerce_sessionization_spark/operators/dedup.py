@@ -429,3 +429,59 @@ def simhash_dedup_candidates(
         .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
         .distinct()
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-level duplicate-segment removal (boilerplate stripping).
+
+    The line-dedup step of LLM data pipelines (CCNet-style): any segment
+    (line/paragraph) occurring in ≥ ``min_docs`` *distinct* documents is
+    boilerplate (headers, nav bars, license banners) and is dropped from
+    every document; survivors are reassembled in original order. Adds
+    ``out_col`` (cleaned text, '' when everything was boilerplate) and
+    ``n_kept`` (surviving segment count) to ``df``.
+
+    Plan shape: posexplode → groupBy(segment) count-distinct-docs →
+    left_anti → groupBy(doc) ordered reassembly. Two shuffles keyed on the
+    segment string and one on the doc id; partial aggregation applies to
+    the frequency count. At 100 TB, key the frequency/anti-join on
+    ``sha2(segment, 256)`` instead of the raw segment to bound shuffle
+    row width — semantics are identical modulo SHA-256 collisions.
+    """
+    import re as _re
+
+    segs = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "pos", "seg"
+        ),
+    )
+    boilerplate = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("seg")
+    )
+    kept = segs.join(boilerplate, "seg", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+            sep,
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)))
+    )

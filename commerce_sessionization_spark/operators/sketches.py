@@ -1,0 +1,157 @@
+"""Mergeable frequency / quantile sketches as flat aggregations.
+
+Companions to the KMV / HyperLogLog distinct sketches in
+``plans/queries.py``: every sketch here is a small table of cells whose
+merge operation is a plain ``sum`` (count-min, histogram) — so partial
+aggregation happens map-side, per-partition sketches fold into global
+ones with one tiny shuffle, and day-level sketches merge across
+partitions/time without touching raw data again. That mergeability is
+the whole point at 100 TB: an exact heavy-hitter or quantile pass
+shuffles the full key/value universe; these shuffle O(cells).
+
+Hashes derive from SHA-256 (``functions.hashing``) so the DuckDB oracles
+can replay the exact same cell assignment — the correctness gate checks
+the sketch bit-for-bit, not "estimate is close" (accuracy properties are
+asserted separately in pytest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from commerce_sessionization_spark.functions.hashing import hex_to_long
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_cells_for(key: F.Column, depth: int, width: int) -> F.Column:
+    """array<struct<r_idx,c_idx>> — the key's cell per sketch row."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r_idx"),
+                (
+                    hex_to_long(
+                        F.sha2(F.concat(F.lit(f"{r}:"), key), 256)
+                    )
+                    % width
+                ).alias("c_idx"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+def count_min_cells(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch of ``key_col``'s frequency distribution.
+
+    Output: ``(r_idx, c_idx, cnt)`` — ``depth × width`` cells,
+    ``cnt = Σ count(key)`` over keys hashing to the cell. Merge two
+    sketches by summing matching cells. The explode is depth× the input
+    rows but collapses map-side (groupBy on 2 small ints).
+    """
+    key = F.col(key_col).cast("string")
+    return (
+        df.select(F.explode(_cms_cells_for(key, depth, width)).alias("rc"))
+        .groupBy(
+            F.col("rc.r_idx").alias("r_idx"), F.col("rc.c_idx").alias("c_idx")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query every distinct key against the sketch built from ``df``.
+
+    Output: ``(key, est)`` where ``est = min over rows of cell count`` —
+    the classic CMS upper bound (est ≥ true count, property-tested).
+    The cells table is depth×width rows → broadcast to the key side.
+    """
+    cells = count_min_cells(df, key_col, depth, width)
+    key = F.col(key_col).cast("string")
+    lookups = (
+        df.select(key.alias("key"))
+        .distinct()
+        .select(
+            "key",
+            F.explode(_cms_cells_for(F.col("key"), depth, width)).alias("rc"),
+        )
+        .select("key", "rc.r_idx", "rc.c_idx")
+    )
+    return (
+        lookups.join(F.broadcast(cells), ["r_idx", "c_idx"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+def histogram_sketch(
+    df: DataFrame, value_col: str, bucket_width: float
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: ``(bucket, cnt)``.
+
+    ``bucket = floor(value / width)``; merge = sum matching buckets.
+    """
+    b = F.floor(F.col(value_col).cast("double") / F.lit(bucket_width))
+    return df.groupBy(b.cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    bucket_width: float,
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Quantile estimates off the histogram sketch: ``(p, est)``.
+
+    est = bucket floor + linear interpolation of the rank within the
+    bucket — deterministic arithmetic the DuckDB oracle replays exactly.
+    The cumulative walk windows over the *histogram* (O(buckets) rows, one
+    partition — fine, it's a sketch, not the data); the only full-data
+    passes are the bucket groupBy and a count, both map-side combinable.
+    """
+    hist = histogram_sketch(df, value_col, bucket_width)
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "prev", F.col("cum") - F.col("cnt")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("n"))
+    ps = (
+        df.sparkSession.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(p) for p in percentiles])).alias("p")
+        )
+    )
+    need = F.col("p") * F.col("n")
+    return (
+        ps.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(cum),
+            (F.col("prev") < need) & (F.col("cum") >= need),
+        )
+        .select(
+            "p",
+            (
+                F.col("bucket") * F.lit(bucket_width)
+                + (need - F.col("prev"))
+                / F.col("cnt")
+                * F.lit(bucket_width)
+            ).alias("est"),
+        )
+    )

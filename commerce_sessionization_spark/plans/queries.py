@@ -32,8 +32,14 @@ from commerce_sessionization_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup_pairs,
     ngram_jaccard_pairs,
+    segment_dedup,
 )
 from commerce_sessionization_spark.operators.sessions import sessionize
+from commerce_sessionization_spark.operators.sketches import (
+    count_min_cells,
+    count_min_estimates,
+    histogram_quantiles,
+)
 from commerce_sessionization_spark.operators.similarity import brute_force_topk
 from commerce_sessionization_spark.operators.text import (
     language_id,
@@ -2243,6 +2249,393 @@ FROM x GROUP BY lang, dim
 
 
 # --------------------------------------------------------------------------
+# TPC-H strategy suite, batch 2 — the remaining distinctive operator
+# shapes, adapted to the testdata schema (no partsupp / commit dates:
+# lineitem's (l_partkey, l_suppkey) stands in as the part-supplier
+# relation and l_shipdate vs o_orderdate as the lateness predicate).
+# --------------------------------------------------------------------------
+
+def q_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: correlated EXISTS → left-semi join, then count by
+    priority. The semi join carries only orderkey+predicate columns."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+SQL_LATE_ORDER_PRIORITIES = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: left outer join with an ON-clause filter, then the
+    distribution of per-customer counts (two stacked aggregations)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = c.join(
+        o,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left",
+    ).groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_custs")
+    )
+
+
+SQL_ORDER_COUNT_DISTRIBUTION = """
+SELECT c_count, count(*) AS n_custs
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: aggregate view + global-max scalar subquery + join back.
+    Equality lands on the exact decimal sum, so the max is engine-stable;
+    cast to double only in the projection."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    one = F.lit(1).cast("decimal(18,4)")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("_rev")
+    )
+    top = rev.agg(F.max("_rev").alias("_max_rev"))
+    return (
+        rev.join(F.broadcast(top), F.col("_rev") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_rev")
+        )
+    )
+
+
+SQL_TOP_SUPPLIER_REVENUE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(l_extendedprice::DECIMAL(18,4)
+             * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT max(r) FROM rev)
+"""
+
+
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: NOT IN subquery (anti join) + count-distinct per group,
+    with lineitem's (partkey, suppkey) as the part-supplier relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size").isin(1, 4, 7)) & (F.col("p_brand") != "Brand#1")
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    rel = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        rel.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_VARIETY = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) rel
+JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 4, 7) AND p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: EXISTS + NOT-EXISTS self-joins on the fact table — the
+    supplier was late on a multi-supplier order and nobody else was."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    ).distinct()
+    late2 = late.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    cand = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    sole = cand.join(
+        late2,
+        (F.col("l_orderkey") == F.col("l2_orderkey"))
+        & (F.col("l_suppkey") != F.col("l2_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+    )
+
+
+SQL_SOLE_LATE_SUPPLIERS = """
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+"""
+
+
+def q_nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: the same dimension joined twice under different roles
+    (supplier nation / customer nation) with a disjunctive pair filter,
+    grouped by both roles + year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    one = F.lit(1).cast("decimal(18,4)")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("volume")
+        )
+    )
+
+
+SQL_NATION_PAIR_TRADE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(sum(l_extendedprice::DECIMAL(18,4)
+                * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS DOUBLE)
+           AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus boilerplate removal (segment-level dedup)
+# --------------------------------------------------------------------------
+
+def q_segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style duplicate-segment stripping: re-line each document into
+    4-token segments, drop any segment occurring in ≥2 distinct docs
+    (boilerplate), reassemble survivors in order."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    nseg = F.ceil(F.size(w) / F.lit(4.0)).cast("long")
+    segs = F.transform(
+        F.sequence(F.lit(1), nseg),
+        lambda i: F.array_join(F.slice(w, (i - 1) * 4 + 1, 4), " "),
+    )
+    lined = docs.select(
+        "doc_id",
+        F.array_join(segs, "\n").alias("text"),
+        nseg.alias("n_segments"),
+    )
+    out = segment_dedup(lined, sep="\n", min_docs=2)
+    return out.select(
+        "doc_id", "clean_text", "n_segments", F.col("n_kept").cast("long")
+    )
+
+
+SQL_SEGMENT_DEDUP_DOCS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+segs AS (
+  SELECT doc_id, g.i, array_to_string(w[((g.i-1)*4+1):(g.i*4)], ' ') AS seg
+  FROM toks, LATERAL (SELECT unnest(range(1, CAST(ceil(len(w)/4.0) AS BIGINT) + 1)) AS i) g
+),
+boiler AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)),
+nsegs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+          FROM segs GROUP BY doc_id)
+SELECT n.doc_id,
+       coalesce(string_agg(k.seg, chr(10) ORDER BY k.i), '') AS clean_text,
+       n.n_segments,
+       CAST(count(k.seg) AS BIGINT) AS n_kept
+FROM nsegs n LEFT JOIN kept k USING (doc_id)
+GROUP BY n.doc_id, n.n_segments
+"""
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (frequency) and histogram sketch (quantiles) — like the
+# KMV/HLL sketches, cells derive from SHA-256 so the oracle replays the
+# sketch bit-for-bit; merge = sum matching cells (map-side combinable).
+# --------------------------------------------------------------------------
+
+_CMS_ROW_HASH = _hex2int_sql("sha256(g.r::VARCHAR || ':' || tok)")
+
+
+def q_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4×256 count-min cell table over corpus tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    return count_min_cells(toks, "tok").select(
+        "r_idx", "c_idx", F.col("cnt").cast("long")
+    )
+
+
+SQL_CMS_CELLS = f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+SELECT CAST(g.r AS BIGINT) AS r_idx,
+       CAST(({_CMS_ROW_HASH}) % 256 AS BIGINT) AS c_idx,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM toks, LATERAL (SELECT unnest([0, 1, 2, 3]) AS r) g
+GROUP BY 1, 2
+"""
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every distinct token point-queried against the corpus CMS, next to
+    its exact count (est ≥ exact is the CMS guarantee, property-tested)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    est = count_min_estimates(toks, "tok")
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return exact.join(est, exact["tok"] == est["key"]).select(
+        F.col("tok").alias("token"),
+        F.col("est").cast("long"),
+        F.col("exact_cnt").cast("long"),
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+cells AS (
+  SELECT g.r AS r_idx, ({_CMS_ROW_HASH}) % 256 AS c_idx, count(*) AS cnt
+  FROM toks, LATERAL (SELECT unnest([0, 1, 2, 3]) AS r) g
+  GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT tok FROM toks),
+lookups AS (
+  SELECT keys.tok, g.r AS r_idx, ({_CMS_ROW_HASH}) % 256 AS c_idx
+  FROM keys, LATERAL (SELECT unnest([0, 1, 2, 3]) AS r) g
+),
+est AS (
+  SELECT l.tok, min(c.cnt) AS est
+  FROM lookups l JOIN cells c USING (r_idx, c_idx)
+  GROUP BY l.tok
+),
+exact AS (SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok)
+SELECT e.tok AS token, CAST(est.est AS BIGINT) AS est,
+       CAST(e.exact_cnt AS BIGINT) AS exact_cnt
+FROM exact e JOIN est ON e.tok = est.tok
+"""
+
+
+def q_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of l_extendedprice off a width-100 histogram sketch —
+    the mergeable alternative to an exact percentile sort at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram_quantiles(li, "l_extendedprice", 100.0)
+
+
+SQL_HISTOGRAM_QUANTILE_SKETCH = """
+WITH hist AS (
+  SELECT CAST(floor(l_extendedprice::DOUBLE / 100.0) AS BIGINT) AS bucket,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT bucket, cnt,
+         sum(cnt) OVER (ORDER BY bucket) AS cum,
+         sum(cnt) OVER (ORDER BY bucket) - cnt AS prev
+  FROM hist
+),
+n AS (SELECT count(*) AS n FROM lineitem),
+ps AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS p)
+SELECT p,
+       bucket * 100.0 + (p * n.n - prev) / cnt * 100.0 AS est
+FROM ps, n, cum
+WHERE prev < p * n.n AND cum >= p * n.n
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2288,8 +2681,6 @@ CATALOG: list[QueryDef] = [
              "TPC-H Q1-shaped scan+agg"),
     QueryDef("revenue_by_nation", q_revenue_by_nation, SQL_REVENUE_BY_NATION,
              "star join over broadcast dims"),
-    QueryDef("top_orders_per_customer", q_top_orders_per_customer,
-             SQL_TOP_ORDERS_PER_CUSTOMER, "top-k per group window"),
     QueryDef("customers_with_urgent_orders", q_customers_with_urgent_orders,
              SQL_CUSTOMERS_WITH_URGENT_ORDERS, "semi join (EXISTS)"),
     QueryDef("customer_order_counts", q_customer_order_counts,
@@ -2301,10 +2692,6 @@ CATALOG: list[QueryDef] = [
              "Q6-shaped selective scan + ungrouped agg (full pushdown)"),
     QueryDef("shipping_priority", q_shipping_priority, SQL_SHIPPING_PRIORITY,
              "Q3-shaped 3-way join + decimal-ranked global top-10"),
-    QueryDef("returned_items", q_returned_items, SQL_RETURNED_ITEMS,
-             "Q10-shaped revenue-per-customer top-20"),
-    QueryDef("promo_revenue", q_promo_revenue, SQL_PROMO_REVENUE,
-             "Q14-shaped conditional-aggregation ratio"),
     QueryDef("small_quantity_revenue", q_small_quantity_revenue,
              SQL_SMALL_QUANTITY_REVENUE,
              "Q17-shaped decorrelated scalar subquery (per-part avg)"),
@@ -2334,6 +2721,8 @@ CATALOG: list[QueryDef] = [
     # --- deduplication ---
     QueryDef("exact_dedup_docs", q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS,
              "exact dedup via fingerprint argmin"),
+    QueryDef("segment_dedup_docs", q_segment_dedup_docs, SQL_SEGMENT_DEDUP_DOCS,
+             "corpus boilerplate removal: cross-doc duplicate segments"),
     QueryDef("ngram_jaccard_pairs", q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS,
              "exact 3-gram Jaccard near-dup pairs"),
     QueryDef("minhash_lsh_pairs", q_minhash_lsh_pairs, SQL_NGRAM_JACCARD_PAIRS,
@@ -2368,6 +2757,11 @@ CATALOG: list[QueryDef] = [
     QueryDef("stratified_sample_docs", q_stratified_sample_docs,
              SQL_STRATIFIED_SAMPLE_DOCS,
              "deterministic fixed-size-per-stratum sample"),
+    QueryDef("cms_heavy_hitters", q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS,
+             "count-min sketch point queries vs exact counts"),
+    QueryDef("histogram_quantile_sketch", q_histogram_quantile_sketch,
+             SQL_HISTOGRAM_QUANTILE_SKETCH,
+             "mergeable equi-width histogram quantile estimates"),
 ]
 
 #: Secondary variants and near-duplicate shapes — full QueryDef contract,
@@ -2413,6 +2807,30 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "HyperLogLog register table (mergeable sketch state)"),
     QueryDef("hash_sample_docs", q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS,
              "deterministic hash-mod Bernoulli sample"),
+    QueryDef("top_orders_per_customer", q_top_orders_per_customer,
+             SQL_TOP_ORDERS_PER_CUSTOMER, "top-k per group window"),
+    QueryDef("returned_items", q_returned_items, SQL_RETURNED_ITEMS,
+             "Q10-shaped revenue-per-customer top-20"),
+    QueryDef("promo_revenue", q_promo_revenue, SQL_PROMO_REVENUE,
+             "Q14-shaped conditional-aggregation ratio"),
+    QueryDef("cms_cells", q_cms_cells, SQL_CMS_CELLS,
+             "raw count-min cell table (mergeable sketch state)"),
+    # --- TPC-H strategy suite, batch 2 ---
+    QueryDef("late_order_priorities", q_late_order_priorities,
+             SQL_LATE_ORDER_PRIORITIES, "Q4-shaped correlated EXISTS semi join"),
+    QueryDef("order_count_distribution", q_order_count_distribution,
+             SQL_ORDER_COUNT_DISTRIBUTION,
+             "Q13-shaped filtered left join + stacked aggregation"),
+    QueryDef("top_supplier_revenue", q_top_supplier_revenue,
+             SQL_TOP_SUPPLIER_REVENUE,
+             "Q15-shaped agg view + scalar-max join-back"),
+    QueryDef("supplier_variety", q_supplier_variety, SQL_SUPPLIER_VARIETY,
+             "Q16-shaped NOT IN + count distinct per group"),
+    QueryDef("sole_late_suppliers", q_sole_late_suppliers,
+             SQL_SOLE_LATE_SUPPLIERS,
+             "Q21-shaped EXISTS + NOT-EXISTS self-joins"),
+    QueryDef("nation_pair_trade", q_nation_pair_trade, SQL_NATION_PAIR_TRADE,
+             "Q7-shaped double-role dimension join with pair disjunction"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

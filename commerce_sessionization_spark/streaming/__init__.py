@@ -7,6 +7,7 @@ aggregation with watermarked late-data handling, and a stateful per-event
 variant whose session ids are byte-identical to the batch operator.
 """
 
+from commerce_sessionization_spark.streaming.dedup import dedup_stream
 from commerce_sessionization_spark.streaming.sessionize_stream import (
     read_events_stream,
     sessionize_stream_stateful,
@@ -14,6 +15,7 @@ from commerce_sessionization_spark.streaming.sessionize_stream import (
 )
 
 __all__ = [
+    "dedup_stream",
     "read_events_stream",
     "sessionize_stream_stateful",
     "sessionize_stream_window",

@@ -448,3 +448,42 @@ class TestDedupComponents:
             for r in dedup_components(pairs, ids).collect()
         }
         assert set(got.values()) == {1}
+
+
+def test_segment_dedup_strips_cross_doc_boilerplate(spark):
+    from commerce_sessionization_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nunique alpha line\nfooter text"),
+            (2, "COOKIE BANNER\nunique beta line\nfooter text"),
+            (3, "only original content here"),
+            (4, "COOKIE BANNER\nfooter text"),  # pure boilerplate
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in segment_dedup(docs, min_docs=2).collect()
+    }
+    # shared lines dropped everywhere, unique lines kept in order
+    assert out[1] == ("unique alpha line", 1)
+    assert out[2] == ("unique beta line", 1)
+    # untouched doc keeps its full text
+    assert out[3] == ("only original content here", 1)
+    # all-boilerplate doc survives as an empty row, not a missing row
+    assert out[4] == ("", 0)
+
+
+def test_segment_dedup_min_docs_threshold(spark):
+    from commerce_sessionization_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc"), (3, "a\nd")], ["doc_id", "text"]
+    )
+    # min_docs=4: nothing reaches the threshold, all text survives
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in segment_dedup(docs, min_docs=4).collect()
+    }
+    assert out == {1: "a\nb", 2: "a\nc", 3: "a\nd"}

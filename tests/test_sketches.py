@@ -89,3 +89,68 @@ def test_large_volume_orders_partial_aggregates(spark, queries):
     # the HAVING-filtered agg must map-side combine before its shuffle
     plan = plan_of(queries["large_volume_orders"](spark, SF_DIR))
     assert node_count(plan, "HashAggregate") >= 2, plan
+
+
+def test_cms_estimate_upper_bounds_exact(spark, queries):
+    rows = queries["cms_heavy_hitters"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["est"] >= r["exact_cnt"], (r["token"], r["est"], r["exact_cnt"])
+    # with 31 tokens in 4x256 cells, collisions should be rare: the
+    # estimate must be exact for most keys, or the sketch is broken
+    exact_hits = sum(1 for r in rows if r["est"] == r["exact_cnt"])
+    assert exact_hits >= len(rows) * 0.8
+
+
+def test_cms_cells_merge_across_splits(spark, queries):
+    """Sum-merging per-split sketches must equal the global sketch — the
+    property that lets day-level sketches fold at 100 TB."""
+    from commerce_sessionization_spark.operators.sketches import count_min_cells
+    from commerce_sessionization_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    whole = {
+        (r["r_idx"], r["c_idx"]): r["cnt"]
+        for r in count_min_cells(toks, "tok").collect()
+    }
+    merged: dict = {}
+    for half in (toks.where("doc_id % 2 = 0"), toks.where("doc_id % 2 = 1")):
+        for r in count_min_cells(half, "tok").collect():
+            k = (r["r_idx"], r["c_idx"])
+            merged[k] = merged.get(k, 0) + r["cnt"]
+    assert merged == whole
+
+
+def test_histogram_sketch_merges_and_bounds_quantiles(spark):
+    from commerce_sessionization_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+    from commerce_sessionization_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    whole = {
+        r["bucket"]: r["cnt"]
+        for r in histogram_sketch(li, "l_extendedprice", 100.0).collect()
+    }
+    merged: dict = {}
+    for half in (li.where("l_orderkey % 2 = 0"), li.where("l_orderkey % 2 = 1")):
+        for r in histogram_sketch(half, "l_extendedprice", 100.0).collect():
+            merged[r["bucket"]] = merged.get(r["bucket"], 0) + r["cnt"]
+    assert merged == whole
+
+    # estimates land within one bucket width of the exact percentiles
+    ests = {
+        r["p"]: r["est"]
+        for r in histogram_quantiles(li, "l_extendedprice", 100.0).collect()
+    }
+    exact = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.5, 0.95, 0.99))"
+        ).alias("q")
+    ).first()["q"]
+    for p, ex in zip((0.5, 0.95, 0.99), exact):
+        assert abs(ests[p] - ex) <= 100.0, (p, ests[p], ex)

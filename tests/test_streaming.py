@@ -366,3 +366,37 @@ def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
     # the 09:00 straggler is behind it and must not appear
     assert 99 not in got
     assert {1, 2, 3, 4, 5, 6} <= got
+
+
+def test_stream_dedup_drops_redelivery_across_batches(spark, tmp_path):
+    """At-least-once upstream: the same event_id re-delivered in a later
+    micro-batch (within the watermark) must come out exactly once."""
+    from commerce_sessionization_spark.streaming.dedup import dedup_stream
+
+    redelivered = [
+        (3, ts("2024-01-01 10:50:00"), 2, "view"),  # dup of BATCH_1's id 3
+        (7, ts("2024-01-01 11:00:00"), 3, "view"),  # genuinely new
+    ]
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    for i, rows in enumerate([BATCH_1, redelivered]):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"drop_{i}.parquet")
+        )
+    stream = read_events_stream(
+        spark, f"{src}/drop_*.parquet", maxFilesPerTrigger="1"
+    )
+    name = "dedup_sink"
+    q = (
+        dedup_stream(stream, key_cols=("event_id",), watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.event_id for r in spark.sql(f"SELECT event_id FROM {name}").collect()
+    )
+    assert got == [1, 2, 3, 7]  # id 3 exactly once, id 7 admitted
