@@ -43,6 +43,9 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "knn_cosine",
+    "segment_dedup_docs",
+    "cms_heavy_hitters",
+    "histogram_quantile_sketch",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

@@ -34,20 +34,47 @@ def normalized_words(text: Column) -> Column:
     return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != "")
 
 
-def word_shingles(text: Column, n: int = 3, distinct: bool = True) -> Column:
-    """Word n-gram shingles of a document, as array<string>.
+def shingles_from_words(words: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles from a words array, as array<string>.
+
+    ``words`` MUST be a materialized array column (a plain attribute), not
+    an expression tree: Catalyst re-evaluates outer subtrees referenced
+    inside a higher-order-function lambda once PER ELEMENT, so passing
+    ``split(...)`` directly turns shingling into O(words²) per document
+    (measured 8.7× slower at sf0.1). Project ``normalized_words`` into a
+    column first; ``word_shingles`` below does exactly that pattern for
+    single-expression contexts that cannot.
 
     ``distinct=True`` gives the set semantics Jaccard needs; MinHash callers
     pass ``distinct=False`` — min() is idempotent under duplicates and
     ``array_distinct`` is O(s²) per doc.
     """
-    words = normalized_words(text)
     count = F.size(words)
     idx = F.when(count >= n, F.sequence(F.lit(0), count - n)).otherwise(
         F.array()
     )
     out = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
     return F.array_distinct(out) if distinct else out
+
+
+def word_shingles(text: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Single-expression shingles (slow path — see ``shingles_from_words``).
+
+    Kept for expression-only contexts; every DataFrame-level operator in
+    this module projects the words array first and calls
+    ``shingles_from_words`` instead.
+    """
+    return shingles_from_words(normalized_words(text), n, distinct)
+
+
+def _with_words(
+    df: DataFrame, id_col: str, text_col: str, out: str = "_w"
+) -> DataFrame:
+    """(id, words) projection — the materialization step lambdas need."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        normalized_words(F.col(text_col)).alias(out),
+    )
 
 
 def exact_dedup(
@@ -90,9 +117,9 @@ def ngram_jaccard_pairs(
 
     Output: (a, b, jaccard) with jaccard rounded to 6 decimals.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    sh = _with_words(df, id_col, text_col).select(
+        "_id",
+        F.explode(shingles_from_words(F.col("_w"), n)).alias("shingle"),
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
 
@@ -176,9 +203,9 @@ def minhash_lsh_candidates(
     at 100 TB the shuffle carries only (doc_id, 8·num_hashes bytes) rows.
     """
     rows_per_band = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), n, distinct=False)).alias("_s"),
+    sh = _with_words(df, id_col, text_col).select(
+        "_id",
+        F.explode(shingles_from_words(F.col("_w"), n, distinct=False)).alias("_s"),
     ).select("_id", F.xxhash64("_s").alias("_h"))
     sig = sh.groupBy("_id").agg(
         *[
@@ -248,9 +275,9 @@ def minhash_lsh_dedup_pairs(
         .distinct()
     )
     shingled = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        _with_words(df, id_col, text_col)
         .join(cand_ids, "_id", "left_semi")
-        .select("_id", word_shingles(F.col("_t"), n).alias("_sh"))
+        .select("_id", shingles_from_words(F.col("_w"), n).alias("_sh"))
     )
     a = shingled.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "sha_")
     b = shingled.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "shb_")
@@ -357,9 +384,9 @@ def simhash_table(
     """
     from commerce_sessionization_spark.functions.hashing import stable_long_hash
 
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
+    sh = _with_words(df, id_col, text_col).select(
+        "_id",
+        F.explode(shingles_from_words(F.col("_w"), n)).alias("_s"),
     ).select("_id", stable_long_hash(F.col("_s"), fast=fast).alias("_h"))
     counts = sh.groupBy("_id").agg(
         F.count(F.lit(1)).alias("_total"),

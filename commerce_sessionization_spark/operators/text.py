@@ -126,9 +126,19 @@ def rolling_hash_fingerprint(
     """
     from commerce_sessionization_spark.functions.hashing import hex_to_long
 
-    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != "")
+    # materialize the words array before the window-gram lambda: an
+    # expression referenced inside a higher-order lambda re-evaluates per
+    # element (the split would run once per window position — O(words²))
+    wdf = df.withColumn(
+        "_fp_words",
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda w: w != "",
+        ),
+    )
+    words = F.col("_fp_words")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, window)))
     hashes = F.transform(shingles, lambda s: hex_to_long(F.sha2(s, 256)))
-    return df.withColumn(out_col, F.array_min(hashes))
+    return wdf.withColumn(out_col, F.array_min(hashes)).drop("_fp_words")
