@@ -54,16 +54,23 @@ def count_min_cells(
 
     Output: ``(r_idx, c_idx, cnt)`` — ``depth × width`` cells,
     ``cnt = Σ count(key)`` over keys hashing to the cell. Merge two
-    sketches by summing matching cells. The explode is depth× the input
-    rows but collapses map-side (groupBy on 2 small ints).
+    sketches by summing matching cells.
+
+    Counts aggregate per key FIRST (map-side combinable on the raw
+    column), then only |distinct keys| rows pay the ``depth`` SHA-256
+    cell hashes — not every key instance. At 100 TB that's hashing the
+    vocabulary, not the corpus.
     """
     key = F.col(key_col).cast("string")
+    per_key = df.groupBy(key.alias("_k")).agg(F.count(F.lit(1)).alias("_n"))
     return (
-        df.select(F.explode(_cms_cells_for(key, depth, width)).alias("rc"))
+        per_key.select(
+            "_n", F.explode(_cms_cells_for(F.col("_k"), depth, width)).alias("rc")
+        )
         .groupBy(
             F.col("rc.r_idx").alias("r_idx"), F.col("rc.c_idx").alias("c_idx")
         )
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_n").alias("cnt"))
     )
 
 

@@ -2505,13 +2505,17 @@ def q_segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-token segments, drop any segment occurring in ≥2 distinct docs
     (boilerplate), reassemble survivors in order."""
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
+    # materialize the token array before the re-lining lambda (outer
+    # expressions referenced inside higher-order lambdas re-evaluate per
+    # element — see operators.dedup.shingles_from_words)
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+    w = F.col("_w")
     nseg = F.ceil(F.size(w) / F.lit(4.0)).cast("long")
     segs = F.transform(
         F.sequence(F.lit(1), nseg),
         lambda i: F.array_join(F.slice(w, (i - 1) * 4 + 1, 4), " "),
     )
-    lined = docs.select(
+    lined = toks.select(
         "doc_id",
         F.array_join(segs, "\n").alias("text"),
         nseg.alias("n_segments"),
