@@ -61,6 +61,22 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--no-sort", action="store_true")
     _add_common(b)
 
+    st = sub.add_parser(
+        "stream",
+        help="streaming sessionize: event parquet drops -> sessions/ "
+        "(exactly-once, resumable via --checkpoint)",
+    )
+    st.add_argument("--source", required=True, help="input glob of parquet drops")
+    st.add_argument("--checkpoint", required=True, help="checkpoint dir")
+    st.add_argument(
+        "--follow",
+        action="store_true",
+        help="keep running on new files (default drains the backlog and exits)",
+    )
+    st.add_argument("--gap-seconds", type=int, default=1800)
+    st.add_argument("--watermark", default="30 minutes")
+    _add_common(st)
+
     args = top.parse_args(argv)
     spark = get_spark(app_name=f"csz-{args.cmd}", master=args.master)
     try:
@@ -90,6 +106,21 @@ def main(argv: list[str] | None = None) -> int:
                     sort_output=not args.no_sort,
                 )
                 t += timedelta(hours=1)
+        elif args.cmd == "stream":
+            from commerce_sessionization_spark.streaming.pipeline import (
+                stream_sessions_to_parquet,
+            )
+
+            q = stream_sessions_to_parquet(
+                spark,
+                args.source,
+                args.path,
+                args.checkpoint,
+                gap_seconds=args.gap_seconds,
+                watermark=args.watermark,
+                available_now=not args.follow,
+            )
+            q.awaitTermination()
     finally:
         spark.stop()
     return 0

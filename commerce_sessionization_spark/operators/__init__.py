@@ -13,6 +13,7 @@ from commerce_sessionization_spark.operators.dedup import (
     simhash_dedup_candidates,
     simhash_table,
 )
+from commerce_sessionization_spark.operators.sampling import hash_split
 from commerce_sessionization_spark.operators.sketches import (
     count_min_cells,
     count_min_estimates,
@@ -46,6 +47,7 @@ __all__ = [
     "minhash_lsh_dedup_pairs",
     "ngram_jaccard_pairs",
     "segment_dedup",
+    "hash_split",
     "count_min_cells",
     "count_min_estimates",
     "histogram_quantiles",

@@ -2496,6 +2496,26 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by hashed doc id —
+    join-stable (no rand() state), engine-reproducible."""
+    from commerce_sessionization_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+_SPLIT_HASH_SQL = _hex2int_sql("sha256('split:' || doc_id::VARCHAR)")
+
+SQL_TRAIN_TEST_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN h < 9000 THEN 'train'
+            WHEN h < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, ({_SPLIT_HASH_SQL}) % 10000 AS h FROM documents)
+"""
+
+
 # --------------------------------------------------------------------------
 # Corpus boilerplate removal (segment-level dedup)
 # --------------------------------------------------------------------------
@@ -2835,6 +2855,8 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "Q21-shaped EXISTS + NOT-EXISTS self-joins"),
     QueryDef("nation_pair_trade", q_nation_pair_trade, SQL_NATION_PAIR_TRADE,
              "Q7-shaped double-role dimension join with pair disjunction"),
+    QueryDef("train_test_split", q_train_test_split, SQL_TRAIN_TEST_SPLIT,
+             "deterministic hash-keyed train/val/test assignment"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

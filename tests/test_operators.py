@@ -487,3 +487,21 @@ def test_segment_dedup_min_docs_threshold(spark):
         for r in segment_dedup(docs, min_docs=4).collect()
     }
     assert out == {1: "a\nb", 2: "a\nc", 3: "a\nd"}
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from commerce_sessionization_spark.operators.sampling import hash_split
+
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    assert a == b  # no rand() state: identical across runs
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.88 < c["train"] / 20_000 < 0.92
+    assert 0.04 < c["val"] / 20_000 < 0.06
+    assert 0.04 < c["test"] / 20_000 < 0.06
+    # join-stability: a subset splits identically to the whole
+    sub = {r["doc_id"]: r["split"] for r in hash_split(df.limit(1000)).collect()}
+    assert all(a[k] == v for k, v in sub.items())

@@ -9,8 +9,10 @@ batch ``sessionize`` result on the same rows.
 
 from __future__ import annotations
 
+import glob
 import time
 from datetime import datetime
+from pathlib import Path
 
 import pytest
 
@@ -400,3 +402,49 @@ def test_stream_dedup_drops_redelivery_across_batches(spark, tmp_path):
         r.event_id for r in spark.sql(f"SELECT event_id FROM {name}").collect()
     )
     assert got == [1, 2, 3, 7]  # id 3 exactly once, id 7 admitted
+
+
+def test_cli_stream_subcommand(tmp_path):
+    """End-to-end through the CLI: drain parquet drops into sessions/
+    with the exactly-once sink (separate process — the CLI owns and stops
+    its own SparkSession)."""
+    import subprocess
+    import sys
+
+    schema_rows = BATCH_1 + BATCH_2
+    # build the source with a tiny throwaway script to avoid touching the
+    # shared fixture session
+    helper = f"""
+import sys; sys.path.insert(0, {str(Path(__file__).resolve().parent.parent)!r})
+import datetime  # repr(rows) spells datetime.datetime(...)
+from commerce_sessionization_spark.session import get_spark
+from pyspark.sql.types import *
+schema = StructType([StructField("event_id", LongType()), StructField("ts", TimestampType()),
+                     StructField("user_id", LongType()), StructField("event_type", StringType())])
+rows = {schema_rows!r}
+spark = get_spark(master="local[4]", shuffle_partitions=4)
+spark.createDataFrame(rows, schema).coalesce(1).write.parquet({str(tmp_path / "src" / "drop_0.parquet")!r})
+spark.stop()
+"""
+    subprocess.run([sys.executable, "-c", helper], check=True, timeout=300)
+    subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "commerce_sessionization_spark",
+            "stream",
+            "--source",
+            f"{tmp_path}/src/drop_*.parquet",
+            "--checkpoint",
+            f"{tmp_path}/ckpt",
+            "--path",
+            f"{tmp_path}/out",
+            "--master",
+            "local[4]",
+        ],
+        check=True,
+        timeout=300,
+        cwd=str(Path(__file__).resolve().parent.parent),
+    )
+    files = glob.glob(f"{tmp_path}/out/sessions/event_date=*/event_hour=*/e0-*.parquet")
+    assert files, "epoch-tagged parquet files under the hive layout"
