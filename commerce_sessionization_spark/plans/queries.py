@@ -2496,6 +2496,81 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation — the operators composed the
+    way a real pipeline chains them: quality gate (score ≥ 0.5) → exact
+    dedup (min-id representative) → near-dup prune (drop the larger id of
+    any ≥ 0.8 Jaccard pair among survivors) → deterministic split labels.
+    One oracle checks the whole chain end-to-end."""
+    from commerce_sessionization_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        quality_score(docs)
+        .where(F.col("quality_score") >= 0.5)
+        .select(*docs.columns)
+    )
+    uniq = exact_dedup(kept)
+    pairs = ngram_jaccard_pairs(uniq, n=3, threshold=0.8)
+    survivors = uniq.join(
+        pairs.select(F.col("b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    return hash_split(survivors, "doc_id").select("doc_id", "split")
+
+
+_SPLIT_CASE_SQL = """CASE WHEN h < 9000 THEN 'train'
+            WHEN h < 9500 THEN 'val'
+            ELSE 'test' END"""
+
+_SPLIT_HASH_SQL = _hex2int_sql("sha256('split:' || doc_id::VARCHAR)")
+
+SQL_LLM_CORPUS_PIPELINE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         0.5 * least(length(text) / 500.0, 1.0)
+       + 0.3 * least((len([w for w in {{lw}} if w IN ('the','and','of','to','in','is','a')])
+                      / len({{lw}})) * 5.0, 1.0)
+       + 0.2 * (1.0 - least((len(regexp_extract_all(text, '[^\\w\\s]'))
+                             / length(text)) * 5.0, 1.0)) AS score
+  FROM documents
+), keptq AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN scored USING (doc_id)
+  WHERE score >= 0.5
+), uniq AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (
+             PARTITION BY sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM keptq)
+  WHERE rn = 1
+), docs AS (
+  SELECT doc_id, {{lw}} AS words FROM uniq
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(words[i+1:i+3], ' ') for i in range(0, greatest(len(words)-2, 0))]
+         )) AS shingle
+  FROM docs
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), dropb AS (
+  SELECT DISTINCT b
+  FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+  WHERE i / (sa.n + sb.n - i) >= 0.8
+)
+SELECT doc_id, {_SPLIT_CASE_SQL} AS split
+FROM (SELECT doc_id, ({_SPLIT_HASH_SQL}) % 10000 AS h
+      FROM uniq WHERE doc_id NOT IN (SELECT b FROM dropb))
+"""
+
+SQL_LLM_CORPUS_PIPELINE = SQL_LLM_CORPUS_PIPELINE.format(lw=_LWORDS_SQL)
+
+
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment by hashed doc id —
     join-stable (no rand() state), engine-reproducible."""
@@ -2504,8 +2579,6 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return hash_split(docs, "doc_id").select("doc_id", "split")
 
-
-_SPLIT_HASH_SQL = _hex2int_sql("sha256('split:' || doc_id::VARCHAR)")
 
 SQL_TRAIN_TEST_SPLIT = f"""
 SELECT doc_id,
@@ -2857,6 +2930,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "Q7-shaped double-role dimension join with pair disjunction"),
     QueryDef("train_test_split", q_train_test_split, SQL_TRAIN_TEST_SPLIT,
              "deterministic hash-keyed train/val/test assignment"),
+    QueryDef("llm_corpus_pipeline", q_llm_corpus_pipeline,
+             SQL_LLM_CORPUS_PIPELINE,
+             "composed corpus prep: quality gate -> dedup -> near-dup "
+             "prune -> split"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

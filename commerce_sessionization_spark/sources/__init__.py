@@ -1,6 +1,8 @@
 from commerce_sessionization_spark.sources.io import (
     read_behaviors_csv,
     read_parquet,
+    read_source,
+    write_partitioned,
     write_partitioned_parquet,
 )
 from commerce_sessionization_spark.sources.tables import load_table, load_tables
@@ -8,6 +10,8 @@ from commerce_sessionization_spark.sources.tables import load_table, load_tables
 __all__ = [
     "read_behaviors_csv",
     "read_parquet",
+    "read_source",
+    "write_partitioned",
     "write_partitioned_parquet",
     "load_table",
     "load_tables",

@@ -65,3 +65,45 @@ def write_partitioned_parquet(
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(path)
     )
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    **options: str,
+) -> DataFrame:
+    """Format-generic scan (parquet / orc / json / csv) with explicit schema.
+
+    One entry point for every batch source the engine supports; schema is
+    mandatory for the same reasons as ``read_parquet`` (JSON/CSV inference
+    additionally costs a full extra pass over the data — never at 100 TB).
+    """
+    reader = spark.read.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("event_date", "event_hour"),
+    fmt: str = "parquet",
+    cluster_before_write: bool = True,
+    max_records_per_file: int = 5_000_000,
+    **options: str,
+) -> None:
+    """Format-generic partitioned sink (same contract as
+    ``write_partitioned_parquet``: clustered files, dynamic overwrite)."""
+    if cluster_before_write:
+        df = df.repartition(*[df[c] for c in partition_cols])
+    writer = (
+        df.write.partitionBy(*partition_cols)
+        .mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.format(fmt).save(path)

@@ -13,10 +13,12 @@ from commerce_sessionization_spark.streaming.sessionize_stream import (
     sessionize_stream_stateful,
     sessionize_stream_window,
 )
+from commerce_sessionization_spark.streaming.windows import windowed_counts
 
 __all__ = [
     "dedup_stream",
     "read_events_stream",
     "sessionize_stream_stateful",
     "sessionize_stream_window",
+    "windowed_counts",
 ]

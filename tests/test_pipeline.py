@@ -131,3 +131,54 @@ def test_sql_surface_over_registered_views(spark):
         "SELECT count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
     ).collect()[0].n
     assert n > 0
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_source_sink_roundtrip_all_formats(spark, tmp_path, fmt):
+    """read_source/write_partitioned round-trip every supported format
+    with schema-pinned reads and hive partitioning."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from commerce_sessionization_spark.sources import read_source, write_partitioned
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("event_date", StringType()),
+            StructField("event_hour", StringType()),
+        ]
+    )
+    rows = [
+        (1, 10, "view", "2024-01-01", "10"),
+        (2, 10, "cart", "2024-01-01", "11"),
+        (3, 20, "purchase", "2024-01-02", "10"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / f"out_{fmt}")
+    opts = {"header": "true"} if fmt == "csv" else {}
+    write_partitioned(df, out, fmt=fmt, **opts)
+    # partition cols come back through the directory layout; read them as
+    # strings via basePath-less hive discovery on the pinned data schema
+    data_schema = StructType(schema.fields[:3])
+    got = read_source(spark, out, data_schema, fmt=fmt, **opts)
+    back = {
+        (r.event_id, r.user_id, r.event_type, str(r.event_date), f"{int(r.event_hour):02d}")
+        for r in got.select(
+            "event_id", "user_id", "event_type", "event_date", "event_hour"
+        ).collect()
+    }
+    assert back == set(rows)
+    # dynamic overwrite: rewriting one partition leaves the others alone
+    # (fresh read — the first DataFrame caches the old file listing)
+    write_partitioned(
+        df.where("event_date = '2024-01-01' and event_hour = '10'"), out, fmt=fmt, **opts
+    )
+    assert read_source(spark, out, data_schema, fmt=fmt, **opts).count() == 3

@@ -448,3 +448,24 @@ spark.stop()
     )
     files = glob.glob(f"{tmp_path}/out/sessions/event_date=*/event_hour=*/e0-*.parquet")
     assert files, "epoch-tagged parquet files under the hive layout"
+
+
+def test_windowed_counts_tumbling_finalized(spark, tmp_path):
+    """Tumbling 10-min windows over two micro-batches: a window behind the
+    final watermark emits exactly once with the cross-batch total."""
+    from commerce_sessionization_spark.streaming.windows import windowed_counts
+
+    got = run_stream(
+        spark,
+        tmp_path,
+        lambda s: windowed_counts(s, window="10 minutes", watermark="0 seconds"),
+        ["window_start", "event_type", "n_events"],
+    ).collect()
+    rows = {(str(r.window_start), r.event_type): r.n_events for r in got}
+    # BATCH_1: 10:00 view (u1), 10:10 cart (u1), 10:50 view (u2)
+    assert rows[("2024-01-01 10:00:00", "view")] == 1
+    assert rows[("2024-01-01 10:10:00", "cart")] == 1
+    # batch-2's 11:05 purchase window finalized by the 11:25 watermark
+    assert rows[("2024-01-01 11:00:00", "purchase")] == 1
+    # no window emitted twice
+    assert len(got) == len(rows)
