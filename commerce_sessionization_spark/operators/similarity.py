@@ -279,3 +279,62 @@ def embedding_dedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def ivf_write_index(
+    assigned: DataFrame,
+    path: str,
+    centroid_id_col: str = "centroid_id",
+) -> None:
+    """Persist an IVF build partitioned by centroid — the on-disk index.
+
+    Probing then *is* partition pruning: a reader filtering on
+    ``centroid_id`` scans only the matching directories, so a search
+    touches ``nprobe/nlist`` of the corpus bytes and skips the rest at
+    the file-listing level (asserted in ``tests/test_similarity_index``).
+    One clustered task per centroid keeps file counts at O(nlist).
+    """
+    (
+        assigned.repartition(F.col(centroid_id_col))
+        .write.partitionBy(centroid_id_col)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_search_on_disk(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against the on-disk IVF index via partition pruning.
+
+    The ``nprobe`` probe centroids resolve driver-side (k×dim model state,
+    same footprint as the k-means fit) so the partition filter is static —
+    Catalyst prunes directories during file listing, before any scan task
+    launches.
+    """
+    q = F.broadcast(query_df.select(F.col(vec_col).alias("_qvec")))
+    c = F.broadcast(centroids.select("centroid_id", F.col(vec_col).alias("_cvec")))
+    probe_ids = [
+        r["centroid_id"]
+        for r in (
+            q.crossJoin(c)
+            .select(
+                "centroid_id",
+                cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("_sim"),
+            )
+            .orderBy(F.desc("_sim"), "centroid_id")
+            .limit(nprobe)
+            .collect()
+        )
+    ]
+    pruned = spark.read.parquet(index_path).where(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    return brute_force_topk(pruned, query_df, k=k, id_col=id_col, vec_col=vec_col)

