@@ -8,6 +8,10 @@ variant whose session ids are byte-identical to the batch operator.
 """
 
 from commerce_sessionization_spark.streaming.dedup import dedup_stream
+from commerce_sessionization_spark.streaming.joins import (
+    attribute_purchases,
+    enrich_stream,
+)
 from commerce_sessionization_spark.streaming.sessionize_stream import (
     read_events_stream,
     sessionize_stream_stateful,
@@ -16,7 +20,9 @@ from commerce_sessionization_spark.streaming.sessionize_stream import (
 from commerce_sessionization_spark.streaming.windows import windowed_counts
 
 __all__ = [
+    "attribute_purchases",
     "dedup_stream",
+    "enrich_stream",
     "read_events_stream",
     "sessionize_stream_stateful",
     "sessionize_stream_window",

@@ -469,3 +469,45 @@ def test_windowed_counts_tumbling_finalized(spark, tmp_path):
     assert rows[("2024-01-01 11:00:00", "purchase")] == 1
     # no window emitted twice
     assert len(got) == len(rows)
+
+
+def test_enrich_stream_with_static_dim(spark, tmp_path):
+    """Stream-static broadcast join: every event picks up its user tier."""
+    from commerce_sessionization_spark.streaming.joins import enrich_stream
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], ["user_id", "tier"]
+    )
+    got = run_stream(
+        spark,
+        tmp_path,
+        lambda s: enrich_stream(s, dim, ["user_id"]),
+        ["event_id", "tier"],
+    ).collect()
+    tiers = {r.event_id: r.tier for r in got}
+    assert len(tiers) == 6
+    assert tiers[1] == "gold" and tiers[3] == "basic"
+
+
+def test_stream_stream_purchase_attribution(spark, tmp_path):
+    """Stream-stream interval join across micro-batch boundaries: the 11:05
+    purchase (batch 2) must match the 10:50 view (batch 1) buffered in
+    join state; user 1's 11:25 purchase matches its 11:20 view."""
+    from commerce_sessionization_spark.streaming.joins import attribute_purchases
+
+    def attribution(stream):
+        views = stream.where("event_type = 'view'")
+        purchases = stream.where("event_type = 'purchase'")
+        return attribute_purchases(views, purchases, max_lag="1 hour")
+
+    got = run_stream(
+        spark,
+        tmp_path,
+        attribution,
+        ["user_id", "view_ts", "purchase_ts"],
+    ).collect()
+    pairs = {(r.user_id, str(r.view_ts), str(r.purchase_ts)) for r in got}
+    assert (2, "2024-01-01 10:50:00", "2024-01-01 11:05:00") in pairs
+    assert (1, "2024-01-01 11:20:00", "2024-01-01 11:25:00") in pairs
+    # user 1's 10:00 view is >1h before its 11:25 purchase: not attributed
+    assert not any(v.startswith("2024-01-01 10:00") for (_, v, _p) in pairs)
