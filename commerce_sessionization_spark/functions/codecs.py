@@ -202,3 +202,125 @@ def wav_features(asset_id: int, payload: bytes) -> dict:
         "duration_sec": round(duration, 6),
         "rms": round(rms, 6),
     }
+
+
+# --------------------------------------------------------------------------
+# GIF (87a/89a) — container-level frame walk, no pixel decode
+# --------------------------------------------------------------------------
+
+def parse_gif_frames(payload: bytes) -> list[dict]:
+    """Walk an animated GIF's frame structure without LZW-decoding pixels.
+
+    Returns one dict per frame: ``frame_idx``, placement (``x, y, width,
+    height``), ``delay_cs`` (centiseconds, from the preceding Graphic
+    Control Extension, 0 if absent), and ``data_sha256`` — the SHA-256 of
+    the frame's compressed LZW sub-blocks, a deterministic content
+    fingerprint of the actual frame bytes. This is everything frame
+    *sampling* needs; pixel decode (LZW + compositing) stays behind
+    ``UnsupportedMediaError`` territory for real codec libs.
+    """
+    import hashlib
+
+    if len(payload) < 13 or payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise UnsupportedMediaError("not a GIF payload")
+    pos = 6
+    _w, _h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, pos)
+    pos += 7
+    if packed & 0x80:  # global color table
+        pos += 3 * (1 << ((packed & 0x07) + 1))
+
+    frames: list[dict] = []
+    delay_cs = 0
+
+    def skip_subblocks(p: int) -> tuple[int, bytes]:
+        chunks = []
+        while True:
+            if p >= len(payload):
+                raise UnsupportedMediaError("truncated GIF sub-blocks")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return p, b"".join(chunks)
+            chunks.append(payload[p : p + n])
+            p += n
+
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            pos, data = skip_subblocks(pos)
+            if label == 0xF9 and len(data) >= 3:  # graphic control
+                delay_cs = int.from_bytes(data[1:3], "little")
+        elif block == 0x2C:  # image descriptor
+            x, y, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            if ipacked & 0x80:  # local color table
+                pos += 3 * (1 << ((ipacked & 0x07) + 1))
+            pos += 1  # LZW minimum code size
+            pos, data = skip_subblocks(pos)
+            frames.append(
+                {
+                    "frame_idx": len(frames),
+                    "x": x,
+                    "y": y,
+                    "width": w,
+                    "height": h,
+                    "delay_cs": delay_cs,
+                    "data_sha256": hashlib.sha256(data).hexdigest(),
+                }
+            )
+            delay_cs = 0
+        else:
+            raise UnsupportedMediaError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise UnsupportedMediaError("GIF contains no image frames")
+    return frames
+
+
+def encode_gif(frames: list[np.ndarray], delay_cs: int = 10) -> bytes:
+    """Minimal animated-GIF encoder for fixtures: each frame is an H×W
+    uint8 palette-index array (values < 128), LZW-compressed with clear
+    codes after every pixel (valid, trivially encodable output)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256 entries
+    for i in range(256):
+        out += bytes((i, i, i))
+    for frame in frames:
+        fh, fw = frame.shape
+        # graphic control extension with the frame delay
+        out += bytes((0x21, 0xF9, 0x04, 0x00)) + struct.pack("<H", delay_cs) + bytes((0x00, 0x00))
+        out += bytes((0x2C,)) + struct.pack("<HHHHB", 0, 0, fw, fh, 0)
+        min_code = 8
+        out += bytes((min_code,))
+        # LZW stream: emit CLEAR before every literal so codes stay 9 bits
+        bits = []
+        clear, end = 256, 257
+        for px in frame.flatten().tolist():
+            bits.append(clear)
+            bits.append(int(px))
+        bits.append(end)
+        acc = 0
+        nacc = 0
+        data = bytearray()
+        for code in bits:
+            acc |= code << nacc
+            nacc += 9
+            while nacc >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+        if nacc:
+            data.append(acc & 0xFF)
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out += bytes((len(chunk),)) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

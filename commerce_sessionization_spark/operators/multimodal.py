@@ -161,26 +161,53 @@ def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
 def sample_video_frames(
     df: DataFrame, every_n: int = 10, max_frames: int = 8, fake: bool = False
 ) -> DataFrame:
-    """Frame sampling for video payloads (stubbed decode; fake yields
-    deterministic per-frame hashes so downstream joins are testable)."""
+    """Frame sampling for motion payloads via Arrow-batched ``mapInPandas``.
+
+    The real path walks animated GIF containers with the dependency-free
+    parser in ``functions.codecs`` — every ``every_n``-th frame descriptor
+    (up to ``max_frames``) is emitted with a SHA-256 fingerprint of its
+    compressed frame bytes; true video codecs (H.264/VP9) raise
+    ``NotImplementedError`` because they need ffmpeg bindings this
+    container lacks. ``fake=True`` keeps the deterministic stand-in.
+    """
+    from commerce_sessionization_spark.functions.codecs import (
+        UnsupportedMediaError,
+        parse_gif_frames,
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real video decode requires ffmpeg bindings; rerun with fake=True"
-                )
             recs = []
             for a, c in zip(pdf["asset_id"], pdf["content"]):
-                n = min(max_frames, 1 + (len(c or b"") // max(every_n, 1)) % max_frames)
-                for i in range(n):
+                if fake:
+                    n = min(
+                        max_frames,
+                        1 + (len(c or b"") // max(every_n, 1)) % max_frames,
+                    )
+                    for i in range(n):
+                        recs.append(
+                            {
+                                "asset_id": a,
+                                "frame_idx": i * every_n,
+                                "frame_phash": hashlib.sha256(
+                                    (c or b"") + i.to_bytes(4, "big")
+                                ).hexdigest()[:16],
+                            }
+                        )
+                    continue
+                try:
+                    frames = parse_gif_frames(bytes(c or b""))
+                except UnsupportedMediaError as e:
+                    raise NotImplementedError(
+                        f"asset {a}: only GIF containers parse without "
+                        f"ffmpeg ({e}); use fake=True for other formats"
+                    ) from e
+                for fr in frames[:: max(every_n, 1)][:max_frames]:
                     recs.append(
                         {
                             "asset_id": a,
-                            "frame_idx": i * every_n,
-                            "frame_phash": hashlib.sha256(
-                                (c or b"") + i.to_bytes(4, "big")
-                            ).hexdigest()[:16],
+                            "frame_idx": fr["frame_idx"],
+                            "frame_phash": fr["data_sha256"][:16],
                         }
                     )
             yield pd.DataFrame.from_records(

@@ -107,3 +107,42 @@ class TestWav:
         for payload in (b"", b"RIFF1234WAVX", b"ID3 mp3 bytes"):
             with pytest.raises(UnsupportedMediaError):
                 decode_wav(payload)
+
+
+def test_gif_roundtrip_frames_and_delays():
+    import numpy as np
+
+    from commerce_sessionization_spark.functions.codecs import (
+        encode_gif,
+        parse_gif_frames,
+    )
+
+    frames = [
+        np.full((4, 6), 10, np.uint8),
+        np.full((4, 6), 20, np.uint8),
+        np.full((4, 6), 30, np.uint8),
+    ]
+    payload = encode_gif(frames, delay_cs=12)
+    parsed = parse_gif_frames(payload)
+    assert [f["frame_idx"] for f in parsed] == [0, 1, 2]
+    assert all(f["width"] == 6 and f["height"] == 4 for f in parsed)
+    assert all(f["delay_cs"] == 12 for f in parsed)
+    # distinct pixel content -> distinct frame fingerprints
+    assert len({f["data_sha256"] for f in parsed}) == 3
+    # identical content -> identical fingerprint (deterministic)
+    again = parse_gif_frames(encode_gif(frames, delay_cs=12))
+    assert [f["data_sha256"] for f in again] == [f["data_sha256"] for f in parsed]
+
+
+def test_gif_rejects_non_gif():
+    import pytest as _pytest
+
+    from commerce_sessionization_spark.functions.codecs import (
+        UnsupportedMediaError,
+        parse_gif_frames,
+    )
+
+    with _pytest.raises(UnsupportedMediaError):
+        parse_gif_frames(b"RIFF....WAVE")
+    with _pytest.raises(UnsupportedMediaError):
+        parse_gif_frames(b"GIF89a")  # truncated

@@ -505,3 +505,42 @@ def test_hash_split_deterministic_and_proportional(spark):
     # join-stability: a subset splits identically to the whole
     sub = {r["doc_id"]: r["split"] for r in hash_split(df.limit(1000)).collect()}
     assert all(a[k] == v for k, v in sub.items())
+
+
+def test_real_gif_frame_sampling_end_to_end(spark):
+    import numpy as np
+
+    from commerce_sessionization_spark.functions.codecs import encode_gif
+    from commerce_sessionization_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    clip_a = [np.full((4, 6), v, np.uint8) for v in (1, 2, 3, 4, 5)]
+    clip_b = [np.full((8, 8), v, np.uint8) for v in (7, 7)]  # identical frames
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytes(encode_gif(clip_a)), "{}"),
+            (2, "video", bytes(encode_gif(clip_b)), "{}"),
+            (3, "image", b"not a gif", "{}"),
+        ],
+        "asset_id long, modality string, content binary, meta string",
+    )
+    got = sample_video_frames(media, every_n=2, max_frames=8).collect()
+    by_asset: dict = {}
+    for r in got:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    # every 2nd of 5 frames: indexes 0, 2, 4
+    assert sorted(r.frame_idx for r in by_asset[1]) == [0, 2, 4]
+    # distinct content -> distinct fingerprints
+    assert len({r.frame_phash for r in by_asset[1]}) == 3
+    # identical frames -> identical fingerprint
+    assert len({r.frame_phash for r in by_asset[2]}) == 1
+    # real path refuses non-GIF video payloads loudly
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(9, "video", b"\x00\x00mp4ftyp", "{}")],
+        "asset_id long, modality string, content binary, meta string",
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        sample_video_frames(bad).collect()
