@@ -2496,6 +2496,48 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style corpus-fit score: per-document sum of unigram token
+    log-probabilities (the cheap perplexity stand-in LLM pipelines filter
+    on). Each token's logp quantizes to an integer BEFORE the per-doc sum,
+    so the aggregation is exact-integer and order-independent — no
+    float-summation drift between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    u = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        toks.join(u, "tok")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "logp_q6",
+            F.floor(
+                F.log(F.col("c").cast("double") / F.col("n_total").cast("double"))
+                * 1_000_000.0
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("logp_q6").alias("sum_logp_q6"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+u AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT count(*) AS n_total FROM toks),
+scored AS (
+  SELECT doc_id,
+         CAST(floor(ln(c::DOUBLE / n_total::DOUBLE) * 1000000.0) AS BIGINT) AS logp_q6
+  FROM toks JOIN u USING (tok), tot
+)
+SELECT doc_id, CAST(sum(logp_q6) AS BIGINT) AS sum_logp_q6,
+       count(*) AS n_tokens
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus preparation — the operators composed the
     way a real pipeline chains them: quality gate (score ≥ 0.5) → exact
@@ -2934,6 +2976,8 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_LLM_CORPUS_PIPELINE,
              "composed corpus prep: quality gate -> dedup -> near-dup "
              "prune -> split"),
+    QueryDef("unigram_logprob", q_unigram_logprob, SQL_UNIGRAM_LOGPROB,
+             "per-doc unigram logprob sum (perplexity-style fit score)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
