@@ -1,0 +1,87 @@
+"""Benchmark decontamination: n-gram overlap between a training corpus and
+an evaluation/benchmark set (north-star surface).
+
+The standard pre-training hygiene step (GPT-3 appendix C, PaLM §6, Llama):
+a training document is *contaminated* if it shares at least one word
+n-gram with any benchmark document; contaminated docs are dropped (or the
+overlapping spans surgically removed) so eval scores measure
+generalization, not memorization.
+
+Scale shape: the benchmark side is an eval suite — bounded (MBs, not TBs)
+by construction — so its distinct-shingle set is broadcast and the 100 TB
+training side is flagged map-side with NO shuffle of the corpus. That is
+the one place in this engine where a broadcast of a derived set is
+justified by a domain invariant rather than a size measurement (contrast:
+``bigram_pmi`` deliberately does NOT broadcast its unbounded vocabulary).
+The per-doc hit count does aggregate, but only over the (tiny) matched
+subset, semi-join-pruned first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from commerce_sessionization_spark.operators.dedup import (
+    _with_words,
+    shingles_from_words,
+)
+
+
+def _distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(_id, shingle) — one row per distinct word n-gram per document."""
+    return _with_words(df, id_col, text_col).select(
+        "_id",
+        F.explode(shingles_from_words(F.col("_w"), n, distinct=True)).alias(
+            "shingle"
+        ),
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Per-train-doc count of distinct word n-grams shared with the
+    benchmark set.
+
+    Returns ``(doc_id, n_contaminated_ngrams)`` for every training document
+    with ≥ 1 overlapping shingle (clean documents don't appear — at corpus
+    scale the output is the small exception list, not a full-corpus
+    annotation). Join both sides on the shingle string; the benchmark
+    side collapses to its distinct shingle set first and is broadcast
+    (eval suites are bounded by construction — see module docstring).
+
+    ``decontaminate`` below is the companion filter that drops flagged docs.
+    """
+    train_sh = _distinct_shingles(train, id_col, text_col, n)
+    bench_sh = (
+        _distinct_shingles(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Training corpus minus contaminated documents (left-anti join against
+    the flag list; the corpus side never shuffles — broadcast anti join)."""
+    flagged = ngram_contamination(train, benchmark, id_col, text_col, n).select(
+        id_col
+    )
+    return train.join(F.broadcast(flagged), id_col, "left_anti")

@@ -104,6 +104,76 @@ def count_min_estimates(
     )
 
 
+BLOOM_BITS = 1024
+BLOOM_HASHES = 3
+
+
+def _bloom_positions(key: F.Column, m: int, k: int) -> F.Column:
+    """array<bigint> — the key's ``k`` bit positions in an ``m``-bit filter.
+
+    pos_i = sha256("b{i}:" || key) folded to int, mod m — SHA-derived like
+    every sketch here so the DuckDB oracle replays the exact bit layout.
+    """
+    return F.array(
+        *[
+            (
+                hex_to_long(F.sha2(F.concat(F.lit(f"b{h}:"), key), 256)) % m
+            ).alias(f"p{h}")
+            for h in range(k)
+        ]
+    )
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, m: int = BLOOM_BITS, k: int = BLOOM_HASHES
+) -> DataFrame:
+    """Bloom filter of ``key_col``'s distinct values as a set-bit table.
+
+    Output: ``(pos)`` — one row per set bit, ≤ m rows total. Merge two
+    filters with ``union().distinct()`` (bit-OR); the representation is a
+    position set rather than packed words so merge/probe are plain
+    relational ops and the oracle replay needs no 64-bit shift arithmetic.
+    Keys dedup FIRST (map-side combinable) so only |distinct keys| rows pay
+    the ``k`` SHA-256 hashes — at 100 TB that's hashing the key universe
+    once, and the filter itself stays ≤ m rows no matter the input size.
+    """
+    key = F.col(key_col).cast("string")
+    return (
+        df.select(key.alias("_k"))
+        .distinct()
+        .select(F.explode(_bloom_positions(F.col("_k"), m, k)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_contains(
+    probes: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Probe each key against a ``bloom_bits`` table.
+
+    Output: probe keys + ``bloom_hit`` (true ⇔ all ``k`` bits set — may
+    false-positive, never false-negative). The bits table is ≤ m rows →
+    broadcast; the probe side explodes to k rows per key, left-joins the
+    bits, and checks matched == k. No shuffle of the probe side beyond its
+    own groupBy key — the classic use is pruning a 100 TB fact table
+    against a dimension's filter before the real join.
+    """
+    key = F.col(key_col).cast("string")
+    probed = (
+        probes.select(key.alias("_k"))
+        .distinct()
+        .select("_k", F.explode(_bloom_positions(F.col("_k"), m, k)).alias("pos"))
+        .join(F.broadcast(bits.withColumn("_set", F.lit(1))), "pos", "left")
+        .groupBy("_k")
+        .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k).alias("bloom_hit"))
+    )
+    return probed.withColumnRenamed("_k", key_col)
+
+
 def histogram_sketch(
     df: DataFrame, value_col: str, bucket_width: float
 ) -> DataFrame:

@@ -115,6 +115,105 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     return df.withColumn(out_col, F.when(best > 0, pred).otherwise(F.lit("und")))
 
 
+#: (name, pattern, replacement) — patterns restricted to syntax that means
+#: the same thing in Java regex (Spark) and RE2 (DuckDB/Go) so the oracle
+#: can replay the scrub verbatim: character classes, bounded repetition,
+#: ``\b`` word boundaries; no backrefs, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """Redact emails / IPv4s / phone numbers; count each redaction class.
+
+    Patterns apply in order against the progressively-scrubbed text (so an
+    address inside an email is counted once, as an email). Pure
+    ``regexp_extract_all`` + ``regexp_replace`` column expressions —
+    codegen, no shuffle, runs at scan speed over 100 TB. Adds
+    ``n_<name>s`` counts per pattern plus the scrubbed text column.
+    """
+    cur = F.col(text_col)
+    out = df
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}s", F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return out.withColumn(out_col, cur)
+
+
+def repetition_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals.
+
+    Per document: ``dup_word_frac`` (fraction of word occurrences that are
+    repeats of an earlier occurrence), ``top_word_frac`` (occurrences of the
+    modal word / total words), and ``dup_2gram_frac`` / ``dup_3gram_frac``
+    (same repeat-fraction over word bigrams / trigrams). High values mark
+    boilerplate and degenerate generations; pipelines filter on them
+    (Gopher dropped docs with >0.2 duplicate-line chars etc. — the
+    thresholds are policy, the signals are the operator).
+
+    Shape for scale: one explode of (doc, gram-size, gram) rows →
+    ``groupBy(doc, n, gram).count()`` (map-side combinable; key space is
+    per-doc-bounded so no global skew) → one re-agg to (doc, n) → pivot to
+    columns by joining the three bounded gram sizes. The corpus text
+    shuffles as grams exactly once; nothing is quadratic in document
+    length (the array-expression alternative for the modal word is
+    O(distinct × words) per row — rejected).
+    """
+    from commerce_sessionization_spark.operators.dedup import (
+        _with_words,
+        shingles_from_words,
+    )
+
+    w = _with_words(df, id_col, text_col)
+    grams = None
+    for n in (1, 2, 3):
+        g = w.select(
+            "_id",
+            F.lit(n).alias("_n"),
+            F.explode(shingles_from_words(F.col("_w"), n, distinct=False)).alias(
+                "_g"
+            ),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    per_gram = grams.groupBy("_id", "_n", "_g").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per_doc = per_gram.groupBy("_id", "_n").agg(
+        F.sum("_c").alias("_total"),
+        F.count(F.lit(1)).alias("_distinct"),
+        F.max("_c").alias("_top"),
+    )
+
+    def frac(n: int, expr):
+        return per_doc.filter(F.col("_n") == n).select(
+            "_id", expr.alias(f"_v{n}")
+        )
+
+    dup = lambda: (1.0 - F.col("_distinct") / F.col("_total"))  # noqa: E731
+    u1 = per_doc.filter(F.col("_n") == 1).select(
+        "_id",
+        dup().alias("dup_word_frac"),
+        (F.col("_top") / F.col("_total")).alias("top_word_frac"),
+    )
+    u2 = frac(2, dup()).withColumnRenamed("_v2", "dup_2gram_frac")
+    u3 = frac(3, dup()).withColumnRenamed("_v3", "dup_3gram_frac")
+    return (
+        u1.join(u2, "_id", "left")
+        .join(u3, "_id", "left")
+        .withColumnRenamed("_id", id_col)
+        .na.fill(0.0, ["dup_2gram_frac", "dup_3gram_frac"])
+    )
+
+
 def rolling_hash_fingerprint(
     df: DataFrame, text_col: str = "text", window: int = 64, out_col: str = "rolling_fp"
 ) -> DataFrame:

@@ -34,16 +34,22 @@ from commerce_sessionization_spark.operators.dedup import (
     ngram_jaccard_pairs,
     segment_dedup,
 )
+from commerce_sessionization_spark.operators.decontam import ngram_contamination
 from commerce_sessionization_spark.operators.sessions import sessionize
 from commerce_sessionization_spark.operators.sketches import (
+    bloom_bits,
+    bloom_contains,
     count_min_cells,
     count_min_estimates,
     histogram_quantiles,
 )
 from commerce_sessionization_spark.operators.similarity import brute_force_topk
 from commerce_sessionization_spark.operators.text import (
+    PII_PATTERNS,
     language_id,
+    pii_scrub,
     quality_score,
+    repetition_scores,
     rolling_hash_fingerprint,
     with_fingerprint,
     with_text_stats,
@@ -2778,6 +2784,203 @@ WHERE prev < p * n.n AND cum >= p * n.n
 # Registry
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# Corpus hygiene: decontamination, repetition signals, PII scrubbing, bloom
+# --------------------------------------------------------------------------
+
+def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing ≥1 word-4-gram with the
+    (deterministic ``doc_id % 20 == 0``) benchmark split, with hit counts.
+    The benchmark shingle set is broadcast — eval suites are bounded by
+    construction, so the 100 TB train side never shuffles (see
+    ``operators/decontam.py``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_contamination(train, bench, n=4).select(
+        "doc_id", F.col("n_contaminated_ngrams").cast("long")
+    )
+
+
+SQL_NGRAM_DECONTAMINATE = f"""
+WITH docs AS (
+  SELECT doc_id, {_LWORDS_SQL} AS words FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(words[i+1:i+4], ' ')
+            for i in range(0, greatest(len(words)-3, 0))]
+         )) AS shingle
+  FROM docs
+), bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_ngrams
+FROM sh s JOIN bench b USING (shingle)
+WHERE s.doc_id % 20 != 0
+GROUP BY s.doc_id
+"""
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals, quantized for hashing."""
+    docs = load_table(spark, sf_dir, "documents")
+    rep = repetition_scores(docs)
+    return rep.select(
+        "doc_id",
+        _quant(F.col("dup_word_frac"), 6).alias("dup_word_frac_q6"),
+        _quant(F.col("top_word_frac"), 6).alias("top_word_frac_q6"),
+        _quant(F.col("dup_2gram_frac"), 6).alias("dup_2gram_frac_q6"),
+        _quant(F.col("dup_3gram_frac"), 6).alias("dup_3gram_frac_q6"),
+    )
+
+
+SQL_REPETITION_SCORES = f"""
+WITH docs AS (
+  SELECT doc_id, {_LWORDS_SQL} AS words FROM documents
+), grams AS (
+  SELECT doc_id, 1 AS n, unnest(words) AS g FROM docs
+  UNION ALL
+  SELECT doc_id, 2, unnest([array_to_string(words[i+1:i+2], ' ')
+                            for i in range(0, greatest(len(words)-1, 0))])
+  FROM docs
+  UNION ALL
+  SELECT doc_id, 3, unnest([array_to_string(words[i+1:i+3], ' ')
+                            for i in range(0, greatest(len(words)-2, 0))])
+  FROM docs
+), per_gram AS (
+  SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3
+), per_doc AS (
+  SELECT doc_id, n, sum(c) AS total, count(*) AS dist, max(c) AS top
+  FROM per_gram GROUP BY 1, 2
+)
+SELECT u1.doc_id,
+  CAST(floor((1.0 - u1.dist / u1.total) * 1000000.0) AS BIGINT) AS dup_word_frac_q6,
+  CAST(floor((u1.top / u1.total) * 1000000.0) AS BIGINT) AS top_word_frac_q6,
+  CAST(floor(COALESCE(1.0 - u2.dist / u2.total, 0.0) * 1000000.0) AS BIGINT) AS dup_2gram_frac_q6,
+  CAST(floor(COALESCE(1.0 - u3.dist / u3.total, 0.0) * 1000000.0) AS BIGINT) AS dup_3gram_frac_q6
+FROM per_doc u1
+LEFT JOIN per_doc u2 ON u2.doc_id = u1.doc_id AND u2.n = 2
+LEFT JOIN per_doc u3 ON u3.doc_id = u1.doc_id AND u3.n = 3
+WHERE u1.n = 1
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over synthesized contact lines (the corpus text itself
+    is clean word-salad, so each doc gets a deterministic email/IP/phone
+    appended — the patterns then provably fire once each and the oracle
+    replays the identical Java-regex ∩ RE2 scrub)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" tel 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = pii_scrub(aug)
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.sha2(F.col("scrubbed"), 256).alias("scrubbed_sha"),
+    )
+
+
+_PII_EMAIL, _PII_IP, _PII_PHONE = (p for _, p, _ in PII_PATTERNS)
+
+SQL_PII_SCRUB = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact doc' || doc_id::VARCHAR || '@example.com from 10.0.'
+              || (doc_id % 256)::VARCHAR || '.' || (doc_id % 100)::VARCHAR
+              || ' tel 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM aug
+), s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '{_PII_IP}')) AS BIGINT) AS n_ips,
+         regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+         regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, n_emails, n_ips, n_phones, sha256(t3) AS scrubbed_sha FROM s3
+"""
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning: a 1024-bit/3-hash filter over the
+    custkeys of high-value urgent orders, probed by every customer, next
+    to ground truth — ``bloom_hit ≥ actual_hit`` always (no false
+    negatives), and the ~18% false-positive rate at this fill factor is
+    the price of pruning without shuffling the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    customers = load_table(spark, sf_dir, "customer")
+    urgent = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 450000.0)
+    )
+    bits = bloom_bits(urgent, "o_custkey")
+    probed = bloom_contains(customers, "c_custkey", bits)
+    actual = (
+        urgent.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("_actual", F.lit(1))
+    )
+    return (
+        probed.withColumn("c_custkey", F.col("c_custkey").cast("long"))
+        .join(actual, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.col("bloom_hit").cast("long").alias("bloom_hit"),
+            F.coalesce(F.col("_actual"), F.lit(0)).cast("long").alias("actual_hit"),
+        )
+    )
+
+
+_BLOOM_POS_URGENT = _hex2int_sql("sha256('b' || g.h::VARCHAR || ':' || u.k)")
+_BLOOM_POS_PROBE = _hex2int_sql(
+    "sha256('b' || g.h::VARCHAR || ':' || c_custkey::VARCHAR)"
+)
+
+SQL_BLOOM_MEMBERSHIP = f"""
+WITH urgent AS (
+  SELECT DISTINCT o_custkey::VARCHAR AS k, o_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000.0
+), bits AS (
+  SELECT DISTINCT ({_BLOOM_POS_URGENT}) % 1024 AS pos
+  FROM urgent u, LATERAL (SELECT unnest([0, 1, 2]) AS h) g
+), probes AS (
+  SELECT c_custkey, ({_BLOOM_POS_PROBE}) % 1024 AS pos
+  FROM customer, LATERAL (SELECT unnest([0, 1, 2]) AS h) g
+), hits AS (
+  SELECT p.c_custkey,
+         sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS matched
+  FROM probes p LEFT JOIN bits b ON p.pos = b.pos
+  GROUP BY 1
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(CASE WHEN matched = 3 THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit,
+       CAST(CASE WHEN c_custkey IN (SELECT o_custkey FROM urgent)
+            THEN 1 ELSE 0 END AS BIGINT) AS actual_hit
+FROM hits
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -2831,11 +3034,6 @@ CATALOG: list[QueryDef] = [
              "Q6-shaped selective scan + ungrouped agg (full pushdown)"),
     QueryDef("shipping_priority", q_shipping_priority, SQL_SHIPPING_PRIORITY,
              "Q3-shaped 3-way join + decimal-ranked global top-10"),
-    QueryDef("small_quantity_revenue", q_small_quantity_revenue,
-             SQL_SMALL_QUANTITY_REVENUE,
-             "Q17-shaped decorrelated scalar subquery (per-part avg)"),
-    QueryDef("large_volume_orders", q_large_volume_orders,
-             SQL_LARGE_VOLUME_ORDERS, "Q18-shaped having-filtered agg join"),
     QueryDef("disjunctive_part_revenue", q_disjunctive_part_revenue,
              SQL_DISJUNCTIVE_PART_REVENUE,
              "Q19-shaped OR-of-ANDs predicate join"),
@@ -2857,6 +3055,14 @@ CATALOG: list[QueryDef] = [
              "sha256 + winnowing rolling fingerprints"),
     QueryDef("bigram_pmi", q_bigram_pmi, SQL_BIGRAM_PMI,
              "adjacent-token PMI (exact counts, single-division log)"),
+    QueryDef("repetition_scores", q_repetition_scores, SQL_REPETITION_SCORES,
+             "Gopher-style within-doc repetition signals"),
+    QueryDef("pii_scrub", q_pii_scrub, SQL_PII_SCRUB,
+             "regex PII redaction: emails/IPs/phones counted + scrubbed"),
+    # --- corpus hygiene ---
+    QueryDef("ngram_decontaminate", q_ngram_decontaminate,
+             SQL_NGRAM_DECONTAMINATE,
+             "benchmark decontamination: train/eval 4-gram overlap"),
     # --- deduplication ---
     QueryDef("exact_dedup_docs", q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS,
              "exact dedup via fingerprint argmin"),
@@ -2879,9 +3085,6 @@ CATALOG: list[QueryDef] = [
              "IVF ANN with exhaustive probe == brute force"),
     QueryDef("embedding_dedup_pairs", q_embedding_dedup_pairs,
              SQL_EMBEDDING_DEDUP_PAIRS, "embedding-cosine near-dup pairs"),
-    QueryDef("embedding_bucket_pairs", q_embedding_bucket_pairs,
-             SQL_EMBEDDING_BUCKET_PAIRS,
-             "hyperplane-LSH bucketed similar pairs (bucketing oracle-checked)"),
     QueryDef("lang_centroids", q_lang_centroids, SQL_LANG_CENTROIDS,
              "cross-modal join: per-language embedding centroid"),
     # --- sketches & sampling ---
@@ -2891,8 +3094,8 @@ CATALOG: list[QueryDef] = [
     QueryDef("hll_distinct_users", q_hll_distinct_users,
              SQL_HLL_DISTINCT_USERS,
              "HLL estimate via exact-integer harmonic sum"),
-    QueryDef("hll_union_types", q_hll_union_types, SQL_HLL_UNION_TYPES,
-             "HLL sketch merge across groups (per-bucket max fold)"),
+    QueryDef("bloom_membership", q_bloom_membership, SQL_BLOOM_MEMBERSHIP,
+             "bloom-filter join pruning probe vs ground truth"),
     QueryDef("stratified_sample_docs", q_stratified_sample_docs,
              SQL_STRATIFIED_SAMPLE_DOCS,
              "deterministic fixed-size-per-stratum sample"),
@@ -2978,6 +3181,16 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "prune -> split"),
     QueryDef("unigram_logprob", q_unigram_logprob, SQL_UNIGRAM_LOGPROB,
              "per-doc unigram logprob sum (perplexity-style fit score)"),
+    QueryDef("small_quantity_revenue", q_small_quantity_revenue,
+             SQL_SMALL_QUANTITY_REVENUE,
+             "Q17-shaped decorrelated scalar subquery (per-part avg)"),
+    QueryDef("large_volume_orders", q_large_volume_orders,
+             SQL_LARGE_VOLUME_ORDERS, "Q18-shaped having-filtered agg join"),
+    QueryDef("hll_union_types", q_hll_union_types, SQL_HLL_UNION_TYPES,
+             "HLL sketch merge across groups (per-bucket max fold)"),
+    QueryDef("embedding_bucket_pairs", q_embedding_bucket_pairs,
+             SQL_EMBEDDING_BUCKET_PAIRS,
+             "hyperplane-LSH bucketed similar pairs (bucketing oracle-checked)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -1,0 +1,171 @@
+"""Corpus-hygiene operators: decontamination, repetition signals, PII
+scrubbing, and the bloom membership filter.
+
+The DuckDB oracle (tools/check_oracle.py) covers cross-engine value
+parity on the testdata; these tests pin the operator *semantics* on
+crafted inputs the synthetic corpus can't produce — real PII strings,
+known repetition structure, bloom guarantee laws.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from commerce_sessionization_spark.operators.decontam import (
+    decontaminate,
+    ngram_contamination,
+)
+from commerce_sessionization_spark.operators.sketches import (
+    bloom_bits,
+    bloom_contains,
+)
+from commerce_sessionization_spark.operators.text import pii_scrub, repetition_scores
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+# --------------------------------------------------------------------------
+# Decontamination
+# --------------------------------------------------------------------------
+
+def test_contamination_flags_shared_ngrams_only(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words appear in this one here"),
+        ],
+    )
+    bench = _docs(spark, [(100, "quick brown fox jumps somewhere else entirely")])
+    out = ngram_contamination(train, bench, n=4).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    # "quick brown fox jumps" is the single shared 4-gram
+    assert out[0]["n_contaminated_ngrams"] == 1
+
+
+def test_decontaminate_drops_flagged_docs(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words appear in this one here"),
+        ],
+    )
+    bench = _docs(spark, [(100, "quick brown fox jumps somewhere else entirely")])
+    kept = decontaminate(train, bench, n=4).select("doc_id").collect()
+    assert {r["doc_id"] for r in kept} == {2}
+
+
+def test_contamination_is_case_and_whitespace_normalized(spark):
+    train = _docs(spark, [(1, "  The   QUICK brown FOX jumps ")])
+    bench = _docs(spark, [(100, "the quick brown fox jumps")])
+    assert ngram_contamination(train, bench, n=4).count() == 1
+
+
+# --------------------------------------------------------------------------
+# Repetition signals
+# --------------------------------------------------------------------------
+
+def test_repetition_scores_known_structure(spark):
+    # "a a a b": words 4, distinct 2 → dup_word 0.5; top word "a" 3/4;
+    # 2-grams [a a, a a, a b]: 3 total 2 distinct → 1/3 dup
+    df = _docs(spark, [(1, "a a a b")])
+    r = repetition_scores(df).collect()[0]
+    assert r["dup_word_frac"] == pytest.approx(0.5)
+    assert r["top_word_frac"] == pytest.approx(0.75)
+    assert r["dup_2gram_frac"] == pytest.approx(1 / 3)
+    assert r["dup_3gram_frac"] == pytest.approx(0.0)
+
+
+def test_repetition_scores_all_unique_words(spark):
+    df = _docs(spark, [(7, "one two three four five")])
+    r = repetition_scores(df).collect()[0]
+    assert r["dup_word_frac"] == 0.0
+    assert r["top_word_frac"] == pytest.approx(0.2)
+    assert r["dup_2gram_frac"] == 0.0
+
+
+def test_repetition_scores_short_doc_fills_zero(spark):
+    # single word: no 2-grams/3-grams → filled 0.0, not null/missing
+    r = repetition_scores(_docs(spark, [(3, "hello")])).collect()[0]
+    assert r["dup_2gram_frac"] == 0.0 and r["dup_3gram_frac"] == 0.0
+    assert r["top_word_frac"] == 1.0
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+# --------------------------------------------------------------------------
+
+def test_pii_scrub_redacts_real_pii(spark):
+    df = _docs(
+        spark,
+        [
+            (
+                1,
+                "mail alice.smith+test@sub.example.co.uk or bob@x.io, "
+                "server 192.168.1.254, call 555-867-5309 now",
+            )
+        ],
+    )
+    r = pii_scrub(df).collect()[0]
+    assert r["n_emails"] == 2 and r["n_ips"] == 1 and r["n_phones"] == 1
+    s = r["scrubbed"]
+    assert "<EMAIL>" in s and "<IP>" in s and "<PHONE>" in s
+    assert "alice" not in s and "192.168" not in s and "867" not in s
+
+
+def test_pii_scrub_clean_text_is_identity(spark):
+    txt = "no sensitive content in this perfectly ordinary sentence"
+    r = pii_scrub(_docs(spark, [(1, txt)])).collect()[0]
+    assert r["scrubbed"] == txt
+    assert r["n_emails"] == r["n_ips"] == r["n_phones"] == 0
+
+
+def test_pii_scrub_email_counted_once_not_as_phone_or_ip(spark):
+    # digits+dots inside an email must not double-count after redaction
+    r = pii_scrub(_docs(spark, [(1, "x 10.20.30.40@example.com y")])).collect()[0]
+    assert r["n_emails"] == 1 and r["n_ips"] == 0 and r["n_phones"] == 0
+
+
+# --------------------------------------------------------------------------
+# Bloom filter
+# --------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives(spark):
+    members = spark.range(0, 200).select(F.col("id").alias("k"))
+    bits = bloom_bits(members, "k")
+    probed = bloom_contains(members, "k", bits)
+    assert probed.filter(~F.col("bloom_hit")).count() == 0
+
+
+def test_bloom_bits_bounded_by_m(spark):
+    members = spark.range(0, 5000).select(F.col("id").alias("k"))
+    assert bloom_bits(members, "k", m=256, k=3).count() <= 256
+
+
+def test_bloom_union_merge_law(spark):
+    # bits(A ∪ B) == bits(A) ∪ bits(B): sketch state is mergeable
+    a = spark.range(0, 50).select(F.col("id").alias("k"))
+    b = spark.range(40, 90).select(F.col("id").alias("k"))
+    merged = bloom_bits(a, "k").union(bloom_bits(b, "k")).distinct()
+    direct = bloom_bits(a.union(b), "k")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_bloom_false_positive_rate_reasonable(spark):
+    members = spark.range(0, 100).select(F.col("id").alias("k"))
+    strangers = spark.range(100_000, 101_000).select(F.col("id").alias("k"))
+    bits = bloom_bits(members, "k", m=1024, k=3)
+    fp = (
+        bloom_contains(strangers, "k", bits, m=1024, k=3)
+        .filter(F.col("bloom_hit"))
+        .count()
+    )
+    # fill ≈ 1-e^(-300/1024) ≈ 0.254 → fp ≈ 1.6%; allow generous slack
+    assert fp < 100
