@@ -160,13 +160,15 @@ def repetition_scores(
     (Gopher dropped docs with >0.2 duplicate-line chars etc. — the
     thresholds are policy, the signals are the operator).
 
-    Shape for scale: one explode of (doc, gram-size, gram) rows →
+    Shape for scale: ONE scan of the corpus builds all three gram sizes as
+    a single tagged array (concat of per-n transform()s), exploded once →
     ``groupBy(doc, n, gram).count()`` (map-side combinable; key space is
     per-doc-bounded so no global skew) → one re-agg to (doc, n) → pivot to
     columns by joining the three bounded gram sizes. The corpus text
-    shuffles as grams exactly once; nothing is quadratic in document
-    length (the array-expression alternative for the modal word is
-    O(distinct × words) per row — rejected).
+    shuffles as grams exactly once and is never re-scanned per gram size;
+    nothing is quadratic in document length (the array-expression
+    alternative for the modal word is O(distinct × words) per row —
+    rejected).
     """
     from commerce_sessionization_spark.operators.dedup import (
         _with_words,
@@ -174,43 +176,56 @@ def repetition_scores(
     )
 
     w = _with_words(df, id_col, text_col)
-    grams = None
-    for n in (1, 2, 3):
-        g = w.select(
-            "_id",
-            F.lit(n).alias("_n"),
-            F.explode(shingles_from_words(F.col("_w"), n, distinct=False)).alias(
-                "_g"
-            ),
-        )
-        grams = g if grams is None else grams.unionByName(g)
+
+    def tag(n: int):
+        # real closure, NOT a default-arg lambda: transform() reads the
+        # lambda arity, and a second parameter would receive the element
+        # index (see shingles_from_words docstring for the same trap)
+        return lambda g: F.struct(F.lit(n).alias("_n"), g.alias("_g"))
+
+    tagged = F.concat(
+        *[
+            F.transform(shingles_from_words(F.col("_w"), n, distinct=False), tag(n))
+            for n in (1, 2, 3)
+        ]
+    )
+    grams = w.select("_id", F.explode(tagged).alias("_t")).select(
+        "_id", F.col("_t._n").alias("_n"), F.col("_t._g").alias("_g")
+    )
     per_gram = grams.groupBy("_id", "_n", "_g").agg(
         F.count(F.lit(1)).alias("_c")
     )
-    per_doc = per_gram.groupBy("_id", "_n").agg(
-        F.sum("_c").alias("_total"),
-        F.count(F.lit(1)).alias("_distinct"),
-        F.max("_c").alias("_top"),
+
+    def only(n: int, col):
+        return F.when(F.col("_n") == n, col)
+
+    # conditional aggs instead of a per-n self-join: one pass over the
+    # per-gram counts, no plan triplication (a 3-way join on per_doc made
+    # Spark re-scan + re-aggregate the corpus once per gram size)
+    per_doc = per_gram.groupBy("_id").agg(
+        *[
+            agg
+            for n in (1, 2, 3)
+            for agg in (
+                F.sum(only(n, F.col("_c"))).alias(f"_total{n}"),
+                F.count(only(n, F.lit(1))).alias(f"_distinct{n}"),
+                F.max(only(n, F.col("_c"))).alias(f"_top{n}"),
+            )
+        ]
     )
 
-    def frac(n: int, expr):
-        return per_doc.filter(F.col("_n") == n).select(
-            "_id", expr.alias(f"_v{n}")
+    def dup(n: int):
+        # no n-grams at this size (doc shorter than n words) → 0.0
+        return F.coalesce(
+            1.0 - F.col(f"_distinct{n}") / F.col(f"_total{n}"), F.lit(0.0)
         )
 
-    dup = lambda: (1.0 - F.col("_distinct") / F.col("_total"))  # noqa: E731
-    u1 = per_doc.filter(F.col("_n") == 1).select(
-        "_id",
-        dup().alias("dup_word_frac"),
-        (F.col("_top") / F.col("_total")).alias("top_word_frac"),
-    )
-    u2 = frac(2, dup()).withColumnRenamed("_v2", "dup_2gram_frac")
-    u3 = frac(3, dup()).withColumnRenamed("_v3", "dup_3gram_frac")
-    return (
-        u1.join(u2, "_id", "left")
-        .join(u3, "_id", "left")
-        .withColumnRenamed("_id", id_col)
-        .na.fill(0.0, ["dup_2gram_frac", "dup_3gram_frac"])
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        dup(1).alias("dup_word_frac"),
+        (F.col("_top1") / F.col("_total1")).alias("top_word_frac"),
+        dup(2).alias("dup_2gram_frac"),
+        dup(3).alias("dup_3gram_frac"),
     )
 
 
