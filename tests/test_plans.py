@@ -127,3 +127,39 @@ def test_knn_does_not_shuffle_corpus(spark, queries):
     plan = plan_of(queries["knn_cosine"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
     assert not re.search(r"Exchange hashpartitioning\([^)]*vec_id", plan), plan
+
+
+def test_decontam_broadcasts_benchmark_not_corpus(spark, queries):
+    """The benchmark shingle set (bounded: it's an eval suite) broadcasts;
+    the training corpus must NOT appear under a broadcast exchange — at
+    100 TB the train side only streams map-side through the join."""
+    plan = plan_of(queries["ngram_decontaminate"](spark, SF_DIR))
+    assert node_count(plan, "BroadcastHashJoin") >= 1
+    assert node_count(plan, "SortMergeJoin") == 0
+
+
+def test_bloom_probe_broadcasts_bits(spark, queries):
+    """The bloom bit table (≤ m rows by construction) broadcasts to the
+    probe side; the probe side never sort-merge-joins the filter."""
+    plan = plan_of(queries["bloom_membership"](spark, SF_DIR))
+    assert node_count(plan, "BroadcastHashJoin") >= 1
+    assert node_count(plan, "SortMergeJoin") == 0
+
+
+def test_repetition_scores_single_scan(spark, queries):
+    """All three gram sizes ride one tagged array: exactly ONE corpus scan
+    reading only (doc_id, text) — no per-gram-size re-scan."""
+    plan = plan_of(queries["repetition_scores"](spark, SF_DIR))
+    assert node_count(plan, "Scan parquet") == 1
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "doc_id", "text"}
+
+
+def test_pii_scrub_stays_jvm_side(spark, queries):
+    """Regex scrub is pure column expressions — no Python eval nodes, no
+    shuffle at all (scan → project)."""
+    plan = plan_of(queries["pii_scrub"](spark, SF_DIR))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert node_count(plan, "Exchange") == 0
