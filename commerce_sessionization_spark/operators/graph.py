@@ -1,0 +1,107 @@
+"""Iterative graph operators (north-star surface).
+
+Connected components (min-label propagation with pointer jumping) lives in
+``operators/dedup.py`` next to its near-dup use case; this module holds
+the general iterative-computation pattern: a driver-side loop over a
+bounded iteration count where each round is one join + one aggregation,
+exactly how GraphX/Pregel lowers to dataframes.
+
+Determinism note (the whole reason the implementation looks the way it
+does): floating-point addition is order-dependent, so a naive
+``sum(contrib)`` would differ between engines — and between *runs* — once
+partitioning changes. Every sum here casts its addends to
+``DECIMAL(38, 18)`` first: each addend is a deterministic double (same
+IEEE ops in any engine), decimal addition is exact and therefore
+order-independent, and one final cast returns to double. The DuckDB
+oracle replays the identical arithmetic, so a 5-iteration PageRank is
+hash-comparable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dec(col: F.Column) -> F.Column:
+    return col.cast("decimal(38,18)")
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration power-method PageRank.
+
+    ``edges`` is directed (symmetrize upstream for an undirected graph);
+    ``vertices`` must contain every node, including isolated ones. Returns
+    ``(node, rank)`` after ``iterations`` rounds of
+
+        rank'(v) = (1-d)/N + d · (Σ_{u→v} rank(u)/outdeg(u) + dangling/N)
+
+    where ``dangling`` is the rank mass parked on out-degree-0 nodes,
+    redistributed uniformly (the standard stochastic-matrix patch).
+
+    Scale shape: per iteration ONE join of the rank table against the
+    edge list (both keyed on the source node — co-partitioned after the
+    first round, so subsequent shuffles reuse the layout) and one
+    aggregation by destination; the dangling mass is a scalar, carried by
+    a broadcast crossJoin, and the iteration count is a bounded constant.
+    No per-vertex driver state — the driver loop only rebinds DataFrames
+    (cf. Lloyd's k-means in ``operators/similarity.py``, which does hold
+    k×dim centroids driver-side; here even that is avoided). Each round
+    ``localCheckpoint``s the new rank table so the lineage — and with it
+    the replayed-plan depth — stays O(1) instead of O(iterations).
+    """
+    n_vert = vertices.count()  # scalar dimension, like k-means' k
+    src = F.col(src_col)
+
+    out_deg = edges.groupBy(src.alias(id_col)).agg(
+        F.count(F.lit(1)).alias("_outdeg")
+    )
+    base = F.lit((1.0 - damping) / n_vert)
+
+    ranks = vertices.select(
+        F.col(id_col), F.lit(1.0 / n_vert).alias("rank")
+    ).localCheckpoint()
+
+    for _ in range(iterations):
+        with_deg = ranks.join(out_deg, id_col, "left")
+        dangling = with_deg.filter(F.col("_outdeg").isNull()).agg(
+            F.coalesce(F.sum(_dec(F.col("rank"))), F.lit(0).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("_dangling")
+        )
+        contribs = (
+            with_deg.filter(F.col("_outdeg").isNotNull())
+            .join(edges, F.col(id_col) == src)
+            .select(
+                F.col(dst_col).alias(id_col),
+                (F.col("rank") / F.col("_outdeg")).alias("_c"),
+            )
+            .groupBy(id_col)
+            .agg(F.sum(_dec(F.col("_c"))).cast("double").alias("_in"))
+        )
+        ranks = (
+            vertices.select(id_col)
+            .join(contribs, id_col, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                F.col(id_col),
+                (
+                    base
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_dangling") / n_vert
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -2785,6 +2785,73 @@ WHERE prev < p * n.n AND cum >= p * n.n
 # --------------------------------------------------------------------------
 
 # --------------------------------------------------------------------------
+# Iterative graph: PageRank over the near-dup graph
+# --------------------------------------------------------------------------
+
+def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration PageRank over the symmetrized 3-gram-Jaccard near-dup
+    graph (all documents as vertices; isolated docs exercise the dangling
+    redistribution). Decimal-exact contribution sums make the power
+    iteration bit-reproducible — the oracle replays all 5 rounds."""
+    from commerce_sessionization_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8).select("a", "b")
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    verts = docs.select(F.col("doc_id").alias("node"))
+    out = pagerank(edges, verts, iterations=5, damping=0.85)
+    return out.select(
+        F.col("node").alias("doc_id"), _quant(F.col("rank"), 12).alias("rank_q12")
+    )
+
+
+def _pagerank_sql(iterations: int = 5, d: str = "0.85") -> str:
+    """Generate the chained-CTE DuckDB twin of ``operators.graph.pagerank``
+    (one CTE triple per iteration — recursive CTEs allow only a single
+    reference to the working table, and each round needs three)."""
+    parts = [_SHINGLE_CTE.rstrip() + ", "]
+    parts.append(f"""
+pr_pairs AS (
+  SELECT a, b
+  FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+  WHERE i / (sa.n + sb.n - i) >= 0.8
+), pr_edges AS (
+  SELECT a AS src, b AS dst FROM pr_pairs UNION ALL SELECT b, a FROM pr_pairs
+), verts AS (SELECT doc_id AS node FROM documents),
+nv AS (SELECT count(*)::BIGINT AS n FROM verts),
+deg AS (SELECT src AS node, count(*) AS outdeg FROM pr_edges GROUP BY 1),
+it0 AS (SELECT node, 1.0 / nv.n AS rank FROM verts, nv)""")
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(f""",
+dang{i} AS (
+  SELECT CAST(COALESCE(sum(CAST(r.rank AS DECIMAL(38,18))),
+                       0::DECIMAL(38,18)) AS DOUBLE) AS m
+  FROM it{p} r LEFT JOIN deg dg ON r.node = dg.node WHERE dg.node IS NULL
+), con{i} AS (
+  SELECT e.dst AS node,
+         CAST(sum(CAST(r.rank / dg.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS inr
+  FROM it{p} r JOIN deg dg ON r.node = dg.node JOIN pr_edges e ON e.src = r.node
+  GROUP BY 1
+), it{i} AS (
+  SELECT v.node,
+         (1.0 - {d}) / nv.n + {d} * (COALESCE(c.inr, 0.0) + g.m / nv.n) AS rank
+  FROM verts v LEFT JOIN con{i} c ON v.node = c.node, nv, dang{i} g
+)""")
+    parts.append(f"""
+SELECT node AS doc_id,
+       CAST(floor(rank * 1000000000000.0) AS BIGINT) AS rank_q12
+FROM it{iterations}
+""")
+    return "".join(parts)
+
+
+SQL_PAGERANK_NEARDUP = _pagerank_sql()
+
+
+# --------------------------------------------------------------------------
 # Corpus hygiene: decontamination, repetition signals, PII scrubbing, bloom
 # --------------------------------------------------------------------------
 
@@ -3191,6 +3258,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("embedding_bucket_pairs", q_embedding_bucket_pairs,
              SQL_EMBEDDING_BUCKET_PAIRS,
              "hyperplane-LSH bucketed similar pairs (bucketing oracle-checked)"),
+    QueryDef("pagerank_neardup", q_pagerank_neardup, SQL_PAGERANK_NEARDUP,
+             "5-iteration PageRank over the near-dup graph "
+             "(decimal-exact power iteration, 5-round replayed oracle)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

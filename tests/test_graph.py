@@ -1,0 +1,62 @@
+"""PageRank semantics on crafted graphs (the DuckDB oracle covers
+cross-engine parity on the near-dup graph; these pin the math)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from commerce_sessionization_spark.operators.graph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+
+def _verts(spark, ids):
+    return spark.createDataFrame([Row(node=i) for i in ids])
+
+
+def test_pagerank_single_step_hand_computed(spark):
+    # 1 → 2, node 2 dangling. After one round:
+    # dangling mass = 0.5; r1 = 0.075 + 0.85·(0 + 0.25)   = 0.2875
+    #                 r2 = 0.075 + 0.85·(0.5 + 0.25)      = 0.7125
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            _edges(spark, [(1, 2)]), _verts(spark, [1, 2]), iterations=1
+        ).collect()
+    }
+    assert out[1] == pytest.approx(0.2875)
+    assert out[2] == pytest.approx(0.7125)
+
+
+def test_pagerank_mass_conserved_and_star_ranks_center_highest(spark):
+    # undirected star: center 0 ↔ leaves 1..4
+    pairs = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    out = pagerank(
+        _edges(spark, pairs), _verts(spark, range(5)), iterations=5
+    ).collect()
+    ranks = {r["node"]: r["rank"] for r in out}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+    assert all(ranks[0] > ranks[i] for i in range(1, 5))
+    assert len({round(ranks[i], 12) for i in range(1, 5)}) == 1  # leaves tie
+
+
+def test_pagerank_zero_iterations_is_uniform(spark):
+    out = pagerank(
+        _edges(spark, [(1, 2)]), _verts(spark, [1, 2, 3]), iterations=0
+    ).collect()
+    assert all(r["rank"] == pytest.approx(1 / 3) for r in out)
+
+
+def test_pagerank_isolated_vertices_share_dangling_mass(spark):
+    # no edges at all: every node dangles; uniform stays the fixed point
+    out = pagerank(
+        _edges(spark, [(1, 1)]).limit(0), _verts(spark, [1, 2, 3, 4]),
+        iterations=3,
+    ).collect()
+    for r in out:
+        assert r["rank"] == pytest.approx(0.25)
