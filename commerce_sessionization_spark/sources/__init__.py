@@ -1,5 +1,6 @@
 from commerce_sessionization_spark.sources.io import (
     read_behaviors_csv,
+    read_media_dir,
     read_parquet,
     read_source,
     write_partitioned,
@@ -9,6 +10,7 @@ from commerce_sessionization_spark.sources.tables import load_table, load_tables
 
 __all__ = [
     "read_behaviors_csv",
+    "read_media_dir",
     "read_parquet",
     "read_source",
     "write_partitioned",

@@ -107,3 +107,69 @@ def write_partitioned(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.format(fmt).save(path)
+
+
+#: extension → (modality, mime) for the media-directory source. Only
+#: formats with a real dependency-free decode path (functions.codecs) map
+#: to a modality; anything else lands as modality "other" so downstream
+#: per-modality pipelines skip it by partition filter, not by crashing.
+MEDIA_EXTENSIONS: dict[str, tuple[str, str]] = {
+    "bmp": ("image", "image/bmp"),
+    "wav": ("audio", "audio/wav"),
+    "gif": ("video", "image/gif"),
+}
+
+
+def read_media_dir(
+    spark: SparkSession, path: str, recursive: bool = True, glob: str | None = None
+) -> DataFrame:
+    """Ingest a directory of media files into the MEDIA_SCHEMA shape via
+    Spark's ``binaryFile`` source.
+
+    Output columns: ``asset_id`` (xxhash64 of the file path — stable across
+    re-runs so downstream joins and dedups are reproducible), ``modality``
+    / ``mime_type`` from the extension, ``content`` payload bytes, and a
+    ``metadata`` map carrying ``source_path`` and ``length``
+    (modificationTime is deliberately dropped: it makes re-ingests
+    non-deterministic).
+
+    Scale notes: binary files are not splittable — one file is one task, so
+    at 100 TB the parallelism unit is the file count, and millions of tiny
+    files want packing into this table (parquet, payload column) exactly
+    once, after which every downstream pass reads the columnar form with
+    metadata-only projections free of payload IO. ``pathGlobFilter`` pushes
+    the extension filter into the file listing itself.
+    """
+    from pyspark.sql import functions as F
+
+    from commerce_sessionization_spark.schemas import MEDIA_SCHEMA
+
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true" if recursive else "false")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    modality = F.lit("other")
+    mime = F.lit("application/octet-stream")
+    for e, (mod, mt) in MEDIA_EXTENSIONS.items():
+        modality = F.when(ext == e, F.lit(mod)).otherwise(modality)
+        mime = F.when(ext == e, F.lit(mt)).otherwise(mime)
+    out = raw.select(
+        F.xxhash64(F.col("path")).alias("asset_id"),
+        modality.alias("modality"),
+        F.col("content"),
+        mime.alias("mime_type"),
+        F.create_map(
+            F.lit("source_path"), F.col("path"),
+            F.lit("length"), F.col("length").cast("string"),
+        ).alias("metadata"),
+    )
+    # pin the declared contract (cheap structural assert, no data pass)
+    assert [f.name for f in out.schema.fields] == [
+        f.name for f in MEDIA_SCHEMA.fields
+    ]
+    return out

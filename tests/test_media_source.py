@@ -1,0 +1,84 @@
+"""binaryFile media-directory ingestion → real decode, end to end.
+
+Writes genuine BMP/WAV/GIF bytes to disk, ingests the directory through
+``sources.read_media_dir`` (Spark binaryFile source), and runs the REAL
+dependency-free decoders over the resulting MEDIA_SCHEMA frame — the full
+file→features path with no fakes anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from commerce_sessionization_spark.functions.codecs import (
+    encode_bmp,
+    encode_gif,
+    encode_wav,
+)
+from commerce_sessionization_spark.operators.multimodal import (
+    extract_audio_features,
+    extract_image_features,
+    sample_video_frames,
+)
+from commerce_sessionization_spark.sources import read_media_dir
+
+
+@pytest.fixture(scope="module")
+def media_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:8] = 255  # top half white → known mean luma 127.5
+    (d / "a.bmp").write_bytes(encode_bmp(img))
+    t = np.arange(1600) / 16000.0
+    wav = 0.5 * np.sin(2 * np.pi * 440 * t)  # float samples in [-1, 1]
+    (d / "b.wav").write_bytes(encode_wav(wav, sample_rate=16000))
+    # palette-index frames (H×W, values < 128) per the fixture encoder
+    frames = [np.full((8, 8), v, dtype=np.uint8) for v in (0, 60, 100)]
+    (d / "c.gif").write_bytes(encode_gif(frames))
+    (d / "notes.txt").write_bytes(b"not media")
+    return str(d)
+
+
+def test_ingest_assigns_modalities_and_stable_ids(spark, media_dir):
+    df = read_media_dir(spark, media_dir)
+    rows = {r["modality"]: r for r in df.collect()}
+    assert set(rows) == {"image", "audio", "video", "other"}
+    assert rows["image"]["mime_type"] == "image/bmp"
+    assert rows["other"]["metadata"]["source_path"].endswith("notes.txt")
+    # ids are path-hashes: re-reading yields identical ids
+    again = {r["modality"]: r["asset_id"] for r in read_media_dir(spark, media_dir).collect()}
+    assert all(again[m] == rows[m]["asset_id"] for m in rows)
+
+
+def test_glob_pushes_filter_into_listing(spark, media_dir):
+    only_bmp = read_media_dir(spark, media_dir, glob="*.bmp")
+    assert [r["modality"] for r in only_bmp.collect()] == ["image"]
+
+
+def test_file_to_features_real_decode(spark, media_dir):
+    media = read_media_dir(spark, media_dir)
+    img = extract_image_features(media).collect()
+    assert len(img) == 1
+    assert (img[0]["width"], img[0]["height"]) == (16, 16)
+    assert img[0]["mean_luma"] == pytest.approx(0.5, abs=0.01)  # half-white
+
+    aud = extract_audio_features(media).collect()
+    assert len(aud) == 1
+    assert aud[0]["sample_rate"] == 16000
+    assert aud[0]["duration_sec"] == pytest.approx(0.1)
+    # RMS of a 0.5-amplitude sine ≈ 0.5/√2
+    assert aud[0]["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=0.01)
+
+    frames = sample_video_frames(media, every_n=1).collect()
+    assert len(frames) == 3
+    assert len({f["frame_phash"] for f in frames}) == 3  # distinct content
+
+
+def test_metadata_only_projection_skips_payload(spark, media_dir):
+    """Projecting id+modality must not read the content column (pruned)."""
+    df = read_media_dir(spark, media_dir).select("asset_id", "modality")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan
