@@ -3,6 +3,7 @@ from commerce_sessionization_spark.sources.io import (
     read_media_dir,
     read_parquet,
     read_source,
+    write_bucketed_table,
     write_partitioned,
     write_partitioned_parquet,
 )
@@ -13,6 +14,7 @@ __all__ = [
     "read_media_dir",
     "read_parquet",
     "read_source",
+    "write_bucketed_table",
     "write_partitioned",
     "write_partitioned_parquet",
     "load_table",

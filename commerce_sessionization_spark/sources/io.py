@@ -173,3 +173,30 @@ def read_media_dir(
         f.name for f in MEDIA_SCHEMA.fields
     ]
     return out
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 32,
+    sort_cols: tuple[str, ...] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) by join key.
+
+    The 100 TB co-location primitive: two tables bucketed by the same key
+    into the same bucket count join with ZERO shuffle — Spark matches
+    bucket i to bucket i, and with ``sort_cols`` the sort-merge join skips
+    its sort too. Pre-paying one write-side shuffle instead of re-paying
+    an exchange on every join/agg is the right trade whenever a fact
+    table is joined on the same key repeatedly (plan-asserted in
+    ``tests/test_bucketing.py``). Datasource-table bucketing only — works
+    on the in-memory catalog, no Hive metastore required.
+    """
+    writer = df.write.format(fmt).mode("overwrite").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
