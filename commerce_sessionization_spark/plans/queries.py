@@ -2785,6 +2785,50 @@ WHERE prev < p * n.n AND cum >= p * n.n
 # --------------------------------------------------------------------------
 
 # --------------------------------------------------------------------------
+# Continuous aggregates: incremental time-bucket rollup
+# --------------------------------------------------------------------------
+
+def q_hourly_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous aggregate: events split into two ingest
+    batches (by event_id parity), each rolled up per (hour, event_type),
+    then MERGED — the oracle is a direct full recompute, so the green row
+    proves the merge law ``merge(rollup(A), rollup(B)) == rollup(A∪B)``
+    bit-for-bit (decimal-exact sums)."""
+    from commerce_sessionization_spark.operators.rollup import (
+        merge_rollups,
+        time_bucket_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ("event_type",)
+    batch_a = time_bucket_rollup(
+        ev.filter(F.col("event_id") % 2 == 0), keys=keys
+    )
+    batch_b = time_bucket_rollup(
+        ev.filter(F.col("event_id") % 2 == 1), keys=keys
+    )
+    merged = merge_rollups(batch_a, batch_b, keys=keys)
+    return merged.select(
+        "bucket_ts",
+        "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        _quant(F.col("min_value"), 6).alias("min_q6"),
+        _quant(F.col("max_value"), 6).alias("max_q6"),
+    )
+
+
+SQL_HOURLY_ROLLUP_MERGE = """
+SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value,
+       CAST(floor(min(value) * 1000000.0) AS BIGINT) AS min_q6,
+       CAST(floor(max(value) * 1000000.0) AS BIGINT) AS max_q6
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Iterative graph: PageRank over the near-dup graph
 # --------------------------------------------------------------------------
 
@@ -3261,6 +3305,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("pagerank_neardup", q_pagerank_neardup, SQL_PAGERANK_NEARDUP,
              "5-iteration PageRank over the near-dup graph "
              "(decimal-exact power iteration, 5-round replayed oracle)"),
+    QueryDef("hourly_rollup_merge", q_hourly_rollup_merge,
+             SQL_HOURLY_ROLLUP_MERGE,
+             "incremental continuous aggregate: two-batch rollup merge == "
+             "direct recompute (exact merge law)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
