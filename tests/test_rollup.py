@@ -52,3 +52,92 @@ def test_state_is_bucket_sized_not_event_sized(spark):
     assert state.count() == 1
     r = state.collect()[0]
     assert r["cnt"] == 50 and float(r["sum_value"]) == 50.0
+
+
+# --------------------------------------------------------------------------
+# Streaming continuous aggregate (exactly-once incremental maintenance)
+# --------------------------------------------------------------------------
+
+def _ev_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(ts=dt.datetime(2024, 1, 1, h, m), event_type=t, value=float(v))
+         for h, m, t, v in rows]
+    )
+
+
+EPOCH_0 = [(10, 0, "view", 1.0), (10, 30, "view", 2.0), (10, 45, "cart", 3.0)]
+EPOCH_1 = [(10, 50, "view", 4.0), (11, 5, "purchase", 8.0)]
+
+
+def _state_totals(df):
+    return sorted(
+        (str(r["bucket_ts"]), r["event_type"], r["cnt"], str(r["sum_value"]))
+        for r in df.collect()
+    )
+
+
+def test_rollup_writer_incremental_equals_direct(spark, tmp_path):
+    from commerce_sessionization_spark.streaming.rollup_stream import (
+        make_rollup_writer,
+        read_rollup_state,
+    )
+
+    out = str(tmp_path / "ra")
+    write = make_rollup_writer(spark, out)
+    write(_ev_df(spark, EPOCH_0), 0)
+    write(_ev_df(spark, EPOCH_1), 1)
+    direct = time_bucket_rollup(_ev_df(spark, EPOCH_0 + EPOCH_1), keys=("event_type",))
+    assert _state_totals(read_rollup_state(spark, out)) == _state_totals(direct)
+
+
+def test_rollup_writer_epoch_replay_does_not_double_count(spark, tmp_path):
+    from commerce_sessionization_spark.streaming.rollup_stream import (
+        make_rollup_writer,
+        read_rollup_state,
+    )
+
+    out = str(tmp_path / "rb")
+    write = make_rollup_writer(spark, out)
+    write(_ev_df(spark, EPOCH_0), 0)
+    write(_ev_df(spark, EPOCH_1), 1)
+    before = _state_totals(read_rollup_state(spark, out))
+    # crash-after-write-before-checkpoint-commit ⇒ same epoch re-delivered
+    write(_ev_df(spark, EPOCH_1), 1)
+    write(_ev_df(spark, EPOCH_1), 1)
+    assert _state_totals(read_rollup_state(spark, out)) == before
+
+
+def test_rollup_stream_end_to_end(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType, TimestampType,
+    )
+    from commerce_sessionization_spark.streaming.rollup_stream import (
+        read_rollup_state,
+        rollup_stream,
+    )
+
+    schema = StructType([
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate([EPOCH_0, EPOCH_1]):
+        _ev_df(spark, rows).coalesce(1).write.parquet(str(src / f"d{i}.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/d*.parquet")
+    )
+    out = str(tmp_path / "rc")
+    q = rollup_stream(stream, spark, out, str(tmp_path / "ckpt"))
+    # availableNow isn't set on this long-lived API; drain manually
+    import time as _t
+    for _ in range(120):
+        if q.lastProgress and q.lastProgress["numInputRows"] == 0:
+            break
+        _t.sleep(0.5)
+    q.stop()
+    direct = time_bucket_rollup(_ev_df(spark, EPOCH_0 + EPOCH_1), keys=("event_type",))
+    assert _state_totals(read_rollup_state(spark, out)) == _state_totals(direct)
