@@ -2784,6 +2784,38 @@ WHERE prev < p * n.n AND cum >= p * n.n
 # Registry
 # --------------------------------------------------------------------------
 
+def q_order_event_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-entity order count ⟗ event count. The customer
+    key space (1..N) and the events user space (0..U) only partly overlap,
+    so both null sides are exercised; unmatched counts fill to 0."""
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    per_user = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_cust.join(per_user, "k", "full_outer").select(
+        F.col("k").alias("entity_id"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+SQL_ORDER_EVENT_COVERAGE = """
+WITH per_cust AS (
+  SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY 1
+), per_user AS (
+  SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY 1
+)
+SELECT COALESCE(per_cust.k, per_user.k) AS entity_id,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events
+FROM per_cust FULL OUTER JOIN per_user ON per_cust.k = per_user.k
+"""
+
+
 # --------------------------------------------------------------------------
 # Continuous aggregates: incremental time-bucket rollup
 # --------------------------------------------------------------------------
@@ -3309,6 +3341,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_HOURLY_ROLLUP_MERGE,
              "incremental continuous aggregate: two-batch rollup merge == "
              "direct recompute (exact merge law)"),
+    QueryDef("order_event_coverage", q_order_event_coverage,
+             SQL_ORDER_EVENT_COVERAGE,
+             "FULL OUTER join with both null sides exercised"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
