@@ -1,0 +1,71 @@
+"""Catalog contract guards: the driver grades exactly the first 50
+entries of ``queries()``, so CATALOG's size and family coverage are
+load-bearing — a careless reorder would silently drop an operator family
+out of the graded window.
+"""
+
+from __future__ import annotations
+
+from commerce_sessionization_spark.plans.queries import (
+    CATALOG,
+    EXTENDED_CATALOG,
+    FULL_CATALOG,
+)
+
+#: one representative per operator family that must stay driver-visible
+REQUIRED_IN_DRIVER_WINDOW = {
+    "sessionize_events",          # flagship reference parity
+    "sql_session_stats",          # raw spark.sql surface
+    "user_event_sequence",        # A1 collect_list parity
+    "asof_purchase_last_view",    # as-of join
+    "order_lineitem_range_join",  # range join
+    "pricing_summary",            # TPC-H scan+agg
+    "revenue_by_nation",          # star join
+    "order_cube",                 # grouping sets
+    "window_rank_suite",          # window functions
+    "quality_scores",             # text quality
+    "language_id",                # language ID
+    "tf_idf",                     # tokens
+    "bigram_pmi",                 # PMI
+    "repetition_scores",          # repetition signals
+    "pii_scrub",                  # PII scrubbing
+    "ngram_decontaminate",        # decontamination
+    "exact_dedup_docs",           # exact dedup
+    "minhash_lsh_pairs",          # MinHash LSH
+    "simhash_pairs",              # SimHash
+    "dedup_components",           # connected components
+    "segment_dedup_docs",         # boilerplate removal
+    "knn_cosine",                 # brute-force ANN
+    "centroid_topk",              # IVF ANN
+    "lang_centroids",             # cross-modal join
+    "kmv_distinct_users",         # KMV sketch
+    "hll_distinct_users",         # HLL sketch
+    "cms_heavy_hitters",          # count-min sketch
+    "bloom_membership",           # bloom filter
+    "histogram_quantile_sketch",  # histogram quantiles
+    "stratified_sample_docs",     # sampling
+}
+
+
+def test_driver_window_is_exactly_50():
+    assert len(CATALOG) == 50
+
+
+def test_no_duplicate_query_names():
+    names = [q.name for q in FULL_CATALOG]
+    assert len(names) == len(set(names))
+
+
+def test_every_family_inside_driver_window():
+    window = {q.name for q in CATALOG}
+    missing = REQUIRED_IN_DRIVER_WINDOW - window
+    assert not missing, f"families fell out of the graded window: {missing}"
+
+
+def test_every_catalog_query_has_an_oracle():
+    for q in FULL_CATALOG:
+        assert q.oracle is not None, f"{q.name} lost its oracle"
+
+
+def test_extended_catalog_names_disjoint_from_driver_window():
+    assert not ({q.name for q in CATALOG} & {q.name for q in EXTENDED_CATALOG})
