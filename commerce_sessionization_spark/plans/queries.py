@@ -2784,6 +2784,48 @@ WHERE prev < p * n.n AND cum >= p * n.n
 # Registry
 # --------------------------------------------------------------------------
 
+def q_media_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the oracle: documents' text bytes pose as
+    image payloads, run through the REAL Arrow-batched ``mapInPandas``
+    feature extractor on its deterministic ``fake=True`` path (features
+    derive from sha256(payload), which DuckDB replays byte-for-byte).
+    Proves the schema/batching/UDF plumbing cross-engine — the real BMP/
+    WAV/GIF decoders are pinned by pytest instead (DuckDB can't decode).
+    ``mean_luma`` is excluded: its Python banker's-round vs SQL round
+    differ; the exact-integer features are the contract here."""
+    from commerce_sessionization_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    feats = extract_image_features(media, fake=True)
+    return feats.select(
+        "asset_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        "phash",
+    )
+
+
+_B0 = _hex2int_sql("substr(sha256(text), 1, 2)", n_chars=2)
+_B1 = _hex2int_sql("substr(sha256(text), 3, 2)", n_chars=2)
+
+SQL_MEDIA_FAKE_FEATURES = f"""
+SELECT doc_id AS asset_id,
+       CAST(64 + ({_B0}) % 192 AS BIGINT) AS width,
+       CAST(64 + ({_B1}) % 192 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       substr(sha256(text), 1, 16) AS phash
+FROM documents
+"""
+
+
 def q_order_event_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join: per-entity order count ⟗ event count. The customer
     key space (1..N) and the events user space (0..U) only partly overlap,
@@ -3344,6 +3386,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("order_event_coverage", q_order_event_coverage,
              SQL_ORDER_EVENT_COVERAGE,
              "FULL OUTER join with both null sides exercised"),
+    QueryDef("media_fake_features", q_media_fake_features,
+             SQL_MEDIA_FAKE_FEATURES,
+             "multimodal mapInPandas plumbing under the oracle "
+             "(sha-derived fake decode, replayed in SQL)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
