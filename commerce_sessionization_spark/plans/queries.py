@@ -2784,6 +2784,113 @@ WHERE prev < p * n.n AND cum >= p * n.n
 # Registry
 # --------------------------------------------------------------------------
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a 7-table snowflake (lineitem ⋈ orders ⋈ customer ⋈
+    nation ⋈ region + part + supplier ⋈ nation-again) with a per-year
+    conditional-share aggregation — the planner must broadcast every dim,
+    double-join nation in two roles, and keep one shuffle for the year
+    rollup. Share = NATION_0-supplied revenue / total, decimal-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    cust_asia = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nat = supp.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"),
+                               F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,2)"
+    )
+    base = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_asia), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    agg = base.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_0", F.col("volume"))
+              .otherwise(F.lit(0).cast("decimal(18,2)"))).alias("n0"),
+        F.sum("volume").alias("tot"),
+    )
+    return agg.select(
+        F.col("o_year").cast("long").alias("o_year"),
+        _quant(F.col("n0").cast("double") / F.col("tot").cast("double"), 6)
+        .alias("mkt_share_q6"),
+    )
+
+
+SQL_MARKET_SHARE = """
+WITH base AS (
+  SELECT year(o_orderdate) AS o_year,
+         (l_extendedprice * (1 - l_discount))::DECIMAL(18,2) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01'
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(floor(
+         CAST(sum(CASE WHEN supp_nation = 'NATION_0' THEN volume
+                       ELSE 0::DECIMAL(18,2) END) AS DOUBLE)
+         / CAST(sum(volume) AS DOUBLE) * 1000000.0) AS BIGINT) AS mkt_share_q6
+FROM base GROUP BY o_year
+"""
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-frame window: per-customer running order total
+    (ROWS UNBOUNDED PRECEDING, decimal-exact prefix sums)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+SQL_RUNNING_REVENUE = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(o_totalprice::DECIMAL(18,2)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
 def q_media_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the oracle: documents' text bytes pose as
     image payloads, run through the REAL Arrow-batched ``mapInPandas``
@@ -3390,6 +3497,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_MEDIA_FAKE_FEATURES,
              "multimodal mapInPandas plumbing under the oracle "
              "(sha-derived fake decode, replayed in SQL)"),
+    QueryDef("market_share", q_market_share, SQL_MARKET_SHARE,
+             "Q8-shaped 7-table snowflake with double-role nation join"),
+    QueryDef("running_revenue", q_running_revenue, SQL_RUNNING_REVENUE,
+             "cumulative ROWS-frame window (decimal-exact prefix sums)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -3,6 +3,8 @@ from commerce_sessionization_spark.sources.io import (
     read_media_dir,
     read_parquet,
     read_source,
+    read_source_permissive,
+    split_corrupt,
     write_bucketed_table,
     write_partitioned,
     write_partitioned_parquet,
@@ -14,6 +16,8 @@ __all__ = [
     "read_media_dir",
     "read_parquet",
     "read_source",
+    "read_source_permissive",
+    "split_corrupt",
     "write_bucketed_table",
     "write_partitioned",
     "write_partitioned_parquet",

@@ -200,3 +200,69 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def read_source_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "csv",
+    corrupt_col: str = "_corrupt_record",
+    **options: str,
+) -> DataFrame:
+    """Malformed-row-tolerant scan for text formats (csv / json).
+
+    At 100 TB a single mangled line must not kill the job at hour 17:
+    PERMISSIVE parsing keeps what it can and lands the raw text of every
+    unparseable row in ``corrupt_col``, so the pipeline quarantines
+    garbage instead of dying — pair with ``split_corrupt`` to fork the
+    good/bad streams. Parquet/ORC don't take this path: their footers
+    make corruption structural, not per-row.
+
+    Implementation deliberately goes ``text`` source → ``from_csv`` /
+    ``from_json`` rather than the csv/json *source* in PERMISSIVE mode:
+    the source's internal corrupt column carries a planner restriction
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — any plan that
+    prunes down to it alone, e.g. ``bad.count()``, is rejected unless the
+    scan is cached first). Parsing the line as a normal column expression
+    has no such restriction, costs the same single pass, and still prunes
+    to one string column at the scan.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField
+
+    if fmt not in ("csv", "json"):
+        raise ValueError(f"permissive path is for text formats, got {fmt!r}")
+    full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": corrupt_col,
+        **options,
+    }
+    raw = spark.read.text(path)
+    if fmt == "csv":
+        parsed = raw.select(
+            F.from_csv(F.col("value"), full.simpleString(), opts).alias("_r")
+        )
+    else:
+        parsed = raw.select(F.from_json(F.col("value"), full, opts).alias("_r"))
+    return parsed.select("_r.*")
+
+
+def split_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean rows without the marker column, quarantined rows).
+
+    The quarantine side keeps the full row (partially-parsed fields + the
+    raw line) rather than the marker column alone — Spark disallows
+    queries that reference ONLY the internal corrupt-record column of a
+    raw text scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN),
+    and the parsed fragments are what an operator debugging the quarantine
+    wants anyway.
+    """
+    from pyspark.sql import functions as F
+
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull())
+    return good, bad

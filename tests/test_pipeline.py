@@ -182,3 +182,50 @@ def test_source_sink_roundtrip_all_formats(spark, tmp_path, fmt):
         df.where("event_date = '2024-01-01' and event_hour = '10'"), out, fmt=fmt, **opts
     )
     assert read_source(spark, out, data_schema, fmt=fmt, **opts).count() == 3
+
+
+class TestPermissiveIngest:
+    """Malformed-row quarantine: a bad line lands in the corrupt column,
+    never kills the scan, and re-parses losslessly from quarantine."""
+
+    SCHEMA_COLS = [("id", "long"), ("name", "string"), ("score", "double")]
+
+    def _schema(self):
+        from pyspark.sql.types import (
+            DoubleType, LongType, StringType, StructField, StructType,
+        )
+        types = {"long": LongType(), "string": StringType(), "double": DoubleType()}
+        return StructType([StructField(n, types[t]) for n, t in self.SCHEMA_COLS])
+
+    def test_csv_bad_rows_quarantined_not_fatal(self, spark, tmp_path):
+        from commerce_sessionization_spark.sources import (
+            read_source_permissive, split_corrupt,
+        )
+        p = tmp_path / "in"
+        p.mkdir()
+        (p / "d.csv").write_text(
+            "1,alice,3.5\nnot-a-number,bob,oops\n3,carol,2.25\n"
+        )
+        good, bad = split_corrupt(
+            read_source_permissive(spark, str(p), self._schema(), fmt="csv")
+        )
+        assert sorted(r["id"] for r in good.collect()) == [1, 3]
+        raw = [r["_corrupt_record"] for r in bad.collect()]
+        assert raw == ["not-a-number,bob,oops"]  # raw line kept verbatim
+
+    def test_json_bad_rows_quarantined(self, spark, tmp_path):
+        from commerce_sessionization_spark.sources import (
+            read_source_permissive, split_corrupt,
+        )
+        p = tmp_path / "inj"
+        p.mkdir()
+        (p / "d.json").write_text(
+            '{"id": 1, "name": "alice", "score": 3.5}\n'
+            '{"id": broken!!\n'
+            '{"id": 3, "name": "carol", "score": 2.25}\n'
+        )
+        good, bad = split_corrupt(
+            read_source_permissive(spark, str(p), self._schema(), fmt="json")
+        )
+        assert sorted(r["id"] for r in good.collect()) == [1, 3]
+        assert bad.count() == 1
