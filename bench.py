@@ -46,6 +46,11 @@ HEADLINE = [
     "segment_dedup_docs",
     "cms_heavy_hitters",
     "histogram_quantile_sketch",
+    # round-2 session additions (new operator families)
+    "repetition_scores",
+    "ngram_decontaminate",
+    "hourly_rollup_merge",
+    "market_share",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off
