@@ -2891,6 +2891,86 @@ FROM orders
 """
 
 
+def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution shape: doc pairs whose 20-char lowercased prefixes
+    are within edit distance 5, blocked by (lang, source) so the quadratic
+    stays inside small buckets (the classic blocking+compare pattern —
+    at corpus scale the block key IS the scalability contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", "source",
+        F.lower(F.substring("text", 1, 20)).alias("p"),
+    )
+    l, r = d.alias("l"), d.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.lang") == F.col("r.lang"))
+            & (F.col("l.source") == F.col("r.source"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.levenshtein(F.col("l.p"), F.col("r.p")).cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 5)
+    )
+
+
+SQL_FUZZY_PREFIX_PAIRS = """
+WITH d AS (
+  SELECT doc_id, lang, source, lower(substr(text, 1, 20)) AS p FROM documents
+)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       CAST(levenshtein(l.p, r.p) AS BIGINT) AS dist
+FROM d l JOIN d r
+  ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+WHERE levenshtein(l.p, r.p) <= 5
+"""
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM): per-key event
+    counts from two halves of the stream joined so the NULL key matches
+    itself — the semantics corner a plain `=` silently drops."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = F.get_json_object("props", "$.k").cast("long")
+    k = F.when(kv % 7 == 0, F.lit(None).cast("long")).otherwise(kv)
+    keyed = ev.select(F.col("event_id"), k.alias("k"))
+    a = (
+        keyed.filter(F.col("event_id") % 2 == 0)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+        .alias("a")
+    )
+    b = (
+        keyed.filter(F.col("event_id") % 2 == 1)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+        .alias("b")
+    )
+    return a.join(b, F.col("a.k").eqNullSafe(F.col("b.k"))).select(
+        F.col("a.k").alias("k"), "n_a", "n_b"
+    )
+
+
+SQL_NULL_SAFE_JOIN = """
+WITH keyed AS (
+  SELECT event_id,
+         CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+              THEN NULL
+              ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+  FROM events
+), a AS (
+  SELECT k, count(*) AS n_a FROM keyed WHERE event_id % 2 = 0 GROUP BY k
+), b AS (
+  SELECT k, count(*) AS n_b FROM keyed WHERE event_id % 2 = 1 GROUP BY k
+)
+SELECT a.k, a.n_a, b.n_b FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
 def q_media_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the oracle: documents' text bytes pose as
     image payloads, run through the REAL Arrow-batched ``mapInPandas``
@@ -3501,6 +3581,11 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "Q8-shaped 7-table snowflake with double-role nation join"),
     QueryDef("running_revenue", q_running_revenue, SQL_RUNNING_REVENUE,
              "cumulative ROWS-frame window (decimal-exact prefix sums)"),
+    QueryDef("fuzzy_prefix_pairs", q_fuzzy_prefix_pairs,
+             SQL_FUZZY_PREFIX_PAIRS,
+             "blocked edit-distance pairing (entity-resolution shape)"),
+    QueryDef("null_safe_join", q_null_safe_join, SQL_NULL_SAFE_JOIN,
+             "null-safe equality join (<=> / IS NOT DISTINCT FROM)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
