@@ -1,0 +1,118 @@
+"""Declarative data-quality checks (deequ/dbt-test-style) as one pass of
+small aggregations.
+
+Each rule compiles to a violation count; ``check_rules`` returns the
+``(rule, n_violations)`` table a pipeline gates on before publishing a
+partition. Counting (not row-materializing) keeps every check a
+map-side-combinable aggregate — at 100 TB the checks add one scan over
+the columns referenced, nothing more; the referential check is a
+broadcast-or-shuffle anti join that AQE sizes like any other.
+
+Rules:
+- ``not_null(col)``            — NULLs in a required column
+- ``unique(*cols)``            — rows beyond the first per duplicate key
+- ``in_range(col, lo, hi)``    — values outside [lo, hi] (NULLs ignored)
+- ``accepted_values(col, vs)`` — values outside the enum (NULLs ignored)
+- ``foreign_key(col, dim, dim_col)`` — orphan keys with no dim match
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    kind: str
+    payload: tuple
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null({col})", "not_null", (col,))
+
+
+def unique(*cols: str) -> Rule:
+    return Rule(f"unique({','.join(cols)})", "unique", tuple(cols))
+
+
+def in_range(col: str, lo: Any, hi: Any) -> Rule:
+    return Rule(f"in_range({col},{lo},{hi})", "in_range", (col, lo, hi))
+
+
+def accepted_values(col: str, values: Sequence[Any]) -> Rule:
+    return Rule(
+        f"accepted_values({col})", "accepted_values", (col, tuple(values))
+    )
+
+
+def foreign_key(col: str, dim: DataFrame, dim_col: str) -> Rule:
+    return Rule(f"foreign_key({col})", "foreign_key", (col, dim, dim_col))
+
+
+def _violations(df: DataFrame, rule: Rule) -> DataFrame:
+    if rule.kind == "not_null":
+        (col,) = rule.payload
+        out = df.agg(
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("n")
+        )
+    elif rule.kind == "unique":
+        cols = list(rule.payload)
+        out = (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.coalesce(F.sum(F.col("_c") - 1), F.lit(0)).alias("n"))
+        )
+    elif rule.kind == "in_range":
+        col, lo, hi = rule.payload
+        out = df.agg(
+            F.sum(
+                F.when(
+                    F.col(col).isNotNull()
+                    & ((F.col(col) < lo) | (F.col(col) > hi)),
+                    1,
+                ).otherwise(0)
+            ).alias("n")
+        )
+    elif rule.kind == "accepted_values":
+        col, values = rule.payload
+        out = df.agg(
+            F.sum(
+                F.when(
+                    F.col(col).isNotNull() & ~F.col(col).isin(*values), 1
+                ).otherwise(0)
+            ).alias("n")
+        )
+    elif rule.kind == "foreign_key":
+        col, dim, dim_col = rule.payload
+        out = (
+            df.select(F.col(col).alias("_k"))
+            .filter(F.col("_k").isNotNull())
+            .join(
+                dim.select(F.col(dim_col).alias("_k")).distinct(),
+                "_k",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    else:  # pragma: no cover
+        raise ValueError(f"unknown rule kind {rule.kind!r}")
+    return out.select(
+        F.lit(rule.name).alias("rule"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_violations"),
+    )
+
+
+def check_rules(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """(rule, n_violations) — one row per rule. ``n_violations == 0``
+    everywhere ⇔ the frame passes the contract."""
+    if not rules:
+        raise ValueError("need at least one rule")
+    acc = _violations(df, rules[0])
+    for r in rules[1:]:
+        acc = acc.unionByName(_violations(df, r))
+    return acc

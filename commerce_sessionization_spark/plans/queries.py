@@ -2891,6 +2891,65 @@ FROM orders
 """
 
 
+def q_dq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over orders: five declarative rules compiled to
+    violation counts (zero rows materialized; the publish gate is
+    `max(n_violations) == 0`). in_range deliberately binds at 450k so a
+    real nonzero count exercises the reporting path."""
+    from commerce_sessionization_spark.operators.dq import (
+        accepted_values,
+        check_rules,
+        foreign_key,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rules = [
+        not_null("o_custkey"),
+        unique("o_orderkey"),
+        in_range("o_totalprice", 0.0, 450000.0),
+        accepted_values(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        ),
+        foreign_key("o_custkey", customer, "c_custkey"),
+    ]
+    return check_rules(orders, rules)
+
+
+SQL_DQ_ORDERS = """
+SELECT 'not_null(o_custkey)' AS rule,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations
+FROM orders
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       CAST(COALESCE(sum(c - 1), 0) AS BIGINT)
+FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)
+UNION ALL
+SELECT 'in_range(o_totalprice,0.0,450000.0)',
+       CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                      AND (o_totalprice < 0.0 OR o_totalprice > 450000.0)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'accepted_values(o_orderpriority)',
+       CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                      AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH',
+                        '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'foreign_key(o_custkey)',
+       CAST(count(*) AS BIGINT)
+FROM orders WHERE o_custkey IS NOT NULL
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
 def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution shape: doc pairs whose 20-char lowercased prefixes
     are within edit distance 5, blocked by (lang, source) so the quadratic
@@ -3586,6 +3645,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "blocked edit-distance pairing (entity-resolution shape)"),
     QueryDef("null_safe_join", q_null_safe_join, SQL_NULL_SAFE_JOIN,
              "null-safe equality join (<=> / IS NOT DISTINCT FROM)"),
+    QueryDef("dq_orders", q_dq_orders, SQL_DQ_ORDERS,
+             "declarative data-quality gate: five rules -> violation "
+             "counts"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

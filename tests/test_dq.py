@@ -1,0 +1,74 @@
+"""Data-quality rules: each kind counts planted violations exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+
+from commerce_sessionization_spark.operators.dq import (
+    accepted_values,
+    check_rules,
+    foreign_key,
+    in_range,
+    not_null,
+    unique,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, k=10, status="ok", score=5.0),
+            Row(id=2, k=None, status="ok", score=150.0),   # null k, high score
+            Row(id=2, k=11, status="weird", score=-3.0),   # dup id, bad enum, low
+            Row(id=3, k=12, status="ok", score=50.0),
+            Row(id=3, k=99, status="ok", score=None),      # dup id, orphan k
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.createDataFrame([Row(key=k) for k in (10, 11, 12)])
+
+
+def _counts(df):
+    return {r["rule"]: r["n_violations"] for r in df.collect()}
+
+
+def test_each_rule_counts_planted_violations(spark, frame, dim):
+    got = _counts(
+        check_rules(
+            frame,
+            [
+                not_null("k"),
+                unique("id"),
+                in_range("score", 0.0, 100.0),
+                accepted_values("status", ["ok", "pending"]),
+                foreign_key("k", dim, "key"),
+            ],
+        )
+    )
+    assert got["not_null(k)"] == 1
+    assert got["unique(id)"] == 2  # ids 2 and 3 each appear twice
+    assert got["in_range(score,0.0,100.0)"] == 2  # 150.0 and -3.0; NULL ignored
+    assert got["accepted_values(status)"] == 1
+    assert got["foreign_key(k)"] == 1  # 99 orphan; NULL ignored
+
+
+def test_clean_frame_passes_everything(spark, dim):
+    clean = spark.createDataFrame([Row(id=1, k=10), Row(id=2, k=11)])
+    got = _counts(
+        check_rules(clean, [not_null("k"), unique("id"), foreign_key("k", dim, "key")])
+    )
+    assert set(got.values()) == {0}
+
+
+def test_empty_frame_counts_zero_not_null_rows(spark, frame, dim):
+    empty = frame.limit(0)
+    got = _counts(
+        check_rules(empty, [not_null("k"), unique("id"), in_range("score", 0, 1)])
+    )
+    assert set(got.values()) == {0}
