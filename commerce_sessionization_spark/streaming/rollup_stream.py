@@ -1,10 +1,12 @@
-"""Streaming continuous aggregate: fold each micro-batch into a persistent
-time-bucket rollup table, exactly-once.
+"""Streaming incremental state maintenance: fold each micro-batch into a
+persistent mergeable state table, exactly-once.
 
-The streaming face of ``operators.rollup``: the batch operator's merge law
-(``merge(state, rollup(batch)) == rollup(all events so far)``) is what
-makes incremental view maintenance correct; this module makes it *durable*
-under crash/replay.
+Works for ANY state with an associative+commutative merge — time-bucket
+rollups, count-min cells, bloom bit sets, HLL registers: supply
+``partial_fn`` (batch → state rows) and ``merge_fn`` (state ∪ state →
+state) and the maintainer handles durability. The batch operators supply
+the algebra (e.g. ``operators.rollup``'s exact decimal merge law); this
+module makes it durable under crash/replay.
 
 Idempotency is MVCC-by-epoch, not in-place mutation: epoch ``e`` writes a
 complete new state version ``{out}/rollup_state/v=e`` computed from the
@@ -13,15 +15,15 @@ latest version *older than e* plus the batch — so replaying an epoch
 SAME version from the SAME inputs and overwrites it, instead of
 double-counting into a shared table. A version is live only once its
 ``_SUCCESS`` marker exists (parquet commit protocol); readers resolve
-``max(version with _SUCCESS)``. State size is O(buckets × keys) rows, so
-rewriting a full version per epoch is metadata-cheap — the events
-themselves are never re-read.
+``max(version with _SUCCESS)``. State size is O(state rows) — buckets,
+sketch cells — so rewriting a full version per epoch is metadata-cheap;
+the events themselves are never re-read.
 """
 
 from __future__ import annotations
 
 import re
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -47,7 +49,7 @@ def _live_versions(spark: SparkSession, state_root: str) -> list[int]:
 def read_rollup_state(
     spark: SparkSession, out_path: str, before: int | None = None
 ) -> DataFrame | None:
-    """Latest committed rollup version (optionally: latest OLDER than
+    """Latest committed state version (optionally: latest OLDER than
     ``before``, which is what an epoch replay must read). None if empty."""
     state_root = f"{out_path}/rollup_state"
     versions = _live_versions(spark, state_root)
@@ -58,30 +60,27 @@ def read_rollup_state(
     return spark.read.parquet(f"{state_root}/v={versions[-1]}")
 
 
-def make_rollup_writer(
+def make_incremental_writer(
     spark: SparkSession,
     out_path: str,
-    keys: Sequence[str] = ("event_type",),
-    bucket: str = "hour",
+    partial_fn: Callable[[DataFrame], DataFrame],
+    merge_fn: Callable[[DataFrame, DataFrame], DataFrame],
     keep_versions: int = 3,
 ):
-    """Build the idempotent ``foreachBatch`` fn maintaining the rollup.
+    """Build an idempotent ``foreachBatch`` fn for any mergeable state.
 
     Public so tests can drive epochs directly and assert replay safety.
     Old committed versions beyond ``keep_versions`` are pruned AFTER the
     new version commits (a crash mid-prune leaves extra versions, never
-    missing ones).
+    missing ones) — a replay of the newest epoch always finds its
+    predecessor as long as ``keep_versions >= 2``.
     """
     state_root = f"{out_path}/rollup_state"
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
-        partial = time_bucket_rollup(batch_df, keys=tuple(keys), bucket=bucket)
+        partial = partial_fn(batch_df)
         prev = read_rollup_state(spark, out_path, before=epoch_id)
-        merged = (
-            partial
-            if prev is None
-            else merge_rollups(prev, partial, keys=tuple(keys))
-        )
+        merged = partial if prev is None else merge_fn(prev, partial)
         # overwrite => replaying this epoch rewrites the same version
         merged.write.mode("overwrite").parquet(f"{state_root}/v={epoch_id}")
         live = _live_versions(spark, state_root)
@@ -91,6 +90,52 @@ def make_rollup_writer(
                 fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_root}/v={v}"), True)
 
     return write
+
+
+def make_rollup_writer(
+    spark: SparkSession,
+    out_path: str,
+    keys: Sequence[str] = ("event_type",),
+    bucket: str = "hour",
+    keep_versions: int = 3,
+):
+    """Incremental time-bucket rollup (continuous aggregate)."""
+    return make_incremental_writer(
+        spark,
+        out_path,
+        lambda df: time_bucket_rollup(df, keys=tuple(keys), bucket=bucket),
+        lambda a, b: merge_rollups(a, b, keys=tuple(keys)),
+        keep_versions=keep_versions,
+    )
+
+
+def make_cms_writer(
+    spark: SparkSession,
+    out_path: str,
+    key_col: str,
+    keep_versions: int = 3,
+):
+    """Incremental count-min sketch over a streaming key column — the
+    sketch algebra (cell-wise sum) rides the same MVCC maintainer, so a
+    streaming heavy-hitter table needs no second durability mechanism."""
+    from pyspark.sql import functions as F
+
+    from commerce_sessionization_spark.operators.sketches import count_min_cells
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b)
+            .groupBy("r_idx", "c_idx")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    return make_incremental_writer(
+        spark,
+        out_path,
+        lambda df: count_min_cells(df, key_col),
+        merge,
+        keep_versions=keep_versions,
+    )
 
 
 def rollup_stream(

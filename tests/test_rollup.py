@@ -141,3 +141,35 @@ def test_rollup_stream_end_to_end(spark, tmp_path):
     q.stop()
     direct = time_bucket_rollup(_ev_df(spark, EPOCH_0 + EPOCH_1), keys=("event_type",))
     assert _state_totals(read_rollup_state(spark, out)) == _state_totals(direct)
+
+
+def test_cms_writer_incremental_equals_direct_and_replay_safe(spark, tmp_path):
+    """The generic maintainer carries sketch algebra too: streaming
+    count-min state == the sketch of all rows, and replay never
+    double-counts cells."""
+    from pyspark.sql import functions as F
+    from commerce_sessionization_spark.operators.sketches import count_min_cells
+    from commerce_sessionization_spark.streaming.rollup_stream import (
+        make_cms_writer,
+        read_rollup_state,
+    )
+
+    def toks(spark, words):
+        return spark.createDataFrame([Row(tok=w) for w in words])
+
+    w0 = ["a", "b", "a", "c"]
+    w1 = ["a", "c", "c", "d"]
+    out = str(tmp_path / "cms")
+    write = make_cms_writer(spark, out, "tok")
+    write(toks(spark, w0), 0)
+    write(toks(spark, w1), 1)
+    write(toks(spark, w1), 1)  # replay
+    got = {
+        (r["r_idx"], r["c_idx"]): r["cnt"]
+        for r in read_rollup_state(spark, out).collect()
+    }
+    want = {
+        (r["r_idx"], r["c_idx"]): r["cnt"]
+        for r in count_min_cells(toks(spark, w0 + w1), "tok").collect()
+    }
+    assert got == want
