@@ -2891,6 +2891,106 @@ FROM orders
 """
 
 
+def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA: estimate |view-users ∩ purchase-users| from
+    the two K-minimum-value sketches alone (union sketch = K smallest of
+    the merged hash sets; Ĵ = shared-below-τ / K; ∩̂ = Ĵ · union-estimate).
+    Every step is integer/set arithmetic until the final two doubles, so
+    the oracle replays the sketch bit-for-bit; the exact intersection
+    rides along to show the estimate lands near truth."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+        .withColumn(
+            "h", hex_to_long(F.sha2(F.col("user_id").cast("string"), 256))
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sketches = du.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    union_w = Window.orderBy("h")
+    union_k = (
+        sketches.select("h")
+        .distinct()
+        .withColumn("urn", F.row_number().over(union_w))
+        .filter(F.col("urn") <= KMV_K)
+    )
+    tau = union_k.agg(F.max("h").alias("tau"))
+    shared = (
+        sketches.groupBy("h")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .join(F.broadcast(tau), F.col("h") <= F.col("tau"))
+        .filter(F.col("nt") == 2)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    exact = (
+        du.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        shared.crossJoin(F.broadcast(tau))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("tau").alias("tau"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            _quant(F.col("n_shared") / F.lit(float(KMV_K)), 6).alias(
+                "est_jaccard_q6"
+            ),
+            F.floor(
+                (F.col("n_shared") / F.lit(float(KMV_K)))
+                * (F.lit(_KMV_NUM) / F.col("tau").cast("double"))
+            )
+            .cast("long")
+            .alias("est_intersection"),
+            F.col("exact_intersection").cast("long").alias("exact_intersection"),
+        )
+    )
+
+
+SQL_KMV_SET_OVERLAP = f"""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IN ('view', 'purchase')
+), h AS (
+  SELECT event_type, {_USER_HASH_SQL} AS h FROM du
+), sk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+), sketches AS (SELECT event_type, h FROM sk WHERE rn <= {KMV_K}),
+uk AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS urn
+  FROM (SELECT DISTINCT h FROM sketches)
+), tau AS (SELECT max(h) AS tau FROM uk WHERE urn <= {KMV_K}),
+shared AS (
+  SELECT count(*) AS n_shared FROM (
+    SELECT s.h FROM sketches s, tau
+    GROUP BY s.h, tau.tau
+    HAVING count(DISTINCT s.event_type) = 2 AND s.h <= tau.tau
+  )
+), exact AS (
+  SELECT count(*) AS exact_intersection FROM (
+    SELECT user_id FROM du GROUP BY user_id
+    HAVING count(DISTINCT event_type) = 2
+  )
+)
+SELECT tau.tau,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(floor(n_shared / {float(KMV_K)!r} * 1000000.0) AS BIGINT)
+         AS est_jaccard_q6,
+       CAST(floor((n_shared / {float(KMV_K)!r})
+                  * ({_KMV_NUM!r} / tau.tau::DOUBLE)) AS BIGINT)
+         AS est_intersection,
+       CAST(exact_intersection AS BIGINT) AS exact_intersection
+FROM shared, tau, exact
+"""
+
+
 def q_dq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate over orders: five declarative rules compiled to
     violation counts (zero rows materialized; the publish gate is
@@ -3648,6 +3748,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("dq_orders", q_dq_orders, SQL_DQ_ORDERS,
              "declarative data-quality gate: five rules -> violation "
              "counts"),
+    QueryDef("kmv_set_overlap", q_kmv_set_overlap, SQL_KMV_SET_OVERLAP,
+             "KMV sketch set algebra: intersection estimate from two "
+             "sketches vs exact"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
