@@ -108,3 +108,64 @@ def test_sessionize_properties(spark, traffic, seed):
         (sid,) = ids
         assert sid not in ids_seen or ids_seen[sid] == key, "id collision"
         ids_seen[sid] = key
+
+
+# --------------------------------------------------------------------------
+# Rollup merge law: merge(rollup(A), rollup(B)) == rollup(A ∪ B) for EVERY
+# event multiset and EVERY 2-way split — the invariant incremental
+# maintenance (batch merge + streaming MVCC maintainer) rests on.
+# --------------------------------------------------------------------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3 * 3600),     # offset seconds
+        st.sampled_from(["view", "cart", "purchase"]),
+        # two-decimal money values keep the DECIMAL(18,2) cast lossless
+        st.integers(min_value=-10_000, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy, cut=st.integers(min_value=0, max_value=30))
+def test_rollup_merge_law(spark, events, cut):
+    from commerce_sessionization_spark.operators.rollup import (
+        merge_rollups,
+        time_bucket_rollup,
+    )
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType([
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    rows = [
+        (T0 + timedelta(seconds=off), et, cents / 100.0)
+        for off, et, cents in events
+    ]
+    cut = min(cut, len(rows))
+    keys = ("event_type",)
+
+    def canon(df):
+        return sorted(
+            (str(r["bucket_ts"]), r["event_type"], r["cnt"], str(r["sum_value"]),
+             r["min_value"], r["max_value"])
+            for r in df.collect()
+        )
+
+    direct = time_bucket_rollup(spark.createDataFrame(rows, schema), keys=keys)
+    a = time_bucket_rollup(spark.createDataFrame(rows[:cut], schema) if cut
+                           else spark.createDataFrame([], schema), keys=keys)
+    b = time_bucket_rollup(
+        spark.createDataFrame(rows[cut:], schema) if cut < len(rows)
+        else spark.createDataFrame([], schema), keys=keys)
+    assert canon(merge_rollups(a, b, keys=keys)) == canon(direct)
