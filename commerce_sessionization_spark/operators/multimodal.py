@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -225,4 +226,82 @@ def media_metadata_stats(df: DataFrame) -> DataFrame:
     return df.groupBy("modality").agg(
         F.count(F.lit(1)).alias("n_assets"),
         F.round(F.avg(F.length("content")), 2).alias("avg_bytes"),
+    )
+
+
+RESIZED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, max_dim: int = 64, fake: bool = False) -> DataFrame:
+    """Downscale image payloads so the longest edge ≤ ``max_dim`` via
+    Arrow-batched ``mapInPandas`` (the thumbnail/normalize step every
+    vision-data pipeline runs before feature extraction).
+
+    Real path: BMP decode → nearest-neighbor index sampling (pure numpy,
+    no PIL) → BMP re-encode; images already within bounds pass through
+    byte-identical. Non-BMP raises ``NotImplementedError`` (codec libs);
+    ``fake=True`` emits a deterministic payload-seeded stand-in with the
+    correctly scaled dimensions so pipeline shape stays testable.
+
+    Output keeps the ``content`` column a decodable image — resize
+    composes with ``extract_image_features`` downstream.
+    """
+    import numpy as np
+
+    from commerce_sessionization_spark.functions.codecs import (
+        UnsupportedMediaError,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    def scaled(w: int, h: int) -> tuple[int, int]:
+        m = max(w, h)
+        if m <= max_dim:
+            return w, h
+        return max(1, (w * max_dim) // m), max(1, (h * max_dim) // m)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for a, c in zip(pdf["asset_id"], pdf["content"]):
+                payload = bytes(c or b"")
+                if fake:
+                    hsh = hashlib.sha256(payload).digest()
+                    w, h = scaled(64 + hsh[0] % 192, 64 + hsh[1] % 192)
+                    recs.append(
+                        {"asset_id": a, "width": w, "height": h,
+                         "content": hsh * 2}
+                    )
+                    continue
+                try:
+                    rgb, _bits = decode_bmp(payload)
+                except UnsupportedMediaError as e:
+                    raise NotImplementedError(
+                        f"asset {a}: only BMP resizes without codec libs "
+                        f"({e}); use fake=True for other formats"
+                    ) from e
+                ih, iw = rgb.shape[:2]
+                w, h = scaled(iw, ih)
+                if (w, h) == (iw, ih):
+                    out = payload  # within bounds: byte-identical passthrough
+                else:
+                    ys = (np.arange(h) * ih) // h
+                    xs = (np.arange(w) * iw) // w
+                    out = encode_bmp(rgb[ys][:, xs])
+                recs.append(
+                    {"asset_id": a, "width": w, "height": h, "content": out}
+                )
+            yield pd.DataFrame.from_records(
+                recs, columns=["asset_id", "width", "height", "content"]
+            )
+
+    return df.filter(F.col("modality") == "image").mapInPandas(
+        batches, schema=RESIZED_IMAGE_SCHEMA
     )
