@@ -2891,6 +2891,53 @@ FROM orders
 """
 
 
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history of each user's event-type state: consecutive
+    same-type events collapse into one open version; each change closes
+    the prior range. The warehouse time-travel primitive, built from one
+    Exchange + shared-sort window chain."""
+    from commerce_sessionization_spark.operators.scd import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev.select("user_id", "ts", "event_type", "event_id"),
+        key_cols=("user_id",),
+        attr_cols=("event_type",),
+        ts_col="ts",
+        order_cols=("event_id",),
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        "effective_from",
+        "effective_to",
+        F.col("version").cast("long").alias("version"),
+        F.col("is_current").cast("long").alias("is_current"),
+    )
+
+
+SQL_SCD2_USER_STATE = """
+WITH marked AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS new_version
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), versions AS (
+  SELECT user_id, ts, event_type, event_id FROM marked WHERE new_version = 1
+)
+SELECT user_id, event_type,
+       ts AS effective_from,
+       lead(ts) OVER w2 AS effective_to,
+       CAST(row_number() OVER w2 AS BIGINT) AS version,
+       CAST(CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_current
+FROM versions
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketch SET ALGEBRA: estimate |view-users ∩ purchase-users| from
     the two K-minimum-value sketches alone (union sketch = K smallest of
@@ -3751,6 +3798,8 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("kmv_set_overlap", q_kmv_set_overlap, SQL_KMV_SET_OVERLAP,
              "KMV sketch set algebra: intersection estimate from two "
              "sketches vs exact"),
+    QueryDef("scd2_user_state", q_scd2_user_state, SQL_SCD2_USER_STATE,
+             "SCD Type-2 versioned history with change collapse"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
