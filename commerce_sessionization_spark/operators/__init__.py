@@ -31,9 +31,33 @@ from commerce_sessionization_spark.operators.similarity import (
 )
 from commerce_sessionization_spark.operators.text import (
     language_id,
+    pii_scrub,
     quality_score,
+    repetition_scores,
     with_fingerprint,
     with_text_stats,
+)
+from commerce_sessionization_spark.operators.decontam import (
+    decontaminate,
+    ngram_contamination,
+)
+from commerce_sessionization_spark.operators.dq import check_rules
+from commerce_sessionization_spark.operators.graph import pagerank
+from commerce_sessionization_spark.operators.multimodal import (
+    extract_audio_features,
+    extract_image_features,
+    media_metadata_stats,
+    resize_images,
+    sample_video_frames,
+)
+from commerce_sessionization_spark.operators.rollup import (
+    merge_rollups,
+    time_bucket_rollup,
+)
+from commerce_sessionization_spark.operators.scd import scd2_history, snapshot_asof
+from commerce_sessionization_spark.operators.sketches import (
+    bloom_bits,
+    bloom_contains,
 )
 
 __all__ = [
@@ -63,7 +87,24 @@ __all__ = [
     "ivf_search",
     "seed_centroids",
     "language_id",
+    "pii_scrub",
     "quality_score",
+    "repetition_scores",
     "with_fingerprint",
     "with_text_stats",
+    "decontaminate",
+    "ngram_contamination",
+    "check_rules",
+    "pagerank",
+    "extract_audio_features",
+    "extract_image_features",
+    "media_metadata_stats",
+    "resize_images",
+    "sample_video_frames",
+    "merge_rollups",
+    "time_bucket_rollup",
+    "scd2_history",
+    "snapshot_asof",
+    "bloom_bits",
+    "bloom_contains",
 ]
