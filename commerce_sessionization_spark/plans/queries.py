@@ -2891,6 +2891,54 @@ FROM orders
 """
 
 
+def q_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: JSON props parsed to map<string,long> and exploded
+    to (event_id, key, value) rows — schema-free key/value extraction,
+    the complement of the fixed-path get_json_object query."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select("event_id", F.explode(m).alias("key", "value")).select(
+        "event_id", "key", F.col("value").cast("long").alias("value")
+    )
+
+
+SQL_PROPS_MAP_EXPLODE = """
+SELECT event_id, k AS key,
+       CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS value
+FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+"""
+
+
+def q_window_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window family over one shared spec: first_value, last_value
+    (running frame), nth_value(2), percent_rank — completing the window
+    coverage next to the rank suite."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(running).alias("first_type"),
+        F.last("event_type").over(running).alias("running_last_type"),
+        F.nth_value("event_type", 2).over(running).alias("second_type"),
+        _quant(F.percent_rank().over(w), 6).alias("pct_rank_q6"),
+    )
+
+
+SQL_WINDOW_VALUE_SUITE = """
+SELECT event_id, user_id,
+       first_value(event_type) OVER w_run AS first_type,
+       last_value(event_type) OVER w_run AS running_last_type,
+       nth_value(event_type, 2) OVER w_run AS second_type,
+       CAST(floor(percent_rank() OVER w * 1000000.0) AS BIGINT) AS pct_rank_q6
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history of each user's event-type state: consecutive
     same-type events collapse into one open version; each change closes
@@ -3800,6 +3848,11 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "sketches vs exact"),
     QueryDef("scd2_user_state", q_scd2_user_state, SQL_SCD2_USER_STATE,
              "SCD Type-2 versioned history with change collapse"),
+    QueryDef("props_map_explode", q_props_map_explode, SQL_PROPS_MAP_EXPLODE,
+             "JSON -> map<string,long> parse + explode (MapType surface)"),
+    QueryDef("window_value_suite", q_window_value_suite,
+             SQL_WINDOW_VALUE_SUITE,
+             "first/last/nth_value + percent_rank over one shared spec"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
