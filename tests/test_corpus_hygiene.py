@@ -169,3 +169,33 @@ def test_bloom_false_positive_rate_reasonable(spark):
     )
     # fill ≈ 1-e^(-300/1024) ≈ 0.254 → fp ≈ 1.6%; allow generous slack
     assert fp < 100
+
+
+def test_pii_scrub_works_on_streams_unchanged(spark, tmp_path):
+    """The scrub is stateless column expressions, so the SAME operator
+    runs on a readStream frame — batch/stream unification for the
+    hygiene surface."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "write to alice@example.com today"), (2, "clean text")], schema
+    ).coalesce(1).write.parquet(str(src / "d0.parquet"))
+
+    stream = spark.readStream.schema(schema).parquet(f"{src}/d*.parquet")
+    q = (
+        pii_scrub(stream)
+        .writeStream.format("memory")
+        .queryName("scrub_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM scrub_sink").collect()}
+    assert rows[1]["n_emails"] == 1 and "<EMAIL>" in rows[1]["scrubbed"]
+    assert rows[2]["n_emails"] == 0 and rows[2]["scrubbed"] == "clean text"

@@ -163,3 +163,12 @@ def test_pii_scrub_stays_jvm_side(spark, queries):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
     assert node_count(plan, "Exchange") == 0
+
+
+def test_window_value_suite_single_exchange_and_window(spark, queries):
+    """Four window functions over two frame variants of one spec must fuse:
+    one Exchange, one Sort, ONE Window node."""
+    plan = plan_of(queries["window_value_suite"](spark, SF_DIR))
+    assert node_count(plan, "Exchange") == 1
+    assert node_count(plan, "Sort") == 1
+    assert node_count(plan, "Window") == 1
