@@ -2891,6 +2891,47 @@ FROM orders
 """
 
 
+def q_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond CUBE/ROLLUP's fixed lattices) with
+    grouping_id to disambiguate the NULL-as-total rows — written on the
+    raw spark.sql surface since the DataFrame API exposes only the fixed
+    lattices."""
+    from commerce_sessionization_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT)
+                 AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS (
+          (o_orderpriority, o_orderstatus),
+          (o_orderpriority),
+          (o_orderstatus),
+          ()
+        )
+    """)
+
+
+SQL_ORDER_GROUPING_SETS = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT)
+         AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS (
+  (o_orderpriority, o_orderstatus),
+  (o_orderpriority),
+  (o_orderstatus),
+  ()
+)
+"""
+
+
 def q_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface: JSON props parsed to map<string,long> and exploded
     to (event_id, key, value) rows — schema-free key/value extraction,
@@ -3853,6 +3894,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("window_value_suite", q_window_value_suite,
              SQL_WINDOW_VALUE_SUITE,
              "first/last/nth_value + percent_rank over one shared spec"),
+    QueryDef("order_grouping_sets", q_order_grouping_sets,
+             SQL_ORDER_GROUPING_SETS,
+             "explicit GROUPING SETS + grouping_id on the raw SQL surface"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
