@@ -2891,6 +2891,95 @@ FROM orders
 """
 
 
+def q_daily_activity_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: per-user calendar from first to last
+    active day via sequence()+explode (dimension generation), left-joined
+    to actual daily counts with zero fill — the densification step every
+    downstream rolling metric needs. Restricted to users 0-9 to keep the
+    generated calendar bounded in the gate."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    return calendar.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+SQL_DAILY_ACTIVITY_GAPFILLED = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), calendar AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM spans
+)
+SELECT c.user_id, c.day::VARCHAR AS day,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+FROM calendar c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+"""
+
+
+def q_priority_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide conditional-agg table turned back to long
+    (priority, measure, value) rows — the inverse of the pivot surface."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["n_orders", "revenue"], "measure", "value"
+    )
+
+
+SQL_PRIORITY_UNPIVOT = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, measure, value
+FROM wide UNPIVOT (value FOR measure IN (n_orders, revenue))
+"""
+
+
+def q_distinct_purchasers_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional distinct aggregation: per day, distinct purchasers vs
+    distinct active users in ONE pass (count(DISTINCT CASE ...))."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).cast("long").alias("purchasers"),
+        F.countDistinct("user_id").cast("long").alias("active_users"),
+    ).select(F.col("day").cast("string").alias("day"), "purchasers",
+             "active_users")
+
+
+SQL_DISTINCT_PURCHASERS_DAILY = """
+SELECT CAST(ts AS DATE)::VARCHAR AS day,
+       CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+            AS BIGINT) AS purchasers,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+FROM events GROUP BY 1
+"""
+
+
 def q_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond CUBE/ROLLUP's fixed lattices) with
     grouping_id to disambiguate the NULL-as-total rows — written on the
@@ -3897,6 +3986,15 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("order_grouping_sets", q_order_grouping_sets,
              SQL_ORDER_GROUPING_SETS,
              "explicit GROUPING SETS + grouping_id on the raw SQL surface"),
+    QueryDef("daily_activity_gapfilled", q_daily_activity_gapfilled,
+             SQL_DAILY_ACTIVITY_GAPFILLED,
+             "time-series densification: sequence()+explode calendar, "
+             "zero-filled gaps"),
+    QueryDef("priority_unpivot", q_priority_unpivot, SQL_PRIORITY_UNPIVOT,
+             "UNPIVOT/melt — the inverse of the pivot surface"),
+    QueryDef("distinct_purchasers_daily", q_distinct_purchasers_daily,
+             SQL_DISTINCT_PURCHASERS_DAILY,
+             "conditional distinct counts in one pass"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
