@@ -77,7 +77,24 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--watermark", default="30 minutes")
     _add_common(st)
 
+    q = sub.add_parser(
+        "query",
+        help="run any catalog query (plans.queries) against a testdata dir",
+    )
+    q.add_argument("name", nargs="?", help="query name; omit to list all")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="table directory (parquet per table)")
+    q.add_argument("--out", default=None,
+                   help="write result parquet here (default: show 20 rows)")
+    q.add_argument("--master", default=None)
+
     args = top.parse_args(argv)
+    if args.cmd == "query" and not args.name:
+        from commerce_sessionization_spark.plans.queries import FULL_CATALOG
+
+        for qd in FULL_CATALOG:
+            print(f"{qd.name:32s} {qd.doc}")
+        return 0
     spark = get_spark(app_name=f"csz-{args.cmd}", master=args.master)
     try:
         if args.cmd == "divide":
@@ -121,6 +138,17 @@ def main(argv: list[str] | None = None) -> int:
                 available_now=not args.follow,
             )
             q.awaitTermination()
+        elif args.cmd == "query":
+            from commerce_sessionization_spark.plans.queries import all_spark_queries
+
+            queries = all_spark_queries()
+            if args.name not in queries:
+                top.error(f"unknown query {args.name!r} (run with no name to list)")
+            df = queries[args.name](spark, args.sf_dir)
+            if args.out:
+                df.write.mode("overwrite").parquet(args.out)
+            else:
+                df.show(20, truncate=False)
     finally:
         spark.stop()
     return 0

@@ -229,3 +229,30 @@ class TestPermissiveIngest:
         )
         assert sorted(r["id"] for r in good.collect()) == [1, 3]
         assert bad.count() == 1
+
+
+def test_cli_query_subcommand(tmp_path):
+    """`query` lists the catalog and runs a query to parquet end-to-end."""
+    import subprocess
+    import sys as _sys
+
+    env_path = "/root/repo"
+    ls = subprocess.run(
+        [_sys.executable, "-m", "commerce_sessionization_spark", "query"],
+        capture_output=True, text=True, cwd=env_path,
+    )
+    assert ls.returncode == 0 and "sessionize_events" in ls.stdout
+
+    out = tmp_path / "res"
+    run = subprocess.run(
+        [_sys.executable, "-m", "commerce_sessionization_spark", "query",
+         "event_type_stats", "--sf-dir", "/root/testdata/sf0.001",
+         "--out", str(out), "--master", "local[2]"],
+        capture_output=True, text=True, cwd=env_path,
+    )
+    assert run.returncode == 0, run.stderr[-500:]
+    import duckdb
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{out}/*.parquet')"
+    ).fetchone()[0]
+    assert n > 0
