@@ -172,3 +172,56 @@ def test_window_value_suite_single_exchange_and_window(spark, queries):
     assert node_count(plan, "Exchange") == 1
     assert node_count(plan, "Sort") == 1
     assert node_count(plan, "Window") == 1
+
+
+#: queries that INTENTIONALLY contain a broadcast nested-loop / cross join
+#: of a 1-row (or sketch-sized) side — scalar thresholds, corpus totals,
+#: broadcast query vectors. Everything else must be free of cartesian
+#: shapes: an unlisted BNLJ is an accidental cross join waiting for scale.
+_INTENDED_LOOP_JOINS = {
+    "knn_cosine",              # broadcast query vector vs corpus
+    "centroid_topk",           # broadcast probe centroids
+    "embedding_dedup_pairs",   # exhaustive verifier (documented baseline)
+    "kmv_set_overlap",         # 1-row tau / exact scalars
+    "histogram_quantile_sketch",  # 1-row total count
+    "value_percentiles",       # 1-row percentile thresholds
+    "small_quantity_revenue",  # Q17 scalar-average join-back
+    "idle_rich_customers",     # Q22 scalar threshold
+    "top_supplier_revenue",    # Q15 scalar max join-back
+    "bigram_pmi",              # 1-row corpus totals
+    "unigram_logprob",         # 1-row corpus totals
+    "tf_idf",                  # 1-row corpus size
+    "bloom_membership",        # bounded bit-table probe
+    "lang_centroids",          # small centroid cross
+    "promo_revenue",           # scalar ratio
+    "market_share",            # per-year scalar share
+    "session_funnel",          # scalar conversion base
+    "kmv_distinct_users",      # sketch-sized
+    "hll_distinct_users",      # sketch-sized
+    "hll_union_types",         # sketch-sized
+    "cms_heavy_hitters",       # sketch-sized cells
+    "llm_corpus_pipeline",     # composes the above
+    "embedding_bucket_pairs",  # plane matrix broadcast
+    "pagerank_neardup",        # 1-row dangling mass per round
+    "stratified_sample_docs",  # per-stratum scalar caps
+    "order_count_distribution",  # Q13 scalar
+    "hash_sample_docs",
+    "train_test_split",
+}
+
+
+def test_no_accidental_cartesian_joins(spark):
+    """Plan-lint EVERY catalog query: a CartesianProduct or
+    BroadcastNestedLoopJoin outside the explicit allowlist is a scale
+    accident (usually a missing join key or a silently-true condition)."""
+    from commerce_sessionization_spark.plans.queries import FULL_CATALOG
+
+    offenders = {}
+    for q in FULL_CATALOG:
+        plan = plan_of(q.spark(spark, SF_DIR))
+        loops = node_count(plan, "CartesianProduct") + node_count(
+            plan, "BroadcastNestedLoopJoin"
+        )
+        if loops and q.name not in _INTENDED_LOOP_JOINS:
+            offenders[q.name] = loops
+    assert not offenders, f"unexpected cartesian shapes: {offenders}"
