@@ -52,3 +52,40 @@ def hash_split(
     last = labels[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def weighted_priority(id_col: Column, weight_col: Column, seed: str = "ws") -> Column:
+    """A-ES weighted-sampling priority: −ln(u)/w with u hash-derived.
+
+    Efraimidis–Spirakis: taking the k SMALLEST priorities yields a
+    weighted sample without replacement (inclusion odds ∝ weight).
+    u = (sha-derived 60-bit int + 1) / 2^60 ∈ (0, 1] — deterministic
+    across runs/engines (no rand() state), so the sample is reproducible
+    and join-stable like every sampler here. The only non-integer step is
+    ln(); selection flips require the k-th and (k+1)-th priorities within
+    one ulp — vanishing for hash-random inputs.
+    """
+    h = hex_to_long(
+        F.sha2(F.concat(F.lit(f"{seed}:"), id_col.cast("string")), 256)
+    )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    return -F.log(u) / weight_col.cast("double")
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    seed: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement: k rows, chosen
+    with probability proportional to ``weight_col`` (A-ES priorities +
+    global top-k — TakeOrdered, no full sort materialization)."""
+    p = weighted_priority(F.col(id_col), F.col(weight_col), seed)
+    return (
+        df.withColumn("_priority", p)
+        .orderBy("_priority")
+        .limit(k)
+        .drop("_priority")
+    )
