@@ -3275,36 +3275,125 @@ FROM orders WHERE o_custkey IS NOT NULL
 """
 
 
+#: PassJoin segment template for the padded 20-char prefix with edit
+#: threshold 5: d+1 = 6 contiguous segments (lengths 4,4,3,3,3,3 at
+#: 1-based starts 1,5,9,12,15,18).  Pigeonhole: an edit script of <= 5
+#: ops leaves at least one segment untouched, and the untouched segment
+#: reappears in the partner string shifted by at most 5 positions (one
+#: position per insert/delete before it).  So joining {segment i at its
+#: home position} against {every length-l_i substring within +-5 of that
+#: position} has recall 1.0 for the dist <= 5 predicate — no pair is lost.
+_FPP_THRESHOLD = 5
+_FPP_SEGMENTS: list[tuple[int, int, int]] = [
+    (0, 1, 4), (1, 5, 4), (2, 9, 3), (3, 12, 3), (4, 15, 3), (5, 18, 3),
+]
+
+
 def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution shape: doc pairs whose 20-char lowercased prefixes
-    are within edit distance 5, blocked by (lang, source) so the quadratic
-    stays inside small buckets (the classic blocking+compare pattern —
-    at corpus scale the block key IS the scalability contract)."""
+    are within edit distance 5 (same lang + source), found via PassJoin
+    segment blocking (Li et al., ICDE 2011 — public literature).
+
+    Scale story: the round-2 shape blocked on ``(lang, source)`` — a
+    low-cardinality key whose biggest block grows linearly with the
+    corpus, making the within-block compare O(n^2) at 100 TB.  This
+    version blocks on ``(segment_index, segment_text, lang, source)``:
+    the 3-4-char segment text is drawn from document content, so block
+    cardinality grows WITH the corpus and block size is bounded by how
+    many docs share a short prefix substring — the same move
+    ``minhash_lsh_candidates`` makes.  Blocking is exact (recall 1.0, see
+    ``_FPP_SEGMENTS``): the final ``levenshtein`` verify only discards,
+    so the output is identical to the all-pairs DuckDB oracle below,
+    which is kept deliberately naive as a verifier-only shape.
+
+    Prefixes are right-padded to exactly 20 chars with ``\\x01`` so the
+    segment template applies uniformly; every text in the corpus is
+    >= 20 chars, so padding never fires on real data and the distance
+    equals the unpadded round-2 semantics there (for shorter texts the
+    padded metric adds the length-difference penalty, which is the
+    standard equal-length PassJoin formulation).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id", "lang", "source",
-        F.lower(F.substring("text", 1, 20)).alias("p"),
+    pad = F.rpad(F.lower(F.substring("text", 1, 20)), 20, "\x01")
+    d = docs.select("doc_id", "lang", "source", pad.alias("p"))
+
+    # Signature side: each doc's 6 template segments at their home slots.
+    sig = d.select(
+        "doc_id", "lang", "source", "p",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.substring(F.col("p"), s, ln).alias("v"),
+            )
+            for i, s, ln in _FPP_SEGMENTS
+        ])).alias("seg"),
+    ).select("doc_id", "lang", "source", "p",
+             F.col("seg.i").alias("i"), F.col("seg.v").alias("v"))
+
+    # Probe side: every length-l_i substring within +-threshold of each
+    # segment's home slot (clamped to the 20-char window).  ~50 short
+    # keys per doc — constant per row, so the explode is linear.
+    probe_structs = []
+    for i, s, ln in _FPP_SEGMENTS:
+        for delta in range(-_FPP_THRESHOLD, _FPP_THRESHOLD + 1):
+            start = s + delta
+            if start >= 1 and start + ln - 1 <= 20:
+                probe_structs.append(F.struct(
+                    F.lit(i).alias("i"),
+                    F.substring(F.col("p"), start, ln).alias("v"),
+                ))
+    probe = (
+        d.select(
+            "doc_id", "lang", "source", "p",
+            F.explode(F.array(*probe_structs)).alias("seg"),
+        )
+        .select("doc_id", "lang", "source", "p",
+                F.col("seg.i").alias("i"), F.col("seg.v").alias("v"))
+        # A repetitive prefix yields duplicate (i, v) probes; dedupe per
+        # doc so the candidate join fans out once per distinct block key.
+        .dropDuplicates(["doc_id", "i", "v"])
     )
-    l, r = d.alias("l"), d.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.lang") == F.col("r.lang"))
+
+    # Candidate generation: equi-join on the content-derived block key.
+    # doc_id < doc_id is safe (not just a dedupe trick) because edit
+    # distance is symmetric, so each qualifying pair matches in both
+    # orientations and the kept orientation always exists.
+    cand = (
+        sig.alias("l")
+        .join(
+            probe.alias("r"),
+            (F.col("l.i") == F.col("r.i"))
+            & (F.col("l.v") == F.col("r.v"))
+            & (F.col("l.lang") == F.col("r.lang"))
             & (F.col("l.source") == F.col("r.source"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(
             F.col("l.doc_id").alias("a"),
             F.col("r.doc_id").alias("b"),
-            F.levenshtein(F.col("l.p"), F.col("r.p")).cast("long").alias("dist"),
+            F.col("l.p").alias("pa"),
+            F.col("r.p").alias("pb"),
         )
-        .filter(F.col("dist") <= 5)
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.select(
+            "a", "b",
+            F.levenshtein("pa", "pb").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= _FPP_THRESHOLD)
     )
 
 
+# Verifier-only all-pairs shape: the oracle states the SEMANTICS (every
+# same-lang/source pair within edit distance 5) without the blocking; the
+# Spark plan above must reproduce it exactly.  Do not imitate this join
+# at scale — it is O(n^2) by construction.
 SQL_FUZZY_PREFIX_PAIRS = """
 WITH d AS (
-  SELECT doc_id, lang, source, lower(substr(text, 1, 20)) AS p FROM documents
+  SELECT doc_id, lang, source,
+         rpad(lower(substr(text, 1, 20)), 20, chr(1)) AS p
+  FROM documents
 )
 SELECT l.doc_id AS a, r.doc_id AS b,
        CAST(levenshtein(l.p, r.p) AS BIGINT) AS dist
