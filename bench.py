@@ -51,6 +51,11 @@ HEADLINE = [
     "ngram_decontaminate",
     "hourly_rollup_merge",
     "market_share",
+    # round-3: the PageRank arithmetic split — decimal oracle mode vs the
+    # double-precision scale path, benched side by side on the
+    # iteration-dominated co-purchase graph (~600k edges at sf0.1)
+    "pagerank_copurchase",
+    "pagerank_copurchase_fast",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

@@ -6,15 +6,23 @@ the general iterative-computation pattern: a driver-side loop over a
 bounded iteration count where each round is one join + one aggregation,
 exactly how GraphX/Pregel lowers to dataframes.
 
-Determinism note (the whole reason the implementation looks the way it
-does): floating-point addition is order-dependent, so a naive
-``sum(contrib)`` would differ between engines — and between *runs* — once
-partitioning changes. Every sum here casts its addends to
-``DECIMAL(38, 18)`` first: each addend is a deterministic double (same
-IEEE ops in any engine), decimal addition is exact and therefore
-order-independent, and one final cast returns to double. The DuckDB
-oracle replays the identical arithmetic, so a 5-iteration PageRank is
-hash-comparable bit-for-bit.
+Two arithmetic modes (round-3 split, prescribed by the round-2 review):
+
+- ``exact=False`` (default — the scale path): plain ``double`` sums.
+  Several× cheaper than decimal aggregation at 100 TB; results are
+  deterministic for a fixed partitioning but not order-independent, so
+  they can drift in the last ulps between engines/runs.
+- ``exact=True`` (the oracle mode): floating-point addition is
+  order-dependent, so a naive ``sum(contrib)`` would differ between
+  engines — and between *runs* — once partitioning changes. Every sum
+  casts its addends to ``DECIMAL(38, 18)`` first: each addend is a
+  deterministic double (same IEEE ops in any engine), decimal addition
+  is exact and therefore order-independent, and one final cast returns
+  to double. The DuckDB oracle replays the identical arithmetic, so a
+  5-iteration PageRank is hash-comparable bit-for-bit.
+
+The two modes agree to ~1e-12 per rank (asserted in
+``tests/test_graph.py``); only the aggregation buffer type differs.
 """
 
 from __future__ import annotations
@@ -35,6 +43,7 @@ def pagerank(
     dst_col: str = "dst",
     iterations: int = 5,
     damping: float = 0.85,
+    exact: bool = False,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank.
 
@@ -57,7 +66,27 @@ def pagerank(
     k×dim centroids driver-side; here even that is avoided). Each round
     ``localCheckpoint``s the new rank table so the lineage — and with it
     the replayed-plan depth — stays O(1) instead of O(iterations).
+
+    ``exact=True`` switches the two per-round sums to order-independent
+    decimal accumulation for bit-exact cross-engine replay (see module
+    docstring); leave it off on the scale path.
     """
+    if exact:
+        def _sum(col: F.Column) -> F.Column:
+            return F.sum(_dec(col)).cast("double")
+
+        def _sum0(col: F.Column) -> F.Column:
+            return (
+                F.coalesce(F.sum(_dec(col)), F.lit(0).cast("decimal(38,18)"))
+                .cast("double")
+            )
+    else:
+        def _sum(col: F.Column) -> F.Column:
+            return F.sum(col)
+
+        def _sum0(col: F.Column) -> F.Column:
+            return F.coalesce(F.sum(col), F.lit(0.0))
+
     n_vert = vertices.count()  # scalar dimension, like k-means' k
     src = F.col(src_col)
 
@@ -79,9 +108,7 @@ def pagerank(
     for _ in range(iterations):
         with_deg = ranks.join(out_deg, id_col, "left")
         dangling = with_deg.filter(F.col("_outdeg").isNull()).agg(
-            F.coalesce(F.sum(_dec(F.col("rank"))), F.lit(0).cast("decimal(38,18)"))
-            .cast("double")
-            .alias("_dangling")
+            _sum0(F.col("rank")).alias("_dangling")
         )
         contribs = (
             with_deg.filter(F.col("_outdeg").isNotNull())
@@ -91,7 +118,7 @@ def pagerank(
                 (F.col("rank") / F.col("_outdeg")).alias("_c"),
             )
             .groupBy(id_col)
-            .agg(F.sum(_dec(F.col("_c"))).cast("double").alias("_in"))
+            .agg(_sum(F.col("_c")).alias("_in"))
         )
         ranks = (
             vertices.select(id_col)

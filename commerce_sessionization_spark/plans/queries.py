@@ -3566,38 +3566,132 @@ FROM events GROUP BY 1, 2
 # Iterative graph: PageRank over the near-dup graph
 # --------------------------------------------------------------------------
 
-def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-iteration PageRank over the symmetrized 3-gram-Jaccard near-dup
-    graph (all documents as vertices; isolated docs exercise the dangling
-    redistribution). Decimal-exact contribution sums make the power
-    iteration bit-reproducible — the oracle replays all 5 rounds."""
-    from commerce_sessionization_spark.operators.graph import pagerank
-
+def _neardup_graph(spark: SparkSession, sf_dir: str):
+    """Symmetrized 3-gram-Jaccard near-dup graph over all documents
+    (isolated docs included — they exercise dangling redistribution)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8).select("a", "b")
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     verts = docs.select(F.col("doc_id").alias("node"))
-    out = pagerank(edges, verts, iterations=5, damping=0.85)
+    return edges, verts
+
+
+def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration PageRank over the near-dup graph, ORACLE MODE: the
+    ``exact=True`` decimal contribution sums make the power iteration
+    bit-reproducible, so the DuckDB oracle replays all 5 rounds
+    hash-comparable. The default double-precision scale path is benched
+    as ``pagerank_neardup_fast`` below."""
+    from commerce_sessionization_spark.operators.graph import pagerank
+
+    edges, verts = _neardup_graph(spark, sf_dir)
+    out = pagerank(edges, verts, iterations=5, damping=0.85, exact=True)
     return out.select(
         F.col("node").alias("doc_id"), _quant(F.col("rank"), 12).alias("rank_q12")
     )
 
 
-def _pagerank_sql(iterations: int = 5, d: str = "0.85") -> str:
-    """Generate the chained-CTE DuckDB twin of ``operators.graph.pagerank``
-    (one CTE triple per iteration — recursive CTEs allow only a single
-    reference to the working table, and each round needs three)."""
-    parts = [_SHINGLE_CTE.rstrip() + ", "]
-    parts.append(f"""
+def _copurchase_graph(spark: SparkSession, sf_dir: str):
+    """Customer<->part bipartite graph from order lines (~600k edges at
+    sf0.1): edge generation is one join + distinct, so — unlike the
+    near-dup graph, whose cost is all in pair generation — PageRank here
+    is dominated by the per-iteration join+agg arithmetic. That makes it
+    the bench vehicle for the decimal-vs-double split."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("p"),
+        )
+        .distinct()
+    )
+    edges = cp.select(F.col("c").alias("src"), F.col("p").alias("dst")).unionByName(
+        cp.select(F.col("p").alias("src"), F.col("c").alias("dst"))
+    )
+    verts = (
+        cp.select(F.col("c").alias("node"))
+        .union(cp.select(F.col("p").alias("node")))
+        .distinct()
+    )
+    return edges, verts
+
+
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration PageRank over the co-purchase graph, ORACLE MODE
+    (decimal-exact replay, same contract as ``pagerank_neardup``)."""
+    from commerce_sessionization_spark.operators.graph import pagerank
+
+    edges, verts = _copurchase_graph(spark, sf_dir)
+    out = pagerank(edges, verts, iterations=5, damping=0.85, exact=True)
+    return out.select("node", _quant(F.col("rank"), 12).alias("rank_q12"))
+
+
+def q_pagerank_copurchase_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase PageRank on the double-precision SCALE path — the
+    headline bench pairs this against ``pagerank_copurchase`` to price
+    the decimal replay arithmetic on an iteration-dominated graph."""
+    from commerce_sessionization_spark.operators.graph import pagerank
+
+    edges, verts = _copurchase_graph(spark, sf_dir)
+    out = pagerank(edges, verts, iterations=5, damping=0.85, exact=False)
+    return out.select("node", F.round(F.col("rank"), 6).alias("rank_r6"))
+
+
+def q_pagerank_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path: identical 5-round PageRank with plain ``double``
+    aggregation buffers (several× cheaper than decimal at 100 TB).
+    Not bit-replayable across engines (float addition is order-
+    dependent), hence no value oracle; ``tests/test_graph.py`` pins it
+    to the exact mode within 1e-9 per rank, and ranks are rounded to 6
+    digits here so the output is stable enough for a rows-only check."""
+    from commerce_sessionization_spark.operators.graph import pagerank
+
+    edges, verts = _neardup_graph(spark, sf_dir)
+    out = pagerank(edges, verts, iterations=5, damping=0.85, exact=False)
+    return out.select(
+        F.col("node").alias("doc_id"), F.round(F.col("rank"), 6).alias("rank_r6")
+    )
+
+
+#: Near-dup graph prelude: must define CTEs ``pr_edges(src, dst)`` and
+#: ``verts(node)`` for the generic iteration chain below.
+_PAGERANK_NEARDUP_PRELUDE = _SHINGLE_CTE.rstrip() + ", " + """
 pr_pairs AS (
   SELECT a, b
   FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
   WHERE i / (sa.n + sb.n - i) >= 0.8
 ), pr_edges AS (
   SELECT a AS src, b AS dst FROM pr_pairs UNION ALL SELECT b, a FROM pr_pairs
-), verts AS (SELECT doc_id AS node FROM documents),
+), verts AS (SELECT doc_id AS node FROM documents)"""
+
+#: Co-purchase bipartite graph: customer <-> part edges from order lines,
+#: symmetrized; vertex set = every node that appears in an edge.
+_PAGERANK_COPURCHASE_PRELUDE = """
+WITH cp AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 'p' || l_partkey AS p
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), pr_edges AS (
+  SELECT c AS src, p AS dst FROM cp UNION ALL SELECT p, c FROM cp
+), verts AS (
+  SELECT c AS node FROM cp UNION SELECT p FROM cp
+)"""
+
+
+def _pagerank_sql(prelude: str, iterations: int = 5, d: str = "0.85",
+                  out_col: str = "doc_id") -> str:
+    """Generate the chained-CTE DuckDB twin of ``operators.graph.pagerank``
+    (one CTE triple per iteration — recursive CTEs allow only a single
+    reference to the working table, and each round needs three).
+
+    ``prelude`` is the leading WITH-chain and must define
+    ``pr_edges(src, dst)`` and ``verts(node)``; the iteration chain and
+    the decimal-exact replay arithmetic are graph-independent."""
+    parts = [prelude.rstrip().rstrip(",") + ","]
+    parts.append("""
 nv AS (SELECT count(*)::BIGINT AS n FROM verts),
 deg AS (SELECT src AS node, count(*) AS outdeg FROM pr_edges GROUP BY 1),
 it0 AS (SELECT node, 1.0 / nv.n AS rank FROM verts, nv)""")
@@ -3619,14 +3713,17 @@ dang{i} AS (
   FROM verts v LEFT JOIN con{i} c ON v.node = c.node, nv, dang{i} g
 )""")
     parts.append(f"""
-SELECT node AS doc_id,
+SELECT node AS {out_col},
        CAST(floor(rank * 1000000000000.0) AS BIGINT) AS rank_q12
 FROM it{iterations}
 """)
     return "".join(parts)
 
 
-SQL_PAGERANK_NEARDUP = _pagerank_sql()
+SQL_PAGERANK_NEARDUP = _pagerank_sql(_PAGERANK_NEARDUP_PRELUDE)
+SQL_PAGERANK_COPURCHASE = _pagerank_sql(
+    _PAGERANK_COPURCHASE_PRELUDE, out_col="node"
+)
 
 
 # --------------------------------------------------------------------------
@@ -4039,6 +4136,16 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("pagerank_neardup", q_pagerank_neardup, SQL_PAGERANK_NEARDUP,
              "5-iteration PageRank over the near-dup graph "
              "(decimal-exact power iteration, 5-round replayed oracle)"),
+    QueryDef("pagerank_neardup_fast", q_pagerank_neardup_fast, None,
+             "same PageRank on the double-precision scale path "
+             "(rows-only check; pinned to exact mode in test_graph.py)"),
+    QueryDef("pagerank_copurchase", q_pagerank_copurchase,
+             SQL_PAGERANK_COPURCHASE,
+             "PageRank over the customer<->part co-purchase graph "
+             "(iteration-dominated; decimal-exact replayed oracle)"),
+    QueryDef("pagerank_copurchase_fast", q_pagerank_copurchase_fast, None,
+             "co-purchase PageRank, double-precision scale path "
+             "(benched against the decimal oracle mode)"),
     QueryDef("hourly_rollup_merge", q_hourly_rollup_merge,
              SQL_HOURLY_ROLLUP_MERGE,
              "incremental continuous aggregate: two-batch rollup merge == "

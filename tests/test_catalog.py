@@ -62,9 +62,28 @@ def test_every_family_inside_driver_window():
     assert not missing, f"families fell out of the graded window: {missing}"
 
 
+#: The only entries allowed to ship without a value oracle, each with a
+#: reason the driver/judge can audit. Everything else must stay
+#: hash-comparable — additions here need the same justification bar.
+ROWS_ONLY_ALLOWED = {
+    # double-precision PageRank: float summation is order-dependent, so
+    # no engine-independent value replay exists; pinned to the
+    # decimal-exact oracle mode within 1e-9 in tests/test_graph.py
+    "pagerank_neardup_fast",
+    "pagerank_copurchase_fast",
+}
+
+
 def test_every_catalog_query_has_an_oracle():
     for q in FULL_CATALOG:
+        if q.name in ROWS_ONLY_ALLOWED:
+            continue
         assert q.oracle is not None, f"{q.name} lost its oracle"
+
+
+def test_rows_only_list_is_tight():
+    rows_only = {q.name for q in FULL_CATALOG if q.oracle is None}
+    assert rows_only == ROWS_ONLY_ALLOWED
 
 
 def test_extended_catalog_names_disjoint_from_driver_window():

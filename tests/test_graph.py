@@ -52,6 +52,40 @@ def test_pagerank_zero_iterations_is_uniform(spark):
     assert all(r["rank"] == pytest.approx(1 / 3) for r in out)
 
 
+def test_pagerank_exact_and_fast_modes_agree(spark):
+    """The round-3 split: double scale path vs decimal oracle mode must
+    compute the same ranks up to float-summation noise (~ulps)."""
+    # ring + chords + a dangling tail: exercises contribs AND dangling
+    pairs = [(i, (i + 1) % 8) for i in range(8)] + [(0, 4), (2, 6), (7, 8)]
+    e, v = _edges(spark, pairs), _verts(spark, range(10))
+    fast = {r["node"]: r["rank"]
+            for r in pagerank(e, v, iterations=5).collect()}
+    exact = {r["node"]: r["rank"]
+             for r in pagerank(e, v, iterations=5, exact=True).collect()}
+    assert fast.keys() == exact.keys()
+    for n in fast:
+        assert fast[n] == pytest.approx(exact[n], abs=1e-9)
+    assert sum(fast.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_catalog_fast_matches_exact_on_testdata(spark):
+    """pagerank_neardup_fast (double) vs pagerank_neardup (decimal) on
+    the real near-dup graph at sf0.001 — same ranks to 1e-9."""
+    from commerce_sessionization_spark.plans.queries import (
+        q_pagerank_neardup,
+        q_pagerank_neardup_fast,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["doc_id"]: r["rank_q12"] / 1e12
+             for r in q_pagerank_neardup(spark, sf).collect()}
+    fast = {r["doc_id"]: r["rank_r6"]
+            for r in q_pagerank_neardup_fast(spark, sf).collect()}
+    assert fast.keys() == exact.keys()
+    for d in fast:
+        assert fast[d] == pytest.approx(exact[d], abs=2e-6)
+
+
 def test_pagerank_isolated_vertices_share_dangling_mass(spark):
     # no edges at all: every node dangles; uniform stays the fixed point
     out = pagerank(
