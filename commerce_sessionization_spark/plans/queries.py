@@ -2809,8 +2809,12 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("n_name").alias("supp_nation"))),
         F.col("s_nationkey") == F.col("sn_key"),
     ).select("s_suppkey", "supp_nation")
+    # scale 4: price is exact cents, discount exact hundredths, so the
+    # true product has ≤4 decimals and the cast is tie-free — a scale-2
+    # cast lands on true half-cents where Spark and DuckDB round
+    # opposite ways (found while building product_type_profit)
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,2)"
+        "decimal(18,4)"
     )
     base = (
         li.join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
@@ -2829,7 +2833,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = base.groupBy("o_year").agg(
         F.sum(F.when(F.col("supp_nation") == "NATION_0", F.col("volume"))
-              .otherwise(F.lit(0).cast("decimal(18,2)"))).alias("n0"),
+              .otherwise(F.lit(0).cast("decimal(18,4)"))).alias("n0"),
         F.sum("volume").alias("tot"),
     )
     return agg.select(
@@ -2842,7 +2846,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MARKET_SHARE = """
 WITH base AS (
   SELECT year(o_orderdate) AS o_year,
-         (l_extendedprice * (1 - l_discount))::DECIMAL(18,2) AS volume,
+         (l_extendedprice * (1 - l_discount))::DECIMAL(18,4) AS volume,
          sn.n_name AS supp_nation
   FROM lineitem
   JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
@@ -2857,9 +2861,316 @@ WITH base AS (
 SELECT CAST(o_year AS BIGINT) AS o_year,
        CAST(floor(
          CAST(sum(CASE WHEN supp_nation = 'NATION_0' THEN volume
-                       ELSE 0::DECIMAL(18,2) END) AS DOUBLE)
+                       ELSE 0::DECIMAL(18,4) END) AS DOUBLE)
          / CAST(sum(volume) AS DOUBLE) * 1000000.0) AS BIGINT) AS mkt_share_q6
 FROM base GROUP BY o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# Synthetic partsupp → TPC-H Q2 / Q9 / Q11 / Q20 planner shapes
+#
+# TESTDATA.md ships no partsupp table, which left these four shapes
+# unexpressible through round 2 (COVERAGE.md documented the gap). The
+# driver's DuckDB oracle sees only the ten registered views, so partsupp
+# must be DERIVED inline, identically in both engines, from tables that
+# do exist — no fixture file, no side channel.
+# --------------------------------------------------------------------------
+
+def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp derived from lineitem ∪ part × formula.
+
+    Pair set = distinct ``(l_partkey, l_suppkey)`` from lineitem — the
+    TPC-H referential-integrity guarantee that every order line has a
+    matching partsupp row — UNION four formula suppliers per part
+    (``(p·4+i) mod S``, i∈0..3), so never-ordered parts still have
+    suppliers (Q2 needs them). Attributes are pure integer arithmetic on
+    the key pair, bit-identical in any engine:
+
+        ps_availqty   = (p·7 + s·3) mod 9999 + 1
+        ps_supplycost = ((p·31 + s·17) mod 100000 + 100) · 0.01
+
+    (the cost multiply is one IEEE double op on an exact integer —
+    reproducible everywhere; sums over it go through the usual
+    per-row DECIMAL(18,2) cast).
+    """
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    ns = supp.agg(F.count(F.lit(1)).alias("_s"))
+    formula = (
+        part.select("p_partkey")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "p_partkey", "_s",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("_i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 4 + F.col("_i")) % F.col("_s"))
+            .cast("long").alias("ps_suppkey"),
+        )
+    )
+    ordered = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    )
+    pairs = formula.unionByName(ordered).distinct()
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 3) % 9999 + 1)
+        .cast("long").alias("ps_availqty"),
+        (((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 100000 + 100)
+         * 0.01).alias("ps_supplycost"),
+    )
+
+
+#: DuckDB twin of synth_partsupp — prepend to each Q2/Q9/Q11/Q20 oracle.
+_PARTSUPP_CTE = """
+WITH ns AS (SELECT count(*) AS s FROM supplier),
+ps_pairs AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey * 4 + i.i) % ns.s AS ps_suppkey
+  FROM part, ns, (VALUES (0), (1), (2), (3)) AS i(i)
+  UNION
+  SELECT l_partkey, l_suppkey FROM lineitem
+),
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         (ps_partkey * 7 + ps_suppkey * 3) % 9999 + 1 AS ps_availqty,
+         -- CAST: duckdb parses the bare literal 0.01 as DECIMAL(3,2),
+         -- which would make the cost exact while Spark's double multiply
+         -- rounds — force the identical IEEE double op instead
+         ((ps_partkey * 31 + ps_suppkey * 17) % 100000 + 100)
+           * CAST(0.01 AS DOUBLE) AS ps_supplycost
+  FROM ps_pairs
+)"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each size-15 part, the EUROPE supplier(s)
+    matching that part's minimum supply cost — the correlated-min
+    join-back, decorrelated the Spark way (groupBy min + equi-join
+    back). Top-100 under a TOTAL order (full tiebreak), so the selected
+    set is engine-deterministic."""
+    ps = synth_partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+
+    eu_supp = (
+        supp.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_offers = ps.join(F.broadcast(eu_supp),
+                        F.col("ps_suppkey") == F.col("s_suppkey"))
+    min_cost = eu_offers.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("_min_cost")
+    )
+    return (
+        eu_offers.join(
+            min_cost,
+            ["ps_partkey"],
+        )
+        .filter(F.col("ps_supplycost") == F.col("_min_cost"))
+        .join(F.broadcast(part.filter(F.col("p_size") == 15)),
+              F.col("ps_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name",
+                "p_partkey", "p_brand", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_MIN_COST_SUPPLIER = _PARTSUPP_CTE + """,
+eu_offers AS (
+  SELECT ps_partkey, ps_supplycost, s_name, s_acctbal, n_name
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+),
+min_cost AS (
+  SELECT ps_partkey, min(ps_supplycost) AS mc FROM eu_offers GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+FROM eu_offers
+JOIN min_cost USING (ps_partkey)
+JOIN part ON ps_partkey = p_partkey AND p_size = 15
+WHERE ps_supplycost = mc
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: 6-table join (lineitem ⋈ part ⋈ supplier ⋈
+    partsupp ⋈ orders ⋈ nation), per-row profit
+    ``l_extendedprice·(1-l_discount) - ps_supplycost·l_quantity``
+    summed by supplier nation × order year. Decimal-exact per-row cast
+    keeps the sum order-independent; dims broadcast, lineitem never
+    re-shuffles except for the final two-key rollup."""
+    ps = synth_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+
+    # scale 4, not 2: extendedprice/supplycost are exact cents and
+    # discount exact hundredths, so the true products have at most 4
+    # decimal digits — a DECIMAL(18,4) cast is TIE-FREE and both engines
+    # round identically. A scale-2 cast would hit true half-cents, where
+    # Spark (shortest-repr HALF_UP) and DuckDB (binary value) disagree.
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+                F.col("l_partkey") == F.col("p_partkey"))
+        # NO broadcast on partsupp: its pair set is O(distinct lineitem
+        # pairs), i.e. big-table-sized at 100 TB — shuffle join on the
+        # composite key (AQE may still locally downgrade at tiny SFs)
+        .join(ps,
+              (F.col("l_partkey") == F.col("ps_partkey"))
+              & (F.col("l_suppkey") == F.col("ps_suppkey")))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+SQL_PRODUCT_TYPE_PROFIT = _PARTSUPP_CTE + """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum((l_extendedprice * (1 - l_discount)
+                 - ps_supplycost * l_quantity)::DECIMAL(18,4)) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value (Σ ps_supplycost·ps_availqty)
+    restricted to NATION_7 suppliers, kept only when the part's value
+    exceeds 0.05% of the nation-wide total — a grouped agg compared
+    against a broadcast global scalar (the classic agg-vs-total gate)."""
+    ps = synth_partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+
+    n7 = (
+        ps.join(F.broadcast(
+            supp.join(F.broadcast(nat.filter(F.col("n_name") == "NATION_7")),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey")),
+            F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty"))
+            .cast("decimal(18,2)").alias("_v"),
+        )
+    )
+    per_part = n7.groupBy("ps_partkey").agg(
+        F.sum("_v").cast("double").alias("stock_value")
+    )
+    total = n7.agg((F.sum("_v").cast("double") * 0.0005).alias("_threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("stock_value") > F.col("_threshold"))
+        .select("ps_partkey", "stock_value")
+    )
+
+
+SQL_IMPORTANT_STOCK = _PARTSUPP_CTE + """,
+n7 AS (
+  SELECT ps_partkey,
+         (ps_supplycost * ps_availqty)::DECIMAL(18,2) AS v
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+)
+SELECT ps_partkey, CAST(sum(v) AS DOUBLE) AS stock_value
+FROM n7
+GROUP BY ps_partkey
+HAVING CAST(sum(v) AS DOUBLE) >
+       (SELECT CAST(sum(v) AS DOUBLE) * 0.0005 FROM n7)
+"""
+
+
+def q_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_3 suppliers holding excess stock of
+    'small%' parts — availqty > half the 1997 shipped quantity for that
+    exact (part, supplier). The correlated scalar subquery decorrelates
+    into a keyed agg + inner join (pairs with no 1997 shipments drop
+    out, matching the NULL-comparison semantics of the original); the
+    supplier filter is a semi join."""
+    ps = synth_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+
+    qty97 = (
+        li.filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+             .cast("double").alias("_qty"))
+    )
+    excess = (
+        ps.join(F.broadcast(part.filter(F.col("p_name").like("small%"))
+                            .select("p_partkey")),
+                F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(qty97,
+              (F.col("ps_partkey") == F.col("l_partkey"))
+              & (F.col("ps_suppkey") == F.col("l_suppkey")))
+        .filter(F.col("ps_availqty") > 0.5 * F.col("_qty"))
+        .select("ps_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nat.filter(F.col("n_name") == "NATION_3")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+SQL_PROMOTABLE_SUPPLIERS = _PARTSUPP_CTE + """,
+qty97 AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  GROUP BY 1, 2
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+WHERE s_suppkey IN (
+  SELECT ps_suppkey
+  FROM partsupp
+  JOIN qty97 ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND ps_availqty > 0.5 * qty
+)
 """
 
 
@@ -4191,6 +4502,17 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("distinct_purchasers_daily", q_distinct_purchasers_daily,
              SQL_DISTINCT_PURCHASERS_DAILY,
              "conditional distinct counts in one pass"),
+    # --- round 3: synthetic-partsupp TPC-H shapes (Q2/Q9/Q11/Q20) ---
+    QueryDef("min_cost_supplier", q_min_cost_supplier, SQL_MIN_COST_SUPPLIER,
+             "Q2-shaped correlated-min join-back over synthetic partsupp"),
+    QueryDef("product_type_profit", q_product_type_profit,
+             SQL_PRODUCT_TYPE_PROFIT,
+             "Q9-shaped 6-table profit rollup by nation x year"),
+    QueryDef("important_stock", q_important_stock, SQL_IMPORTANT_STOCK,
+             "Q11-shaped grouped agg gated on a global-total scalar"),
+    QueryDef("promotable_suppliers", q_promotable_suppliers,
+             SQL_PROMOTABLE_SUPPLIERS,
+             "Q20-shaped nested-IN + decorrelated scalar subquery"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

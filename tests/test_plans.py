@@ -194,6 +194,13 @@ _INTENDED_LOOP_JOINS = {
     "bloom_membership",        # bounded bit-table probe
     "lang_centroids",          # small centroid cross
     "promo_revenue",           # scalar ratio
+    # synthetic-partsupp suite: each crossJoins the 1-row supplier-count
+    # scalar (partsupp derivation); important_stock adds the 1-row
+    # global-total threshold — all bounded broadcast scalars
+    "min_cost_supplier",
+    "product_type_profit",
+    "important_stock",
+    "promotable_suppliers",
     "market_share",            # per-year scalar share
     "session_funnel",          # scalar conversion base
     "kmv_distinct_users",      # sketch-sized
