@@ -28,6 +28,33 @@ file is in place. All filesystem access goes through the Hadoop
 FileSystem API, so the contract holds on hdfs:// and object stores with
 atomic rename, not just file://.
 
+Concurrent attempts (round-3 hardening): two OVERLAPPING restarts — the
+classic zombie-driver scenario — can race the same epoch. Sequential
+replay safety is not enough there: with a shared staging dir the loser's
+``mode("overwrite")`` can delete files the winner is mid-rename on, and
+both attempts' (differently-named) part files can land, duplicating the
+epoch. The writer therefore FENCES each epoch:
+
+- a lock file ``_epochs/{epoch}.lock`` is taken via a genuinely atomic
+  create-if-absent (``_try_lock``: O_EXCL on file://, HDFS's atomic
+  ``create(overwrite=false)`` elsewhere — Hadoop's own
+  ``FileSystem.createNewFile`` is a non-atomic exists-then-create and
+  two racers can both "win" it; object stores without atomic create
+  need an external fencing service, same caveat class as rename above);
+- staging dirs are attempt-unique (``_staging/{epoch}-{uuid}``), so even
+  a mis-fenced attempt can never clobber another's staged files;
+- the loser polls: if the winner's commit marker appears it returns
+  (no-op — the epoch landed exactly once); if the lock VANISHES (winner
+  crashed pre-marker and released) it re-contends; if the lock goes
+  STALE (holder died holding it) past ``lock_lease_sec`` it steals the
+  lock and recovers via the normal debris-clean path; past
+  ``contend_wait_sec`` it raises ``EpochContendedError`` rather than
+  guess.
+
+``tests/test_streaming_contention.py`` drives the real races: two
+simultaneous writers (one commit, one no-op), a stale-lock zombie
+recovery, and a live-lock timeout.
+
 At scale: the state store carries the per-user session state (see
 ``sessionize_stream.py``); the sink's partition clustering per micro-batch
 keeps file counts at (#hours touched per batch) × (#clustered tasks), and
@@ -36,6 +63,8 @@ the cleanup glob in step 2 scans only directory metadata.
 
 from __future__ import annotations
 
+import time
+import uuid
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +74,12 @@ from commerce_sessionization_spark.streaming.sessionize_stream import (
     read_events_stream,
     sessionize_stream_stateful,
 )
+
+
+class EpochContendedError(RuntimeError):
+    """Raised when an epoch's lock stays held past ``contend_wait_sec``
+    without the holder committing — the caller must not assume the epoch
+    landed, and must not write around the fence."""
 
 
 def with_hour_partitions(df: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -65,14 +100,42 @@ def _glob(fs, jvm, pattern: str):
     return list(statuses) if statuses is not None else []
 
 
+def _try_lock(fs, jvm, lock_path: str) -> bool:
+    """Atomic create-if-absent — the fence primitive.
+
+    Hadoop's ``FileSystem.createNewFile`` is a non-atomic exists-then-
+    create (two racers can both 'win' it — caught by
+    ``test_two_simultaneous_writers_commit_exactly_once``), so:
+    - ``file://``: ``java.io.File.createNewFile`` — atomic O_EXCL.
+    - everything else: ``create(path, overwrite=false)`` — atomic
+      server-side on HDFS. Object stores without atomic create need an
+      external fencing service (documented caveat).
+    """
+    if fs.getUri().getScheme() == "file":
+        local = lock_path
+        if local.startswith("file:"):
+            local = local[len("file:"):]
+        return jvm.java.io.File(local).createNewFile()
+    try:
+        fs.create(jvm.org.apache.hadoop.fs.Path(lock_path), False).close()
+        return True
+    except Exception:
+        return False
+
+
 def make_epoch_writer(
-    spark: SparkSession, out_path: str
+    spark: SparkSession,
+    out_path: str,
+    lock_lease_sec: float = 60.0,
+    contend_wait_sec: float = 30.0,
+    poll_sec: float = 0.2,
 ) -> Callable[[DataFrame, int], None]:
     """Build the idempotent ``foreachBatch`` function for ``{out}/sessions``.
 
     Public so tests (and backfill drivers) can invoke an epoch write
     directly and assert that replaying the same epoch id leaves the sink
-    byte-identical.
+    byte-identical — including two attempts replaying it CONCURRENTLY
+    (see the module docstring's fencing protocol).
     """
     sessions_dir = f"{out_path}/sessions"
     epochs_dir = f"{out_path}/_epochs"
@@ -82,35 +145,65 @@ def make_epoch_writer(
         fs, jvm = _fs_and_path(batch_df.sparkSession, out_path)
         hpath = jvm.org.apache.hadoop.fs.Path
         marker = hpath(f"{epochs_dir}/{epoch_id}")
-        if fs.exists(marker):
-            return  # epoch fully committed by a previous attempt
+        lock = hpath(f"{epochs_dir}/{epoch_id}.lock")
 
-        # clear debris from a half-finished attempt of this epoch
-        for st in _glob(fs, jvm, f"{sessions_dir}/*/*/e{epoch_id}-*"):
-            fs.delete(st.getPath(), False)
+        # --- fence: at most one live attempt per epoch -----------------
+        deadline = time.time() + contend_wait_sec
+        while True:
+            if fs.exists(marker):
+                return  # epoch fully committed (by us-before-crash or a peer)
+            fs.mkdirs(hpath(epochs_dir))
+            if _try_lock(fs, jvm, f"{epochs_dir}/{epoch_id}.lock"):
+                break
+            # contended: live writer, vanished lock, or stale crash?
+            try:
+                age_sec = (
+                    time.time() * 1000.0
+                    - fs.getFileStatus(lock).getModificationTime()
+                ) / 1000.0
+            except Exception:
+                continue  # lock released between exists and stat → re-contend
+            if age_sec > lock_lease_sec:
+                # holder died mid-epoch: steal; the debris clean below
+                # recovers whatever it half-renamed
+                fs.delete(lock, False)
+                continue
+            if time.time() > deadline:
+                raise EpochContendedError(
+                    f"epoch {epoch_id}: lock held past {contend_wait_sec}s "
+                    f"without a commit marker"
+                )
+            time.sleep(poll_sec)
 
-        staging = f"{staging_root}/{epoch_id}"
-        (
-            with_hour_partitions(batch_df)
-            .repartition("event_date", "event_hour")
-            .write.partitionBy("event_date", "event_hour")
-            .mode("overwrite")
-            .parquet(staging)
-        )
+        try:
+            # clear debris from a half-finished attempt of this epoch
+            for st in _glob(fs, jvm, f"{sessions_dir}/*/*/e{epoch_id}-*"):
+                fs.delete(st.getPath(), False)
 
-        for st in _glob(
-            fs, jvm, f"{staging}/event_date=*/event_hour=*/part-*"
-        ):
-            src = st.getPath()
-            part_dir = src.getParent()  # event_hour=HH
-            rel = f"{part_dir.getParent().getName()}/{part_dir.getName()}"
-            dest_dir = hpath(f"{sessions_dir}/{rel}")
-            fs.mkdirs(dest_dir)
-            fs.rename(src, hpath(f"{dest_dir}/e{epoch_id}-{src.getName()}"))
+            # attempt-unique staging: even a mis-fenced peer can't clobber it
+            staging = f"{staging_root}/{epoch_id}-{uuid.uuid4().hex}"
+            (
+                with_hour_partitions(batch_df)
+                .repartition("event_date", "event_hour")
+                .write.partitionBy("event_date", "event_hour")
+                .mode("overwrite")
+                .parquet(staging)
+            )
 
-        fs.delete(hpath(staging), True)
-        fs.mkdirs(hpath(epochs_dir))
-        fs.createNewFile(marker)
+            for st in _glob(
+                fs, jvm, f"{staging}/event_date=*/event_hour=*/part-*"
+            ):
+                src = st.getPath()
+                part_dir = src.getParent()  # event_hour=HH
+                rel = f"{part_dir.getParent().getName()}/{part_dir.getName()}"
+                dest_dir = hpath(f"{sessions_dir}/{rel}")
+                fs.mkdirs(dest_dir)
+                fs.rename(src, hpath(f"{dest_dir}/e{epoch_id}-{src.getName()}"))
+
+            fs.delete(hpath(staging), True)
+            fs.createNewFile(marker)
+        finally:
+            fs.delete(lock, False)
 
     return write_batch
 
