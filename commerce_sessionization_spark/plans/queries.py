@@ -4245,8 +4245,6 @@ CATALOG: list[QueryDef] = [
              "per-event 30-min-gap session assignment (flagship)"),
     QueryDef("session_stats", q_session_stats, SQL_SESSION_STATS,
              "per-session rollup: bounds, duration, value sum"),
-    QueryDef("sql_session_stats", q_sql_session_stats, SQL_SQL_SESSION_STATS,
-             "flagship chain written in raw spark.sql over temp views"),
     QueryDef("prev_active_sessions", q_prev_active_sessions, SQL_PREV_ACTIVE_SESSIONS,
              "carry-in selection: latest row per still-active session"),
     QueryDef("user_event_sequence", q_user_event_sequence,
@@ -4293,19 +4291,17 @@ CATALOG: list[QueryDef] = [
     QueryDef("idle_rich_customers", q_idle_rich_customers,
              SQL_IDLE_RICH_CUSTOMERS,
              "Q22-shaped scalar-subquery threshold + anti join"),
+    QueryDef("market_share", q_market_share, SQL_MARKET_SHARE,
+             "Q8-shaped 7-table snowflake with double-role nation join"),
     # --- text analysis ---
     QueryDef("quality_scores", q_quality_scores, SQL_QUALITY_SCORES,
              "heuristic quality scoring"),
     QueryDef("language_id", q_language_id, SQL_LANGUAGE_ID,
              "stopword-profile language guess"),
-    QueryDef("lang_distribution", q_lang_distribution, SQL_LANG_DISTRIBUTION,
-             "corpus composition rollup"),
     QueryDef("token_histogram", q_token_histogram, SQL_TOKEN_HISTOGRAM,
              "corpus token histogram (BPE-ish tokenizer)"),
     QueryDef("tf_idf", q_tf_idf, SQL_TF_IDF,
              "smoothed TF-IDF per (doc, token)"),
-    QueryDef("doc_fingerprints", q_doc_fingerprints, SQL_DOC_FINGERPRINTS,
-             "sha256 + winnowing rolling fingerprints"),
     QueryDef("bigram_pmi", q_bigram_pmi, SQL_BIGRAM_PMI,
              "adjacent-token PMI (exact counts, single-division log)"),
     QueryDef("repetition_scores", q_repetition_scores, SQL_REPETITION_SCORES,
@@ -4327,10 +4323,12 @@ CATALOG: list[QueryDef] = [
              "MinHash+LSH near-dup (verified) — must equal exhaustive"),
     QueryDef("dedup_components", q_dedup_components, SQL_DEDUP_COMPONENTS,
              "connected components over the near-dup pair graph"),
-    QueryDef("simhash_fingerprints", q_simhash_fingerprints,
-             SQL_SIMHASH_FINGERPRINTS, "60-bit SimHash per document"),
     QueryDef("simhash_pairs", q_simhash_pairs, SQL_SIMHASH_PAIRS,
              "SimHash banded near-dup candidates"),
+    # --- iterative graph ---
+    QueryDef("pagerank_neardup", q_pagerank_neardup, SQL_PAGERANK_NEARDUP,
+             "5-iteration PageRank over the near-dup graph "
+             "(decimal-exact power iteration, 5-round replayed oracle)"),
     # --- similarity / embeddings ---
     QueryDef("knn_cosine", q_knn_cosine, SQL_KNN_COSINE,
              "brute-force cosine top-10"),
@@ -4357,6 +4355,13 @@ CATALOG: list[QueryDef] = [
     QueryDef("histogram_quantile_sketch", q_histogram_quantile_sketch,
              SQL_HISTOGRAM_QUANTILE_SKETCH,
              "mergeable equi-width histogram quantile estimates"),
+    # --- warehouse maintenance (round-3 driver-window promotions) ---
+    QueryDef("hourly_rollup_merge", q_hourly_rollup_merge,
+             SQL_HOURLY_ROLLUP_MERGE,
+             "incremental continuous aggregate: two-batch rollup merge == "
+             "direct recompute (exact merge law)"),
+    QueryDef("scd2_user_state", q_scd2_user_state, SQL_SCD2_USER_STATE,
+             "SCD Type-2 versioned history with change collapse"),
 ]
 
 #: Secondary variants and near-duplicate shapes — full QueryDef contract,
@@ -4366,6 +4371,16 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("sessionize_events_bucketed", q_sessionize_events_bucketed,
              SQL_SESSIONIZE_EVENTS,
              "skew-proof bucketed sessionize == plain (byte-identical)"),
+    # round-3 rotation: near-duplicates demoted from the driver window in
+    # favor of the graph/rollup/SCD2/snowflake families
+    QueryDef("sql_session_stats", q_sql_session_stats, SQL_SQL_SESSION_STATS,
+             "flagship chain written in raw spark.sql over temp views"),
+    QueryDef("lang_distribution", q_lang_distribution, SQL_LANG_DISTRIBUTION,
+             "corpus composition rollup"),
+    QueryDef("doc_fingerprints", q_doc_fingerprints, SQL_DOC_FINGERPRINTS,
+             "sha256 + winnowing rolling fingerprints"),
+    QueryDef("simhash_fingerprints", q_simhash_fingerprints,
+             SQL_SIMHASH_FINGERPRINTS, "60-bit SimHash per document"),
     QueryDef("user_session_counts", q_user_session_counts, SQL_USER_SESSION_COUNTS,
              "sessions/events per user"),
     QueryDef("session_window_agg", q_session_window_agg, SQL_SESSION_WINDOW_AGG,
@@ -4444,9 +4459,6 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("embedding_bucket_pairs", q_embedding_bucket_pairs,
              SQL_EMBEDDING_BUCKET_PAIRS,
              "hyperplane-LSH bucketed similar pairs (bucketing oracle-checked)"),
-    QueryDef("pagerank_neardup", q_pagerank_neardup, SQL_PAGERANK_NEARDUP,
-             "5-iteration PageRank over the near-dup graph "
-             "(decimal-exact power iteration, 5-round replayed oracle)"),
     QueryDef("pagerank_neardup_fast", q_pagerank_neardup_fast, None,
              "same PageRank on the double-precision scale path "
              "(rows-only check; pinned to exact mode in test_graph.py)"),
@@ -4457,10 +4469,6 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("pagerank_copurchase_fast", q_pagerank_copurchase_fast, None,
              "co-purchase PageRank, double-precision scale path "
              "(benched against the decimal oracle mode)"),
-    QueryDef("hourly_rollup_merge", q_hourly_rollup_merge,
-             SQL_HOURLY_ROLLUP_MERGE,
-             "incremental continuous aggregate: two-batch rollup merge == "
-             "direct recompute (exact merge law)"),
     QueryDef("order_event_coverage", q_order_event_coverage,
              SQL_ORDER_EVENT_COVERAGE,
              "FULL OUTER join with both null sides exercised"),
@@ -4468,8 +4476,6 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_MEDIA_FAKE_FEATURES,
              "multimodal mapInPandas plumbing under the oracle "
              "(sha-derived fake decode, replayed in SQL)"),
-    QueryDef("market_share", q_market_share, SQL_MARKET_SHARE,
-             "Q8-shaped 7-table snowflake with double-role nation join"),
     QueryDef("running_revenue", q_running_revenue, SQL_RUNNING_REVENUE,
              "cumulative ROWS-frame window (decimal-exact prefix sums)"),
     QueryDef("fuzzy_prefix_pairs", q_fuzzy_prefix_pairs,
@@ -4483,8 +4489,6 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("kmv_set_overlap", q_kmv_set_overlap, SQL_KMV_SET_OVERLAP,
              "KMV sketch set algebra: intersection estimate from two "
              "sketches vs exact"),
-    QueryDef("scd2_user_state", q_scd2_user_state, SQL_SCD2_USER_STATE,
-             "SCD Type-2 versioned history with change collapse"),
     QueryDef("props_map_explode", q_props_map_explode, SQL_PROPS_MAP_EXPLODE,
              "JSON -> map<string,long> parse + explode (MapType surface)"),
     QueryDef("window_value_suite", q_window_value_suite,

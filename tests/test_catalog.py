@@ -15,7 +15,6 @@ from commerce_sessionization_spark.plans.queries import (
 #: one representative per operator family that must stay driver-visible
 REQUIRED_IN_DRIVER_WINDOW = {
     "sessionize_events",          # flagship reference parity
-    "sql_session_stats",          # raw spark.sql surface
     "user_event_sequence",        # A1 collect_list parity
     "asof_purchase_last_view",    # as-of join
     "order_lineitem_range_join",  # range join
@@ -44,6 +43,15 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "bloom_membership",           # bloom filter
     "histogram_quantile_sketch",  # histogram quantiles
     "stratified_sample_docs",     # sampling
+    # round-3 rotation: families that had no driver-graded representative
+    # (their near-duplicate predecessors moved to EXTENDED_CATALOG:
+    # sql_session_stats ~ session_stats, lang_distribution ~ language_id,
+    # doc_fingerprints ~ exact_dedup_docs, simhash_fingerprints is a
+    # sub-computation of simhash_pairs)
+    "pagerank_neardup",           # iterative graph
+    "hourly_rollup_merge",        # continuous aggregate merge law
+    "scd2_user_state",            # SCD2 warehouse maintenance
+    "market_share",               # Q8 snowflake, double-role dim join
 }
 
 
