@@ -4234,6 +4234,339 @@ FROM hits
 """
 
 
+# --------------------------------------------------------------------------
+# Commerce analytics suite (round 3): the classic warehouse reports a
+# sessionization pipeline feeds — cohort retention, RFM, attribution,
+# concurrency. All built-in ops; each documents its 100 TB shape.
+# --------------------------------------------------------------------------
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly-cohort retention triangle over orders.
+
+    Cohort = calendar month of a customer's first order; each cell counts
+    distinct customers from that cohort who ordered again N months later.
+    Months are compared as the integer index ``year*12 + month`` so both
+    engines subtract exact ints (no calendar-arithmetic divergence).
+
+    Scale shape: one window-min shuffle on ``o_custkey`` (high-cardinality,
+    uniform) to tag each order with its cohort, then a count-distinct
+    keyed by (cohort, months_since) — Spark plans the distinct as a
+    partial aggregate on (cohort, months_since, custkey), so the
+    low-cardinality cohort key never concentrates raw rows.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("_midx"),
+    )
+    cohorts = o.withColumn(
+        "_cidx", F.min("_midx").over(Window.partitionBy("o_custkey"))
+    )
+    return (
+        cohorts.groupBy(
+            F.col("_cidx"),
+            (F.col("_midx") - F.col("_cidx")).alias("months_since"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+        .select(
+            F.concat_ws(
+                "-",
+                F.floor((F.col("_cidx") - 1) / 12).cast("long").cast("string"),
+                F.lpad(((F.col("_cidx") - 1) % 12 + 1).cast("string"), 2, "0"),
+            ).alias("cohort_month"),
+            "months_since",
+            "n_customers",
+        )
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS midx
+  FROM orders
+), c AS (
+  SELECT *, min(midx) OVER (PARTITION BY o_custkey) AS cidx FROM o
+)
+SELECT CAST((cidx - 1) // 12 AS VARCHAR) || '-' ||
+         lpad(CAST((cidx - 1) % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+       midx - cidx AS months_since,
+       count(DISTINCT o_custkey) AS n_customers
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile scores for recency / frequency / monetary.
+
+    Recency anchors on the corpus max order date (data-derived, so the
+    query is deterministic under replay). Scores are ntile(4) with a
+    custkey tiebreak — a total order, so both engines tile identically;
+    4 = best (most recent / most frequent / highest spend).
+
+    Scale shape: the windows run on the *customer-grain* aggregate —
+    orders shuffle once on ``o_custkey``, then the scored table is |cust|
+    rows, orders of magnitude below the fact table. The global ntile is a
+    single-partition sort of that small table (same documented trade as
+    the engine's global-sort O1); for a customer dimension too large to
+    sort on one partition, swap ntile for approx-percentile boundaries
+    broadcast as scalars — assignment then needs no global window.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_mon"),
+    )
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("_anchor"))
+    scored = per_cust.join(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("_anchor", "_last").cast("long").alias("recency_days"),
+        "frequency",
+        F.col("_mon").cast("double").alias("monetary"),
+        F.col("_mon").alias("_mon_dec"),
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("_mon_dec").desc(), F.col("o_custkey"))
+    return (
+        scored.select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            (5 - F.ntile(4).over(r_w)).cast("long").alias("r_score"),
+            (5 - F.ntile(4).over(f_w)).cast("long").alias("f_score"),
+            (5 - F.ntile(4).over(m_w)).cast("long").alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+        )
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS _last,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS _mon
+  FROM orders GROUP BY o_custkey
+), anchor AS (
+  SELECT max(CAST(o_orderdate AS DATE)) AS _anchor FROM orders
+), scored AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', _last, _anchor) AS BIGINT) AS recency_days,
+         frequency,
+         CAST(_mon AS DOUBLE) AS monetary,
+         _mon
+  FROM per_cust CROSS JOIN anchor
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       CAST(5 - ntile(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT)
+         AS r_score,
+       CAST(5 - ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+         AS f_score,
+       CAST(5 - ntile(4) OVER (ORDER BY _mon DESC, o_custkey) AS BIGINT)
+         AS m_score,
+       CAST(5 - ntile(4) OVER (ORDER BY recency_days, o_custkey) AS VARCHAR) ||
+       CAST(5 - ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS VARCHAR) ||
+       CAST(5 - ntile(4) OVER (ORDER BY _mon DESC, o_custkey) AS VARCHAR)
+         AS segment
+FROM scored
+"""
+
+
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution: each purchase's value split evenly
+    across the session's earlier non-purchase touches.
+
+    A purchase with no earlier touch in its session credits 'direct'.
+    "Earlier" is the total order (ts, event_id), so ties are decided
+    identically in both engines. Shares divide IEEE doubles (one
+    bit-deterministic operation per row), are snapped to DECIMAL(18,6),
+    and accumulate exactly — the per-type totals are order-independent.
+
+    Scale shape: purchases join touches on ``session_id`` — a
+    high-cardinality uniform key — and the within-session pair blow-up is
+    bounded by session length (the 30-min gap rule caps it), never by
+    corpus size. The per-purchase touch count is a window over the same
+    join output, no extra shuffle (partition key ``p_event_id`` is a
+    subset refinement of the join's session key only after the join —
+    one additional exchange on purchase id, still uniform).
+    """
+    ev = sessionize(load_table(spark, sf_dir, "events"), order_cols=("event_id",))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "session_id",
+        F.col("event_id").alias("_p_id"),
+        F.col("ts").alias("_p_ts"),
+        F.col("value").alias("_p_value"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "session_id",
+        F.col("event_id").alias("_t_id"),
+        F.col("ts").alias("_t_ts"),
+        F.col("event_type").alias("_t_type"),
+    )
+    earlier = (F.col("_t_ts") < F.col("_p_ts")) | (
+        (F.col("_t_ts") == F.col("_p_ts")) & (F.col("_t_id") < F.col("_p_id"))
+    )
+    pairs = purchases.join(touches, ["session_id"], "left").withColumn(
+        "_credit", F.when(earlier, F.col("_t_type"))
+    )
+    n_w = Window.partitionBy("_p_id")
+    credited = pairs.withColumn("_n", F.count("_credit").over(n_w)).withColumn(
+        "_share",
+        F.when(F.col("_n") == 0, F.col("_p_value")).otherwise(
+            F.col("_p_value") / F.col("_n")
+        ),
+    )
+    # n == 0 → the (possibly null-joined) rows collapse to one 'direct'
+    # credit; n > 0 → only rows that actually matched an earlier touch.
+    keep = (F.col("_n") > 0) & F.col("_credit").isNotNull()
+    direct = (F.col("_n") == 0) & (
+        F.row_number().over(
+            Window.partitionBy("_p_id").orderBy(
+                F.col("_t_id").asc_nulls_first()
+            )
+        )
+        == 1
+    )
+    return (
+        credited.withColumn("_rank_direct", direct)
+        .filter(keep | F.col("_rank_direct"))
+        .withColumn(
+            "channel", F.coalesce(F.when(keep, F.col("_credit")), F.lit("direct"))
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("_share").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("attributed_revenue"),
+            F.countDistinct("_p_id").alias("n_purchases"),
+        )
+    )
+
+
+SQL_LINEAR_ATTRIBUTION = _SESSION_CTE + """
+, purchases AS (
+  SELECT session_id, event_id AS p_id, ts AS p_ts, value AS p_value
+  FROM sessions WHERE event_type = 'purchase'
+), touches AS (
+  SELECT session_id, event_id AS t_id, ts AS t_ts, event_type AS t_type
+  FROM sessions WHERE event_type <> 'purchase'
+), pairs AS (
+  SELECT p.*, t.t_id, t.t_ts,
+         CASE WHEN t.t_ts < p.p_ts OR (t.t_ts = p.p_ts AND t.t_id < p.p_id)
+              THEN t.t_type END AS credit
+  FROM purchases p LEFT JOIN touches t USING (session_id)
+), counted AS (
+  SELECT *, count(credit) OVER (PARTITION BY p_id) AS n,
+         row_number() OVER (PARTITION BY p_id ORDER BY t_id ASC NULLS FIRST)
+           AS rn
+  FROM pairs
+), credited AS (
+  SELECT CASE WHEN n > 0 THEN credit ELSE 'direct' END AS channel,
+         CASE WHEN n = 0 THEN p_value ELSE p_value / n END AS share,
+         p_id
+  FROM counted
+  WHERE (n > 0 AND credit IS NOT NULL) OR (n = 0 AND rn = 1)
+)
+SELECT channel,
+       CAST(sum(CAST(share AS DECIMAL(18,6))) AS DOUBLE) AS attributed_revenue,
+       count(DISTINCT p_id) AS n_purchases
+FROM credited GROUP BY channel
+"""
+
+
+def q_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day (interval sweep-line).
+
+    Session intervals [min ts, max ts] are clamped to each day they span
+    (a session crossing midnight counts toward both days), then each day
+    runs an independent sweep: +1 at interval start, -1 at interval end,
+    starts before ends at equal timestamps (inclusive-overlap
+    convention), running-sum max = that day's peak.
+
+    Scale shape: the sweep window partitions by DAY, so no global sort —
+    each day's boundary list is 2×(sessions touching that day) rows, and
+    the multi-day explode is bounded by session length (30-min gap rule
+    ⇒ almost always 1 day, never unbounded). Running sums are exact int
+    arithmetic; ties are totally ordered by (ts, delta DESC, session_id).
+    """
+    ev = sessionize(load_table(spark, sf_dir, "events"), order_cols=("event_id",))
+    bounds = ev.groupBy("session_id").agg(
+        F.min("ts").alias("_s"), F.max("ts").alias("_e")
+    )
+    days = bounds.select(
+        "session_id",
+        "_s",
+        "_e",
+        F.explode(F.sequence(F.to_date("_s"), F.to_date("_e"))).alias("day"),
+    ).select(
+        "session_id",
+        "day",
+        F.greatest(F.col("_s"), F.col("day").cast("timestamp")).alias("_cs"),
+        F.least(
+            F.col("_e"),
+            F.date_add(F.col("day"), 1).cast("timestamp")
+            - F.expr("interval 1 microsecond"),
+        ).alias("_ce"),
+    )
+    boundaries = days.select(
+        "session_id", "day", F.col("_cs").alias("_t"), F.lit(1).alias("_delta")
+    ).unionByName(
+        days.select(
+            "session_id", "day", F.col("_ce").alias("_t"), F.lit(-1).alias("_delta")
+        )
+    )
+    sweep = Window.partitionBy("day").orderBy(
+        F.col("_t"), F.col("_delta").desc(), F.col("session_id")
+    )
+    running = boundaries.withColumn(
+        "_running",
+        F.sum("_delta").over(sweep.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return running.groupBy("day").agg(
+        F.max("_running").cast("long").alias("peak_concurrency"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+    )
+
+
+SQL_CONCURRENT_SESSIONS_PEAK = _SESSION_CTE + """
+, bounds AS (
+  SELECT session_id, min(ts) AS s, max(ts) AS e
+  FROM sessions GROUP BY session_id
+), days AS (
+  SELECT session_id,
+         CAST(d.day AS DATE) AS day,
+         greatest(s, CAST(CAST(d.day AS DATE) AS TIMESTAMP)) AS cs,
+         least(e, CAST(CAST(d.day AS DATE) + INTERVAL 1 DAY AS TIMESTAMP)
+                  - INTERVAL 1 MICROSECOND) AS ce
+  FROM bounds,
+       unnest(generate_series(CAST(s AS DATE), CAST(e AS DATE),
+                              INTERVAL 1 DAY)) AS d(day)
+), boundaries AS (
+  SELECT session_id, day, cs AS t, 1 AS delta FROM days
+  UNION ALL
+  SELECT session_id, day, ce AS t, -1 AS delta FROM days
+), swept AS (
+  SELECT day,
+         sum(delta) OVER (PARTITION BY day
+                          ORDER BY t, delta DESC, session_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running
+  FROM boundaries
+)
+SELECT day, CAST(max(running) AS BIGINT) AS peak_concurrency,
+       CAST(count(*) / 2 AS BIGINT) AS n_sessions
+FROM swept GROUP BY day
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -4517,6 +4850,21 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("promotable_suppliers", q_promotable_suppliers,
              SQL_PROMOTABLE_SUPPLIERS,
              "Q20-shaped nested-IN + decorrelated scalar subquery"),
+    # --- commerce analytics suite (round 3) ---
+    QueryDef("cohort_retention", q_cohort_retention, SQL_COHORT_RETENTION,
+             "monthly-cohort retention triangle (first-order month x "
+             "months-since, distinct returning customers)"),
+    QueryDef("rfm_segments", q_rfm_segments, SQL_RFM_SEGMENTS,
+             "RFM quartile segmentation via tiebroken ntile on the "
+             "customer-grain aggregate"),
+    QueryDef("linear_attribution", q_linear_attribution,
+             SQL_LINEAR_ATTRIBUTION,
+             "multi-touch linear attribution: purchase value split across "
+             "earlier same-session touches (decimal-exact shares)"),
+    QueryDef("concurrent_sessions_peak", q_concurrent_sessions_peak,
+             SQL_CONCURRENT_SESSIONS_PEAK,
+             "peak concurrent sessions per day: day-partitioned interval "
+             "sweep-line over session bounds"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
