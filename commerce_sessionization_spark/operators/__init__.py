@@ -50,6 +50,10 @@ from commerce_sessionization_spark.operators.multimodal import (
     resize_images,
     sample_video_frames,
 )
+from commerce_sessionization_spark.operators.merge import (
+    collapse_batch,
+    merge_upsert,
+)
 from commerce_sessionization_spark.operators.rollup import (
     merge_rollups,
     time_bucket_rollup,
@@ -101,6 +105,8 @@ __all__ = [
     "media_metadata_stats",
     "resize_images",
     "sample_video_frames",
+    "collapse_batch",
+    "merge_upsert",
     "merge_rollups",
     "time_bucket_rollup",
     "scd2_history",

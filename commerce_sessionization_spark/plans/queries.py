@@ -35,6 +35,10 @@ from commerce_sessionization_spark.operators.dedup import (
     segment_dedup,
 )
 from commerce_sessionization_spark.operators.decontam import ngram_contamination
+from commerce_sessionization_spark.operators.merge import (
+    collapse_batch,
+    merge_upsert,
+)
 from commerce_sessionization_spark.operators.sessions import sessionize
 from commerce_sessionization_spark.operators.sketches import (
     bloom_bits,
@@ -4567,6 +4571,85 @@ FROM swept GROUP BY day
 """
 
 
+def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO: apply a CDC batch to the customer snapshot.
+
+    The batch derives deterministically from each customer's latest order
+    (last writer by ``(o_orderdate, o_orderkey)``, the ``collapse_batch``
+    total order):
+
+    - latest priority '5-LOW'    → DELETE the customer
+    - any other latest order     → UPDATE: acctbal := that order's total
+    - latest priority '1-URGENT' → additionally INSERT a mirror customer
+      at ``custkey + 1_000_000`` in segment 'CDC'
+    - customers with no orders   → kept unchanged
+
+    Values pass through unmodified (no float arithmetic), so both engines
+    agree bit-for-bit. The oracle states MERGE's result relationally —
+    target minus batch keys, plus surviving batch rows — exactly the
+    one-target-scan plan ``operators/merge.py`` documents for 100 TB
+    (anti join on the batch key set instead of a full outer join).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    latest = collapse_batch(
+        orders, ["o_custkey"], "o_orderdate", tiebreak=["o_orderkey"]
+    )
+    base = latest.join(
+        cust, latest["o_custkey"] == cust["c_custkey"], "inner"
+    )
+    updates = base.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.col("o_totalprice").alias("c_acctbal"),
+        "c_mktsegment",
+        (F.col("o_orderpriority") == "5-LOW").alias("_deleted"),
+    )
+    inserts = base.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        "c_nationkey",
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.lit("CDC").alias("c_mktsegment"),
+        F.lit(False).alias("_deleted"),
+    )
+    batch = updates.unionByName(inserts)
+    return merge_upsert(cust, batch, ["c_custkey"], delete_col="_deleted")
+
+
+SQL_CDC_MERGE_APPLY = """
+WITH latest AS (
+  SELECT * FROM (
+    SELECT o_custkey, o_totalprice, o_orderpriority,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC)
+             AS rn
+    FROM orders) WHERE rn = 1
+), base AS (
+  SELECT c.*, l.o_totalprice, l.o_orderpriority
+  FROM latest l JOIN customer c ON c.c_custkey = l.o_custkey
+), batch AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         o_totalprice AS c_acctbal, c_mktsegment,
+         o_orderpriority = '5-LOW' AS deleted
+  FROM base
+  UNION ALL
+  SELECT c_custkey + 1000000,
+         'new-' || CAST(c_custkey AS VARCHAR),
+         c_nationkey, o_totalprice, 'CDC', FALSE
+  FROM base WHERE o_orderpriority = '1-URGENT'
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM batch WHERE NOT deleted
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -4865,6 +4948,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_CONCURRENT_SESSIONS_PEAK,
              "peak concurrent sessions per day: day-partitioned interval "
              "sweep-line over session bounds"),
+    QueryDef("cdc_merge_apply", q_cdc_merge_apply, SQL_CDC_MERGE_APPLY,
+             "MERGE INTO: last-writer-wins CDC batch applied via "
+             "one-target-scan anti join (delete/update/insert/keep)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -1,0 +1,98 @@
+"""MERGE INTO (CDC apply) semantics + the one-target-scan plan contract."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import Row
+
+from commerce_sessionization_spark.operators.merge import (
+    collapse_batch,
+    merge_upsert,
+)
+
+
+def _snapshot(spark):
+    return spark.createDataFrame(
+        [
+            Row(k=1, name="a", bal=10.0),
+            Row(k=2, name="b", bal=20.0),
+            Row(k=3, name="c", bal=30.0),
+        ]
+    )
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_merge_update_insert_delete_keep(spark):
+    target = _snapshot(spark)
+    batch = spark.createDataFrame(
+        [
+            Row(k=2, name="b2", bal=99.0, deleted=False),   # update
+            Row(k=3, name="c", bal=30.0, deleted=True),     # delete
+            Row(k=4, name="d", bal=40.0, deleted=False),    # insert
+        ]
+    )
+    out = merge_upsert(target, batch, ["k"], delete_col="deleted")
+    assert _rows(out) == {
+        (1, "a", 10.0),      # untouched
+        (2, "b2", 99.0),
+        (4, "d", 40.0),
+    }
+
+
+def test_merge_without_delete_col_is_pure_upsert(spark):
+    target = _snapshot(spark)
+    batch = spark.createDataFrame([Row(k=1, name="a9", bal=1.0)])
+    out = merge_upsert(target, batch, ["k"])
+    assert _rows(out) == {(1, "a9", 1.0), (2, "b", 20.0), (3, "c", 30.0)}
+
+
+def test_collapse_last_writer_wins_with_tiebreak(spark):
+    batch = spark.createDataFrame(
+        [
+            Row(k=1, name="v1", bal=1.0, seq=1, src=1),
+            Row(k=1, name="v2", bal=2.0, seq=2, src=1),
+            # equal seq: src tiebreak decides, higher wins
+            Row(k=1, name="v3a", bal=3.0, seq=3, src=1),
+            Row(k=1, name="v3b", bal=4.0, seq=3, src=2),
+            Row(k=2, name="w1", bal=5.0, seq=1, src=1),
+        ]
+    )
+    got = _rows(
+        collapse_batch(batch, ["k"], "seq", tiebreak=["src"]).select(
+            "k", "name", "bal"
+        )
+    )
+    assert got == {(1, "v3b", 4.0), (2, "w1", 5.0)}
+
+
+def test_merge_is_idempotent(spark):
+    target = _snapshot(spark)
+    batch = spark.createDataFrame(
+        [
+            Row(k=2, name="b2", bal=99.0, deleted=False),
+            Row(k=3, name="c", bal=30.0, deleted=True),
+            Row(k=4, name="d", bal=40.0, deleted=False),
+        ]
+    )
+    once = merge_upsert(target, batch, ["k"], delete_col="deleted")
+    twice = merge_upsert(once, batch, ["k"], delete_col="deleted")
+    assert _rows(once) == _rows(twice)
+
+
+def test_merge_anti_join_broadcasts_small_batch(spark):
+    """The 100 TB contract: the target is NOT shuffled — the batch's key
+    set broadcasts into a map-side anti join (one scan of the big side)."""
+    target = _snapshot(spark)
+    batch = spark.createDataFrame([Row(k=2, name="b2", bal=9.0)])
+    out = merge_upsert(target, batch, ["k"], broadcast_batch=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
