@@ -4650,6 +4650,113 @@ FROM batch WHERE NOT deleted
 """
 
 
+def q_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier days: |revenue − median| > 3 × MAD, exactly.
+
+    Median/MAD avoid quantile functions entirely (engines interpolate
+    differently): with revenues ranked under a total order, ``med2`` :=
+    sum of the two middle values (2× the middle value when the count is
+    odd) is an *exact decimal* equal to 2×median; deviations are kept at
+    that doubled scale, and their own med2 gives 4×MAD. The anomaly test
+    ``2·|2x−med2| > 3·mad4`` multiplies decimals by ints — exact — and
+    the reported median/MAD divide doubles by powers of two, which IEEE
+    halves bit-identically in both engines.
+
+    Scale shape: two global windows, but over the *daily aggregate*
+    (|days| rows — thousands, not the fact table), the same documented
+    small-aggregate trade as RFM; the fact table itself contributes one
+    map-side-combinable groupBy(day).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev")
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.col("_rev"), F.col("day"))
+    ranked = daily.select(
+        "day",
+        "_rev",
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+        F.row_number().over(w_rank).alias("_rn"),
+    )
+    lo = F.floor((F.col("_n") + 1) / 2)
+    hi = F.floor((F.col("_n") + 2) / 2)
+    mid_sum = F.sum(
+        F.when((F.col("_rn") == lo) | (F.col("_rn") == hi), F.col("_rev"))
+    ).over(w_all)
+    med2 = F.when(lo == hi, mid_sum * 2).otherwise(mid_sum)
+    devs = ranked.select(
+        "day",
+        "_rev",
+        "_n",
+        med2.alias("_med2"),
+        F.abs(F.col("_rev") * 2 - med2).alias("_d"),
+    )
+    w_drank = Window.orderBy(F.col("_d"), F.col("day"))
+    dranked = devs.select(
+        "day",
+        "_rev",
+        "_n",
+        "_med2",
+        "_d",
+        F.row_number().over(w_drank).alias("_drn"),
+    )
+    dmid_sum = F.sum(
+        F.when((F.col("_drn") == lo) | (F.col("_drn") == hi), F.col("_d"))
+    ).over(w_all)
+    mad4 = F.when(lo == hi, dmid_sum * 2).otherwise(dmid_sum)
+    return dranked.select(
+        "day",
+        F.col("_rev").cast("double").alias("revenue"),
+        (F.col("_med2").cast("double") * F.lit(0.5)).alias("median_revenue"),
+        (mad4.cast("double") * F.lit(0.25)).alias("mad_revenue"),
+        F.when(F.col("_d") * 2 > mad4 * 3, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_anomaly"),
+    )
+
+
+SQL_REVENUE_ANOMALIES = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT *, count(*) OVER () AS n,
+         row_number() OVER (ORDER BY rev, day) AS rn
+  FROM daily
+), med AS (
+  SELECT *,
+         (n + 1) // 2 AS lo, (n + 2) // 2 AS hi,
+         sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                  THEN rev END) OVER () AS mid_sum
+  FROM ranked
+), devs AS (
+  SELECT day, rev, n, lo, hi,
+         CASE WHEN lo = hi THEN mid_sum * 2 ELSE mid_sum END AS med2,
+         abs(rev * 2 - CASE WHEN lo = hi THEN mid_sum * 2
+                            ELSE mid_sum END) AS d
+  FROM med
+), dranked AS (
+  SELECT *, row_number() OVER (ORDER BY d, day) AS drn FROM devs
+), dmed AS (
+  SELECT *,
+         sum(CASE WHEN drn = lo OR drn = hi THEN d END) OVER () AS dmid_sum
+  FROM dranked
+)
+SELECT day,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(med2 AS DOUBLE) * 0.5 AS median_revenue,
+       CAST(CASE WHEN lo = hi THEN dmid_sum * 2 ELSE dmid_sum END AS DOUBLE)
+         * 0.25 AS mad_revenue,
+       CAST(CASE WHEN d * 2 >
+              (CASE WHEN lo = hi THEN dmid_sum * 2 ELSE dmid_sum END) * 3
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM dmed
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -4951,6 +5058,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("cdc_merge_apply", q_cdc_merge_apply, SQL_CDC_MERGE_APPLY,
              "MERGE INTO: last-writer-wins CDC batch applied via "
              "one-target-scan anti join (delete/update/insert/keep)"),
+    QueryDef("revenue_anomalies", q_revenue_anomalies, SQL_REVENUE_ANOMALIES,
+             "robust outlier days via exact decimal median/MAD "
+             "(sum-of-middle-two, no engine interpolation)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
