@@ -50,6 +50,10 @@ from commerce_sessionization_spark.operators.multimodal import (
     resize_images,
     sample_video_frames,
 )
+from commerce_sessionization_spark.operators.layout import (
+    write_zordered,
+    zorder_key,
+)
 from commerce_sessionization_spark.operators.merge import (
     collapse_batch,
     merge_upsert,
@@ -107,6 +111,8 @@ __all__ = [
     "sample_video_frames",
     "collapse_batch",
     "merge_upsert",
+    "write_zordered",
+    "zorder_key",
     "merge_rollups",
     "time_bucket_rollup",
     "scd2_history",

@@ -1,0 +1,104 @@
+"""Z-order layout: locality + file-skipping proofs on real footer stats.
+
+The point of z-ordering is measurable without a cluster: after a
+z-ordered write, each parquet file's min/max footer range on EVERY
+clustered column is a fraction of the global range, so a conjunctive
+predicate selects few files. A naive (unclustered) write leaves each
+file spanning ~the full range of at least one column.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import Row
+
+from commerce_sessionization_spark.operators.layout import (
+    write_zordered,
+    zorder_key,
+)
+
+N = 4096
+FILES = 16
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    # deterministic 2-D grid walk: x and y decorrelated, full range each
+    rows = [Row(rid=i, x=(i * 37) % N, y=(i * 101) % N) for i in range(N)]
+    return spark.createDataFrame(rows)
+
+
+def _file_spans(path: str, col: str) -> list[tuple[int, int]]:
+    spans = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        lo = min(md.row_group(g).column(idx).statistics.min
+                 for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max
+                 for g in range(md.num_row_groups))
+        spans.append((lo, hi))
+    return spans
+
+
+def test_zkey_is_deterministic_and_preserves_rows(grid):
+    keyed = zorder_key(grid, ["x", "y"], bits=6)
+    assert keyed.count() == N
+    assert set(keyed.columns) == {"rid", "x", "y", "_zkey"}
+    a = {r.rid: r._zkey for r in keyed.collect()}
+    b = {r.rid: r._zkey for r in zorder_key(grid, ["x", "y"], bits=6).collect()}
+    assert a == b
+
+
+def test_zorder_bounds_every_dimension_per_file(grid, tmp_path):
+    """Each z-ordered file covers a small rectangle: per-file spans of
+    BOTH columns average well under half the global range (a naive
+    single-column sort leaves the other column at ~full range)."""
+    zpath = str(tmp_path / "z")
+    write_zordered(grid, zpath, ["x", "y"], bits=6, num_files=FILES)
+
+    for col in ("x", "y"):
+        spans = _file_spans(zpath, col)
+        assert len(spans) == FILES
+        avg_span = sum(hi - lo for lo, hi in spans) / len(spans)
+        assert avg_span < 0.5 * (N - 1), (col, avg_span)
+
+    # sanity: a plain sort by x alone leaves y unclustered
+    xpath = str(tmp_path / "x")
+    (
+        grid.repartitionByRange(FILES, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xpath)
+    )
+    y_spans = _file_spans(xpath, "y")
+    avg_y = sum(hi - lo for lo, hi in y_spans) / len(y_spans)
+    assert avg_y > 0.9 * (N - 1)
+
+
+def test_zorder_skips_files_for_conjunctive_predicate(grid, tmp_path):
+    """Footer-stat pruning: a small (x, y) box intersects few z-files."""
+    zpath = str(tmp_path / "z2")
+    write_zordered(grid, zpath, ["x", "y"], bits=6, num_files=FILES)
+    x_spans = _file_spans(zpath, "x")
+    y_spans = _file_spans(zpath, "y")
+    lo, hi = N // 2, N // 2 + N // 16  # a 1/16th box in each dimension
+    hit = sum(
+        1
+        for (xl, xh), (yl, yh) in zip(x_spans, y_spans)
+        if xl <= hi and xh >= lo and yl <= hi and yh >= lo
+    )
+    assert hit <= FILES // 2, hit
+
+
+def test_zorder_rows_roundtrip(grid, tmp_path, spark):
+    zpath = str(tmp_path / "z3")
+    write_zordered(grid, zpath, ["x", "y"], bits=6, num_files=FILES)
+    back = spark.read.parquet(zpath)
+    assert {tuple(r) for r in back.select("rid", "x", "y").collect()} == {
+        tuple(r) for r in grid.collect()
+    }
