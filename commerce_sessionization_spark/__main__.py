@@ -88,6 +88,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="write result parquet here (default: show 20 rows)")
     q.add_argument("--master", default=None)
 
+    ex = sub.add_parser(
+        "explain",
+        help="print a catalog query's optimized physical plan "
+             "(the scale audit: pushdown, broadcasts, exchanges)",
+    )
+    ex.add_argument("name", help="query name from `query` listing")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ex.add_argument("--mode", default="formatted",
+                    choices=["simple", "extended", "formatted", "cost"])
+    ex.add_argument("--master", default=None)
+
     args = top.parse_args(argv)
     if args.cmd == "query" and not args.name:
         from commerce_sessionization_spark.plans.queries import FULL_CATALOG
@@ -149,6 +160,13 @@ def main(argv: list[str] | None = None) -> int:
                 df.write.mode("overwrite").parquet(args.out)
             else:
                 df.show(20, truncate=False)
+        elif args.cmd == "explain":
+            from commerce_sessionization_spark.plans.queries import all_spark_queries
+
+            queries = all_spark_queries()
+            if args.name not in queries:
+                top.error(f"unknown query {args.name!r} (run `query` to list)")
+            queries[args.name](spark, args.sf_dir).explain(mode=args.mode)
     finally:
         spark.stop()
     return 0
