@@ -4847,6 +4847,48 @@ UNION ALL SELECT 'browse_only', browse_only FROM counts
 """
 
 
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis–Spirakis A-ES):
+    top-k documents by ``u^(1/w)`` with hash-derived uniforms.
+
+    Inclusion probability is proportional to weight (here ``n_chars`` —
+    the 'sample long documents more' knob of corpus curation), yet the
+    draw is fully deterministic and join-stable: ``u`` comes from the
+    doc's sha256 (52 bits → an exact double in (0,1]), not ``rand()``.
+    The selection is ORDER BY key LIMIT k — Spark plans TakeOrdered
+    (per-partition heap + driver merge of k), never a global sort, so
+    the pattern holds at any corpus size.
+
+    The key itself is excluded from the output: ``pow`` is not required
+    to be bit-identical across libms, but a selection flip would need
+    two keys within ~1 ulp — not observed at any tested SF (the set
+    comparison, not the key bytes, is the contract).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = hex_to_long(F.sha2(F.col("doc_id").cast("string"), 256), 13)
+    u = (h + 1) / F.lit(float(16**13 + 1))
+    key = F.pow(u, 1.0 / F.col("n_chars"))
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("_k"))
+        .orderBy(F.col("_k").desc(), F.col("doc_id"))
+        .limit(100)
+        .drop("_k")
+    )
+
+
+SQL_WEIGHTED_SAMPLE_DOCS = f"""
+SELECT doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         pow(({_hex2int_sql("sha256(CAST(doc_id AS VARCHAR))", 13)} + 1)
+               / (POWER(16, 13) + 1),
+             1.0 / n_chars) AS k
+  FROM documents
+)
+ORDER BY k DESC, doc_id LIMIT 100
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -5155,6 +5197,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_SESSION_PATTERN_MATCH,
              "MATCH_RECOGNIZE-style regex classification of per-session "
              "event journeys (order-sensitive funnels, bounces)"),
+    QueryDef("weighted_sample_docs", q_weighted_sample_docs,
+             SQL_WEIGHTED_SAMPLE_DOCS,
+             "Efraimidis-Spirakis weighted sample without replacement: "
+             "deterministic hash-uniforms, TakeOrdered top-k"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
