@@ -56,6 +56,11 @@ HEADLINE = [
     # iteration-dominated co-purchase graph (~600k edges at sf0.1)
     "pagerank_copurchase",
     "pagerank_copurchase_fast",
+    # round-3 surface additions (one representative per new family)
+    "cdc_merge_apply",
+    "session_pattern_match",
+    "cohort_retention",
+    "weighted_sample_docs",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

@@ -4889,6 +4889,61 @@ ORDER BY k DESC, doc_id LIMIT 100
 """
 
 
+def q_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive order months per
+    customer.
+
+    The classic trick — within a customer, consecutive months share a
+    constant ``month_index − dense_rank`` — makes islands groupable with
+    no self-join and no iteration. Pure integer arithmetic end-to-end.
+
+    Scale shape: one shuffle on ``o_custkey`` for the distinct+window,
+    then per-(customer, island) counting reuses the same partitioning;
+    the final per-customer rollup is map-side combinable. No island can
+    outgrow its customer's history, so skew equals customer skew.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("_midx"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("_midx")
+    islands = o.withColumn(
+        "_island", F.col("_midx") - F.dense_rank().over(w)
+    )
+    per_island = islands.groupBy("o_custkey", "_island").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    return per_island.groupBy("o_custkey").agg(
+        F.max("_len").alias("longest_streak_months"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("_len").alias("active_months"),
+    )
+
+
+SQL_ORDER_STREAKS = """
+WITH m AS (
+  SELECT DISTINCT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS midx
+  FROM orders
+), islands AS (
+  SELECT o_custkey, midx,
+         midx - dense_rank() OVER (PARTITION BY o_custkey ORDER BY midx)
+           AS island
+  FROM m
+), per_island AS (
+  SELECT o_custkey, island, count(*) AS len
+  FROM islands GROUP BY o_custkey, island
+)
+SELECT o_custkey,
+       max(len) AS longest_streak_months,
+       count(*) AS n_streaks,
+       CAST(sum(len) AS BIGINT) AS active_months
+FROM per_island GROUP BY o_custkey
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -5201,6 +5256,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_WEIGHTED_SAMPLE_DOCS,
              "Efraimidis-Spirakis weighted sample without replacement: "
              "deterministic hash-uniforms, TakeOrdered top-k"),
+    QueryDef("order_streaks", q_order_streaks, SQL_ORDER_STREAKS,
+             "gaps-and-islands: longest consecutive-order-month run per "
+             "customer via the midx - dense_rank island key"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
