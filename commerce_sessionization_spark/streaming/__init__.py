@@ -7,6 +7,10 @@ aggregation with watermarked late-data handling, and a stateful per-event
 variant whose session ids are byte-identical to the batch operator.
 """
 
+from commerce_sessionization_spark.streaming.cdc_stream import (
+    make_cdc_writer,
+    read_cdc_snapshot,
+)
 from commerce_sessionization_spark.streaming.dedup import dedup_stream
 from commerce_sessionization_spark.streaming.joins import (
     attribute_purchases,
@@ -22,6 +26,8 @@ from commerce_sessionization_spark.streaming.windows import windowed_counts
 __all__ = [
     "attribute_purchases",
     "dedup_stream",
+    "make_cdc_writer",
+    "read_cdc_snapshot",
     "enrich_stream",
     "read_events_stream",
     "sessionize_stream_stateful",
