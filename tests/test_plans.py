@@ -203,6 +203,7 @@ _INTENDED_LOOP_JOINS = {
     "promotable_suppliers",
     "market_share",            # per-year scalar share
     "session_funnel",          # scalar conversion base
+    "rfm_segments",            # 1-row recency anchor (global max date)
     "kmv_distinct_users",      # sketch-sized
     "hll_distinct_users",      # sketch-sized
     "hll_union_types",         # sketch-sized
