@@ -30,7 +30,7 @@ BASE = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
 OUT = "/tmp/sf_scaled3"
 COPIES = 3
 QUERIES = ("sessionize_events", "pricing_summary", "doc_stats",
-           "repetition_scores")
+           "repetition_scores", "time_weighted_value")
 
 
 def build_scaled(spark) -> None:
