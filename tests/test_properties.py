@@ -169,3 +169,73 @@ def test_rollup_merge_law(spark, events, cut):
         spark.createDataFrame(rows[cut:], schema) if cut < len(rows)
         else spark.createDataFrame([], schema), keys=keys)
     assert canon(merge_rollups(a, b, keys=keys)) == canon(direct)
+
+
+# --------------------------------------------------------------------------
+# CDC fold law: for EVERY change multiset and EVERY 2-way epoch split —
+# including splits that deliver changes out of sequence order — folding
+# epoch-by-epoch equals collapsing everything at once. This is the
+# invariant the streaming tombstone state (streaming/cdc_stream.py)
+# rests on: arrival order must never matter, only the seq total order.
+# --------------------------------------------------------------------------
+
+changes_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),    # key
+        st.integers(min_value=0, max_value=20),   # seq
+        st.integers(min_value=0, max_value=99),   # payload
+        st.booleans(),                            # deleted
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(changes=changes_strategy, cut=st.integers(min_value=0, max_value=24))
+def test_cdc_fold_order_independence(spark, changes, cut):
+    from pyspark.sql.types import (
+        BooleanType, IntegerType, StructField, StructType,
+    )
+
+    from commerce_sessionization_spark.operators.merge import collapse_batch
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("seq", IntegerType()),
+            StructField("payload", IntegerType()),
+            StructField("_deleted", BooleanType()),
+        ]
+    )
+    # uid tiebreak makes equal-(key, seq) conflicts deterministic, the
+    # same contract collapse_batch documents for real CDC streams
+    rows = [
+        (k, seq, payload, deleted, uid)
+        for uid, (k, seq, payload, deleted) in enumerate(changes)
+    ]
+    schema = schema.add("uid", IntegerType())
+    cut = min(cut, len(rows))
+
+    def fold(parts):
+        state = None
+        for p in parts:
+            if not p:
+                continue
+            batch = collapse_batch(
+                spark.createDataFrame(p, schema), ["k"], "seq", tiebreak=["uid"]
+            )
+            state = batch if state is None else collapse_batch(
+                state.unionByName(batch), ["k"], "seq", tiebreak=["uid"]
+            )
+        return set() if state is None else {tuple(r) for r in state.collect()}
+
+    whole = fold([rows])
+    split = fold([rows[:cut], rows[cut:]])
+    # adversarial arrival: later seqs delivered first
+    reversed_arrival = fold([rows[cut:], rows[:cut]])
+    assert whole == split == reversed_arrival
