@@ -83,3 +83,55 @@ def test_cdc_delete_tombstone_survives_replayed_stale_upsert(spark, tmp_path):
 
 def test_cdc_snapshot_none_before_first_commit(spark, tmp_path):
     assert read_cdc_snapshot(spark, str(tmp_path / "nope")) is None
+
+
+def test_cdc_end_to_end_real_stream(spark, tmp_path):
+    """Close the loop: parquet change-drops → readStream → foreachBatch
+    (make_cdc_writer) → read_cdc_snapshot, one micro-batch per drop."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("name", StringType()),
+            StructField("bal", DoubleType()),
+            StructField("seq", IntegerType()),
+            StructField("_deleted", BooleanType()),
+        ]
+    )
+    drops = [
+        [(1, "a", 10.0, 1, False), (2, "b", 20.0, 1, False)],
+        [(1, "a2", 11.0, 2, False), (2, "b", 20.0, 2, True),
+         (3, "c", 30.0, 2, False)],
+    ]
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"drop_{i}.parquet")
+        )
+    out = str(tmp_path / "cdc_state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/drop_*.parquet")
+    )
+    q = (
+        stream.writeStream.foreachBatch(make_cdc_writer(spark, out, ["k"], "seq"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snap = {
+        (r.k, r.name, r.bal)
+        for r in read_cdc_snapshot(spark, out).select("k", "name", "bal").collect()
+    }
+    assert snap == {(1, "a2", 11.0), (3, "c", 30.0)}
