@@ -3,7 +3,11 @@ from commerce_sessionization_spark.operators.sessionize import (
     load_prev_active_sessions,
     sessionize_hour,
 )
-from commerce_sessionization_spark.operators.sessions import sessionize, session_stats
+from commerce_sessionization_spark.operators.sessions import (
+    session_stats,
+    sessionize,
+    sessionize_capped,
+)
 from commerce_sessionization_spark.operators.ingest import divide_file
 from commerce_sessionization_spark.operators.dedup import (
     exact_dedup,
@@ -73,6 +77,7 @@ __all__ = [
     "load_prev_active_sessions",
     "sessionize_hour",
     "sessionize",
+    "sessionize_capped",
     "session_stats",
     "divide_file",
     "exact_dedup",

@@ -234,3 +234,67 @@ def session_stats(
     if value_col:
         aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
     return sessions.groupBy(id_col).agg(*aggs)
+
+
+def sessionize_capped(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    cap_seconds: int | None = 4 * 3600,
+    order_cols: tuple[str, ...] = (),
+    id_col: str = "session_id",
+) -> DataFrame:
+    """Gap sessionization with an absolute duration cap (bot hygiene):
+    a session also splits once an event lands more than ``cap_seconds``
+    after the session's *chosen start*.
+
+    This is the engine's tier-b custom operator (SURVEY §7 hierarchy):
+    the cap makes each boundary depend on the previous boundary decision
+    — a running reset — so no fixed-frame window (lag/last) can express
+    it declaratively; it needs per-group imperative logic. Implemented
+    as Arrow-batched ``applyInPandas`` keyed by ``user_col``: one
+    shuffle (the same key as plain ``sessionize``), per-task memory
+    bounded by one user's history (for hot users, pre-bucket like
+    ``sessionize_bucketed``), and ids minted from the *same preimage*
+    ``sha256("{user}-{epoch_micros(start)}")`` — so with the cap
+    disabled the output is byte-identical to the built-in-window
+    operator, which is exactly how the Pandas path is oracle-checked
+    (``capped_sessionize_parity`` + ``tests/test_sessions_capped.py``).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    gap_us = gap_seconds * 1_000_000
+    cap_us = None if cap_seconds is None else cap_seconds * 1_000_000
+    order = [ts_col, *order_cols]
+    # a fresh StructType — StructType.add would mutate df.schema in place
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(id_col, StringType())]
+    )
+
+    def assign(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        # naive timestamps are session-tz (UTC) wall time == epoch micros
+        ts_us = pdf[ts_col].astype("datetime64[us]").astype("int64")
+        user = pdf[user_col].iloc[0]
+        ids = []
+        start = prev = None
+        for t in ts_us:
+            if (
+                start is None
+                or (t - prev) > gap_us
+                or (cap_us is not None and (t - start) > cap_us)
+            ):
+                start = t
+            prev = t
+            ids.append(
+                hashlib.sha256(f"{user}-{start}".encode()).hexdigest()
+            )
+        pdf[id_col] = ids
+        return pdf
+
+    return df.groupBy(user_col).applyInPandas(assign, schema=out_schema)

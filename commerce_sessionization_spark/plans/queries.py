@@ -5002,6 +5002,23 @@ FROM agg
 """
 
 
+def q_capped_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tier-b Pandas sessionizer under oracle: with the cap disabled,
+    ``sessionize_capped`` (applyInPandas, imperative per-user loop) must
+    reproduce the window-function operator byte-for-byte — so it shares
+    the flagship's SQL oracle. The cap behavior itself is pinned in
+    ``tests/test_sessions_capped.py`` (not SQL-expressible: the boundary
+    depends on the previous boundary decision — a running reset)."""
+    from commerce_sessionization_spark.operators.sessions import (
+        sessionize_capped,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_capped(
+        ev, cap_seconds=None, order_cols=("event_id",)
+    ).select("event_id", "ts", "user_id", "event_type", "value", "session_id")
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -5321,6 +5338,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_TIME_WEIGHTED_VALUE,
              "per-user TWAP: event values weighted by holding duration "
              "(lead window + exact decimal accumulation)"),
+    QueryDef("capped_sessionize_parity", q_capped_sessionize_parity,
+             SQL_SESSIONIZE_EVENTS,
+             "tier-b applyInPandas sessionizer, cap disabled == the "
+             "window operator byte-for-byte (shared flagship oracle)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
