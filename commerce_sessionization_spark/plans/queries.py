@@ -5019,6 +5019,58 @@ def q_capped_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "ts", "user_id", "event_type", "value", "session_id")
 
 
+#: half-life 7 days, as a decay constant per MICROSECOND. Rendered into
+#: both engines' plans from this one literal so they parse the same
+#: decimal string → the same IEEE double.
+_DECAY_LAMBDA_US = 0.6931471805599453 / (7 * 86400 * 1_000_000)
+
+
+def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending score: revenue with a 7-day exponential half-life.
+
+    score(type) = Σ value·2^(−age/half_life), anchored on the corpus max
+    timestamp (data-derived ⇒ replay-deterministic). Newer purchases
+    dominate; a spike last week outranks steady history — the standard
+    'trending now' ranking.
+
+    Determinism: age is exact integer microseconds; −age·λ and exp() are
+    one IEEE op each on identical inputs, snapped to DECIMAL(20,8) per
+    row; totals accumulate exactly. Scale: one broadcast scalar + one
+    map-side-combinable groupBy — a single fact scan, no window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("_anchor"))
+    scored = ev.join(F.broadcast(anchor)).select(
+        "event_type",
+        (
+            F.col("value")
+            * F.exp(
+                -(
+                    F.unix_micros(F.col("_anchor"))
+                    - F.unix_micros(F.col("ts"))
+                ).cast("double")
+                * F.lit(_DECAY_LAMBDA_US)
+            )
+        ).cast("decimal(20,8)").alias("_s"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.sum("_s").cast("double").alias("decayed_score"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_DECAYED_POPULARITY = f"""
+WITH anchor AS (SELECT max(ts) AS a FROM events)
+SELECT event_type,
+       CAST(sum(CAST(value * exp(-CAST(epoch_us(a) - epoch_us(ts) AS DOUBLE)
+                                 * {_DECAY_LAMBDA_US!r})
+                     AS DECIMAL(20,8))) AS DOUBLE) AS decayed_score,
+       count(*) AS n_events
+FROM events CROSS JOIN anchor
+GROUP BY event_type
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -5342,6 +5394,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_SESSIONIZE_EVENTS,
              "tier-b applyInPandas sessionizer, cap disabled == the "
              "window operator byte-for-byte (shared flagship oracle)"),
+    QueryDef("decayed_popularity", q_decayed_popularity,
+             SQL_DECAYED_POPULARITY,
+             "trending score: 7-day-half-life exponential decay, "
+             "decimal-snapped per row (one scan, broadcast anchor)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -204,6 +204,7 @@ _INTENDED_LOOP_JOINS = {
     "market_share",            # per-year scalar share
     "session_funnel",          # scalar conversion base
     "rfm_segments",            # 1-row recency anchor (global max date)
+    "decayed_popularity",      # 1-row decay anchor (global max ts)
     "kmv_distinct_users",      # sketch-sized
     "hll_distinct_users",      # sketch-sized
     "hll_union_types",         # sketch-sized
