@@ -5019,6 +5019,101 @@ def q_capped_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "ts", "user_id", "event_type", "value", "session_id")
 
 
+def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: support, confidence, lift.
+
+    Baskets are orders; items are distinct parts on the order's lines.
+    Pairs come from a within-basket self-join — the blow-up is bounded
+    by basket size squared (a handful of lines per order), NEVER by
+    corpus size, the same bounded-block argument as session-bounded
+    attribution. Item and basket totals join back on the
+    high-cardinality part key. Pairs must co-occur in ≥ 2 baskets.
+
+    Determinism: all counts are exact ints; each metric is ONE integer
+    division in IEEE double (support = n_ab/N, confidence = n_ab/n_a,
+    lift = (n_ab·N)/(n_a·n_b)), quantized to 6 digits.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    totals = li.agg(F.countDistinct("l_orderkey").alias("_n_baskets"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_n_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    enriched = (
+        pairs.join(
+            item.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("_n_item").alias("_n_a"),
+            ),
+            "part_a",
+        )
+        .join(
+            item.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("_n_item").alias("_n_b"),
+            ),
+            "part_b",
+        )
+        .join(F.broadcast(totals))
+    )
+    return enriched.select(
+        "part_a",
+        "part_b",
+        "n_ab",
+        _quant(F.col("n_ab") / F.col("_n_baskets"), 6).alias("support_q6"),
+        _quant(F.col("n_ab") / F.col("_n_a"), 6).alias("confidence_q6"),
+        _quant(
+            (F.col("n_ab") * F.col("_n_baskets"))
+            / (F.col("_n_a") * F.col("_n_b")),
+            6,
+        ).alias("lift_q6"),
+    )
+
+
+SQL_MARKET_BASKET_RULES = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), totals AS (
+  SELECT count(DISTINCT l_orderkey) AS n_baskets FROM li
+), item AS (
+  SELECT l_partkey, count(*) AS n_item FROM li GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT part_a, part_b, n_ab,
+       CAST(floor(n_ab / CAST(n_baskets AS DOUBLE) * 1000000.0) AS BIGINT)
+         AS support_q6,
+       CAST(floor(n_ab / CAST(ia.n_item AS DOUBLE) * 1000000.0) AS BIGINT)
+         AS confidence_q6,
+       CAST(floor((n_ab * n_baskets) / CAST(ia.n_item * ib.n_item AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS lift_q6
+FROM pairs
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b
+CROSS JOIN totals
+"""
+
+
 #: half-life 7 days, as a decay constant per MICROSECOND. Rendered into
 #: both engines' plans from this one literal so they parse the same
 #: decimal string → the same IEEE double.
@@ -5398,6 +5493,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_DECAYED_POPULARITY,
              "trending score: 7-day-half-life exponential decay, "
              "decimal-snapped per row (one scan, broadcast anchor)"),
+    QueryDef("market_basket_rules", q_market_basket_rules,
+             SQL_MARKET_BASKET_RULES,
+             "association rules over order baskets: support/confidence/"
+             "lift from a basket-bounded self-join"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

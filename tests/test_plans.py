@@ -205,6 +205,7 @@ _INTENDED_LOOP_JOINS = {
     "session_funnel",          # scalar conversion base
     "rfm_segments",            # 1-row recency anchor (global max date)
     "decayed_popularity",      # 1-row decay anchor (global max ts)
+    "market_basket_rules",     # 1-row basket-count scalar
     "kmv_distinct_users",      # sketch-sized
     "hll_distinct_users",      # sketch-sized
     "hll_union_types",         # sketch-sized
