@@ -1,0 +1,168 @@
+"""Document chunking and sequence packing — training-data preparation.
+
+LLM pipelines cut long documents into overlapping token windows
+(context-length chunks) and then pack variable-length pieces into
+fixed-budget training sequences. Both are implemented Spark-first:
+
+- ``chunk_documents`` is a pure narrow transformation — ``split`` /
+  ``sequence`` / ``explode`` / ``slice`` / ``array_join`` built-ins, all
+  inside whole-stage codegen, ZERO shuffles. At 100 TB the chunker is
+  embarrassingly parallel: each input split produces its chunks in place
+  and the output is written partition-local.
+
+- ``pack_sequences`` (next-fit bin packing) is inherently sequential —
+  each bin boundary depends on the previous one (a running-reset sum,
+  the same dependency class as ``sessions.sessionize_capped``) — so it
+  cannot be a fixed-frame window. The scale move is to shard the
+  sequential part: documents are assigned to ``n_buckets`` deterministic
+  hash buckets and packing runs *within* each bucket as an Arrow-batched
+  ``applyInPandas`` (one shuffle on the bucket key; per-task state is
+  one bucket's id+length list, not its texts). Packing quality is
+  unaffected by sharding — next-fit wastes at most one budget per bin
+  regardless of item order — while throughput scales with ``n_buckets``.
+  Bucket count is a knob: at 100 TB pick buckets ≫ cores so AQE can
+  balance; bin ids are (bucket, bin_idx) pairs, globally unique without
+  any cross-bucket coordination.
+
+The chunk layout contract (window W, stride S over whitespace tokens):
+chunk ``i`` covers tokens ``[i·S, min(i·S + W, n))`` (0-based), and the
+number of chunks is ``1 + ceil(max(0, n − W) / S)`` — every token is
+covered, consecutive chunks overlap by ``W − S`` tokens, and the final
+chunk may be short. Both engines replay this arithmetic exactly
+(integer-only), so the DuckDB oracle hash-matches the full chunk text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from commerce_sessionization_spark.functions.hashing import hex_to_long
+
+DEFAULT_WINDOW = 32
+DEFAULT_STRIDE = 24
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = DEFAULT_WINDOW,
+    stride: int = DEFAULT_STRIDE,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sliding token-window chunking (narrow, shuffle-free).
+
+    Output grain: one row per (document, chunk) with the chunk's 0-based
+    ``chunk_id``, its token offset, its token count, and the re-joined
+    ``chunk_text``. Tokens are whitespace-split — swap ``text_col`` for a
+    pre-tokenized array column to chunk real tokenizer output; the
+    windowing arithmetic is identical.
+    """
+    if not (0 < stride <= window):
+        raise ValueError("need 0 < stride <= window")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # 1 + ceil(max(0, n-W)/S) in pure integer arithmetic
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        (F.floor((n - window + stride - 1) / F.lit(stride)) + 1).cast("int")
+    )
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("_i"),
+    )
+    start0 = F.col("_i") * stride  # 0-based
+    ctoks = F.slice(F.col("_toks"), start0 + 1, F.lit(window))
+    return base.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.col("_i").cast("long").alias("chunk_id"),
+        start0.cast("long").alias("token_start"),
+        F.size(ctoks).cast("long").alias("chunk_tokens"),
+        F.array_join(ctoks, " ").alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    n_buckets: int = 8,
+    seed: str = "pack",
+) -> DataFrame:
+    """Next-fit sequence packing into fixed token ``budget`` bins.
+
+    Items are sharded into ``n_buckets`` deterministic sha256 hash
+    buckets; within a bucket, items are walked in ``id_col`` order and a
+    running token sum assigns each item an offset in the current bin,
+    opening a new bin whenever the item would overflow the budget.
+    Items longer than the budget get a bin of their own (callers chunk
+    first — see ``chunk_documents`` — so this is the oversize escape
+    hatch, not the normal path).
+
+    Output: (id, bucket, bin_idx, bin_offset, item_tokens). A training
+    job groups on (bucket, bin_idx) to materialize packed sequences;
+    sum(item_tokens) per bin ≤ budget holds by construction (asserted in
+    tests/test_chunking.py).
+
+    The per-bucket walk is the documented sequential core (next-fit is a
+    running-reset sum, not window-expressible); everything around it is
+    one hash-partition shuffle. The DuckDB oracle replays the identical
+    walk with a recursive CTE, making even the imperative path
+    hash-checked, not just row-counted.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    bucket = (
+        hex_to_long(
+            F.sha2(
+                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")), 256
+            )
+        )
+        % n_buckets
+    ).cast("long")
+    slim = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(len_col).cast("long").alias("_len"),
+        bucket.alias("bucket"),
+    )
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("bucket", LongType()),
+            StructField("bin_idx", LongType()),
+            StructField("bin_offset", LongType()),
+            StructField("item_tokens", LongType()),
+        ]
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        bins, offs = [], []
+        bin_idx, fill = 0, 0
+        first = True
+        for ln in pdf["_len"]:
+            if not first and fill + ln > budget:
+                bin_idx += 1
+                fill = 0
+            first = False
+            offs.append(fill)
+            bins.append(bin_idx)
+            fill += ln
+        return pd.DataFrame(
+            {
+                id_col: pdf["_id"],
+                "bucket": pdf["bucket"],
+                "bin_idx": bins,
+                "bin_offset": offs,
+                "item_tokens": pdf["_len"],
+            }
+        )
+
+    return slim.groupBy("bucket").applyInPandas(pack, schema=out_schema)

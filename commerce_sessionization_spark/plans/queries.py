@@ -5166,6 +5166,97 @@ GROUP BY event_type
 """
 
 
+_CHUNK_W, _CHUNK_S = 32, 24  # context window / stride (tokens)
+_PACK_BUDGET, _PACK_BUCKETS = 512, 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking for training-context preparation:
+    window 32, stride 24 (8-token overlap) over whitespace tokens.
+
+    Pure narrow plan — split/sequence/explode/slice/array_join built-ins,
+    zero shuffles (plan-asserted in tests/test_chunking.py): at 100 TB
+    the chunker runs scan-local and writes partition-local.
+    """
+    from commerce_sessionization_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=_CHUNK_W, stride=_CHUNK_S)
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= {_CHUNK_W} THEN 1
+              ELSE ((len(toks) - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}) + 1
+         END AS nc
+  FROM t
+)
+SELECT doc_id,
+       i AS chunk_id,
+       i*{_CHUNK_S} AS token_start,
+       len(toks[i*{_CHUNK_S}+1 : least(i*{_CHUNK_S}+{_CHUNK_W}, n)])
+         AS chunk_tokens,
+       array_to_string(
+         toks[i*{_CHUNK_S}+1 : least(i*{_CHUNK_S}+{_CHUNK_W}, n)], ' ')
+         AS chunk_text
+FROM c CROSS JOIN LATERAL (SELECT unnest(range(0, nc)) AS i) g
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing: documents (by token count) packed into
+    512-token training bins within 8 deterministic hash buckets.
+
+    The per-bucket walk is the engine's second tier-b running-reset
+    operator (Arrow-batched applyInPandas, one shuffle on the bucket
+    key); the DuckDB oracle replays the identical walk with a recursive
+    CTE, so even the imperative path is hash-checked.
+    """
+    from commerce_sessionization_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(
+        docs, budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         len(string_split(text,' '))::BIGINT AS item_tokens,
+         ({_hex2int_sql("sha256('pack:' || doc_id::VARCHAR)")}) % {_PACK_BUCKETS}
+           AS bucket
+  FROM documents
+), ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM base
+), walk AS (
+  SELECT doc_id, bucket, rn, item_tokens,
+         0::BIGINT AS bin_idx, 0::BIGINT AS bin_offset
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.bucket, o.rn, o.item_tokens,
+         CASE WHEN w.bin_offset + w.item_tokens + o.item_tokens > {_PACK_BUDGET}
+              THEN w.bin_idx + 1 ELSE w.bin_idx END,
+         CASE WHEN w.bin_offset + w.item_tokens + o.item_tokens > {_PACK_BUDGET}
+              THEN 0 ELSE w.bin_offset + w.item_tokens END
+  FROM walk w JOIN ordered o ON o.bucket = w.bucket AND o.rn = w.rn + 1
+)
+SELECT doc_id, bucket, bin_idx, bin_offset, item_tokens FROM walk
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -5497,6 +5588,12 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_MARKET_BASKET_RULES,
              "association rules over order baskets: support/confidence/"
              "lift from a basket-bounded self-join"),
+    QueryDef("chunk_documents", q_chunk_documents, SQL_CHUNK_DOCUMENTS,
+             "sliding token-window chunking (W=32, S=24): narrow "
+             "shuffle-free split/sequence/explode/slice plan"),
+    QueryDef("pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES,
+             "next-fit token packing into 512-token training bins per "
+             "hash bucket; recursive-CTE oracle replays the walk"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

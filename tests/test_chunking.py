@@ -1,0 +1,138 @@
+"""Chunking + sequence-packing invariants.
+
+The layout contract (window W, stride S): chunk i covers tokens
+[i*S, min(i*S+W, n)); 1 + ceil(max(0, n-W)/S) chunks; consecutive chunks
+overlap by W-S tokens; every token is covered. Packing: per-bin token
+sums never exceed the budget except for documented oversize singleton
+bins; offsets are contiguous; output is deterministic.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from commerce_sessionization_spark.operators.chunking import (
+    chunk_documents,
+    pack_sequences,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_chunk_layout_contract(spark):
+    # 85 distinct tokens, W=32, S=24 -> chunks at 0/24/48/72, last short
+    toks = [f"t{i}" for i in range(85)]
+    df = _docs(spark, [" ".join(toks)])
+    rows = sorted(
+        chunk_documents(df, window=32, stride=24).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.token_start for r in rows] == [0, 24, 48, 72]
+    assert [r.chunk_tokens for r in rows] == [32, 32, 32, 13]
+    # coverage: union of chunk tokens == the document
+    seen = []
+    for r in rows:
+        seen.extend(r.chunk_text.split(" "))
+    assert set(seen) == set(toks)
+    # overlap: last W-S tokens of chunk i == first W-S of chunk i+1
+    for a, b in zip(rows, rows[1:]):
+        at, bt = a.chunk_text.split(" "), b.chunk_text.split(" ")
+        assert at[24:] == bt[: len(at[24:])]
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    df = _docs(spark, ["only four small tokens", ""])
+    rows = {r.doc_id: r for r in chunk_documents(df, window=32, stride=24).collect()}
+    assert rows[0].chunk_text == "only four small tokens"
+    assert rows[0].chunk_tokens == 4
+    # empty string still yields exactly one (empty-ish) chunk
+    assert rows[1].chunk_id == 0
+
+
+def test_chunk_boundary_exact_multiple(spark):
+    # n == W -> exactly one chunk; n == W + S -> two full-stride chunks
+    df = _docs(spark, [" ".join(["x"] * 32), " ".join(["y"] * 56)])
+    counts = (
+        chunk_documents(df, window=32, stride=24)
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    got = {r.doc_id: r["count"] for r in counts}
+    assert got == {0: 1, 1: 2}
+
+
+def test_chunker_is_shuffle_free(spark, tmp_path):
+    # a narrow plan: zero Exchange nodes from parquet scan to output
+    df = _docs(spark, [" ".join(["w"] * 100)] * 4)
+    p = str(tmp_path / "docs")
+    df.write.parquet(p)
+    out = chunk_documents(spark.read.parquet(p))
+    formatted = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", formatted)) == 0, formatted
+
+
+def test_pack_respects_budget(spark):
+    df = spark.createDataFrame(
+        [(i, 1 + (i * 37) % 90) for i in range(300)],
+        "doc_id long, n_tokens long",
+    )
+    out = pack_sequences(df, budget=128, n_buckets=4).collect()
+    bins: dict[tuple, list] = {}
+    for r in out:
+        bins.setdefault((r.bucket, r.bin_idx), []).append(r)
+    for members in bins.values():
+        members.sort(key=lambda r: r.bin_offset)
+        total = sum(r.item_tokens for r in members)
+        if len(members) == 1:
+            continue  # oversize singleton bins may exceed the budget
+        assert total <= 128
+        # offsets are contiguous prefix sums
+        off = 0
+        for r in members:
+            assert r.bin_offset == off
+            off += r.item_tokens
+
+
+def test_pack_oversize_items_get_own_bin(spark):
+    df = spark.createDataFrame(
+        [(0, 10), (1, 999), (2, 10)], "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(df, budget=100, n_buckets=1).collect()
+    by_id = {r.doc_id: r for r in out}
+    big = by_id[1]
+    # the oversize item shares its bin with nobody
+    assert sum(1 for r in out if r.bin_idx == big.bin_idx) == 1
+    assert big.bin_offset == 0
+
+
+def test_pack_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, 1 + i % 50) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    a = sorted(map(tuple, pack_sequences(df, budget=64).collect()))
+    b = sorted(map(tuple, pack_sequences(df, budget=64).collect()))
+    assert a == b
+
+
+def test_pack_total_conservation(spark):
+    # every input row appears exactly once with its full length
+    df = spark.createDataFrame(
+        [(i, 5 + i % 20) for i in range(150)], "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(df, budget=64, n_buckets=3)
+    assert out.count() == 150
+    assert (
+        out.agg(F.sum("item_tokens")).collect()[0][0]
+        == df.agg(F.sum("n_tokens")).collect()[0][0]
+    )
