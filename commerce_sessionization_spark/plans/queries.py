@@ -5257,6 +5257,101 @@ SELECT doc_id, bucket, bin_idx, bin_offset, item_tokens FROM walk
 """
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: seeded 8×16 codebook, codes encoded by
+    pure fold-expressions, ADC top-10 per query via literal-LUT lookups
+    (one corpus scan; the only shuffle is the per-query rank window).
+
+    Oracle-checked end-to-end: DuckDB replays seed selection, encode
+    argmins, the LUT, and the ordered j-sum bit-for-bit (both engines
+    use the d² = a·a − 2·a·b + b·b identity with left-to-right folds).
+    """
+    from commerce_sessionization_spark.operators.pq import (
+        pq_adc_multi,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = pq_codebook(emb)
+    codes = pq_encode(emb, cents)
+    qrows = (
+        emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    queries = [(r.vec_id, list(r.v)) for r in sorted(qrows)]
+    out = pq_adc_multi(codes, cents, queries, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        _quant(F.col("adc_dist"), 6).alias("adc_q6"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_PQ_CENT_CTE = f"""
+seeds AS (
+  SELECT embedding::DOUBLE[] AS v,
+         row_number() OVER (
+           ORDER BY ({_hex2int_sql("sha256('pq:' || vec_id::VARCHAR)")}), vec_id
+         ) - 1 AS c
+  FROM embeddings
+  QUALIFY c < 16
+),
+cent AS (
+  SELECT j, c, v[j*8+1 : j*8+8] AS cv
+  FROM seeds CROSS JOIN LATERAL (SELECT unnest(range(0, 8)) AS j) g
+)"""
+
+SQL_PQ_ADC_TOPK = f"""
+WITH {_PQ_CENT_CTE},
+vsub AS (
+  SELECT vec_id, j, (embedding::DOUBLE[])[j*8+1 : j*8+8] AS sv
+  FROM embeddings CROSS JOIN LATERAL (SELECT unnest(range(0, 8)) AS j) g
+),
+codes AS (
+  SELECT vec_id, v.j, ce.c AS code
+  FROM vsub v JOIN cent ce ON ce.j = v.j
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id, v.j
+    ORDER BY list_dot_product(sv, sv) - 2.0*list_dot_product(sv, ce.cv)
+             + list_dot_product(ce.cv, ce.cv),
+             ce.c
+  ) = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 3
+),
+qsub AS (
+  SELECT query_id, j, qv[j*8+1 : j*8+8] AS qs
+  FROM q CROSS JOIN LATERAL (SELECT unnest(range(0, 8)) AS j) g
+),
+lut AS (
+  SELECT query_id, qs.j, ce.c,
+         list_dot_product(qs.qs, qs.qs) - 2.0*list_dot_product(qs.qs, ce.cv)
+           + list_dot_product(ce.cv, ce.cv) AS qd2
+  FROM qsub qs JOIN cent ce ON ce.j = qs.j
+),
+adc AS (
+  SELECT l.query_id, co.vec_id,
+         list_sum(list(l.qd2 ORDER BY l.j)) AS dist
+  FROM codes co JOIN lut l ON l.j = co.j AND l.c = co.code
+  GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, vec_id,
+       CAST(floor(dist * 1000000.0) AS BIGINT) AS adc_q6,
+       rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+  FROM adc
+)
+WHERE rank <= 10
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -5594,6 +5689,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES,
              "next-fit token packing into 512-token training bins per "
              "hash bucket; recursive-CTE oracle replays the walk"),
+    QueryDef("pq_adc_topk", q_pq_adc_topk, SQL_PQ_ADC_TOPK,
+             "product-quantization ANN: seeded codebook, fold-expression "
+             "encode, literal-LUT ADC top-10 (64x compression path)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
