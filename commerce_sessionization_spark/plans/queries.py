@@ -5352,6 +5352,165 @@ WHERE rank <= 10
 """
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts + clustering coefficient over the
+    part-part co-occurrence graph (parts sharing an order basket).
+
+    Spark runs the degree-ordered compact-forward join (wedge fanout
+    bounded by the higher-degree endpoint — the skew-safe formulation);
+    the oracle replays the naive id-ordered 3-way join, which yields the
+    identical triangle set, so the counts hash-match while the *plans*
+    differ — the point of the scale path.
+    """
+    from commerce_sessionization_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("x"), li.alias("y")
+    edges = (
+        a.join(b, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return triangle_counts(edges)
+
+
+SQL_TRIANGLE_COUNTS = """
+WITH und AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey
+), deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node
+), tri AS (
+  SELECT e1.a AS p, e1.b AS q, e2.b AS r
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), pernode AS (
+  SELECT node, count(*) AS n_triangles
+  FROM (SELECT unnest([p, q, r]) AS node FROM tri)
+  GROUP BY node
+)
+SELECT deg.node, degree,
+       COALESCE(n_triangles, 0) AS n_triangles,
+       CAST(floor(CAST(2 * COALESCE(n_triangles, 0) AS DOUBLE)
+                  / CAST(degree * (degree - 1) AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS cc_q6
+FROM deg LEFT JOIN pernode ON pernode.node = deg.node
+WHERE degree >= 2
+"""
+
+
+def q_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of daily revenue vs day index: slope and
+    intercept from the closed-form normal equations over EXACT decimal /
+    integer sums (one scan, map-side combinable), with only the final
+    two divisions in double — so both engines divide identical operands
+    and the result hash-matches. The distributed-OLS pattern: sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) are tiny mergeable state, never
+    the raw points.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("x"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("v").alias("y"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,6)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,6)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,6)") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (
+        F.col("n") * F.col("sxx") - F.col("sx").cast("decimal(38,6)") * F.col("sx")
+    ).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return stats.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        _quant(slope, 6).alias("slope_q6"),
+        _quant(intercept, 4).alias("intercept_q4"),
+    )
+
+
+SQL_REVENUE_TREND_OLS = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         sum(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events
+  GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx,
+         sum(CAST(x AS DECIMAL(38,6)) * x) AS sxx,
+         sum(CAST(y AS DECIMAL(38,6))) AS sy,
+         sum(CAST(x AS DECIMAL(38,6)) * y) AS sxy
+  FROM daily GROUP BY 1
+)
+SELECT event_type,
+       n AS n_days,
+       CAST(floor(
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - CAST(sx AS DECIMAL(38,6)) * sx AS DOUBLE)
+         * 1000000.0) AS BIGINT) AS slope_q6,
+       CAST(floor(
+         (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - CAST(sx AS DECIMAL(38,6)) * sx AS DOUBLE))
+            * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) * 10000.0) AS BIGINT) AS intercept_q4
+FROM stats
+"""
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent character-pair counts — the inner step of
+    BPE vocabulary induction. Full BPE training is this query in a
+    driver loop: count pairs → pick argmax → merge (a deterministic
+    regexp_replace) → recount; each round is one explode + one
+    map-side-combinable groupBy over the corpus, the canonical
+    distributed-vocab-training shape. One scan, no joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        F.col("w"),
+    ).select(F.substring(F.col("w"), F.col("i"), 2).alias("pair"))
+    return pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_BPE_PAIR_COUNTS = """
+WITH words AS (
+  SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 2
+)
+SELECT substr(w, i, 2) AS pair, count(*) AS n
+FROM words CROSS JOIN LATERAL (SELECT unnest(range(1, length(w))) AS i) g
+GROUP BY 1
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -5692,6 +5851,15 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("pq_adc_topk", q_pq_adc_topk, SQL_PQ_ADC_TOPK,
              "product-quantization ANN: seeded codebook, fold-expression "
              "encode, literal-LUT ADC top-10 (64x compression path)"),
+    QueryDef("triangle_counts", q_triangle_counts, SQL_TRIANGLE_COUNTS,
+             "degree-ordered triangle counting + clustering coefficient "
+             "over the part co-occurrence graph (skew-safe wedge join)"),
+    QueryDef("revenue_trend_ols", q_revenue_trend_ols, SQL_REVENUE_TREND_OLS,
+             "closed-form OLS trend from exact mergeable sufficient "
+             "statistics (distributed regression pattern)"),
+    QueryDef("bpe_pair_counts", q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS,
+             "adjacent char-pair counts — the BPE vocab-induction inner "
+             "step (one explode + map-side-combinable agg)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -94,3 +94,45 @@ def test_pagerank_isolated_vertices_share_dangling_mass(spark):
     ).collect()
     for r in out:
         assert r["rank"] == pytest.approx(0.25)
+
+
+def test_triangle_counts_k4(spark):
+    """K4: every node has degree 3 and sits in C(3,2)=3 triangles, cc=1."""
+    from commerce_sessionization_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long",
+    )
+    rows = {r.node: r for r in triangle_counts(edges).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for r in rows.values():
+        assert (r.degree, r.n_triangles, r.cc_q6) == (3, 3, 1_000_000)
+
+
+def test_triangle_counts_path_has_none(spark):
+    from commerce_sessionization_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    rows = {r.node: r for r in triangle_counts(edges).collect()}
+    # endpoints have degree 1 -> excluded; middles: degree 2, no triangles
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert (r.degree, r.n_triangles, r.cc_q6) == (2, 0, 0)
+
+
+def test_triangle_counts_mixed_orientation_and_dupes(spark):
+    """Input edges in both orientations + duplicates count once."""
+    from commerce_sessionization_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 3)],
+        "src long, dst long",
+    )
+    rows = {r.node: r for r in triangle_counts(edges).collect()}
+    assert rows[0].n_triangles == 1 and rows[1].n_triangles == 1
+    assert rows[2].n_triangles == 1 and rows[2].degree == 3
+    # cc for node 2: 2*1/(3*2) = 0.333333
+    assert rows[2].cc_q6 == 333_333
