@@ -61,6 +61,11 @@ HEADLINE = [
     "session_pattern_match",
     "cohort_retention",
     "weighted_sample_docs",
+    # round-3 continued: training-data prep + compressed ANN + graph
+    "chunk_documents",
+    "pack_sequences",
+    "pq_adc_topk",
+    "triangle_counts",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

@@ -5527,8 +5527,9 @@ CATALOG: list[QueryDef] = [
     QueryDef("user_event_sequence", q_user_event_sequence,
              SQL_USER_EVENT_SEQUENCE,
              "ordered event array per user (A1 collect_list parity)"),
-    QueryDef("session_funnel", q_session_funnel, SQL_SESSION_FUNNEL,
-             "view→purchase conversion funnel over sessions"),
+    QueryDef("chunk_documents", q_chunk_documents, SQL_CHUNK_DOCUMENTS,
+             "sliding token-window chunking (W=32, S=24): narrow "
+             "shuffle-free split/sequence/explode/slice plan"),
     # --- events: functions, windows, shapes ---
     QueryDef("event_props_extract", q_event_props_extract, SQL_EVENT_PROPS_EXTRACT,
              "JSON path extraction"),
@@ -5575,8 +5576,9 @@ CATALOG: list[QueryDef] = [
              "heuristic quality scoring"),
     QueryDef("language_id", q_language_id, SQL_LANGUAGE_ID,
              "stopword-profile language guess"),
-    QueryDef("token_histogram", q_token_histogram, SQL_TOKEN_HISTOGRAM,
-             "corpus token histogram (BPE-ish tokenizer)"),
+    QueryDef("pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES,
+             "next-fit token packing into 512-token training bins per "
+             "hash bucket; recursive-CTE oracle replays the walk"),
     QueryDef("tf_idf", q_tf_idf, SQL_TF_IDF,
              "smoothed TF-IDF per (doc, token)"),
     QueryDef("bigram_pmi", q_bigram_pmi, SQL_BIGRAM_PMI,
@@ -5611,17 +5613,18 @@ CATALOG: list[QueryDef] = [
              "brute-force cosine top-10"),
     QueryDef("centroid_topk", q_centroid_topk, SQL_CENTROID_TOPK,
              "IVF ANN with exhaustive probe == brute force"),
-    QueryDef("embedding_dedup_pairs", q_embedding_dedup_pairs,
-             SQL_EMBEDDING_DEDUP_PAIRS, "embedding-cosine near-dup pairs"),
+    QueryDef("pq_adc_topk", q_pq_adc_topk, SQL_PQ_ADC_TOPK,
+             "product-quantization ANN: seeded codebook, fold-expression "
+             "encode, literal-LUT ADC top-10 (64x compression path)"),
     QueryDef("lang_centroids", q_lang_centroids, SQL_LANG_CENTROIDS,
              "cross-modal join: per-language embedding centroid"),
     # --- sketches & sampling ---
     QueryDef("kmv_distinct_users", q_kmv_distinct_users,
              SQL_KMV_DISTINCT_USERS,
              "KMV distinct sketch per event_type (sketch oracle-exact)"),
-    QueryDef("hll_distinct_users", q_hll_distinct_users,
-             SQL_HLL_DISTINCT_USERS,
-             "HLL estimate via exact-integer harmonic sum"),
+    QueryDef("triangle_counts", q_triangle_counts, SQL_TRIANGLE_COUNTS,
+             "degree-ordered triangle counting + clustering coefficient "
+             "over the part co-occurrence graph (skew-safe wedge join)"),
     QueryDef("bloom_membership", q_bloom_membership, SQL_BLOOM_MEMBERSHIP,
              "bloom-filter join pruning probe vs ground truth"),
     QueryDef("stratified_sample_docs", q_stratified_sample_docs,
@@ -5842,18 +5845,18 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_MARKET_BASKET_RULES,
              "association rules over order baskets: support/confidence/"
              "lift from a basket-bounded self-join"),
-    QueryDef("chunk_documents", q_chunk_documents, SQL_CHUNK_DOCUMENTS,
-             "sliding token-window chunking (W=32, S=24): narrow "
-             "shuffle-free split/sequence/explode/slice plan"),
-    QueryDef("pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES,
-             "next-fit token packing into 512-token training bins per "
-             "hash bucket; recursive-CTE oracle replays the walk"),
-    QueryDef("pq_adc_topk", q_pq_adc_topk, SQL_PQ_ADC_TOPK,
-             "product-quantization ANN: seeded codebook, fold-expression "
-             "encode, literal-LUT ADC top-10 (64x compression path)"),
-    QueryDef("triangle_counts", q_triangle_counts, SQL_TRIANGLE_COUNTS,
-             "degree-ordered triangle counting + clustering coefficient "
-             "over the part co-occurrence graph (skew-safe wedge join)"),
+    # round-3 continued rotation: chunk_documents / pack_sequences /
+    # pq_adc_topk / triangle_counts promoted into the graded 50; their
+    # displaced near-duplicates live here (still oracle-checked):
+    QueryDef("session_funnel", q_session_funnel, SQL_SESSION_FUNNEL,
+             "view→purchase conversion funnel over sessions"),
+    QueryDef("token_histogram", q_token_histogram, SQL_TOKEN_HISTOGRAM,
+             "corpus token histogram (BPE-ish tokenizer)"),
+    QueryDef("embedding_dedup_pairs", q_embedding_dedup_pairs,
+             SQL_EMBEDDING_DEDUP_PAIRS, "embedding-cosine near-dup pairs"),
+    QueryDef("hll_distinct_users", q_hll_distinct_users,
+             SQL_HLL_DISTINCT_USERS,
+             "HLL estimate via exact-integer harmonic sum"),
     QueryDef("revenue_trend_ols", q_revenue_trend_ols, SQL_REVENUE_TREND_OLS,
              "closed-form OLS trend from exact mergeable sufficient "
              "statistics (distributed regression pattern)"),

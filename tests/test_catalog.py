@@ -38,7 +38,6 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "centroid_topk",              # IVF ANN
     "lang_centroids",             # cross-modal join
     "kmv_distinct_users",         # KMV sketch
-    "hll_distinct_users",         # HLL sketch
     "cms_heavy_hitters",          # count-min sketch
     "bloom_membership",           # bloom filter
     "histogram_quantile_sketch",  # histogram quantiles
@@ -52,6 +51,16 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "hourly_rollup_merge",        # continuous aggregate merge law
     "scd2_user_state",            # SCD2 warehouse maintenance
     "market_share",               # Q8 snowflake, double-role dim join
+    # round-3 continued rotation: four new first-class families promoted
+    # (displacing near-duplicates: session_funnel ~ session_pattern_match
+    # semantics via user_event_sequence, token_histogram ~ tf_idf,
+    # embedding_dedup_pairs ~ knn/centroid ANN reps, hll_distinct_users ~
+    # kmv_distinct_users estimate family — all still oracle-checked in
+    # EXTENDED_CATALOG)
+    "chunk_documents",            # training-context chunking
+    "pack_sequences",             # tier-b next-fit sequence packing
+    "pq_adc_topk",                # product-quantization ANN
+    "triangle_counts",            # graph analytics (clustering coeff)
 }
 
 
