@@ -100,6 +100,50 @@ def exact_dedup(
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+    hash_col: str = "content_sha",
+) -> DataFrame:
+    """Exact dedup of a NEW batch against an existing corpus index.
+
+    ``seen_hashes`` is the historical fingerprint table (one
+    ``hash_col`` per already-ingested document). The batch is deduped
+    within itself (min-id representative per fingerprint) and then
+    anti-joined against the index — so re-crawled / re-delivered
+    documents never re-enter the corpus. Returns the kept rows with
+    their fingerprint attached; appending ``select(hash_col)`` to the
+    index closes the loop, making corpus ingestion an idempotent
+    incremental operation instead of a full-corpus recompute.
+
+    100 TB shape: the index is far larger than any daily batch, so the
+    index side must NOT reshuffle per run — persist it with
+    ``sources.io.write_bucketed_table`` bucketed by ``hash_col`` and
+    the anti-join reads its buckets in place (zero Exchange on the
+    index side, proven in ``tests/test_bucketing.py``); only the
+    (small) batch hashes shuffle. The fingerprint is sha256 —
+    uniformly distributed, so bucket skew is impossible by
+    construction.
+    """
+    t = F.col(text_col)
+    if normalize:
+        t = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    fp = F.sha2(t, 256)
+    w = Window.partitionBy(hash_col).orderBy(id_col)
+    in_batch = (
+        new_docs.withColumn(hash_col, fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return in_batch.join(
+        seen_hashes.select(hash_col), hash_col, "left_anti"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -5511,6 +5511,132 @@ GROUP BY 1
 """
 
 
+def q_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion: documents with doc_id % 3 == 0 play
+    the historical index (their content fingerprints are already
+    ingested); the rest arrive as the new batch, dedup within the batch
+    and against the index. At 100 TB the index side is bucketed by the
+    sha fingerprint so it never reshuffles per batch (see
+    ``operators/dedup.incremental_exact_dedup``)."""
+    from commerce_sessionization_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.sha2(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256
+        ).alias("content_sha")
+    )
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return incremental_exact_dedup(batch, history).select(
+        "doc_id", "lang", "source", "content_sha"
+    )
+
+
+SQL_INCREMENTAL_DEDUP_DOCS = """
+WITH fp AS (
+  SELECT doc_id, lang, source,
+         sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           AS content_sha
+  FROM documents
+), batch AS (
+  SELECT * FROM fp WHERE doc_id % 3 != 0
+  QUALIFY row_number() OVER (PARTITION BY content_sha ORDER BY doc_id) = 1
+)
+SELECT doc_id, lang, source, content_sha
+FROM batch
+WHERE content_sha NOT IN (SELECT content_sha FROM fp WHERE doc_id % 3 = 0)
+"""
+
+
+def q_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: the 30 most frequent corpus tokens
+    (ties broken lexically) form the vocabulary; per document, the
+    fraction of tokens outside it. Vocab is an aggregate → global
+    top-k → broadcast back into a narrow per-doc membership scan —
+    the vocabulary is bounded by construction, so the corpus side
+    never shuffles (same argument as benchmark decontamination)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(30)
+        .select("tok")
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab.withColumn("_inv", F.lit(1))), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        _quant(
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("oov_q6"),
+    )
+
+
+SQL_OOV_RATES = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok FROM toks GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 30
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(floor(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT) AS oov_q6
+FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+GROUP BY doc_id
+"""
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing QA rollup over ``pack_sequences``: per bucket, how many
+    bins, items, and what fill fraction of the token budget — the
+    waste metric a training-data job watches. Pure composition: the
+    packer's output grouped twice (bin fill → bucket rollup)."""
+    packed = q_pack_sequences(spark, sf_dir)
+    fills = packed.groupBy("bucket", "bin_idx").agg(
+        F.sum("item_tokens").alias("fill"),
+        F.count(F.lit(1)).alias("items"),
+    )
+    return fills.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("items").alias("n_items"),
+        _quant(
+            F.sum("fill").cast("double")
+            / (F.count(F.lit(1)) * _PACK_BUDGET).cast("double"),
+            6,
+        ).alias("fill_q6"),
+    )
+
+
+SQL_PACKING_EFFICIENCY = SQL_PACK_SEQUENCES.replace(
+    "SELECT doc_id, bucket, bin_idx, bin_offset, item_tokens FROM walk",
+    f"""SELECT bucket, count(*) AS n_bins, sum(items) AS n_items,
+       CAST(floor(CAST(sum(fill) AS DOUBLE)
+                  / CAST(count(*) * {_PACK_BUDGET} AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS fill_q6
+FROM (
+  SELECT bucket, bin_idx, sum(item_tokens) AS fill, count(*) AS items
+  FROM walk GROUP BY 1, 2
+)
+GROUP BY bucket""",
+)
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -5863,6 +5989,16 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("bpe_pair_counts", q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS,
              "adjacent char-pair counts — the BPE vocab-induction inner "
              "step (one explode + map-side-combinable agg)"),
+    QueryDef("incremental_dedup_docs", q_incremental_dedup_docs,
+             SQL_INCREMENTAL_DEDUP_DOCS,
+             "batch-vs-index exact dedup: idempotent incremental corpus "
+             "ingestion (bucketed-index anti-join at scale)"),
+    QueryDef("oov_rates", q_oov_rates, SQL_OOV_RATES,
+             "per-doc out-of-vocabulary fraction vs the corpus top-30 "
+             "vocab (broadcast membership, corpus never shuffles)"),
+    QueryDef("packing_efficiency", q_packing_efficiency,
+             SQL_PACKING_EFFICIENCY,
+             "bin-fill QA rollup over the sequence packer (waste metric)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

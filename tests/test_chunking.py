@@ -136,3 +136,31 @@ def test_pack_total_conservation(spark):
         out.agg(F.sum("item_tokens")).collect()[0][0]
         == df.agg(F.sum("n_tokens")).collect()[0][0]
     )
+
+
+def test_chunker_runs_on_a_stream(spark, tmp_path):
+    """chunk_documents is stateless+narrow, so the same call works on a
+    readStream frame — batch/stream unification like pii_scrub."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    df = _docs(spark, [" ".join([f"t{i}" for i in range(40)])])
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        chunk_documents(stream, window=32, stride=24)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.read.parquet(out).select(
+            "doc_id", "chunk_id", "token_start", "chunk_tokens").collect())
+    )
+    want = sorted(
+        map(tuple, chunk_documents(df, window=32, stride=24).select(
+            "doc_id", "chunk_id", "token_start", "chunk_tokens").collect())
+    )
+    assert got == want

@@ -544,3 +544,27 @@ def test_real_gif_frame_sampling_end_to_end(spark):
     )
     with _pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         sample_video_frames(bad).collect()
+
+
+def test_incremental_dedup_skips_seen_and_batch_dupes(spark):
+    from commerce_sessionization_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta"),
+            (11, "alpha beta"),      # in-batch dupe -> min id 10 kept
+            (12, "ALREADY SEEN"),    # matches history -> dropped
+            (13, "fresh text"),
+        ],
+        "doc_id long, text string",
+    )
+    history = spark.createDataFrame(
+        [("already seen",)], "t string"
+    ).select(F.sha2(F.regexp_replace(F.lower(F.trim("t")), r"\s+", " "), 256).alias("content_sha"))
+    kept = incremental_exact_dedup(batch, history)
+    assert sorted(r.doc_id for r in kept.collect()) == [10, 13]
+    # idempotency: append kept hashes to the index, re-run same batch -> empty
+    new_index = history.unionByName(kept.select("content_sha"))
+    again = incremental_exact_dedup(batch, new_index)
+    assert again.count() == 0
