@@ -266,3 +266,69 @@ def split_corrupt(
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull())
     return good, bad
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    target_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction for one table/partition directory.
+
+    The 100 TB operational reality: streaming sinks and hourly jobs leave
+    thousands of KB-sized files per partition, and at some point listing +
+    footer reads dominate scan time. This rewrites the directory into
+    ``ceil(bytes / target_bytes)`` files via an atomic swap:
+
+    1. read with the explicit schema, ``repartition`` to the target count
+       (a full shuffle — intentional: ``coalesce`` would fuse upstream
+       into few tasks AND can't split large inputs),
+    2. write to a staging sibling (``<path>.__compact__``),
+    3. verify row count parity, then swap directories.
+
+    The swap uses the Hadoop FileSystem API, so it works on any FS Spark
+    can write (rename is atomic on HDFS/local; on object stores the
+    pattern still bounds the non-atomic window to two renames). Returns
+    the new file count. Idempotent: re-running compacts to the same
+    layout; a crash before the swap leaves the original intact (stale
+    staging dirs are cleaned on the next run).
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hconf = jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    if not fs.exists(hpath):
+        raise FileNotFoundError(path)
+
+    total = 0
+    for st in fs.listStatus(hpath):
+        if st.isFile() and not st.getPath().getName().startswith(("_", ".")):
+            total += st.getLen()
+    n_files = max(1, math.ceil(total / target_bytes))
+
+    df = spark.read.schema(schema).format(fmt).load(path)
+    before = df.count()
+    staging = path.rstrip("/") + ".__compact__"
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    if fs.exists(spath):  # stale staging from a crashed prior run
+        fs.delete(spath, True)
+    df.repartition(n_files).write.format(fmt).mode("errorifexists").save(staging)
+
+    after = spark.read.schema(schema).format(fmt).load(staging).count()
+    if after != before:
+        fs.delete(spath, True)
+        raise RuntimeError(
+            f"compaction row-count mismatch: {before} -> {after}; aborted"
+        )
+    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__old__")
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    fs.rename(hpath, backup)
+    fs.rename(spath, hpath)
+    fs.delete(backup, True)
+    return n_files

@@ -102,3 +102,22 @@ def test_zorder_rows_roundtrip(grid, tmp_path, spark):
     assert {tuple(r) for r in back.select("rid", "x", "y").collect()} == {
         tuple(r) for r in grid.collect()
     }
+
+
+def test_compact_partition_merges_small_files(spark, tmp_path):
+    from commerce_sessionization_spark.sources.io import compact_partition
+
+    p = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS k")
+    df.repartition(64).write.parquet(p)  # 64 tiny files
+    import glob
+    assert len(glob.glob(p + "/part-*")) == 64
+    n = compact_partition(spark, p, df.schema, target_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(p + "/part-*")) == 1
+    out = spark.read.schema(df.schema).parquet(p)
+    assert out.count() == 10_000
+    assert out.agg({"id": "sum"}).collect()[0][0] == 10_000 * 9_999 // 2
+    # idempotent re-run
+    assert compact_partition(spark, p, df.schema, target_bytes=1 << 30) == 1
+    assert spark.read.schema(df.schema).parquet(p).count() == 10_000
