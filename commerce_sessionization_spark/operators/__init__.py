@@ -11,6 +11,7 @@ from commerce_sessionization_spark.operators.sessions import (
 from commerce_sessionization_spark.operators.ingest import divide_file
 from commerce_sessionization_spark.operators.dedup import (
     exact_dedup,
+    incremental_exact_dedup,
     minhash_lsh_dedup_pairs,
     ngram_jaccard_pairs,
     segment_dedup,
@@ -45,8 +46,18 @@ from commerce_sessionization_spark.operators.decontam import (
     decontaminate,
     ngram_contamination,
 )
+from commerce_sessionization_spark.operators.chunking import (
+    chunk_documents,
+    pack_sequences,
+)
 from commerce_sessionization_spark.operators.dq import check_rules
-from commerce_sessionization_spark.operators.graph import pagerank
+from commerce_sessionization_spark.operators.graph import pagerank, triangle_counts
+from commerce_sessionization_spark.operators.pq import (
+    pq_adc_multi,
+    pq_adc_topk,
+    pq_codebook,
+    pq_encode,
+)
 from commerce_sessionization_spark.operators.multimodal import (
     extract_audio_features,
     extract_image_features,
@@ -109,6 +120,14 @@ __all__ = [
     "ngram_contamination",
     "check_rules",
     "pagerank",
+    "triangle_counts",
+    "chunk_documents",
+    "pack_sequences",
+    "pq_codebook",
+    "pq_encode",
+    "pq_adc_topk",
+    "pq_adc_multi",
+    "incremental_exact_dedup",
     "extract_audio_features",
     "extract_image_features",
     "media_metadata_stats",
