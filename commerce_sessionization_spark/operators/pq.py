@@ -96,22 +96,50 @@ def pq_encode(
     """Assign each subvector its nearest centroid id (ties → smallest id,
     via array_position's first-match) — pure column expressions, narrow.
     Output: (id, codes array<int> of length m)."""
+    from commerce_sessionization_spark.functions.vectors import dot_product
+
     m, k = len(cents), len(cents[0])
     d = len(cents[0][0])
     v = F.col(vec_col).cast("array<double>")
+
+    def py_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    # d²(a, c) = a·a − 2·a·c + c·c per centroid, with the two loop
+    # invariants hoisted OUT of the 16-way argmin: a·a is ONE shared fold
+    # per subspace (not one per centroid) and c·c is a literal computed
+    # driver-side with the identical left-to-right fold — same bits,
+    # one-third the expression tree (measured: the full-form tree pushed
+    # the task binary to ~4 MB and dominated this query's wall time).
+    stage1 = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        v.alias("_v"),
+        *[
+            dot_product(F.slice(v, j * d + 1, d), F.slice(v, j * d + 1, d)).alias(
+                f"_aa{j}"
+            )
+            for j in range(m)
+        ],
+    )
     codes = []
     for j in range(m):
-        sub = F.slice(v, j * d + 1, d)
+        sub = F.slice(F.col("_v"), j * d + 1, d)
         dists = F.array(
             *[
-                _sq_dist(sub, F.array(*[F.lit(x) for x in cents[j][c]]))
+                F.col(f"_aa{j}")
+                - F.lit(2.0) * dot_product(sub, F.array(*[F.lit(x) for x in cents[j][c]]))
+                + F.lit(py_dot(cents[j][c], cents[j][c]))
                 for c in range(k)
             ]
         )
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
-    return df.select(
+    return stage1.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         F.array(*codes).alias(out_col),

@@ -5274,7 +5274,9 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = pq_codebook(emb)
-    codes = pq_encode(emb, cents)
+    # materialize codes ONCE: three per-query ADC scans then read the
+    # compact (id, 8-byte codes) table instead of re-running the encode
+    codes = pq_encode(emb, cents).localCheckpoint()
     qrows = (
         emb.filter(F.col("vec_id") < 3)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
