@@ -190,6 +190,11 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # pinned: the edge list (often an expensive pair-generation
+        # subtree) is referenced by the degree count, the ranked
+        # direction, and both sides of the wedge join — without this
+        # the upstream re-executes per reference (cf. pagerank)
+        .localCheckpoint()
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -211,14 +216,17 @@ def triangle_counts(
             .alias("e")
         )
         .select("e.u", "e.v")
+        .localCheckpoint()  # referenced 3x: wedge left, wedge right, closer
     )
     d1 = ranked.select(F.col("u"), F.col("v").alias("x"))
     d2 = ranked.select(F.col("u"), F.col("v").alias("y"))
-    wedges = d1.join(d2, "u").filter(F.col("x") != F.col("y"))
-    closer = ranked.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
-        ranked.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    # each unordered wedge {x, y} once (id-order); the closing edge is a
+    # probe of the undirected set — id-ordered like the wedge, so no
+    # double-orientation union is needed
+    wedges = d1.join(d2, "u").filter(F.col("x") < F.col("y"))
+    tris = wedges.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
     )
-    tris = wedges.join(closer, ["x", "y"]).filter(F.col("x") < F.col("y"))
     per_node = (
         tris.select(F.explode(F.array("u", "x", "y")).alias("node"))
         .groupBy("node")
