@@ -164,3 +164,21 @@ def test_chunker_runs_on_a_stream(spark, tmp_path):
             "doc_id", "chunk_id", "token_start", "chunk_tokens").collect())
     )
     assert got == want
+
+
+def test_chunk_then_pack_never_overflows(spark):
+    """Composition contract: chunks are <= W tokens, W < budget, so no
+    oversize singleton bins exist and EVERY bin respects the budget."""
+    texts = [" ".join([f"w{i}_{j}" for j in range(5 + (i * 13) % 120)])
+             for i in range(60)]
+    df = _docs(spark, texts)
+    chunks = chunk_documents(df, window=32, stride=24)
+    items = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("doc_id"),
+        F.col("chunk_tokens").alias("n_tokens"),
+    )
+    packed = pack_sequences(items, budget=128, n_buckets=4).collect()
+    fills: dict[tuple, int] = {}
+    for r in packed:
+        fills[(r.bucket, r.bin_idx)] = fills.get((r.bucket, r.bin_idx), 0) + r.item_tokens
+    assert fills and all(v <= 128 for v in fills.values())

@@ -568,3 +568,26 @@ def test_incremental_dedup_skips_seen_and_batch_dupes(spark):
     new_index = history.unionByName(kept.select("content_sha"))
     again = incremental_exact_dedup(batch, new_index)
     assert again.count() == 0
+
+
+def test_ols_recovers_a_perfect_line(spark):
+    """y = 3x + 7 daily sums -> slope_q6 == 3_000_000, intercept_q4 == 70_000."""
+    import datetime
+
+    from commerce_sessionization_spark.plans.queries import q_revenue_trend_ols
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for d in range(10):
+        x = (base + datetime.timedelta(days=d) - datetime.datetime(1970, 1, 1)).days
+        rows.append((d, base + datetime.timedelta(days=d), 1, "buy", float(3 * x + 7), "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        out = q_revenue_trend_ols(spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_days, r.slope_q6, r.intercept_q4) == (10, 3_000_000, 70_000)
