@@ -5639,6 +5639,123 @@ GROUP BY bucket""",
 )
 
 
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the lineitem numeric columns
+    from ONE scan of exact decimal sufficient statistics (n, Σx, Σx²,
+    Σxy per pair) — the distributed-covariance pattern: 14 mergeable
+    aggregates, no per-row state, only the final sqrt/divide in double
+    (identical operands in both engines, so the result hash-matches —
+    engine-native ``corr()`` would not, its accumulation is
+    order-dependent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = _CORR_COLS
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("decimal(38,6)")).alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(38,6)") * F.col(c)).alias(f"ss_{c}")
+        )
+    for i, x in enumerate(cols):
+        for y in cols[i + 1 :]:
+            aggs.append(
+                F.sum(F.col(x).cast("decimal(38,6)") * F.col(y)).alias(
+                    f"sp_{x}_{y}"
+                )
+            )
+    stats = li.agg(*aggs)
+    pairs = []
+    for i, x in enumerate(cols):
+        for y in cols[i + 1 :]:
+            num = (
+                F.col("n") * F.col(f"sp_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+            ).cast("double")
+            dx = (
+                F.col("n") * F.col(f"ss_{x}")
+                - F.col(f"s_{x}").cast("decimal(38,6)") * F.col(f"s_{x}")
+            ).cast("double")
+            dy = (
+                F.col("n") * F.col(f"ss_{y}")
+                - F.col(f"s_{y}").cast("decimal(38,6)") * F.col(f"s_{y}")
+            ).cast("double")
+            pairs.append(
+                F.struct(
+                    F.lit(x).alias("col_x"),
+                    F.lit(y).alias("col_y"),
+                    _quant(num / F.sqrt(dx * dy), 6).alias("corr_q6"),
+                )
+            )
+    return stats.select(F.explode(F.array(*pairs)).alias("p")).select(
+        "p.col_x", "p.col_y", "p.corr_q6"
+    )
+
+
+def _corr_pair_sql(x: str, y: str) -> str:
+    num = f"CAST(n * sp_{x}_{y} - s_{x} * s_{y} AS DOUBLE)"
+    dx = f"CAST(n * ss_{x} - CAST(s_{x} AS DECIMAL(38,6)) * s_{x} AS DOUBLE)"
+    dy = f"CAST(n * ss_{y} - CAST(s_{y} AS DECIMAL(38,6)) * s_{y} AS DOUBLE)"
+    return (
+        f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+        f"CAST(floor({num} / sqrt({dx} * {dy}) * 1000000.0) AS BIGINT) "
+        f"AS corr_q6 FROM stats"
+    )
+
+
+SQL_METRIC_CORRELATIONS = (
+    "WITH stats AS (SELECT count(*)::BIGINT AS n, "
+    + ", ".join(
+        f"sum(CAST({c} AS DECIMAL(38,6))) AS s_{c}, "
+        f"sum(CAST({c} AS DECIMAL(38,6)) * {c}) AS ss_{c}"
+        for c in _CORR_COLS
+    )
+    + ", "
+    + ", ".join(
+        f"sum(CAST({x} AS DECIMAL(38,6)) * {y}) AS sp_{x}_{y}"
+        for i, x in enumerate(_CORR_COLS)
+        for y in _CORR_COLS[i + 1 :]
+    )
+    + " FROM lineitem)\n"
+    + "\nUNION ALL\n".join(
+        _corr_pair_sql(x, y)
+        for i, x in enumerate(_CORR_COLS)
+        for y in _CORR_COLS[i + 1 :]
+    )
+)
+
+
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: tokens fold into a fixed 256-bucket feature
+    space (sha-derived, engine-replayable) — bag-of-hashed-words counts
+    per document, the constant-width featurization that needs no
+    vocabulary pass at 100 TB. One explode + one map-side-combinable
+    groupBy; feature vectors are (doc, idx, n) triples ready for
+    sparse-matrix assembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    idx = (hex_to_long(F.sha2(F.col("tok"), 256)) % 256).cast("long")
+    return (
+        toks.select("doc_id", idx.alias("feature_idx"))
+        .groupBy("doc_id", "feature_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_HASHED_FEATURES = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT doc_id,
+       ({_hex2int_sql("sha256(tok)")}) % 256 AS feature_idx,
+       count(*) AS n
+FROM toks
+GROUP BY 1, 2
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -6001,6 +6118,13 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("packing_efficiency", q_packing_efficiency,
              SQL_PACKING_EFFICIENCY,
              "bin-fill QA rollup over the sequence packer (waste metric)"),
+    QueryDef("metric_correlations", q_metric_correlations,
+             SQL_METRIC_CORRELATIONS,
+             "pairwise Pearson matrix from one scan of exact decimal "
+             "sufficient statistics (distributed covariance pattern)"),
+    QueryDef("hashed_features", q_hashed_features, SQL_HASHED_FEATURES,
+             "hashing-trick featurization: 256-bucket bag-of-hashed-"
+             "words, no vocabulary pass"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
