@@ -99,6 +99,16 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["simple", "extended", "formatted", "cost"])
     ex.add_argument("--master", default=None)
 
+    co = sub.add_parser(
+        "compact",
+        help="rewrite a table/partition directory into few large files "
+             "(atomic swap, row-count verified)",
+    )
+    co.add_argument("path", help="parquet directory to compact")
+    co.add_argument("--target-mb", type=int, default=128,
+                    help="target file size in MiB (default 128)")
+    co.add_argument("--master", default=None)
+
     args = top.parse_args(argv)
     if args.cmd == "query" and not args.name:
         from commerce_sessionization_spark.plans.queries import FULL_CATALOG
@@ -167,6 +177,15 @@ def main(argv: list[str] | None = None) -> int:
             if args.name not in queries:
                 top.error(f"unknown query {args.name!r} (run `query` to list)")
             queries[args.name](spark, args.sf_dir).explain(mode=args.mode)
+        elif args.cmd == "compact":
+            from commerce_sessionization_spark.sources.io import compact_partition
+
+            schema = spark.read.parquet(args.path).schema
+            n = compact_partition(
+                spark, args.path, schema,
+                target_bytes=args.target_mb * 1024 * 1024,
+            )
+            print(f"compacted {args.path} -> {n} file(s)")
     finally:
         spark.stop()
     return 0
