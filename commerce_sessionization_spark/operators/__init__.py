@@ -46,6 +46,10 @@ from commerce_sessionization_spark.operators.decontam import (
     decontaminate,
     ngram_contamination,
 )
+from commerce_sessionization_spark.operators.bpe import (
+    bpe_segment,
+    bpe_train,
+)
 from commerce_sessionization_spark.operators.chunking import (
     chunk_documents,
     pack_sequences,
@@ -122,6 +126,8 @@ __all__ = [
     "pagerank",
     "triangle_counts",
     "chunk_documents",
+    "bpe_train",
+    "bpe_segment",
     "pack_sequences",
     "pq_codebook",
     "pq_encode",
