@@ -338,3 +338,57 @@ def ivf_search_on_disk(
         F.col("centroid_id").isin(probe_ids)
     )
     return brute_force_topk(pruned, query_df, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def jl_signs(in_dim: int, out_dim: int, seed: str = "jl") -> list[list[float]]:
+    """Deterministic ±1 Johnson-Lindenstrauss sign matrix, derived from
+    sha256 so any engine (or the DuckDB oracle) regenerates the same
+    matrix from the same seed. signs[j] is the in_dim coefficient row
+    for output dimension j."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.sha256(f"{seed}:{i}:{j}".encode()).digest()[0] < 128
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    df,
+    in_dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "jl",
+    seed: str = "jl",
+):
+    """Random-projection dimensionality reduction (sparse JL, ±1 signs):
+    out[j] = (Σ_i s_ij·v[i]) / sqrt(out_dim·? ) — scaled by 1/sqrt(out_dim)
+    so pairwise L2 distances are preserved in expectation (the JL lemma).
+
+    Pure narrow plan: out_dim dot products against literal sign rows —
+    whole-stage codegen, zero shuffles, in_dim·out_dim multiply-adds per
+    row. The 4x (64→16) compressed vectors feed any downstream distance
+    op; compose with PQ for compression × quantization. Distance
+    preservation is measured (not assumed) by the ``jl_distance_ratios``
+    catalog query and pinned in tests.
+    """
+    from commerce_sessionization_spark.functions.vectors import dot_product
+
+    signs = jl_signs(in_dim, out_dim, seed)
+    v = F.col(vec_col).cast("array<double>")
+    scale = 1.0 / (out_dim ** 0.5)
+    comps = [
+        (
+            dot_product(v, F.array(*[F.lit(s) for s in signs[j]]))
+            * F.lit(scale)
+        ).alias(f"_j{j}")
+        for j in range(out_dim)
+    ]
+    return df.select("*", F.array(*comps).alias(out_col)).drop(
+        *[f"_j{j}" for j in range(out_dim)]
+    )

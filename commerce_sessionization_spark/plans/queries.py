@@ -5756,6 +5756,184 @@ GROUP BY 1, 2
 """
 
 
+_BM25_TERMS = ("table", "scan", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval: BM25 ranking of documents for a fixed term
+    query — the search-engine scoring family. Everything derives from
+    one token explode: per-(doc, term) tf, per-term df, corpus N and
+    mean length; the query-term table broadcasts, so the corpus scans
+    once and never shuffles on anything wider than (doc, term).
+
+    Determinism: tf/df/N/len are exact integers; avg length and each
+    idf/tf-saturation term are single IEEE ops on identical operands in
+    both engines (the standard Robertson/Sparck-Jones idf with +1
+    floor), summed in term lexical order. Top-20 by (score, doc_id).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    terms = spark.createDataFrame(
+        [(t,) for t in sorted(_BM25_TERMS)], "tok string"
+    )
+    tf = (
+        toks.join(F.broadcast(terms), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)).cast("double")
+        / (F.col("df") + F.lit(0.5)).cast("double")
+        + F.lit(1.0)
+    )
+    tf_d = F.col("tf").cast("double")
+    sat = (tf_d * F.lit(_BM25_K1 + 1.0)) / (
+        tf_d
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl").cast("double") / avgdl)
+    )
+    per_term = scored.select(
+        "doc_id", "tok", (idf * sat).cast("decimal(28,12)").alias("_s")
+    )
+    # decimal-snapped per (doc, term), exact order-independent total
+    out = per_term.groupBy("doc_id").agg(
+        F.sum("_s").cast("double").alias("score"),
+        F.count(F.lit(1)).alias("n_matched_terms"),
+    )
+    return (
+        out.orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id", "n_matched_terms", _quant(F.col("score"), 6).alias("bm25_q6")
+        )
+    )
+
+
+SQL_BM25_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), lens AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_len FROM lens
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ('merge', 'scan', 'table')
+  GROUP BY 1, 2
+), dfs AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+), per_term AS (
+  SELECT t.doc_id,
+         CAST(ln(CAST(n_docs - df + 0.5 AS DOUBLE) / CAST(df + 0.5 AS DOUBLE)
+                 + 1.0)
+              * ((CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0!r})
+                 / (CAST(tf AS DOUBLE)
+                    + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+                       + {_BM25_B!r} * CAST(dl AS DOUBLE)
+                         / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+              AS DECIMAL(28,12)) AS s
+  FROM tf t JOIN dfs USING (tok) JOIN lens USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, count(*) AS n_matched_terms,
+       CAST(floor(CAST(sum(s) AS DOUBLE) * 1000000.0) AS BIGINT) AS bm25_q6
+FROM per_term
+GROUP BY doc_id
+ORDER BY CAST(sum(s) AS DOUBLE) DESC, doc_id
+LIMIT 20
+"""
+
+
+_JL_OUT_DIM = 16
+
+
+def q_jl_distance_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss audit: project 64-dim embeddings to 16 dims
+    with a deterministic ±1 sign matrix and MEASURE pairwise-distance
+    preservation on 250 consecutive-id pairs — ratio ≈ 1 is the JL
+    promise, and the catalog makes it an observable, not an assumption.
+    The projection is a narrow plan (16 literal-row dot products); the
+    oracle regenerates the identical sign matrix (sha-seeded) so every
+    arithmetic step replays."""
+    from commerce_sessionization_spark.operators.similarity import (
+        jl_project,
+    )
+    from commerce_sessionization_spark.functions.vectors import dot_product
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = jl_project(emb, in_dim=64, out_dim=_JL_OUT_DIM)
+
+    def d2(a, b):
+        return (
+            dot_product(a, a) - F.lit(2.0) * dot_product(a, b) + dot_product(b, b)
+        )
+
+    a = proj.select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("embedding").cast("array<double>").alias("va"),
+        F.col("jl").alias("pa"),
+    ).filter(F.col("pair_id") % 2 == 0)
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("pair_id"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+        F.col("jl").alias("pb"),
+    ).filter(F.col("vec_id") % 2 == 1)
+    joined = a.join(b, "pair_id")
+    d2o = d2(F.col("va"), F.col("vb"))
+    d2p = d2(F.col("pa"), F.col("pb"))
+    return joined.filter(d2o > 0).select(
+        "pair_id", _quant(F.sqrt(d2p / d2o), 4).alias("ratio_q4")
+    )
+
+
+def _jl_sql() -> str:
+    from commerce_sessionization_spark.operators.similarity import jl_signs
+
+    signs = jl_signs(64, _JL_OUT_DIM)
+    scale = repr(1.0 / (_JL_OUT_DIM ** 0.5))
+    comps = ", ".join(
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(s) for s in signs[j])
+        + f"]) * {scale}"
+        for j in range(_JL_OUT_DIM)
+    )
+    return f"""
+WITH proj AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, [{comps}] AS p FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS pair_id, a.v AS va, b.v AS vb, a.p AS pa, b.p AS pb
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 2 = 0
+)
+SELECT pair_id,
+       CAST(floor(sqrt(
+         (list_dot_product(pa, pa) - 2.0*list_dot_product(pa, pb)
+            + list_dot_product(pb, pb))
+         / (list_dot_product(va, va) - 2.0*list_dot_product(va, vb)
+            + list_dot_product(vb, vb))
+       ) * 10000.0) AS BIGINT) AS ratio_q4
+FROM pairs
+WHERE list_dot_product(va, va) - 2.0*list_dot_product(va, vb)
+      + list_dot_product(vb, vb) > 0
+"""
+
+
+SQL_JL_DISTANCE_RATIOS = _jl_sql()
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -6125,6 +6303,13 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("hashed_features", q_hashed_features, SQL_HASHED_FEATURES,
              "hashing-trick featurization: 256-bucket bag-of-hashed-"
              "words, no vocabulary pass"),
+    QueryDef("bm25_search", q_bm25_search, SQL_BM25_SEARCH,
+             "full-text BM25 ranking from one token explode "
+             "(search-engine scoring family)"),
+    QueryDef("jl_distance_ratios", q_jl_distance_ratios,
+             SQL_JL_DISTANCE_RATIOS,
+             "Johnson-Lindenstrauss 64->16 projection with measured "
+             "pairwise-distance preservation (narrow literal-row plan)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -77,3 +77,39 @@ def test_full_probe_equals_brute_force(spark, tmp_path):
         spark, path, cents, query, k=10, nprobe=16
     ).collect()
     assert [r.vec_id for r in full_probe] == [r.vec_id for r in exhaustive]
+
+
+def test_jl_preserves_distances_in_aggregate(spark):
+    """JL lemma, measured: mean ratio near 1, spread bounded on the
+    testdata embeddings (deterministic matrix, fixed data)."""
+    import statistics
+
+    from commerce_sessionization_spark.plans.queries import (
+        q_jl_distance_ratios,
+    )
+
+    rows = q_jl_distance_ratios(spark, "/root/testdata/sf0.001").collect()
+    ratios = [r.ratio_q4 / 10_000 for r in rows]
+    assert len(ratios) == 250
+    mu = statistics.mean(ratios)
+    assert 0.9 <= mu <= 1.1, mu
+    # 16 dims -> sigma ~ 1/sqrt(2*16) ~ 0.18; nothing should be wild
+    assert min(ratios) > 0.4 and max(ratios) < 1.8
+
+
+def test_jl_projection_is_narrow_plan(spark, tmp_path):
+    import re
+
+    from commerce_sessionization_spark.operators.similarity import jl_project
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    p = str(tmp_path / "emb")
+    emb.write.parquet(p)
+    out = jl_project(spark.read.parquet(p), in_dim=8, out_dim=4)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
