@@ -5934,6 +5934,82 @@ WHERE list_dot_product(va, va) - 2.0*list_dot_product(va, vb)
 SQL_JL_DISTANCE_RATIOS = _jl_sql()
 
 
+def q_bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring: each document's mean bigram
+    log-probability under an add-one-smoothed bigram LM trained on the
+    corpus itself — the classic LM-based filter for pretraining data
+    (outlier docs score low). Two count tables (bigram, unigram) + the
+    vocabulary size, joined back to the per-doc bigram stream: counts
+    are exact integers, each ln((c12+1)/(c1+V)) is one IEEE op on
+    identical operands, snapped to DECIMAL(28,12) per bigram, summed
+    exactly, divided once. Self-training on the scored corpus is the
+    standard first pass; swap the count tables for a held-out LM via
+    the same joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    bigrams = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_n = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    term = F.log(
+        (F.col("c12") + F.lit(1)).cast("double")
+        / (F.col("c1") + F.col("v")).cast("double")
+    ).cast("decimal(28,12)")
+    scored = (
+        bigrams.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select("doc_id", term.alias("_lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        _quant(
+            F.sum("_lp").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_logprob_q6"),
+    )
+
+
+SQL_BIGRAM_LOGPROB_SCORES = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), bigrams AS (
+  SELECT doc_id, b.w1, b.w2
+  FROM words CROSS JOIN LATERAL (
+    SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))])
+      AS b
+  ) g
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bigrams GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(floor(CAST(sum(CAST(ln(CAST(c12 + 1 AS DOUBLE)
+                                   / CAST(c1 + v AS DOUBLE))
+                                AS DECIMAL(28,12))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+         AS mean_logprob_q6
+FROM bigrams JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+GROUP BY doc_id
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -6310,6 +6386,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_JL_DISTANCE_RATIOS,
              "Johnson-Lindenstrauss 64->16 projection with measured "
              "pairwise-distance preservation (narrow literal-row plan)"),
+    QueryDef("bigram_logprob_scores", q_bigram_logprob_scores,
+             SQL_BIGRAM_LOGPROB_SCORES,
+             "perplexity-style quality filter: mean add-one bigram LM "
+             "log-prob per doc (self-trained count tables)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
