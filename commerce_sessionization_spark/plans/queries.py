@@ -6010,6 +6010,97 @@ GROUP BY doc_id
 """
 
 
+def q_llm_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of corpus preparation, composed end-to-end:
+    quality gate → exact dedup → train split → sliding-window chunking
+    → next-fit packing into 256-token bins. One oracle replays the
+    entire chain (including the packer's recursive walk), so the
+    *composition* is verified, not just the parts — the complement of
+    ``llm_corpus_pipeline`` (which ends at split labels)."""
+    from commerce_sessionization_spark.operators.chunking import (
+        chunk_documents,
+        pack_sequences,
+    )
+    from commerce_sessionization_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        quality_score(docs)
+        .where(F.col("quality_score") >= 0.5)
+        .select(*docs.columns)
+    )
+    uniq = exact_dedup(kept)
+    train = hash_split(uniq, "doc_id").where(F.col("split") == "train")
+    chunks = chunk_documents(train, window=_CHUNK_W, stride=_CHUNK_S)
+    items = chunks.select(
+        (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("item_id"),
+        F.col("chunk_tokens").alias("n_tokens"),
+    )
+    return pack_sequences(
+        items, budget=256, id_col="item_id", len_col="n_tokens", n_buckets=4
+    )
+
+
+SQL_LLM_TRAINING_BATCHES = f"""
+WITH RECURSIVE scored AS (
+  SELECT doc_id,
+         0.5 * least(length(text) / 500.0, 1.0)
+       + 0.3 * least((len([w for w in {{lw}} if w IN ('the','and','of','to','in','is','a')])
+                      / len({{lw}})) * 5.0, 1.0)
+       + 0.2 * (1.0 - least((len(regexp_extract_all(text, '[^\\w\\s]'))
+                             / length(text)) * 5.0, 1.0)) AS score
+  FROM documents
+), keptq AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN scored USING (doc_id)
+  WHERE score >= 0.5
+), uniq AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (
+             PARTITION BY sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM keptq)
+  WHERE rn = 1
+), train AS (
+  SELECT doc_id, text FROM uniq
+  WHERE ({_SPLIT_HASH_SQL}) % 10000 < 9000
+), t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM train
+), c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= {_CHUNK_W} THEN 1
+              ELSE ((len(toks) - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}) + 1
+         END AS nc
+  FROM t
+), chunks AS (
+  SELECT doc_id * 10000 + i AS item_id,
+         len(toks[i*{_CHUNK_S}+1 : least(i*{_CHUNK_S}+{_CHUNK_W}, n)])::BIGINT
+           AS item_tokens
+  FROM c CROSS JOIN LATERAL (SELECT unnest(range(0, nc)) AS i) g
+), base AS (
+  SELECT item_id, item_tokens,
+         ({_hex2int_sql("sha256('pack:' || item_id::VARCHAR)")}) % 4 AS bucket
+  FROM chunks
+), ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY item_id) AS rn
+  FROM base
+), walk AS (
+  SELECT item_id, bucket, rn, item_tokens,
+         0::BIGINT AS bin_idx, 0::BIGINT AS bin_offset
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.item_id, o.bucket, o.rn, o.item_tokens,
+         CASE WHEN w.bin_offset + w.item_tokens + o.item_tokens > 256
+              THEN w.bin_idx + 1 ELSE w.bin_idx END,
+         CASE WHEN w.bin_offset + w.item_tokens + o.item_tokens > 256
+              THEN 0 ELSE w.bin_offset + w.item_tokens END
+  FROM walk w JOIN ordered o ON o.bucket = w.bucket AND o.rn = w.rn + 1
+)
+SELECT item_id, bucket, bin_idx, bin_offset, item_tokens FROM walk
+""".replace("{lw}", _LWORDS_SQL)
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -6390,6 +6481,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_BIGRAM_LOGPROB_SCORES,
              "perplexity-style quality filter: mean add-one bigram LM "
              "log-prob per doc (self-trained count tables)"),
+    QueryDef("llm_training_batches", q_llm_training_batches,
+             SQL_LLM_TRAINING_BATCHES,
+             "composed: quality gate -> dedup -> train split -> chunk "
+             "-> pack; ONE oracle replays the whole chain"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
