@@ -6153,9 +6153,9 @@ CATALOG: list[QueryDef] = [
              "Q6-shaped selective scan + ungrouped agg (full pushdown)"),
     QueryDef("shipping_priority", q_shipping_priority, SQL_SHIPPING_PRIORITY,
              "Q3-shaped 3-way join + decimal-ranked global top-10"),
-    QueryDef("disjunctive_part_revenue", q_disjunctive_part_revenue,
-             SQL_DISJUNCTIVE_PART_REVENUE,
-             "Q19-shaped OR-of-ANDs predicate join"),
+    QueryDef("bm25_search", q_bm25_search, SQL_BM25_SEARCH,
+             "full-text BM25 ranking from one token explode "
+             "(search-engine scoring family)"),
     QueryDef("idle_rich_customers", q_idle_rich_customers,
              SQL_IDLE_RICH_CUSTOMERS,
              "Q22-shaped scalar-subquery threshold + anti join"),
@@ -6470,9 +6470,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("hashed_features", q_hashed_features, SQL_HASHED_FEATURES,
              "hashing-trick featurization: 256-bucket bag-of-hashed-"
              "words, no vocabulary pass"),
-    QueryDef("bm25_search", q_bm25_search, SQL_BM25_SEARCH,
-             "full-text BM25 ranking from one token explode "
-             "(search-engine scoring family)"),
+    QueryDef("disjunctive_part_revenue", q_disjunctive_part_revenue,
+             SQL_DISJUNCTIVE_PART_REVENUE,
+             "Q19-shaped OR-of-ANDs predicate join"),
     QueryDef("jl_distance_ratios", q_jl_distance_ratios,
              SQL_JL_DISTANCE_RATIOS,
              "Johnson-Lindenstrauss 64->16 projection with measured "

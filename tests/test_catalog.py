@@ -61,6 +61,9 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "pack_sequences",             # tier-b next-fit sequence packing
     "pq_adc_topk",                # product-quantization ANN
     "triangle_counts",            # graph analytics (clustering coeff)
+    # second swap: search-ranking family in, Q19 to EXTENDED (the OR-of-
+    # ANDs shape stays oracle-checked there; TPC-H keeps 10 graded reps)
+    "bm25_search",                # full-text BM25 ranking
 }
 
 
