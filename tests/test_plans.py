@@ -217,6 +217,8 @@ _INTENDED_LOOP_JOINS = {
     "order_count_distribution",  # Q13 scalar
     "hash_sample_docs",
     "train_test_split",
+    "bm25_search",             # 1-row corpus stats (N, total_len) anchor
+    "bigram_logprob_scores",   # 1-row vocabulary-size anchor
 }
 
 
