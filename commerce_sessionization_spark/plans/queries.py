@@ -735,10 +735,17 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 rows the miss probability at j ≥ 0.8 is < 3e-4 per pair, so the output
     equals the exhaustive ``ngram_jaccard_pairs`` on this data — the oracle
     asserts exactly that (LSH as an *optimization*, not an approximation).
+
+    64 hashes / 16 bands (halved from the original 128/32 after measuring):
+    every accepted pair on this corpus has j ≥ 0.9 (checked in DuckDB), where
+    the per-pair miss probability is (1−0.9⁴)¹⁶ ≈ 4e-8 — so the extra 64
+    hashes bought nothing but a 1.7× slower signature stage (4.7 → 2.8 s at
+    sf0.1, pair sets verified identical at both SFs). Signature cost is
+    linear in num_hashes, the dominant term at any scale.
     """
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_dedup_pairs(
-        docs, n=3, threshold=0.8, num_hashes=128, bands=32
+        docs, n=3, threshold=0.8, num_hashes=64, bands=16
     ).select("a", "b", _quant(F.col("jaccard"), 6).alias("jaccard_q6"))
 
 

@@ -136,3 +136,55 @@ def test_triangle_counts_mixed_orientation_and_dupes(spark):
     assert rows[2].n_triangles == 1 and rows[2].degree == 3
     # cc for node 2: 2*1/(3*2) = 0.333333
     assert rows[2].cc_q6 == 333_333
+
+
+def test_cached_layout_elides_iteration_exchange(spark):
+    """The load-bearing assumption behind ``partition_invariants``: an
+    InMemoryRelation keeps its hash layout, so the per-round
+    broadcast-join → groupBy(dst) aggregation runs with NO Exchange,
+    while a localCheckpoint's LogicalRDD forgets it and the Exchange
+    comes back. If a Spark upgrade changes either behavior, pagerank's
+    zero-shuffle iteration claim is void and this fails."""
+    import re
+
+    def agg_plan(wedges):
+        ranks = spark.range(100).select(
+            F.col("id").alias("node"), F.lit(0.01).alias("rank")
+        )
+        df = (
+            wedges.join(F.broadcast(ranks), F.col("_src") == F.col("node"))
+            .select(
+                F.col("_dst").alias("node2"),
+                (F.col("rank") / F.col("_outdeg")).alias("_c"),
+            )
+            .groupBy("node2")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        import contextlib, io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue()
+
+    base = spark.range(1000).select(
+        F.col("id").alias("_src"),
+        (F.col("id") % 97).alias("_dst"),
+        F.lit(2).alias("_outdeg"),
+    )
+
+    cached = base.repartition(8, F.col("_dst")).cache()
+    try:
+        cached.count()
+        plan = agg_plan(cached)
+        # the only exchanges allowed: inside the cached relation's
+        # materialization and the rank BroadcastExchange
+        agg_side = plan.split("BroadcastExchange")[0]
+        post_cache = agg_side.split("InMemoryTableScan")[0]
+        assert len(re.findall(r"\(\d+\) Exchange", post_cache)) == 0, plan
+    finally:
+        cached.unpersist()
+
+    ckpt = base.repartition(8, F.col("_dst")).localCheckpoint()
+    plan = agg_plan(ckpt)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) >= 1, plan
