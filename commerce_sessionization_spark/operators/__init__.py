@@ -56,6 +56,13 @@ from commerce_sessionization_spark.operators.chunking import (
 )
 from commerce_sessionization_spark.operators.dq import check_rules
 from commerce_sessionization_spark.operators.graph import pagerank, triangle_counts
+from commerce_sessionization_spark.operators.privacy import (
+    dp_noisy_counts,
+    k_anonymity_report,
+    k_anonymize,
+    l_diversity_report,
+    laplace_noise,
+)
 from commerce_sessionization_spark.operators.pq import (
     pq_adc_multi,
     pq_adc_topk,
@@ -149,4 +156,9 @@ __all__ = [
     "snapshot_asof",
     "bloom_bits",
     "bloom_contains",
+    "k_anonymity_report",
+    "k_anonymize",
+    "l_diversity_report",
+    "laplace_noise",
+    "dp_noisy_counts",
 ]

@@ -6108,6 +6108,133 @@ SELECT item_id, bucket, bin_idx, bin_offset, item_tokens FROM walk
 """.replace("{lw}", _LWORDS_SQL)
 
 
+# --------------------------------------------------------------------------
+# Privacy / anonymization (operators/privacy.py)
+# --------------------------------------------------------------------------
+
+#: Quasi-identifier for the customer-table release demos: coarse enough
+#: that most equivalence classes clear k=10 on this data (35 of 125
+#: violate), so suppression output mixes both branches.
+_QI2 = ["c_nationkey", "c_mktsegment"]
+
+
+def q_k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: equivalence classes of the (nation, segment)
+    quasi-identifier with fewer than k=10 members — the groups whose
+    rows a table release would expose to re-identification. One hash
+    aggregation; empty output ⇔ the release is 10-anonymous."""
+    from commerce_sessionization_spark.operators.privacy import (
+        k_anonymity_report,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_report(cust, _QI2, k=10)
+
+
+SQL_K_ANONYMITY_CHECK = """
+SELECT c_nationkey, c_mktsegment, count(*) AS qi_count
+FROM customer
+GROUP BY 1, 2
+HAVING count(*) < 10
+"""
+
+
+def q_k_anonymized_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppression-based k-anonymization of the customer table: rows in
+    quasi-identifier classes smaller than k=10 get both QI columns
+    redacted to '*'; everything else passes through. groupBy + join-back
+    on the QI key (not a window — see operators/privacy.py's buffering
+    rationale)."""
+    from commerce_sessionization_spark.operators.privacy import k_anonymize
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    return k_anonymize(cust, _QI2, k=10)
+
+
+SQL_K_ANONYMIZED_CUSTOMERS = """
+SELECT c_custkey,
+       CASE WHEN n < 10 THEN '*' ELSE c_nationkey::VARCHAR END AS c_nationkey,
+       CASE WHEN n < 10 THEN '*' ELSE c_mktsegment END AS c_mktsegment,
+       c_acctbal
+FROM (
+  SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+         count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n
+  FROM customer
+)
+"""
+
+
+def q_l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (l=8): (nation, segment) classes whose
+    sensitive attribute — the 1000-unit account-balance band — takes
+    fewer than 8 distinct values. Catches what k-anonymity misses: a
+    large class with a near-constant sensitive value still leaks it."""
+    from commerce_sessionization_spark.operators.privacy import (
+        l_diversity_report,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long"),
+    )
+    return l_diversity_report(cust, _QI2, "bal_band", l=8)
+
+
+SQL_L_DIVERSITY_CHECK = """
+SELECT c_nationkey, c_mktsegment, count(*) AS qi_count,
+       count(DISTINCT floor(c_acctbal / 1000.0)::BIGINT) AS n_sensitive
+FROM customer
+GROUP BY 1, 2
+HAVING count(DISTINCT floor(c_acctbal / 1000.0)::BIGINT) < 8
+"""
+
+
+def q_dp_noisy_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism histogram release: per-(nation, segment) count
+    plus Laplace(1/ε) noise at ε=1 (count sensitivity 1). The uniform
+    driving the inverse CDF is sha256-derived from the group key, so the
+    release replays identically in both engines (see
+    operators/privacy.py for why that determinism is a testing feature,
+    NOT a private release — production swaps in fresh entropy).
+
+    Parity: sha256 → 60-bit int is exact in both engines; the uniform,
+    sign/abs/ln and the final add are single IEEE double ops on
+    identical operands, then quantized to 6 digits."""
+    from commerce_sessionization_spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    out = dp_noisy_counts(cust, _QI2, epsilon=1.0, seed="dp")
+    return out.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "exact_count",
+        _quant(F.col("noisy_count"), 6).alias("noisy_q6"),
+    )
+
+
+SQL_DP_NOISY_SEGMENT_COUNTS = f"""
+WITH counts AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS exact_count
+  FROM customer GROUP BY 1, 2
+), noised AS (
+  SELECT *,
+         ({_hex2int_sql(
+             "sha256('dp:' || c_nationkey::VARCHAR || '|' || c_mktsegment)"
+         )}::DOUBLE + 0.5) / 1152921504606846976.0 AS u
+  FROM counts
+)
+SELECT c_nationkey, c_mktsegment, exact_count,
+       CAST(floor((exact_count::DOUBLE
+                   + (-1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)))
+                  * 1000000.0) AS BIGINT) AS noisy_q6
+FROM noised
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -6492,6 +6619,20 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_LLM_TRAINING_BATCHES,
              "composed: quality gate -> dedup -> train split -> chunk "
              "-> pack; ONE oracle replays the whole chain"),
+    # --- privacy / anonymization (second-session round-3 additions) ---
+    QueryDef("k_anonymity_check", q_k_anonymity_check,
+             SQL_K_ANONYMITY_CHECK,
+             "k-anonymity audit: QI classes below k=10"),
+    QueryDef("k_anonymized_customers", q_k_anonymized_customers,
+             SQL_K_ANONYMIZED_CUSTOMERS,
+             "suppression-based k-anonymization (groupBy + join-back)"),
+    QueryDef("l_diversity_check", q_l_diversity_check,
+             SQL_L_DIVERSITY_CHECK,
+             "distinct l-diversity audit over a sensitive band"),
+    QueryDef("dp_noisy_segment_counts", q_dp_noisy_segment_counts,
+             SQL_DP_NOISY_SEGMENT_COUNTS,
+             "Laplace-mechanism histogram release, seeded inverse-CDF "
+             "noise replayed cross-engine"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
