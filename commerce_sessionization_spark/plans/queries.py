@@ -6320,8 +6320,13 @@ CATALOG: list[QueryDef] = [
              "exact dedup via fingerprint argmin"),
     QueryDef("segment_dedup_docs", q_segment_dedup_docs, SQL_SEGMENT_DEDUP_DOCS,
              "corpus boilerplate removal: cross-doc duplicate segments"),
-    QueryDef("ngram_jaccard_pairs", q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS,
-             "exact 3-gram Jaccard near-dup pairs"),
+    # third swap: ngram_jaccard_pairs left the window — minhash_lsh_pairs
+    # below carries the SAME oracle SQL (the exhaustive Jaccard), so the
+    # exhaustive semantics stay driver-graded; the freed slot promotes the
+    # privacy family's richest shape (full-table suppression release)
+    QueryDef("k_anonymized_customers", q_k_anonymized_customers,
+             SQL_K_ANONYMIZED_CUSTOMERS,
+             "suppression-based k-anonymization (groupBy + join-back)"),
     QueryDef("minhash_lsh_pairs", q_minhash_lsh_pairs, SQL_NGRAM_JACCARD_PAIRS,
              "MinHash+LSH near-dup (verified) — must equal exhaustive"),
     QueryDef("dedup_components", q_dedup_components, SQL_DEDUP_COMPONENTS,
@@ -6623,9 +6628,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("k_anonymity_check", q_k_anonymity_check,
              SQL_K_ANONYMITY_CHECK,
              "k-anonymity audit: QI classes below k=10"),
-    QueryDef("k_anonymized_customers", q_k_anonymized_customers,
-             SQL_K_ANONYMIZED_CUSTOMERS,
-             "suppression-based k-anonymization (groupBy + join-back)"),
+    QueryDef("ngram_jaccard_pairs", q_ngram_jaccard_pairs,
+             SQL_NGRAM_JACCARD_PAIRS,
+             "exact 3-gram Jaccard near-dup pairs (exhaustive verifier; "
+             "same oracle stays driver-graded via minhash_lsh_pairs)"),
     QueryDef("l_diversity_check", q_l_diversity_check,
              SQL_L_DIVERSITY_CHECK,
              "distinct l-diversity audit over a sensitive band"),
