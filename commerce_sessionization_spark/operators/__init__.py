@@ -35,6 +35,7 @@ from commerce_sessionization_spark.operators.similarity import (
     seed_centroids,
 )
 from commerce_sessionization_spark.operators.text import (
+    cross_doc_span_stats,
     language_id,
     pii_scrub,
     quality_score,
@@ -156,6 +157,7 @@ __all__ = [
     "snapshot_asof",
     "bloom_bits",
     "bloom_contains",
+    "cross_doc_span_stats",
     "k_anonymity_report",
     "k_anonymize",
     "l_diversity_report",

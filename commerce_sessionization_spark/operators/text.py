@@ -256,3 +256,77 @@ def rolling_hash_fingerprint(
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, window)))
     hashes = F.transform(shingles, lambda s: hex_to_long(F.sha2(s, 256)))
     return wdf.withColumn(out_col, F.array_min(hashes)).drop("_fp_words")
+
+
+def cross_doc_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Per-document cross-corpus duplicated-span coverage.
+
+    For every document, the fraction of its word ``window``-grams that
+    also occur in at least one OTHER document — the span-level
+    duplication signal behind substring-level training-data dedup
+    (high-coverage docs are boilerplate/mirrors even when no full-text
+    or near-dup rule fires; cf. the "deduplicating training data"
+    line of work). Documents shorter than ``window`` words are skipped
+    (no spans to score).
+
+    Output: (id, n_spans, n_dup_spans, dup_ratio_q6).
+
+    Scale shape: one explode to (doc, span-hash) rows, then
+    (a) per-doc span counts — map-side-combinable agg;
+    (b) the duplicated-hash set — one agg on the uniform 60-bit hash key
+        (count(distinct doc) ≥ 2), kept NARROW (hash only);
+    (c) a left-semi join of the span stream against (b), then a second
+        per-doc count. The wide span stream is never joined against
+        per-hash counts — only membership — so the shuffle payload stays
+        (doc_id, hash). All built-ins, whole-stage codegen.
+    """
+    from commerce_sessionization_spark.functions.hashing import hex_to_long
+
+    wdf = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda w: w != "",
+        ).alias("_w"),
+    ).filter(F.size("_w") >= window)
+    words = F.col("_w")
+    idx = F.sequence(F.lit(0), F.size(words) - window)
+    spans = wdf.select(
+        "_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, window)),
+            )
+        ).alias("_s"),
+    ).select("_id", hex_to_long(F.sha2(F.col("_s"), 256)).alias("_h"))
+    per_doc = spans.groupBy("_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    dup_hashes = (
+        spans.groupBy("_h")
+        .agg(F.count_distinct(F.col("_id")).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_h")
+    )
+    dup_per_doc = (
+        spans.join(dup_hashes, "_h", "left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    n_dup = F.coalesce(F.col("n_dup_spans"), F.lit(0))
+    return (
+        per_doc.join(dup_per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_spans",
+            n_dup.alias("n_dup_spans"),
+            F.floor(
+                n_dup.cast("double") / F.col("n_spans").cast("double")
+                * F.lit(1e6)
+            ).cast("long").alias("dup_ratio_q6"),
+        )
+    )

@@ -6108,6 +6108,39 @@ SELECT item_id, bucket, bin_idx, bin_offset, item_tokens FROM walk
 """.replace("{lw}", _LWORDS_SQL)
 
 
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span coverage: per doc, the fraction of
+    its word 8-grams that also occur in another document — the
+    substring-level dedup signal (catches boilerplate/mirror content
+    that neither exact nor near-dup document rules fire on)."""
+    from commerce_sessionization_spark.operators.text import (
+        cross_doc_span_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_doc_span_stats(docs, window=8)
+
+
+SQL_DUPLICATED_SPANS = f"""
+WITH w AS (
+  SELECT doc_id, {_LWORDS_SQL} AS words FROM documents
+), sp AS (
+  SELECT doc_id,
+         unnest([{_hex2int_sql("sha256(array_to_string(words[i+1:i+8], ' '))")}
+                 for i in range(0, len(words) - 7)]) AS h
+  FROM w WHERE len(words) >= 8
+), dup AS (
+  SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT s.doc_id, count(*) AS n_spans,
+       count(d.h) AS n_dup_spans,
+       CAST(floor(count(d.h)::DOUBLE / count(*)::DOUBLE * 1000000.0)
+            AS BIGINT) AS dup_ratio_q6
+FROM sp s LEFT JOIN dup d USING (h)
+GROUP BY s.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Privacy / anonymization (operators/privacy.py)
 # --------------------------------------------------------------------------
@@ -6639,6 +6672,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_DP_NOISY_SEGMENT_COUNTS,
              "Laplace-mechanism histogram release, seeded inverse-CDF "
              "noise replayed cross-engine"),
+    QueryDef("duplicated_spans", q_duplicated_spans, SQL_DUPLICATED_SPANS,
+             "cross-doc duplicated 8-gram coverage per doc "
+             "(substring-level dedup signal)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

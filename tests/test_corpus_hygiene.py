@@ -199,3 +199,26 @@ def test_pii_scrub_works_on_streams_unchanged(spark, tmp_path):
     rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM scrub_sink").collect()}
     assert rows[1]["n_emails"] == 1 and "<EMAIL>" in rows[1]["scrubbed"]
     assert rows[2]["n_emails"] == 0 and rows[2]["scrubbed"] == "clean text"
+
+
+def test_cross_doc_span_stats_crafted(spark):
+    """Two docs share one 8-gram; a third is unique; a short doc is skipped."""
+    from commerce_sessionization_spark.operators.text import (
+        cross_doc_span_stats,
+    )
+
+    shared = "a b c d e f g h"  # exactly 8 words -> 1 span
+    rows = [
+        (1, shared + " x y"),          # spans: 3, one of them == shared
+        (2, "p q " + shared),          # spans: 3, one of them == shared
+        (3, "u v w x y z aa bb cc"),   # 2 spans, none shared
+        (4, "too short"),              # < 8 words -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in cross_doc_span_stats(df, window=8).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1].n_spans, out[1].n_dup_spans) == (3, 1)
+    assert (out[2].n_spans, out[2].n_dup_spans) == (3, 1)
+    assert (out[3].n_spans, out[3].n_dup_spans) == (2, 0)
+    assert out[1].dup_ratio_q6 == 333_333
+    assert out[3].dup_ratio_q6 == 0
