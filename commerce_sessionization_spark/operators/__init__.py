@@ -35,6 +35,7 @@ from commerce_sessionization_spark.operators.similarity import (
     seed_centroids,
 )
 from commerce_sessionization_spark.operators.text import (
+    augment_word_dropout,
     cross_doc_span_stats,
     language_id,
     pii_scrub,
@@ -157,6 +158,7 @@ __all__ = [
     "snapshot_asof",
     "bloom_bits",
     "bloom_contains",
+    "augment_word_dropout",
     "cross_doc_span_stats",
     "k_anonymity_report",
     "k_anonymize",

@@ -330,3 +330,60 @@ def cross_doc_span_stats(
             ).cast("long").alias("dup_ratio_q6"),
         )
     )
+
+
+def augment_word_dropout(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate: float = 0.1,
+    seed: str = "aug",
+    out_col: str = "text_aug",
+) -> DataFrame:
+    """Deterministic word-dropout augmentation: drop ~``rate`` of each
+    document's words, gated by a hash of (seed, doc id, position) — the
+    classic cheap text augmentation for training-data diversification.
+
+    Hash gating instead of ``rand()`` makes the augmentation a pure
+    function of (seed, id, position): reproducible across runs/engines
+    (the DuckDB oracle replays it), join-stable, and re-seedable — N
+    augmented epochs are N seeds, no RNG state to coordinate across
+    executors. Entirely built-in expressions (split → filter by hashed
+    position → rejoin), whole-stage codegen, embarrassingly parallel.
+    """
+    from commerce_sessionization_spark.functions.hashing import hex_to_long
+
+    cut = int(round(rate * 10_000))
+    wdf = df.withColumn(
+        "_aw",
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda w: w != ""
+        ),
+    )
+    words = F.col("_aw")
+    kept = F.filter(
+        F.transform(
+            words,
+            lambda w, i: F.struct(
+                w.alias("w"),
+                (
+                    hex_to_long(
+                        F.sha2(
+                            F.concat_ws(
+                                ":",
+                                F.lit(seed),
+                                F.col(id_col).cast("string"),
+                                i.cast("string"),
+                            ),
+                            256,
+                        )
+                    )
+                    % 10_000
+                ).alias("h"),
+            ),
+        ),
+        lambda s: s["h"] >= cut,
+    )
+    return wdf.withColumn(
+        out_col, F.array_join(F.transform(kept, lambda s: s["w"]), " ")
+    ).drop("_aw")

@@ -6108,6 +6108,44 @@ SELECT item_id, bucket, bin_idx, bin_offset, item_tokens FROM walk
 """.replace("{lw}", _LWORDS_SQL)
 
 
+def q_augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word-dropout augmentation (rate 0.1, seed 'aug'):
+    hash-gated per (seed, doc, position), so the augmented corpus is a
+    pure function of the seed — reproducible, join-stable, and replayed
+    verbatim by the DuckDB oracle. N epochs of augmentation = N seeds."""
+    from commerce_sessionization_spark.operators.text import (
+        augment_word_dropout,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = augment_word_dropout(docs, rate=0.1, seed="aug")
+    n_kept = F.when(F.col("text_aug") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("text_aug"), " "))
+    )
+    return out.select(
+        "doc_id", n_kept.cast("long").alias("n_kept"), "text_aug"
+    )
+
+
+SQL_AUGMENTED_DOCS = f"""
+WITH w AS (
+  SELECT doc_id,
+         [x for x in regexp_split_to_array(text, '\\s+') if x <> ''] AS ws
+  FROM documents
+), kept AS (
+  SELECT doc_id,
+         [ws[i+1] for i in range(0, len(ws))
+          if ({_hex2int_sql(
+              "sha256('aug:' || doc_id::VARCHAR || ':' || i::VARCHAR)"
+          )}) % 10000 >= 1000] AS kw
+  FROM w
+)
+SELECT doc_id, len(kw)::BIGINT AS n_kept,
+       array_to_string(kw, ' ') AS text_aug
+FROM kept
+"""
+
+
 def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-span coverage: per doc, the fraction of
     its word 8-grams that also occur in another document — the
@@ -6675,6 +6713,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("duplicated_spans", q_duplicated_spans, SQL_DUPLICATED_SPANS,
              "cross-doc duplicated 8-gram coverage per doc "
              "(substring-level dedup signal)"),
+    QueryDef("augmented_docs", q_augmented_docs, SQL_AUGMENTED_DOCS,
+             "deterministic hash-gated word-dropout augmentation "
+             "(seed-replayable epochs)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

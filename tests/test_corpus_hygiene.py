@@ -222,3 +222,30 @@ def test_cross_doc_span_stats_crafted(spark):
     assert (out[3].n_spans, out[3].n_dup_spans) == (2, 0)
     assert out[1].dup_ratio_q6 == 333_333
     assert out[3].dup_ratio_q6 == 0
+
+
+def test_augment_word_dropout_rate_determinism_and_identity(spark):
+    from commerce_sessionization_spark.operators.text import (
+        augment_word_dropout,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(200))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    out1 = augment_word_dropout(df, rate=0.1, seed="s1").collect()
+    out2 = augment_word_dropout(df, rate=0.1, seed="s1").collect()
+    assert [r.text_aug for r in out1] == [r.text_aug for r in out2]
+    # ~10% dropped over 10k words (hash-uniform, not exact per doc)
+    kept = sum(len(r.text_aug.split(" ")) for r in out1)
+    assert 0.85 * 10_000 < kept < 0.95 * 10_000
+    # kept words preserve relative order and come from the original
+    r0 = next(r for r in out1 if r.doc_id == 0)
+    idxs = [int(w[1:]) for w in r0.text_aug.split(" ")]
+    assert idxs == sorted(idxs) and len(set(idxs)) == len(idxs)
+    # a different seed drops a different subset
+    out3 = augment_word_dropout(df, rate=0.1, seed="s2").collect()
+    assert [r.text_aug for r in out3] != [r.text_aug for r in out1]
+    # rate 0 is the identity (modulo whitespace normalization)
+    ident = augment_word_dropout(df, rate=0.0, seed="s1").collect()
+    assert all(r.text_aug == r.text for r in ident)
