@@ -66,6 +66,12 @@ HEADLINE = [
     "pack_sequences",
     "pq_adc_topk",
     "triangle_counts",
+    # second-session round-3 families: search ranking, substring-level
+    # dedup, privacy release, deterministic augmentation
+    "bm25_search",
+    "duplicated_spans",
+    "k_anonymized_customers",
+    "augmented_docs",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off
