@@ -56,7 +56,7 @@ from commerce_sessionization_spark.operators.chunking import (
     chunk_documents,
     pack_sequences,
 )
-from commerce_sessionization_spark.operators.dq import check_rules
+from commerce_sessionization_spark.operators.dq import check_rules, observed_write
 from commerce_sessionization_spark.operators.graph import pagerank, triangle_counts
 from commerce_sessionization_spark.operators.privacy import (
     dp_noisy_counts,
@@ -132,6 +132,7 @@ __all__ = [
     "decontaminate",
     "ngram_contamination",
     "check_rules",
+    "observed_write",
     "pagerank",
     "triangle_counts",
     "chunk_documents",

@@ -116,3 +116,34 @@ def check_rules(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     for r in rules[1:]:
         acc = acc.unionByName(_violations(df, r))
     return acc
+
+
+def observed_write(
+    df: DataFrame,
+    metrics: dict[str, F.Column] | None = None,
+):
+    """Attach zero-cost in-flight metrics to a DataFrame via Spark's
+    ``Observation`` API and return ``(observed_df, observation)``.
+
+    Unlike ``check_rules`` (a separate aggregation pass), an observation
+    rides the SAME job that materializes ``df`` — at 100 TB the row
+    counts / null counts / sums a publish step wants to assert cost ZERO
+    extra scans: the metrics are accumulated inside the write job's
+    tasks and read off the driver afterwards.
+
+        obs_df, obs = observed_write(out, {
+            "rows": F.count(F.lit(1)),
+            "null_ids": F.count(F.when(F.col("id").isNull(), 1)),
+        })
+        obs_df.write.parquet(path)
+        assert obs.get["null_ids"] == 0   # gate AFTER the pass, for free
+
+    Default metrics: row count. Metric expressions must be aggregates
+    over the observed plan's columns (Spark enforces this).
+    """
+    from pyspark.sql import Observation
+
+    metrics = metrics or {"rows": F.count(F.lit(1))}
+    obs = Observation()
+    named = [c.alias(n) for n, c in metrics.items()]
+    return df.observe(obs, *named), obs

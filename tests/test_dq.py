@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from commerce_sessionization_spark.operators.dq import (
     accepted_values,
@@ -72,3 +73,32 @@ def test_empty_frame_counts_zero_not_null_rows(spark, frame, dim):
         check_rules(empty, [not_null("k"), unique("id"), in_range("score", 0, 1)])
     )
     assert set(got.values()) == {0}
+
+
+def test_observed_write_rides_the_materializing_job(spark):
+    """Observation metrics accumulate inside the SAME job that writes the
+    data — no second scan — and gate a publish step after the fact."""
+    from commerce_sessionization_spark.operators.dq import observed_write
+
+    df = spark.range(500).select(
+        F.col("id"),
+        F.when(F.col("id") % 50 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    obs_df, obs = observed_write(
+        df,
+        {
+            "rows": F.count(F.lit(1)),
+            "null_v": F.count(F.when(F.col("v").isNull(), 1)),
+            "sum_id": F.sum("id"),
+        },
+    )
+    obs_df.write.format("noop").mode("overwrite").save()
+    assert obs.get == {"rows": 500, "null_v": 10, "sum_id": 499 * 500 // 2}
+
+
+def test_observed_write_default_rowcount(spark):
+    from commerce_sessionization_spark.operators.dq import observed_write
+
+    obs_df, obs = observed_write(spark.range(7))
+    obs_df.write.format("noop").mode("overwrite").save()
+    assert obs.get == {"rows": 7}
