@@ -9,9 +9,17 @@ from commerce_sessionization_spark.sources.io import (
     write_partitioned,
     write_partitioned_parquet,
 )
+from commerce_sessionization_spark.sources.generator import (
+    CommerceEventsDataSource,
+)
+from commerce_sessionization_spark.sources.generator import (
+    register as register_generator,
+)
 from commerce_sessionization_spark.sources.tables import load_table, load_tables
 
 __all__ = [
+    "CommerceEventsDataSource",
+    "register_generator",
     "read_behaviors_csv",
     "read_media_dir",
     "read_parquet",
