@@ -109,6 +109,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="target file size in MiB (default 128)")
     co.add_argument("--master", default=None)
 
+    ge = sub.add_parser(
+        "generate",
+        help="write deterministic synthetic events via the "
+             "commerce_events Python DataSource",
+    )
+    ge.add_argument("--rows", type=int, default=100_000)
+    ge.add_argument("--partitions", type=int, default=32)
+    ge.add_argument("--users", type=int, default=1000)
+    ge.add_argument("--seed", default="gen")
+    ge.add_argument("--out", required=True, help="output parquet directory")
+    ge.add_argument("--master", default=None)
+
     args = top.parse_args(argv)
     if args.cmd == "query" and not args.name:
         from commerce_sessionization_spark.plans.queries import FULL_CATALOG
@@ -177,6 +189,23 @@ def main(argv: list[str] | None = None) -> int:
             if args.name not in queries:
                 top.error(f"unknown query {args.name!r} (run `query` to list)")
             queries[args.name](spark, args.sf_dir).explain(mode=args.mode)
+        elif args.cmd == "generate":
+            from commerce_sessionization_spark.sources.generator import (
+                register as register_generator,
+            )
+
+            register_generator(spark)
+            (
+                spark.read.format("commerce_events")
+                .option("rows", args.rows)
+                .option("partitions", args.partitions)
+                .option("users", args.users)
+                .option("seed", args.seed)
+                .load()
+                .write.mode("overwrite")
+                .parquet(args.out)
+            )
+            print(f"generated {args.rows} events -> {args.out}")
         elif args.cmd == "compact":
             from commerce_sessionization_spark.sources.io import compact_partition
 
