@@ -58,6 +58,7 @@ from commerce_sessionization_spark.operators.chunking import (
 )
 from commerce_sessionization_spark.operators.dq import check_rules, observed_write
 from commerce_sessionization_spark.operators.graph import pagerank, triangle_counts
+from commerce_sessionization_spark.operators.ivm import join_delta, maintain_join
 from commerce_sessionization_spark.operators.privacy import (
     dp_noisy_counts,
     k_anonymity_report,
@@ -133,6 +134,8 @@ __all__ = [
     "ngram_contamination",
     "check_rules",
     "observed_write",
+    "join_delta",
+    "maintain_join",
     "pagerank",
     "triangle_counts",
     "chunk_documents",

@@ -6108,6 +6108,43 @@ SELECT item_id, bucket, bin_idx, bin_offset, item_tokens FROM walk
 """.replace("{lw}", _LWORDS_SQL)
 
 
+def q_ivm_order_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a join: with orders/customer each
+    split into base + insert-only delta (hash-disjoint by key), the
+    delta rule ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB yields exactly the join's new rows —
+    each term broadcasts its delta side, so the base tables are scanned,
+    never shuffled (the whole point at 100 TB; plan-asserted in
+    tests/test_ivm.py). The oracle replays the three-way union."""
+    from commerce_sessionization_spark.operators.ivm import join_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("k"), "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    o_base = orders.filter(F.col("o_orderkey") % 7 != 0)
+    o_delta = orders.filter(F.col("o_orderkey") % 7 == 0)
+    c_base = cust.filter(F.col("k") % 11 != 0)
+    c_delta = cust.filter(F.col("k") % 11 == 0)
+    return join_delta(o_base, o_delta, c_base, c_delta, "k")
+
+
+SQL_IVM_ORDER_JOIN_DELTA = """
+WITH o AS (SELECT o_orderkey, o_custkey AS k, o_totalprice FROM orders),
+     c AS (SELECT c_custkey AS k, c_mktsegment FROM customer),
+     ob AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+     od AS (SELECT * FROM o WHERE o_orderkey % 7 = 0),
+     cb AS (SELECT * FROM c WHERE k % 11 <> 0),
+     cd AS (SELECT * FROM c WHERE k % 11 = 0)
+SELECT k, o_orderkey, o_totalprice, c_mktsegment FROM od JOIN cb USING (k)
+UNION ALL
+SELECT k, o_orderkey, o_totalprice, c_mktsegment FROM ob JOIN cd USING (k)
+UNION ALL
+SELECT k, o_orderkey, o_totalprice, c_mktsegment FROM od JOIN cd USING (k)
+"""
+
+
 def q_augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic word-dropout augmentation (rate 0.1, seed 'aug'):
     hash-gated per (seed, doc, position), so the augmented corpus is a
@@ -6716,6 +6753,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("augmented_docs", q_augmented_docs, SQL_AUGMENTED_DOCS,
              "deterministic hash-gated word-dropout augmentation "
              "(seed-replayable epochs)"),
+    QueryDef("ivm_order_join_delta", q_ivm_order_join_delta,
+             SQL_IVM_ORDER_JOIN_DELTA,
+             "incremental join-view maintenance: delta rule with "
+             "broadcast-delta terms (base tables never shuffle)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
