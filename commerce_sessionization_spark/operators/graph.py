@@ -101,7 +101,6 @@ def pagerank(
         def _sum0(col: F.Column) -> F.Column:
             return F.coalesce(F.sum(col), F.lit(0.0))
 
-    n_vert = vertices.count()  # scalar dimension, like k-means' k
     src = F.col(src_col)
 
     # pin the edge list ONCE: it is referenced every iteration, and without
@@ -110,6 +109,9 @@ def pagerank(
     # re-execute per round — measured 36.7 s → ~8 s at sf0.1 for 5 rounds
     edges = edges.localCheckpoint()
     vertices = vertices.localCheckpoint()
+    # count AFTER the checkpoint: it reads the materialized partitions
+    # instead of executing the vertex subtree a second time
+    n_vert = vertices.count()  # scalar dimension, like k-means' k
     out_deg = edges.groupBy(src.alias(id_col)).agg(
         F.count(F.lit(1)).alias("_outdeg")
     )
