@@ -112,3 +112,15 @@ def test_rows_only_list_is_tight():
 
 def test_extended_catalog_names_disjoint_from_driver_window():
     assert not ({q.name for q in CATALOG} & {q.name for q in EXTENDED_CATALOG})
+
+
+def test_catalog_md_is_current():
+    """CATALOG.md is generated from the QueryDef list; regenerate with
+    `python tools/gen_catalog_md.py` whenever the catalog changes."""
+    from pathlib import Path
+
+    md = Path(__file__).resolve().parent.parent / "CATALOG.md"
+    text = md.read_text()
+    for q in FULL_CATALOG:
+        assert f"`{q.name}`" in text, f"{q.name} missing from CATALOG.md"
+    assert f"{len(FULL_CATALOG)} queries:" in text
