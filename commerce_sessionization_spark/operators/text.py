@@ -276,14 +276,20 @@ def cross_doc_span_stats(
 
     Output: (id, n_spans, n_dup_spans, dup_ratio_q6).
 
-    Scale shape: one explode to (doc, span-hash) rows, then
-    (a) per-doc span counts — map-side-combinable agg;
-    (b) the duplicated-hash set — one agg on the uniform 60-bit hash key
-        (count(distinct doc) ≥ 2), kept NARROW (hash only);
-    (c) a left-semi join of the span stream against (b), then a second
-        per-doc count. The wide span stream is never joined against
-        per-hash counts — only membership — so the shuffle payload stays
-        (doc_id, hash). All built-ins, whole-stage codegen.
+    Scale shape: one explode to (doc, span-hash) rows, referenced
+    exactly twice — (a) the duplicated-hash set (one agg on the uniform
+    60-bit hash key, count(distinct doc) ≥ 2, kept NARROW: hash only),
+    and (b) ONE left join of the span stream against that set whose
+    groupBy(doc) emits both the total and duplicated counts together
+    (a previous shape used three references — per-doc totals, the set,
+    and a semi-join recount — i.e. one extra corpus explode for
+    nothing). While the dup set fits a broadcast, the probe-side span
+    stream never shuffles on the hash at all (observed plan: broadcast
+    left-outer straight over the Generate); past that size both the
+    set-agg and the join want hashpartitioning(hash), the mergeable
+    layout. The stream only ever joins membership, never per-hash
+    counts, so the shuffle payload stays (doc_id, hash). All built-ins,
+    whole-stage codegen.
     """
     from commerce_sessionization_spark.functions.hashing import hex_to_long
 
@@ -305,27 +311,27 @@ def cross_doc_span_stats(
             )
         ).alias("_s"),
     ).select("_id", hex_to_long(F.sha2(F.col("_s"), 256)).alias("_h"))
-    per_doc = spans.groupBy("_id").agg(F.count(F.lit(1)).alias("n_spans"))
     dup_hashes = (
         spans.groupBy("_h")
         .agg(F.count_distinct(F.col("_id")).alias("_nd"))
         .filter(F.col("_nd") >= 2)
-        .select("_h")
+        .select("_h", F.lit(1).alias("_dup"))
     )
-    dup_per_doc = (
-        spans.join(dup_hashes, "_h", "left_semi")
-        .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
-    )
-    n_dup = F.coalesce(F.col("n_dup_spans"), F.lit(0))
+    n_dup = F.count("_dup")  # counts non-null ⇒ only matched (dup) spans
     return (
-        per_doc.join(dup_per_doc, "_id", "left")
+        spans.join(dup_hashes, "_h", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            n_dup.alias("n_dup_spans"),
+        )
         .select(
             F.col("_id").alias(id_col),
             "n_spans",
-            n_dup.alias("n_dup_spans"),
+            "n_dup_spans",
             F.floor(
-                n_dup.cast("double") / F.col("n_spans").cast("double")
+                F.col("n_dup_spans").cast("double")
+                / F.col("n_spans").cast("double")
                 * F.lit(1e6)
             ).cast("long").alias("dup_ratio_q6"),
         )
