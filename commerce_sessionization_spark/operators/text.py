@@ -345,6 +345,7 @@ def augment_word_dropout(
     rate: float = 0.1,
     seed: str = "aug",
     out_col: str = "text_aug",
+    fast: bool = False,
 ) -> DataFrame:
     """Deterministic word-dropout augmentation: drop ~``rate`` of each
     document's words, gated by a hash of (seed, doc id, position) — the
@@ -356,10 +357,39 @@ def augment_word_dropout(
     augmented epochs are N seeds, no RNG state to coordinate across
     executors. Entirely built-in expressions (split → filter by hashed
     position → rejoin), whole-stage codegen, embarrassingly parallel.
+
+    ``fast=True`` swaps sha256 for ``xxhash64`` — the same exact/fast
+    split as ``operators/graph.pagerank``: sha256 per word is the price
+    of cross-engine oracle replay (DuckDB has no xxhash64); the fast
+    gate keeps every determinism property at a fraction of the per-word
+    CPU and is the right default on a real corpus. Same seed ⇒ same
+    drops within a mode, but the two modes drop different subsets.
     """
     from commerce_sessionization_spark.functions.hashing import hex_to_long
 
     cut = int(round(rate * 10_000))
+
+    if fast:
+        def gate(i: F.Column) -> F.Column:
+            return (
+                F.abs(F.xxhash64(F.lit(seed), F.col(id_col), i)) % 10_000
+            )
+    else:
+        def gate(i: F.Column) -> F.Column:
+            return (
+                hex_to_long(
+                    F.sha2(
+                        F.concat_ws(
+                            ":",
+                            F.lit(seed),
+                            F.col(id_col).cast("string"),
+                            i.cast("string"),
+                        ),
+                        256,
+                    )
+                )
+                % 10_000
+            )
     wdf = df.withColumn(
         "_aw",
         F.filter(
@@ -370,23 +400,7 @@ def augment_word_dropout(
     kept = F.filter(
         F.transform(
             words,
-            lambda w, i: F.struct(
-                w.alias("w"),
-                (
-                    hex_to_long(
-                        F.sha2(
-                            F.concat_ws(
-                                ":",
-                                F.lit(seed),
-                                F.col(id_col).cast("string"),
-                                i.cast("string"),
-                            ),
-                            256,
-                        )
-                    )
-                    % 10_000
-                ).alias("h"),
-            ),
+            lambda w, i: F.struct(w.alias("w"), gate(i).alias("h")),
         ),
         lambda s: s["h"] >= cut,
     )

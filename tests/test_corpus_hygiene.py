@@ -249,3 +249,22 @@ def test_augment_word_dropout_rate_determinism_and_identity(spark):
     # rate 0 is the identity (modulo whitespace normalization)
     ident = augment_word_dropout(df, rate=0.0, seed="s1").collect()
     assert all(r.text_aug == r.text for r in ident)
+
+
+def test_augment_fast_mode_same_contract_cheaper_hash(spark):
+    from commerce_sessionization_spark.operators.text import (
+        augment_word_dropout,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(200))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    f1 = augment_word_dropout(df, rate=0.1, seed="s1", fast=True).collect()
+    f2 = augment_word_dropout(df, rate=0.1, seed="s1", fast=True).collect()
+    assert [r.text_aug for r in f1] == [r.text_aug for r in f2]
+    kept = sum(len(r.text_aug.split(" ")) for r in f1)
+    assert 0.85 * 10_000 < kept < 0.95 * 10_000
+    r0 = next(r for r in f1 if r.doc_id == 0)
+    idxs = [int(w[1:]) for w in r0.text_aug.split(" ")]
+    assert idxs == sorted(idxs) and len(set(idxs)) == len(idxs)
