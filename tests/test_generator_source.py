@@ -108,3 +108,39 @@ def test_streaming_end_to_end_micro_batches(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_vectorized_block_matches_scalar_reference(spark):
+    """The Arrow fast path and the scalar _row reference must agree
+    bit-for-bit — the contract that makes batch/stream outputs one
+    dataset."""
+    from commerce_sessionization_spark.sources.generator import (
+        _gen_block,
+        _row,
+    )
+
+    event_id, ts, user_id, etype_idx, value = _gen_block("x", 100, 400, 777)
+    types = ("view", "cart", "purchase", "remove_from_cart")
+    for j, i in enumerate(range(100, 400)):
+        rid, rts, ruser, retype, rvalue = _row("x", i, 777)
+        assert event_id[j] == rid
+        assert ts[j] == int(rts.timestamp())
+        assert user_id[j] == ruser
+        assert types[etype_idx[j]] == retype
+        assert value[j] == rvalue
+
+
+def test_batch_read_equals_scalar_rows_via_spark(spark):
+    from commerce_sessionization_spark.sources.generator import _row
+
+    df = _load(spark, rows=300, partitions=5, seed="vv", users=50)
+    got = [
+        (r.event_id, r.ts.replace(tzinfo=None), r.user_id, r.event_type,
+         r.value)
+        for r in df.orderBy("event_id").collect()
+    ]
+    want = [
+        (i0, ts.replace(tzinfo=None), u, e, v)
+        for (i0, ts, u, e, v) in (_row("vv", i, 50) for i in range(300))
+    ]
+    assert got == want
