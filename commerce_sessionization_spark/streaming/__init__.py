@@ -21,6 +21,9 @@ from commerce_sessionization_spark.streaming.sessionize_stream import (
     sessionize_stream_stateful,
     sessionize_stream_window,
 )
+from commerce_sessionization_spark.streaming.sessionize_tws import (
+    sessionize_stream_tws,
+)
 from commerce_sessionization_spark.streaming.windows import windowed_counts
 
 __all__ = [
@@ -31,6 +34,7 @@ __all__ = [
     "enrich_stream",
     "read_events_stream",
     "sessionize_stream_stateful",
+    "sessionize_stream_tws",
     "sessionize_stream_window",
     "windowed_counts",
 ]
