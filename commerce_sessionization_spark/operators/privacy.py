@@ -35,7 +35,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from commerce_sessionization_spark.functions.hashing import hex_to_long
 
 
 def group_sizes(
@@ -69,16 +68,27 @@ def k_anonymize(
     column-expression pass after one aggregation; generalization
     hierarchies (city→region→country) compose as an upstream
     ``withColumn`` before calling this.
+
+    NULL quasi-identifier values form their own equivalence class (the
+    same grouping SQL's ``PARTITION BY`` uses), so the join-back is
+    null-SAFE equality — a plain equi-join would leave NULL-QI rows
+    unmatched and therefore UNREDACTED, the worst failure mode for a
+    privacy operator. Unmatched rows (impossible after the null-safe
+    join, but cheap to guard) count as a class of zero and redact.
     """
-    sizes = group_sizes(df, quasi_cols)
-    joined = df.join(sizes, quasi_cols, "left")
-    small = F.col("qi_count") < k
+    d, s = df.alias("_d"), group_sizes(df, quasi_cols).alias("_s")
+    cond = None
+    for c in quasi_cols:
+        eq = F.col(f"_d.{c}").eqNullSafe(F.col(f"_s.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = d.join(s, cond, "left")
+    small = F.coalesce(F.col("qi_count"), F.lit(0)) < k
     out_cols = [
         F.when(small, F.lit(redact))
-        .otherwise(F.col(c).cast("string"))
+        .otherwise(F.col(f"_d.{c}").cast("string"))
         .alias(c)
         if c in quasi_cols
-        else F.col(c)
+        else F.col(f"_d.{c}").alias(c)
         for c in df.columns
     ]
     return joined.select(*out_cols)
@@ -113,15 +123,26 @@ def laplace_noise(key: Column, scale: float, seed: str = "dp") -> Column:
     offset keeps u off both endpoints, so ln(1 − 2|u−½|) is finite.
     Inverse CDF: noise = −scale · sign(u−½) · ln(1 − 2|u−½|).
     """
-    h = hex_to_long(
-        F.sha2(F.concat(F.lit(f"{seed}:"), key.cast("string")), 256)
+    from commerce_sessionization_spark.functions.hashing import (
+        stable_long_hash,
     )
+
+    h = stable_long_hash(F.concat(F.lit(f"{seed}:"), key.cast("string")))
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
     t = u - F.lit(0.5)
     return (
         F.lit(-scale)
         * F.signum(t)
         * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(t))
+    )
+
+
+def _enc_key_part(col_name: str) -> Column:
+    """Prefix-free token for one group-key component (see
+    ``dp_noisy_counts``): 'n' for NULL, else 'v<len>:<value>'."""
+    s = F.col(col_name).cast("string")
+    return F.when(s.isNull(), F.lit("n")).otherwise(
+        F.concat(F.lit("v"), F.length(s).cast("string"), F.lit(":"), s)
     )
 
 
@@ -134,10 +155,16 @@ def dp_noisy_counts(
     """Histogram release under the Laplace mechanism: per-group exact
     count plus Laplace(1/ε) noise (sensitivity of a count is 1). Output
     keeps both the exact and noisy counts so callers can drop the exact
-    column at release time."""
-    key = F.concat_ws(
-        "|", *[F.col(c).cast("string") for c in group_cols]
-    )
+    column at release time.
+
+    The noise key is a PREFIX-FREE encoding of the group tuple — per
+    column ``'n'`` for NULL, else ``'v' + len + ':' + value`` — because
+    a naive delimiter concat collides: ``concat_ws`` skips NULLs, so
+    ``(NULL,'x')`` and ``('x',NULL)`` would share one noise draw, and a
+    value containing the delimiter shifts the boundary. Correlated
+    noise across cells breaks the histogram mechanism's per-cell
+    independence; length-prefixing makes the key injective."""
+    key = F.concat(*[_enc_key_part(c) for c in group_cols])
     return group_sizes(df, group_cols, out_col="exact_count").select(
         *group_cols,
         "exact_count",

@@ -365,7 +365,9 @@ def augment_word_dropout(
     CPU and is the right default on a real corpus. Same seed ⇒ same
     drops within a mode, but the two modes drop different subsets.
     """
-    from commerce_sessionization_spark.functions.hashing import hex_to_long
+    from commerce_sessionization_spark.functions.hashing import (
+        stable_long_hash,
+    )
 
     cut = int(round(rate * 10_000))
 
@@ -377,15 +379,12 @@ def augment_word_dropout(
     else:
         def gate(i: F.Column) -> F.Column:
             return (
-                hex_to_long(
-                    F.sha2(
-                        F.concat_ws(
-                            ":",
-                            F.lit(seed),
-                            F.col(id_col).cast("string"),
-                            i.cast("string"),
-                        ),
-                        256,
+                stable_long_hash(
+                    F.concat_ws(
+                        ":",
+                        F.lit(seed),
+                        F.col(id_col).cast("string"),
+                        i.cast("string"),
                     )
                 )
                 % 10_000

@@ -6324,6 +6324,12 @@ def q_dp_noisy_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB twin of ``privacy._enc_key_part``: prefix-free per-column token
+_DP_ENC = (
+    "CASE WHEN {c} IS NULL THEN 'n' "
+    "ELSE 'v' || length({c}::VARCHAR)::VARCHAR || ':' || {c}::VARCHAR END"
+)
+
 SQL_DP_NOISY_SEGMENT_COUNTS = f"""
 WITH counts AS (
   SELECT c_nationkey, c_mktsegment, count(*) AS exact_count
@@ -6331,7 +6337,11 @@ WITH counts AS (
 ), noised AS (
   SELECT *,
          ({_hex2int_sql(
-             "sha256('dp:' || c_nationkey::VARCHAR || '|' || c_mktsegment)"
+             "sha256('dp:' || "
+             + _DP_ENC.format(c="c_nationkey")
+             + " || "
+             + _DP_ENC.format(c="c_mktsegment")
+             + ")"
          )}::DOUBLE + 0.5) / 1152921504606846976.0 AS u
   FROM counts
 )

@@ -174,6 +174,8 @@ class _Reader(DataSourceReader):
         self.n_users = int(options.get("users", 1000))
 
     def partitions(self) -> Sequence[InputPartition]:
+        if self.rows <= 0:  # empty dataset, not range(0, 0, 0)
+            return []
         step = -(-self.rows // self.nparts)  # ceil
         return [
             _Slice(s, min(s + step, self.rows), self.seed, self.n_users)

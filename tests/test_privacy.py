@@ -97,3 +97,39 @@ def test_dp_noisy_counts_bias_and_exactness(people):
     for r in out.values():
         assert math.isfinite(r.noisy_count)
         assert r.noisy_count != r.exact_count  # noise actually applied
+
+
+def test_k_anonymize_redacts_null_qi_singletons(spark):
+    """NULL QI values form their own equivalence class; a singleton with
+    a NULL component must be redacted, not silently passed through."""
+    rows = [
+        (1, None, "eng", 100),
+        (2, "ny", "eng", 120),
+        (3, "ny", "eng", 140),
+        (4, "ny", "eng", 160),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, city string, job string, salary long"
+    )
+    out = {r.id: r for r in k_anonymize(df, ["city", "job"], k=3).collect()}
+    assert (out[1].city, out[1].job) == ("*", "*")  # NULL-QI singleton
+    assert (out[2].city, out[2].job) == ("ny", "eng")
+    # two NULL-QI rows still below k -> both redacted
+    rows2 = rows + [(5, None, "eng", 99)]
+    df2 = spark.createDataFrame(
+        rows2, "id long, city string, job string, salary long"
+    )
+    out2 = {r.id: r for r in k_anonymize(df2, ["city", "job"], k=3).collect()}
+    assert (out2[1].city, out2[5].city) == ("*", "*")
+
+
+def test_dp_noise_key_is_injective_across_groups(spark):
+    """(NULL,'x') vs ('x',NULL) and delimiter-bearing values must draw
+    DIFFERENT noise — the collision the prefix-free encoding prevents."""
+    df = spark.createDataFrame(
+        [(None, "x"), ("x", None), ("a|b", "c"), ("a", "b|c")],
+        "g1 string, g2 string",
+    )
+    out = dp_noisy_counts(df, ["g1", "g2"], epsilon=1.0).collect()
+    noises = [r.noisy_count - r.exact_count for r in out]
+    assert len(set(noises)) == len(noises), noises
