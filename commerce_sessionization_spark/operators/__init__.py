@@ -58,7 +58,14 @@ from commerce_sessionization_spark.operators.chunking import (
 )
 from commerce_sessionization_spark.operators.dq import check_rules, observed_write
 from commerce_sessionization_spark.operators.graph import pagerank, triangle_counts
-from commerce_sessionization_spark.operators.ivm import join_delta, maintain_join
+from commerce_sessionization_spark.operators.ivm import (
+    apply_delta_z,
+    as_zset,
+    join_delta,
+    join_delta_z,
+    maintain_join,
+    zset_normalize,
+)
 from commerce_sessionization_spark.operators.privacy import (
     dp_noisy_counts,
     k_anonymity_report,
@@ -135,6 +142,10 @@ __all__ = [
     "check_rules",
     "observed_write",
     "join_delta",
+    "join_delta_z",
+    "as_zset",
+    "zset_normalize",
+    "apply_delta_z",
     "maintain_join",
     "pagerank",
     "triangle_counts",

@@ -72,3 +72,80 @@ def maintain_join(
     return view.unionByName(
         join_delta(a, delta_a, b, delta_b, on, broadcast_deltas)
     )
+
+
+# --------------------------------------------------------------------------
+# Z-set (signed-multiplicity) maintenance: the general case with deletes
+# --------------------------------------------------------------------------
+
+MULT_COL = "_mult"
+
+
+def as_zset(df: DataFrame, mult: int = 1, mult_col: str = MULT_COL) -> DataFrame:
+    """Lift a plain relation to a Z-set: every row weighted ``mult``
+    (+1 for inserts, −1 to encode deletions of existing rows)."""
+    return df.withColumn(mult_col, F.lit(mult))
+
+
+def zset_normalize(df: DataFrame, mult_col: str = MULT_COL) -> DataFrame:
+    """Canonical form: one row per distinct tuple with net multiplicity,
+    zero-weight tuples dropped. groupBy on the tuple — map-side
+    combinable, the only shuffle this layer adds."""
+    keys = [c for c in df.columns if c != mult_col]
+    return (
+        df.groupBy(*keys)
+        .agg(F.sum(mult_col).alias(mult_col))
+        .filter(F.col(mult_col) != 0)
+    )
+
+
+def _zjoin(
+    left: DataFrame, right: DataFrame, on: list[str], mult_col: str
+) -> DataFrame:
+    lm = left.withColumnRenamed(mult_col, "_lm")
+    rm = right.withColumnRenamed(mult_col, "_rm")
+    return (
+        lm.join(rm, on)
+        .withColumn(mult_col, F.col("_lm") * F.col("_rm"))
+        .drop("_lm", "_rm")
+    )
+
+
+def join_delta_z(
+    a: DataFrame,
+    delta_a: DataFrame,
+    b: DataFrame,
+    delta_b: DataFrame,
+    on: Sequence[str] | str,
+    mult_col: str = MULT_COL,
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """The delta rule over Z-sets — handles INSERTS AND DELETES in one
+    algebra (the DBSP / differential-dataflow formulation): with deltas
+    carrying signed multiplicities (+1 insert, −1 delete),
+
+        Δ(A ⋈ B) = (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+    with multiplicities MULTIPLIED per joined pair, is exact for any
+    mix of changes — a deletion on either side propagates the right
+    negative weight to every joined row, no tombstone special-casing.
+    ``maintain_join``'s insert-only contract is the mult≡+1 special
+    case. Inputs must all carry ``mult_col`` (see ``as_zset``); the
+    output is un-normalized (call ``zset_normalize`` after applying to
+    the view). Same broadcast-the-delta cost model as ``join_delta``.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    bd = F.broadcast if broadcast_deltas else (lambda df: df)
+    return (
+        _zjoin(bd(delta_a), b, on, mult_col)
+        .unionByName(_zjoin(a, bd(delta_b), on, mult_col))
+        .unionByName(_zjoin(bd(delta_a), bd(delta_b), on, mult_col))
+    )
+
+
+def apply_delta_z(
+    view: DataFrame, delta: DataFrame, mult_col: str = MULT_COL
+) -> DataFrame:
+    """Maintained Z-set view: normalize(view ∪ delta). Rows whose net
+    multiplicity reaches zero (deleted pairs) vanish."""
+    return zset_normalize(view.unionByName(delta), mult_col)

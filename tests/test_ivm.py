@@ -71,3 +71,69 @@ def test_delta_terms_broadcast_the_delta_side(spark):
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3
     # no shuffle exchange anywhere in the delta plan
     assert not re.findall(r"\(\d+\) Exchange", plan), plan
+
+
+def _zrows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_zset_delta_with_deletes_equals_recompute(spark, seed):
+    """The Z-set delta rule must equal a recompute for mixed
+    insert/delete changes on BOTH sides — the property that makes
+    tombstone-free view maintenance sound."""
+    from commerce_sessionization_spark.operators.ivm import (
+        apply_delta_z,
+        as_zset,
+        join_delta_z,
+        zset_normalize,
+    )
+
+    a_full, b_full = _tables(spark, seed)
+    a = as_zset(a_full)
+    b = as_zset(b_full)
+    # delta: delete every row with av%4==0, insert shifted copies
+    del_a = as_zset(a_full.filter(F.col("av") % 4 == 0), mult=-1)
+    ins_a = as_zset(
+        a_full.filter(F.col("av") % 5 == 0).withColumn(
+            "av", F.col("av") + 100_000
+        )
+    )
+    da = del_a.unionByName(ins_a)
+    del_b = as_zset(b_full.filter(F.col("bv") % 3 == 0), mult=-1)
+    db = del_b
+    view = zset_normalize(
+        as_zset(a_full.join(b_full, "k"))
+    )
+    maintained = apply_delta_z(view, join_delta_z(a, da, b, db, "k"))
+
+    new_a = a_full.filter(F.col("av") % 4 != 0).unionByName(
+        a_full.filter(F.col("av") % 5 == 0).withColumn(
+            "av", F.col("av") + 100_000
+        )
+    )
+    new_b = b_full.filter(F.col("bv") % 3 != 0)
+    recompute = zset_normalize(as_zset(new_a.join(new_b, "k")))
+    assert _zrows(maintained) == _zrows(recompute)
+    # all surviving multiplicities are positive bag counts
+    assert all(r[-1] > 0 for r in _zrows(maintained))
+
+
+def test_zset_delete_of_joined_pair_vanishes(spark):
+    from commerce_sessionization_spark.operators.ivm import (
+        apply_delta_z,
+        as_zset,
+        join_delta_z,
+        zset_normalize,
+    )
+
+    a = spark.createDataFrame([(1, "a1")], "k long, av string")
+    b = spark.createDataFrame([(1, "b1")], "k long, bv string")
+    za, zb = as_zset(a), as_zset(b)
+    view = zset_normalize(as_zset(a.join(b, "k")))
+    assert view.count() == 1
+    # delete the only A row -> the joined pair must vanish entirely
+    da = as_zset(a, mult=-1)
+    empty_b = as_zset(b.filter(F.lit(False)))
+    out = apply_delta_z(view, join_delta_z(za, da, zb, empty_b, "k"))
+    assert out.count() == 0
