@@ -149,3 +149,36 @@ def apply_delta_z(
     """Maintained Z-set view: normalize(view ∪ delta). Rows whose net
     multiplicity reaches zero (deleted pairs) vanish."""
     return zset_normalize(view.unionByName(delta), mult_col)
+
+
+def zset_aggregate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    mult_col: str = MULT_COL,
+) -> DataFrame:
+    """Linear aggregates over a Z-set: count = Σ mult and
+    sum = Σ mult·value per group — which makes SUM/COUNT views
+    maintainable under deletes by simply aggregating the DELTA and
+    merging (add counts/sums, drop zero-count groups), the same
+    partial-state shape ``operators/rollup.py`` merges for insert-only
+    streams. AVG derives as sum/count at read time; MIN/MAX are NOT
+    linear (a delete can expose a new extremum) and need their own
+    recompute or sketch."""
+    return df.groupBy(*group_cols).agg(
+        F.sum(F.col(mult_col)).alias("n"),
+        F.sum(F.col(mult_col) * F.col(value_col)).alias("total"),
+    )
+
+
+def merge_zset_aggregates(
+    view: DataFrame, delta_agg: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Maintained aggregate view: per-group add of (n, total), groups
+    whose count reaches zero vanish."""
+    return (
+        view.unionByName(delta_agg)
+        .groupBy(*group_cols)
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        .filter(F.col("n") != 0)
+    )

@@ -137,3 +137,32 @@ def test_zset_delete_of_joined_pair_vanishes(spark):
     empty_b = as_zset(b.filter(F.lit(False)))
     out = apply_delta_z(view, join_delta_z(za, da, zb, empty_b, "k"))
     assert out.count() == 0
+
+
+def test_zset_aggregate_maintains_sum_count_under_deletes(spark):
+    from commerce_sessionization_spark.operators.ivm import (
+        as_zset,
+        merge_zset_aggregates,
+        zset_aggregate,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], "g long, v long"
+    )
+    view = zset_aggregate(as_zset(base), ["g"], "v")
+    # delete (1, 20), insert (2, 7), delete BOTH of group 2's rows later
+    delta = as_zset(
+        spark.createDataFrame([(1, 20)], "g long, v long"), mult=-1
+    ).unionByName(
+        as_zset(spark.createDataFrame([(2, 7)], "g long, v long"))
+    )
+    v1 = merge_zset_aggregates(view, zset_aggregate(delta, ["g"], "v"), ["g"])
+    got = {r.g: (r.n, r.total) for r in v1.collect()}
+    assert got == {1: (1, 10), 2: (2, 12)}
+    # now delete all of group 2 -> the group disappears from the view
+    delta2 = as_zset(
+        spark.createDataFrame([(2, 5), (2, 7)], "g long, v long"), mult=-1
+    )
+    v2 = merge_zset_aggregates(v1, zset_aggregate(delta2, ["g"], "v"), ["g"])
+    got2 = {r.g: (r.n, r.total) for r in v2.collect()}
+    assert got2 == {1: (1, 10)}
