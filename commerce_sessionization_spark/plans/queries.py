@@ -6145,6 +6145,67 @@ SELECT k, o_orderkey, o_totalprice, c_mktsegment FROM od JOIN cd USING (k)
 """
 
 
+def q_ivm_zset_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-set delta of orders⋈customer under MIXED changes — deletes of
+    every 50th order and every 20th customer (multiplicity −1), inserts
+    of every 70th order (+1) — normalized to net non-zero tuples. The
+    signed-multiplicity algebra needs no tombstone special-casing; the
+    oracle replays the three delta terms with multiplied weights."""
+    from commerce_sessionization_spark.operators.ivm import (
+        as_zset,
+        join_delta_z,
+        zset_normalize,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("k")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    o_base = as_zset(orders.filter(F.col("o_orderkey") % 50 != 0))
+    o_del = as_zset(orders.filter(F.col("o_orderkey") % 50 == 0), mult=-1)
+    o_ins = as_zset(
+        orders.filter(F.col("o_orderkey") % 70 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 10_000_000
+        )
+    )
+    da = o_del.unionByName(o_ins)
+    c_base = as_zset(cust.filter(F.col("k") % 20 != 0))
+    c_del = as_zset(cust.filter(F.col("k") % 20 == 0), mult=-1)
+    out = zset_normalize(join_delta_z(o_base, da, c_base, c_del, "k"))
+    return out.select("k", "o_orderkey", "c_mktsegment",
+                      F.col("_mult").alias("mult"))
+
+
+SQL_IVM_ZSET_JOIN_DELTA = """
+WITH o AS (SELECT o_orderkey, o_custkey AS k FROM orders),
+     c AS (SELECT c_custkey AS k, c_mktsegment FROM customer),
+     ob AS (SELECT *, 1 AS m FROM o WHERE o_orderkey % 50 <> 0),
+     da AS (
+       SELECT o_orderkey, k, -1 AS m FROM o WHERE o_orderkey % 50 = 0
+       UNION ALL
+       SELECT o_orderkey + 10000000, k, 1 FROM o WHERE o_orderkey % 70 = 0
+     ),
+     cb AS (SELECT *, 1 AS m FROM c WHERE k % 20 <> 0),
+     dc AS (SELECT k, c_mktsegment, -1 AS m FROM c WHERE k % 20 = 0),
+     delta AS (
+       SELECT da.k, o_orderkey, c_mktsegment, da.m * cb.m AS m
+       FROM da JOIN cb ON da.k = cb.k
+       UNION ALL
+       SELECT ob.k, o_orderkey, c_mktsegment, ob.m * dc.m
+       FROM ob JOIN dc ON ob.k = dc.k
+       UNION ALL
+       SELECT da.k, o_orderkey, c_mktsegment, da.m * dc.m
+       FROM da JOIN dc ON da.k = dc.k
+     )
+SELECT k, o_orderkey, c_mktsegment, sum(m)::BIGINT AS mult
+FROM delta
+GROUP BY 1, 2, 3
+HAVING sum(m) <> 0
+"""
+
+
 def q_augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic word-dropout augmentation (rate 0.1, seed 'aug'):
     hash-gated per (seed, doc, position), so the augmented corpus is a
@@ -6767,6 +6828,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_IVM_ORDER_JOIN_DELTA,
              "incremental join-view maintenance: delta rule with "
              "broadcast-delta terms (base tables never shuffle)"),
+    QueryDef("ivm_zset_join_delta", q_ivm_zset_join_delta,
+             SQL_IVM_ZSET_JOIN_DELTA,
+             "Z-set join delta under mixed insert/delete changes "
+             "(signed multiplicities, no tombstones)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
