@@ -188,16 +188,25 @@ def test_hot_user_skew_task_duration_bounded():
     from pathlib import Path as _Path
 
     probe = _Path(__file__).resolve().parent.parent / "tools" / "skew_task_probe.py"
-    out = subprocess.run(
-        [_sys.executable, str(probe), "1000000", "0.9", "8"],
-        capture_output=True, text=True, timeout=540,
-    )
-    assert out.returncode == 0, out.stderr[-2000:]
-    stats = _json.loads(out.stdout.strip().splitlines()[-1])
-    plain, bucketed = stats["max_task_ms_plain"], stats["max_task_ms_bucketed"]
-    assert plain is not None and bucketed is not None, stats
-    # the hot task must actually be hot (sorting ~900k of 1M rows)...
-    assert plain >= 500, stats
-    # ...and bucketing must bound it with a wide margin (measured ~5-6x;
-    # asserted at 2x so scheduler noise can't flake the suite)
-    assert bucketed <= plain / 2, stats
+
+    # the measured margin is ~5-6x and we assert at 2x, but a fully
+    # loaded box (the whole suite running on all cores) can deschedule
+    # a bucketed task long enough to flake a single sample — retry once
+    # before declaring the mitigation broken
+    last_stats = None
+    for _attempt in range(2):
+        out = subprocess.run(
+            [_sys.executable, str(probe), "1000000", "0.9", "8"],
+            capture_output=True, text=True, timeout=540,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        stats = _json.loads(out.stdout.strip().splitlines()[-1])
+        plain = stats["max_task_ms_plain"]
+        bucketed = stats["max_task_ms_bucketed"]
+        assert plain is not None and bucketed is not None, stats
+        last_stats = stats
+        # the hot task must actually be hot (sorting ~900k of 1M rows)
+        # and bucketing must bound it with a wide margin
+        if plain >= 500 and bucketed <= plain / 2:
+            return
+    raise AssertionError(f"skew mitigation margin not met twice: {last_stats}")
