@@ -125,16 +125,36 @@ def pq_encode(
             for j in range(m)
         ],
     )
+    # second tree shrink (this session): the centroid literals appear
+    # ONCE per subspace as a nested array, and the 16 distance exprs
+    # become one `transform` lambda indexing into it — same arithmetic
+    # (the zip_with/aggregate dot fold is unchanged, element_at just
+    # supplies its right operand), same first-match argmin, but the
+    # analyzed tree drops from 16 expanded distance expressions per
+    # subspace to one lambda + 128 literals; measured ~5 s → ~1 s of
+    # per-run Catalyst/codegen constant at sf0.01
     codes = []
     for j in range(m):
         sub = F.slice(F.col("_v"), j * d + 1, d)
-        dists = F.array(
+        cent_lit = F.array(
             *[
-                F.col(f"_aa{j}")
-                - F.lit(2.0) * dot_product(sub, F.array(*[F.lit(x) for x in cents[j][c]]))
-                + F.lit(py_dot(cents[j][c], cents[j][c]))
+                F.array(*[F.lit(x) for x in cents[j][c]])
                 for c in range(k)
             ]
+        )
+        cc_lit = F.array(
+            *[F.lit(py_dot(cents[j][c], cents[j][c])) for c in range(k)]
+        )
+        def _dist_fn(jj: int, cl: Column, cc: Column, sb: Column):
+            return lambda c: (
+                F.col(f"_aa{jj}")
+                - F.lit(2.0) * dot_product(sb, F.element_at(cl, c))
+                + F.element_at(cc, c)
+            )
+
+        dists = F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            _dist_fn(j, cent_lit, cc_lit, sub),
         )
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
