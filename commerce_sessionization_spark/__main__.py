@@ -109,6 +109,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="target file size in MiB (default 128)")
     co.add_argument("--master", default=None)
 
+    sq = sub.add_parser(
+        "sql",
+        help="run ad-hoc SQL with the testdata tables registered as views",
+    )
+    sq.add_argument("statement", help="a single SQL statement")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sq.add_argument("--out", default=None,
+                    help="write result parquet here instead of showing")
+    sq.add_argument("--limit", type=int, default=20)
+    sq.add_argument("--master", default=None)
+
     ge = sub.add_parser(
         "generate",
         help="write deterministic synthetic events via the "
@@ -189,6 +200,17 @@ def main(argv: list[str] | None = None) -> int:
             if args.name not in queries:
                 top.error(f"unknown query {args.name!r} (run `query` to list)")
             queries[args.name](spark, args.sf_dir).explain(mode=args.mode)
+        elif args.cmd == "sql":
+            from commerce_sessionization_spark.sources.tables import (
+                register_views,
+            )
+
+            register_views(spark, args.sf_dir)
+            df = spark.sql(args.statement)
+            if args.out:
+                df.write.mode("overwrite").parquet(args.out)
+            else:
+                df.show(args.limit, truncate=False)
         elif args.cmd == "generate":
             from commerce_sessionization_spark.sources.generator import (
                 register as register_generator,

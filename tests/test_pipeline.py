@@ -256,3 +256,24 @@ def test_cli_query_subcommand(tmp_path):
         f"SELECT count(*) FROM read_parquet('{out}/*.parquet')"
     ).fetchone()[0]
     assert n > 0
+
+
+def test_cli_sql_subcommand(tmp_path):
+    """`sql` registers the testdata tables as views and runs ad-hoc SQL."""
+    import subprocess
+    import sys as _sys
+
+    out = tmp_path / "sqlres"
+    run = subprocess.run(
+        [_sys.executable, "-m", "commerce_sessionization_spark", "sql",
+         "SELECT r_name, count(*) AS n FROM region GROUP BY 1",
+         "--sf-dir", "/root/testdata/sf0.001",
+         "--out", str(out), "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert run.returncode == 0, run.stderr[-500:]
+    import duckdb
+    rows = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{out}/*.parquet')"
+    ).fetchone()[0]
+    assert rows == 5  # five TPC-H regions
