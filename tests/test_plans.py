@@ -237,3 +237,50 @@ def test_no_accidental_cartesian_joins(spark):
         if loops and q.name not in _INTENDED_LOOP_JOINS:
             offenders[q.name] = loops
     assert not offenders, f"unexpected cartesian shapes: {offenders}"
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """session.get_spark turns on AQE skew-join handling; this pins that
+    it actually FIRES: a 90%-one-key join (thresholds lowered to unit-
+    test scale) must show skew=true splits in the final adaptive plan.
+    If a Spark upgrade renames the marker or the conf stops working,
+    the engine's documented skew story is void and this fails."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64k",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 50), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv")
+        )
+        j = left.join(right, "k")
+        j.collect()  # same DataFrame instance -> final adaptive plan
+        plan = plan_of(j)
+        assert "isFinalPlan=true" in plan
+        assert plan.count("skew=true") >= 1, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
