@@ -6145,6 +6145,97 @@ SELECT k, o_orderkey, o_totalprice, c_mktsegment FROM od JOIN cd USING (k)
 """
 
 
+def q_revenue_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential drift detection: one-sided CUSUM over each order
+    priority's daily-revenue series, flagging days where the cumulative
+    upward deviation from the series mean exceeds 1.5% of n·total —
+    the monitoring shape behind data-drift / level-shift alarms.
+
+    Exact-arithmetic formulation (no IEEE accumulation anywhere): with
+    the standard identity cusum_i = C_i − min_{j≤i} C_j for
+    C_i = Σ_{j≤i}(x_j − mean), scale by n to avoid the division:
+    S_i = n·cumsum_i − i·total (DECIMAL-exact: decimal cumsum × int),
+    stat_i = S_i − min_{j≤i} S_j, alarm ⇔ 200·stat_i > 3·n·total. Every
+    quantity is an exact decimal, so the cross-engine hash needs no
+    quantization slack; the reported ratio is one double division,
+    quantized."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.col("o_orderdate").alias("d")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    wo = wp.orderBy("d")
+    n = F.count(F.lit(1)).over(wp)
+    total = F.sum("rev").over(wp)
+    csum = F.sum("rev").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    i = F.row_number().over(wo)
+    s = (n.cast("decimal(38,2)") * csum
+         - i.cast("decimal(38,2)") * total).cast("decimal(38,2)")
+    staged = daily.select(
+        "o_orderpriority", "d", n.alias("_n"), total.alias("_t"),
+        s.alias("_s"), i.alias("_i"),
+    )
+    smin = F.min("_s").over(
+        Window.partitionBy("o_orderpriority")
+        .orderBy("_i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stat = (F.col("_s") - smin).cast("decimal(38,2)")
+    out = staged.select(
+        "o_orderpriority", "d", stat.alias("_stat"), "_n", "_t"
+    ).filter(
+        F.lit(200).cast("decimal(38,2)") * F.col("_stat")
+        > F.lit(3).cast("decimal(38,2)")
+        * F.col("_n").cast("decimal(38,2)") * F.col("_t")
+    )
+    return out.select(
+        "o_orderpriority",
+        "d",
+        _quant(
+            F.col("_stat").cast("double")
+            / (F.col("_n").cast("double") * F.col("_t").cast("double")),
+            6,
+        ).alias("drift_ratio_q6"),
+    )
+
+
+SQL_REVENUE_CUSUM_ALARMS = """
+WITH daily AS (
+  SELECT o_orderpriority, o_orderdate AS d,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2
+), staged AS (
+  SELECT o_orderpriority, d,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n,
+         sum(rev) OVER (PARTITION BY o_orderpriority) AS t,
+         CAST(count(*) OVER (PARTITION BY o_orderpriority)
+                AS DECIMAL(38,2))
+           * sum(rev) OVER (PARTITION BY o_orderpriority ORDER BY d
+                            ROWS UNBOUNDED PRECEDING)
+         - CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY d) AS DECIMAL(38,2))
+           * sum(rev) OVER (PARTITION BY o_orderpriority) AS s,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY d) AS i
+  FROM daily
+), withmin AS (
+  SELECT *,
+         CAST(s - min(s) OVER (PARTITION BY o_orderpriority ORDER BY i
+                               ROWS UNBOUNDED PRECEDING)
+              AS DECIMAL(38,2)) AS stat
+  FROM staged
+)
+SELECT o_orderpriority, d,
+       CAST(floor(CAST(stat AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS drift_ratio_q6
+FROM withmin
+WHERE CAST(200 AS DECIMAL(38,2)) * stat
+      > CAST(3 AS DECIMAL(38,2)) * CAST(n AS DECIMAL(38,2)) * t
+"""
+
+
 def q_ivm_zset_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-set delta of orders⋈customer under MIXED changes — deletes of
     every 50th order and every 20th customer (multiplicity −1), inserts
@@ -6832,6 +6923,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_IVM_ZSET_JOIN_DELTA,
              "Z-set join delta under mixed insert/delete changes "
              "(signed multiplicities, no tombstones)"),
+    QueryDef("revenue_cusum_alarms", q_revenue_cusum_alarms,
+             SQL_REVENUE_CUSUM_ALARMS,
+             "one-sided CUSUM drift alarms per priority series "
+             "(exact decimal cumsum-minus-running-min)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

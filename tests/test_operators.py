@@ -591,3 +591,44 @@ def test_ols_recovers_a_perfect_line(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.n_days, r.slope_q6, r.intercept_q4) == (10, 3_000_000, 70_000)
+
+
+def test_cusum_flags_level_shift_not_flat_series(spark):
+    """The CUSUM alarm query's formulation (n-scaled exact decimals) must
+    fire after a planted level shift and stay silent on a flat series.
+    Uses the same arithmetic as q_revenue_cusum_alarms on a crafted
+    orders table."""
+    from commerce_sessionization_spark.plans.queries import (
+        q_revenue_cusum_alarms,
+    )
+    import datetime
+
+    rows = []
+    # priority A: flat 100/day for 40 days -> no drift
+    for i in range(40):
+        rows.append((i, 1, "O", 100.0,
+                     datetime.date(2024, 1, 1) + datetime.timedelta(i), "A"))
+    # priority B: 100/day for 20 days then 300/day for 20 -> upward shift
+    for i in range(40):
+        rows.append((1000 + i, 1, "O", 100.0 if i < 20 else 300.0,
+                     datetime.date(2024, 1, 1) + datetime.timedelta(i), "B"))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "tmp"))
+    part = glob.glob(os.path.join(d, "tmp", "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(d, "orders.parquet"))
+    out = q_revenue_cusum_alarms(spark, d).collect()
+    prios = {r.o_orderpriority for r in out}
+    assert "B" in prios and "A" not in prios, out
+    # alarms begin after the shift, never before day 21
+    assert min(r.d for r in out if r.o_orderpriority == "B") > \
+        datetime.date(2024, 1, 21)
