@@ -72,6 +72,7 @@ HEADLINE = [
     "duplicated_spans",
     "k_anonymized_customers",
     "augmented_docs",
+    "revenue_cusum_alarms",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

@@ -6158,7 +6158,13 @@ def q_revenue_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     stat_i = S_i − min_{j≤i} S_j, alarm ⇔ 200·stat_i > 3·n·total. Every
     quantity is an exact decimal, so the cross-engine hash needs no
     quantization slack; the reported ratio is one double division,
-    quantized."""
+    quantized.
+
+    Baseline nuance: the min ranges over j ≥ 1 (no virtual C_0 = 0), so
+    this equals the textbook recursion stat_i = max(0, stat_{i−1} + y_i)
+    with stat_1 = 0 — the first observation sets the baseline rather
+    than contributing deviation, the natural choice when the reference
+    level is estimated from the same series."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         "o_orderpriority", F.col("o_orderdate").alias("d")
