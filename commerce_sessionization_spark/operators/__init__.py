@@ -64,6 +64,8 @@ from commerce_sessionization_spark.operators.ivm import (
     join_delta,
     join_delta_z,
     maintain_join,
+    merge_zset_aggregates,
+    zset_aggregate,
     zset_normalize,
 )
 from commerce_sessionization_spark.operators.privacy import (
@@ -146,6 +148,8 @@ __all__ = [
     "as_zset",
     "zset_normalize",
     "apply_delta_z",
+    "zset_aggregate",
+    "merge_zset_aggregates",
     "maintain_join",
     "pagerank",
     "triangle_counts",

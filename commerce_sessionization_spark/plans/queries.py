@@ -6245,9 +6245,19 @@ WHERE CAST(200 AS DECIMAL(38,2)) * stat
 def q_ivm_zset_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-set delta of orders⋈customer under MIXED changes — deletes of
     every 50th order and every 20th customer (multiplicity −1), inserts
-    of every 70th order (+1) — normalized to net non-zero tuples. The
-    signed-multiplicity algebra needs no tombstone special-casing; the
-    oracle replays the three delta terms with multiplied weights."""
+    of every 70th order under a disjoint (negated) key namespace (+1) —
+    normalized to net non-zero tuples. The signed-multiplicity algebra
+    needs no tombstone special-casing; the oracle replays the three
+    delta terms with multiplied weights.
+
+    Contract detail the first cut of this query got WRONG (caught in
+    review, now pinned by ``test_ivm_zset_query_matches_recompute``):
+    the base arguments of the delta rule are the FULL PRE-CHANGE
+    relations — Δ(A⋈B) expands around the old A and B, so deletes must
+    still be present in the bases they are being deleted from.
+    Supplying post-delete bases flips the sign of any pair touching
+    deletions on both sides. Insert keys are negated, not offset, so
+    they cannot collide with real orderkeys at any scale factor."""
     from commerce_sessionization_spark.operators.ivm import (
         as_zset,
         join_delta_z,
@@ -6260,17 +6270,17 @@ def q_ivm_zset_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"), "c_mktsegment"
     )
-    o_base = as_zset(orders.filter(F.col("o_orderkey") % 50 != 0))
     o_del = as_zset(orders.filter(F.col("o_orderkey") % 50 == 0), mult=-1)
     o_ins = as_zset(
         orders.filter(F.col("o_orderkey") % 70 == 0).withColumn(
-            "o_orderkey", F.col("o_orderkey") + 10_000_000
+            "o_orderkey", -F.col("o_orderkey")
         )
     )
     da = o_del.unionByName(o_ins)
-    c_base = as_zset(cust.filter(F.col("k") % 20 != 0))
     c_del = as_zset(cust.filter(F.col("k") % 20 == 0), mult=-1)
-    out = zset_normalize(join_delta_z(o_base, da, c_base, c_del, "k"))
+    out = zset_normalize(
+        join_delta_z(as_zset(orders), da, as_zset(cust), c_del, "k")
+    )
     return out.select("k", "o_orderkey", "c_mktsegment",
                       F.col("_mult").alias("mult"))
 
@@ -6278,13 +6288,13 @@ def q_ivm_zset_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_IVM_ZSET_JOIN_DELTA = """
 WITH o AS (SELECT o_orderkey, o_custkey AS k FROM orders),
      c AS (SELECT c_custkey AS k, c_mktsegment FROM customer),
-     ob AS (SELECT *, 1 AS m FROM o WHERE o_orderkey % 50 <> 0),
+     ob AS (SELECT *, 1 AS m FROM o),
      da AS (
        SELECT o_orderkey, k, -1 AS m FROM o WHERE o_orderkey % 50 = 0
        UNION ALL
-       SELECT o_orderkey + 10000000, k, 1 FROM o WHERE o_orderkey % 70 = 0
+       SELECT -o_orderkey, k, 1 FROM o WHERE o_orderkey % 70 = 0
      ),
-     cb AS (SELECT *, 1 AS m FROM c WHERE k % 20 <> 0),
+     cb AS (SELECT *, 1 AS m FROM c),
      dc AS (SELECT k, c_mktsegment, -1 AS m FROM c WHERE k % 20 = 0),
      delta AS (
        SELECT da.k, o_orderkey, c_mktsegment, da.m * cb.m AS m

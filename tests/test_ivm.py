@@ -166,3 +166,47 @@ def test_zset_aggregate_maintains_sum_count_under_deletes(spark):
     v2 = merge_zset_aggregates(v1, zset_aggregate(delta2, ["g"], "v"), ["g"])
     got2 = {r.g: (r.n, r.total) for r in v2.collect()}
     assert got2 == {1: (1, 10)}
+
+
+def test_ivm_zset_query_matches_recompute(spark):
+    """The catalog query's delta applied to the OLD view must reproduce
+    the NEW view exactly — the end-to-end law the first cut of this
+    query violated by passing post-delete bases (review finding: pairs
+    deleted on both sides came out +1 instead of -1)."""
+    from collections import Counter
+
+    from commerce_sessionization_spark.plans.queries import (
+        q_ivm_zset_join_delta,
+    )
+    from commerce_sessionization_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("k")
+    )
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+
+    def bag(df):
+        return Counter(map(tuple, df.collect()))
+
+    old_view = bag(
+        orders.join(cust, "k").select("k", "o_orderkey", "c_mktsegment")
+    )
+    new_orders = orders.filter(F.col("o_orderkey") % 50 != 0).unionByName(
+        orders.filter(F.col("o_orderkey") % 70 == 0).withColumn(
+            "o_orderkey", -F.col("o_orderkey")
+        )
+    )
+    new_cust = cust.filter(F.col("k") % 20 != 0)
+    new_view = bag(
+        new_orders.join(new_cust, "k").select(
+            "k", "o_orderkey", "c_mktsegment"
+        )
+    )
+    applied = Counter(old_view)
+    for r in q_ivm_zset_join_delta(spark, sf).collect():
+        applied[(r.k, r.o_orderkey, r.c_mktsegment)] += r.mult
+    applied = Counter({t: n for t, n in applied.items() if n != 0})
+    assert applied == new_view

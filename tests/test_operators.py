@@ -593,7 +593,7 @@ def test_ols_recovers_a_perfect_line(spark):
     assert (r.n_days, r.slope_q6, r.intercept_q4) == (10, 3_000_000, 70_000)
 
 
-def test_cusum_flags_level_shift_not_flat_series(spark):
+def test_cusum_flags_level_shift_not_flat_series(spark, tmp_path):
     """The CUSUM alarm query's formulation (n-scaled exact decimals) must
     fire after a planted level shift and stay silent on a flat series.
     Uses the same arithmetic as q_revenue_cusum_alarms on a crafted
@@ -618,14 +618,12 @@ def test_cusum_flags_level_shift_not_flat_series(spark):
         "o_totalprice double, o_orderdate date, o_orderpriority string",
     )
     import glob
-    import os
     import shutil
-    import tempfile
 
-    d = tempfile.mkdtemp()
-    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "tmp"))
-    part = glob.glob(os.path.join(d, "tmp", "part-*.parquet"))[0]
-    shutil.copy(part, os.path.join(d, "orders.parquet"))
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/tmp")
+    part = glob.glob(f"{d}/tmp/part-*.parquet")[0]
+    shutil.copy(part, f"{d}/orders.parquet")
     out = q_revenue_cusum_alarms(spark, d).collect()
     prios = {r.o_orderpriority for r in out}
     assert "B" in prios and "A" not in prios, out
