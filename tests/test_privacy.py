@@ -133,3 +133,27 @@ def test_dp_noise_key_is_injective_across_groups(spark):
     out = dp_noisy_counts(df, ["g1", "g2"], epsilon=1.0).collect()
     noises = [r.noisy_count - r.exact_count for r in out]
     assert len(set(noises)) == len(noises), noises
+
+
+def test_noise_key_encoding_is_injective_property(spark):
+    """Property: the prefix-free per-column encoding maps distinct group
+    tuples (including NULLs and delimiter-bearing strings) to distinct
+    keys — checked over an adversarial value pool crossed with itself."""
+    from itertools import product
+
+    from commerce_sessionization_spark.operators.privacy import (
+        _enc_key_part,
+    )
+    from pyspark.sql import functions as F
+
+    pool = [None, "", "n", "v", ":", "|", "a", "a|b", "b|c", "v1:", "10",
+            "1", "0:", "v0:"]
+    rows = [(a, b) for a, b in product(pool, pool)]
+    df = spark.createDataFrame(rows, "g1 string, g2 string")
+    keys = [
+        r.key
+        for r in df.select(
+            F.concat(_enc_key_part("g1"), _enc_key_part("g2")).alias("key")
+        ).collect()
+    ]
+    assert len(set(keys)) == len(rows), "encoding collision"
