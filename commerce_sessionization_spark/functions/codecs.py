@@ -6,6 +6,10 @@ trivially parseable containers are decoded by hand:
 - **BMP** (Windows bitmap, ``BITMAPINFOHEADER``, uncompressed 24/32-bpp):
   enough for real width/height/channel extraction, mean luma, and an
   8×8 average-hash perceptual fingerprint.
+- **PNG** (8-bit gray / RGB / palette / gray+alpha / RGBA, non-interlaced):
+  DEFLATE is in the stdlib (``zlib``), so the full critical-chunk path —
+  chunk walk, IDAT inflate, all five scanline filters (None/Sub/Up/
+  Average/Paeth), palette expansion — is a real decode, not a stub.
 - **WAV** (RIFF PCM, 16-bit): sample rate, duration, RMS amplitude.
 
 Encoders for both formats are provided too — they generate test fixtures
@@ -14,13 +18,14 @@ functions run inside Arrow-batched ``mapInPandas`` workers
 (``operators.multimodal``), so per-element Python overhead is bounded by
 the batch count, not the row count.
 
-Formats that genuinely need codec libraries (JPEG/PNG/MP3/MP4) raise
+Formats that genuinely need codec libraries (JPEG/MP3/MP4) raise
 ``UnsupportedMediaError`` — the caller decides whether to skip or fail.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -139,6 +144,234 @@ def bmp_features(asset_id: int, payload: bytes) -> dict:
         "mean_luma": round(float(_luma(rgb).mean()), 6),
         "phash": average_hash(rgb),
     }
+
+
+# --------------------------------------------------------------------------
+# PNG — stdlib zlib inflate + numpy unfilter (no codec library needed)
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# samples per pixel by PNG color type (3 = palette: 1 index per pixel)
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk; validates lengths, ignores CRCs.
+
+    CRC validation is skipped deliberately: featurization wants the pixels
+    of slightly-damaged files too, and zlib itself detects corrupt IDAT.
+    """
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise UnsupportedMediaError("truncated PNG chunk")
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise UnsupportedMediaError("PNG missing IEND")
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering → (height, stride) uint8 recon array.
+
+    ``stride`` is bytes per scanline (without the filter byte); ``bpp`` is
+    bytes per complete pixel. Filters None/Up are whole-row vectorized, Sub
+    is a wrapping prefix-sum per byte lane (``np.add.accumulate`` on uint8
+    wraps mod 256 — exactly PNG's arithmetic); Average/Paeth need the left
+    neighbor so they fall back to a per-pixel-column loop on that row only.
+    """
+    if len(raw) < height * (stride + 1):
+        raise UnsupportedMediaError("truncated PNG scanline data")
+    lines = np.frombuffer(raw, dtype=np.uint8, count=height * (stride + 1)).reshape(
+        height, stride + 1
+    )
+    filters = lines[:, 0]
+    recon = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = int(filters[y])
+        cur = lines[y, 1:].copy()
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub: wrapping prefix sum within each byte lane
+            lanes = cur.reshape(-1, bpp) if stride % bpp == 0 else None
+            if lanes is not None:
+                np.add.accumulate(lanes, axis=0, dtype=np.uint8, out=lanes)
+                cur = lanes.reshape(-1)
+            else:  # ragged stride (sub-byte depths) — scalar fallback
+                for x in range(bpp, stride):
+                    cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif ftype == 2:  # Up
+            cur += prev
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise UnsupportedMediaError(f"unknown PNG filter {ftype}")
+        recon[y] = cur
+        prev = cur
+    return recon
+
+
+def decode_png(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an 8-bit non-interlaced PNG → (H×W×3 uint8 RGB, n_channels).
+
+    Color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA)
+    are supported at bit depth 8; gray replicates to RGB, palette expands
+    through PLTE, and alpha is dropped after decode (featurization reads
+    color planes). ``n_channels`` reports the ORIGINAL channel count
+    (palette counts as 3). Interlaced (Adam7) and 1/2/4/16-bit files raise
+    ``UnsupportedMediaError`` — rare in ML corpora and omitted to keep the
+    unfilter kernel byte-aligned.
+    """
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise UnsupportedMediaError("not a PNG payload")
+    width = height = None
+    color_type = bit_depth = None
+    palette: np.ndarray | None = None
+    idat: list[bytes] = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if interlace != 0:
+                raise UnsupportedMediaError("interlaced PNG unsupported")
+            if bit_depth != 8 or color_type not in _PNG_SAMPLES:
+                raise UnsupportedMediaError(
+                    f"unsupported PNG depth/color (bits={bit_depth} ct={color_type})"
+                )
+        elif ctype == b"PLTE":
+            if len(data) % 3:
+                raise UnsupportedMediaError("malformed PLTE")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if width is None or not idat:
+        raise UnsupportedMediaError("PNG missing IHDR/IDAT")
+    if width <= 0 or height <= 0:
+        raise UnsupportedMediaError("degenerate PNG dimensions")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise UnsupportedMediaError(f"corrupt PNG IDAT: {e}") from e
+    samples = _PNG_SAMPLES[color_type]
+    recon = _png_unfilter(raw, height, width * samples, samples)
+    px = recon.reshape(height, width, samples)
+    if color_type == 0:
+        rgb, n_channels = np.repeat(px, 3, axis=2), 1
+    elif color_type == 2:
+        rgb, n_channels = px, 3
+    elif color_type == 3:
+        if palette is None:
+            raise UnsupportedMediaError("palette PNG missing PLTE")
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise UnsupportedMediaError("palette index out of range")
+        rgb, n_channels = palette[idx], 3
+    elif color_type == 4:
+        rgb, n_channels = np.repeat(px[:, :, :1], 3, axis=2), 2
+    else:  # 6: RGBA
+        rgb, n_channels = px[:, :, :3], 4
+    return np.ascontiguousarray(rgb), n_channels
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode uint8 gray (H×W), RGB (H×W×3), or RGBA (H×W×4) as PNG.
+
+    ``filter_type`` applies one PNG filter (0–4) to every scanline —
+    filters other than 0 exist so round-trip tests exercise every branch
+    of ``_png_unfilter`` with spec-conformant input.
+    """
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3, 4):
+        raise ValueError("expected H×W, H×W×3, or H×W×4 uint8 array")
+    h, w, samples = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}[samples]
+    flat = arr.reshape(h, w * samples).astype(np.int16)
+    prev = np.zeros(w * samples, dtype=np.int16)
+    body = bytearray()
+    for y in range(h):
+        cur = flat[y]
+        left = np.zeros_like(cur)
+        left[samples:] = cur[:-samples]
+        upleft = np.zeros_like(prev)
+        upleft[samples:] = prev[:-samples]
+        if filter_type == 0:
+            out = cur
+        elif filter_type == 1:
+            out = cur - left
+        elif filter_type == 2:
+            out = cur - prev
+        elif filter_type == 3:
+            out = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            out = cur - pred
+        else:
+            raise ValueError(f"bad filter_type {filter_type}")
+        body.append(filter_type)
+        body += (out & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_features(asset_id: int, payload: bytes) -> dict:
+    """IMAGE_FEATURES_SCHEMA row from a real PNG decode."""
+    rgb, n_channels = decode_png(payload)
+    return {
+        "asset_id": asset_id,
+        "width": rgb.shape[1],
+        "height": rgb.shape[0],
+        "n_channels": n_channels,
+        "mean_luma": round(float(_luma(rgb).mean()), 6),
+        "phash": average_hash(rgb),
+    }
+
+
+def image_features(asset_id: int, payload: bytes) -> dict:
+    """Dispatch on magic bytes: BMP or PNG → IMAGE_FEATURES_SCHEMA row."""
+    data = payload or b""
+    if data[:2] == b"BM":
+        return bmp_features(asset_id, data)
+    if data[:8] == _PNG_SIG:
+        return png_features(asset_id, data)
+    raise UnsupportedMediaError("unrecognized image container (not BMP/PNG)")
 
 
 # --------------------------------------------------------------------------

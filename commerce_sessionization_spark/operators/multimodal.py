@@ -2,10 +2,11 @@
 
 The Spark-side contract — schema (``schemas.MEDIA_SCHEMA``), Arrow-batched
 ``mapInPandas`` plumbing, partitioning by modality, stable output schemas —
-is real and tested, and so is decode for the two formats parseable without
-codec libraries: **BMP images and PCM WAV audio** run through the real
-dependency-free decoders in ``functions.codecs`` (header parse + numpy
-pixel/sample math). Formats that need external libs (JPEG/PNG/MP3, video)
+is real and tested, and so is decode for the formats parseable without
+codec libraries: **BMP and PNG images and PCM WAV audio** run through the
+real dependency-free decoders in ``functions.codecs`` (header parse + numpy
+pixel/sample math; PNG inflates IDAT with stdlib ``zlib`` and unfilters in
+numpy). Formats that need external libs (JPEG/MP3, video)
 raise ``NotImplementedError`` on the real path; ``fake=True`` swaps in a
 deterministic payload-seeded fake so pipeline shape stays testable for
 those modalities too.
@@ -81,15 +82,16 @@ def _fake_image_features(asset_id: int, payload: bytes) -> dict:
 def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + featurize image payloads via Arrow-batched ``mapInPandas``.
 
-    The real path decodes BMP payloads with the dependency-free parser in
-    ``functions.codecs`` (width/height/channels, Rec.601 mean luma, 8×8
-    average-hash); non-BMP formats raise ``NotImplementedError`` because
-    JPEG/PNG need codec libraries this container lacks. ``fake=True``
-    routes every payload to the deterministic fake instead.
+    The real path decodes BMP and PNG payloads with the dependency-free
+    parsers in ``functions.codecs`` (width/height/channels, Rec.601 mean
+    luma, 8×8 average-hash; PNG rides stdlib ``zlib`` for IDAT inflate).
+    Other formats raise ``NotImplementedError`` because JPEG/WebP need
+    codec libraries this container lacks. ``fake=True`` routes every
+    payload to the deterministic fake instead.
     """
     from commerce_sessionization_spark.functions.codecs import (
         UnsupportedMediaError,
-        bmp_features,
+        image_features,
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -100,10 +102,10 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     recs.append(_fake_image_features(a, c))
                     continue
                 try:
-                    recs.append(bmp_features(a, bytes(c or b"")))
+                    recs.append(image_features(a, bytes(c or b"")))
                 except UnsupportedMediaError as e:
                     raise NotImplementedError(
-                        f"asset {a}: only BMP decodes without codec libs "
+                        f"asset {a}: only BMP/PNG decode without codec libs "
                         f"({e}); use fake=True for other formats"
                     ) from e
             yield pd.DataFrame.from_records(

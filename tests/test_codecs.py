@@ -146,3 +146,127 @@ def test_gif_rejects_non_gif():
         parse_gif_frames(b"RIFF....WAVE")
     with _pytest.raises(UnsupportedMediaError):
         parse_gif_frames(b"GIF89a")  # truncated
+
+
+class TestPng:
+    """Stdlib-zlib PNG codec: filters, color types, dispatch, rejection."""
+
+    def _roundtrip(self, img, filter_type):
+        from commerce_sessionization_spark.functions.codecs import (
+            decode_png,
+            encode_png,
+        )
+
+        decoded, _ = decode_png(encode_png(img, filter_type=filter_type))
+        expect = img if img.ndim == 3 and img.shape[2] == 3 else None
+        if expect is None:
+            if img.ndim == 2:  # gray replicates to RGB
+                expect = np.repeat(img[:, :, None], 3, axis=2)
+            else:  # RGBA drops alpha
+                expect = img[:, :, :3]
+        np.testing.assert_array_equal(decoded, expect)
+
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    def test_rgb_round_trip_every_filter(self, filter_type):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(23, 31, 3), dtype=np.uint8)
+        self._roundtrip(img, filter_type)
+
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    def test_gray_and_rgba_round_trip(self, filter_type):
+        rng = np.random.default_rng(11)
+        self._roundtrip(rng.integers(0, 256, size=(9, 13), dtype=np.uint8), filter_type)
+        self._roundtrip(
+            rng.integers(0, 256, size=(9, 13, 4), dtype=np.uint8), filter_type
+        )
+
+    def test_channel_counts_reported(self):
+        from commerce_sessionization_spark.functions.codecs import (
+            decode_png,
+            encode_png,
+        )
+
+        gray = np.full((4, 4), 9, dtype=np.uint8)
+        assert decode_png(encode_png(gray))[1] == 1
+        rgba = np.zeros((4, 4, 4), dtype=np.uint8)
+        assert decode_png(encode_png(rgba))[1] == 4
+        assert decode_png(encode_png(gradient_rgb()))[1] == 3
+
+    def test_palette_png(self):
+        """Hand-built color-type-3 file: index plane + PLTE expansion."""
+        import struct
+        import zlib
+
+        from commerce_sessionization_spark.functions.codecs import (
+            _png_chunk,
+            decode_png,
+        )
+
+        idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+        palette = np.array(
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+        )
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+        body = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", palette.tobytes())
+            + _png_chunk(b"IDAT", zlib.compress(body))
+            + _png_chunk(b"IEND", b"")
+        )
+        rgb, n_channels = decode_png(payload)
+        assert n_channels == 3
+        np.testing.assert_array_equal(rgb, palette[idx])
+
+    def test_features_match_bmp_features(self):
+        """Same pixels through PNG and BMP → identical luma + phash."""
+        from commerce_sessionization_spark.functions.codecs import (
+            encode_png,
+            png_features,
+        )
+
+        img = gradient_rgb()
+        p = png_features(3, encode_png(img))
+        b = bmp_features(3, encode_bmp(img))
+        assert p["mean_luma"] == b["mean_luma"]
+        assert p["phash"] == b["phash"]
+        assert (p["width"], p["height"]) == (b["width"], b["height"])
+
+    def test_image_dispatch(self):
+        from commerce_sessionization_spark.functions.codecs import (
+            encode_png,
+            image_features,
+        )
+
+        img = gradient_rgb()
+        assert image_features(1, encode_png(img))["width"] == img.shape[1]
+        assert image_features(1, encode_bmp(img))["width"] == img.shape[1]
+        with pytest.raises(UnsupportedMediaError):
+            image_features(1, b"\xff\xd8\xff\xe0 jpeg soi")
+
+    def test_rejects_interlaced_and_16bit(self):
+        import struct
+        import zlib
+
+        from commerce_sessionization_spark.functions.codecs import (
+            _png_chunk,
+            decode_png,
+        )
+
+        def mk(bits, interlace):
+            ihdr = struct.pack(">IIBBBBB", 2, 2, bits, 0, 0, 0, interlace)
+            body = zlib.compress(b"\x00\x01\x02\x00\x03\x04")
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", body)
+                + _png_chunk(b"IEND", b"")
+            )
+
+        with pytest.raises(UnsupportedMediaError):
+            decode_png(mk(16, 0))
+        with pytest.raises(UnsupportedMediaError):
+            decode_png(mk(8, 1))
+        with pytest.raises(UnsupportedMediaError):
+            decode_png(b"not a png at all")

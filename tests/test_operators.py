@@ -330,6 +330,32 @@ class TestMultimodal:
         # flat images: no cell exceeds the grid mean → all-zero aHash
         assert got[1].phash == "0" * 16
 
+    def test_real_png_decode_end_to_end(self, spark):
+        import numpy as np
+
+        from commerce_sessionization_spark.functions.codecs import (
+            encode_bmp,
+            encode_png,
+        )
+        from commerce_sessionization_spark.operators.multimodal import (
+            extract_image_features,
+        )
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(12, 18, 3), dtype=np.uint8)
+        media = spark.createDataFrame(
+            [
+                (1, "image", bytes(encode_png(img, filter_type=4)), "{}"),
+                (2, "image", bytes(encode_bmp(img)), "{}"),
+            ],
+            MEDIA_SCHEMA,
+        )
+        got = {r.asset_id: r for r in extract_image_features(media).collect()}
+        # same pixels through either container → identical features
+        assert (got[1].width, got[1].height) == (18, 12)
+        assert got[1].mean_luma == got[2].mean_luma
+        assert got[1].phash == got[2].phash
+
     def test_real_wav_decode_end_to_end(self, spark):
         import numpy as np
 
