@@ -1,0 +1,162 @@
+"""Time-series resampling: dense gap-filled buckets, LOCF, interpolation, OHLC.
+
+The hypertable-style surface (TimescaleDB ``time_bucket_gapfill`` /
+``locf`` / ``interpolate``; pandas ``resample().ohlc()``) re-expressed as
+declarative Spark plans:
+
+- ``time_bucket_gapfill`` — bucket a (series, ts, value) stream, then
+  densify each series over the *global* bucket range with
+  ``sequence + explode`` (generated, not scanned), left-join the real
+  buckets back, and derive last-observation-carried-forward and linear
+  interpolation from four ignore-nulls window passes over ONE window
+  partitioning.
+- ``ohlc_resample`` — per-bucket open/high/low/close/volume. Open/close
+  come from row_number under the (ts, tiebreak) total order; the window
+  and the final groupBy share the same key, so Catalyst reuses a single
+  exchange.
+
+Scale: a series' dense timeline is bounded by the time range, not the
+row count — partitioning by series key keeps each window partition at
+(range / bucket) rows regardless of corpus size. The grid is generated
+per series key (no driver collect); the left join shuffles on
+(series, bucket), the same key every downstream op reuses.
+
+Determinism (cross-engine oracle): bucket sums accumulate in DECIMAL
+(order-free); interpolation is the single IEEE expression
+``prev + (next - prev) * ((i - pi) / (ni - pi))`` evaluated on identical
+operands in both engines, then floor-quantized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Dense per-series buckets with count, exact sum, LOCF, and interpolation.
+
+    Output: ``(series_col, bucket_idx, n_events, v_sum, locf_v, interp_v)``
+    where ``bucket_idx`` is epoch-seconds // bucket_seconds, ``v_sum`` is
+    the exact-decimal bucket sum cast to double (NULL for empty buckets),
+    ``locf_v`` carries the last seen sum forward, and ``interp_v``
+    linearly interpolates empty buckets between two observed ones
+    (NULL before the first / after the last observation).
+    """
+    idx = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)).cast(
+        "long"
+    )
+    buckets = (
+        df.select(F.col(series_col), idx.alias("bucket_idx"), F.col(value_col))
+        .groupBy(series_col, "bucket_idx")
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_v_dec"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    # Global bucket range: one broadcast row; the per-series grid is
+    # GENERATED (sequence+explode), never scanned or collected.
+    bounds = df.agg(
+        F.min(idx).alias("_lo"), F.max(idx).alias("_hi")
+    )
+    grid = (
+        df.select(series_col)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            series_col,
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bucket_idx"),
+        )
+    )
+    j = grid.join(buckets, [series_col, "bucket_idx"], "left")
+
+    w_prev = (
+        Window.partitionBy(series_col)
+        .orderBy("bucket_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(series_col)
+        .orderBy("bucket_idx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    observed_idx = F.when(F.col("_v_dec").isNotNull(), F.col("bucket_idx"))
+    filled = j.select(
+        series_col,
+        "bucket_idx",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.col("_v_dec"),
+        F.last("_v_dec", ignorenulls=True).over(w_prev).alias("_prev_v"),
+        F.last(observed_idx, ignorenulls=True).over(w_prev).alias("_prev_i"),
+        F.first("_v_dec", ignorenulls=True).over(w_next).alias("_next_v"),
+        F.first(observed_idx, ignorenulls=True).over(w_next).alias("_next_i"),
+    )
+    prev_d = F.col("_prev_v").cast("double")
+    next_d = F.col("_next_v").cast("double")
+    interp = F.when(F.col("_v_dec").isNotNull(), F.col("_v_dec").cast("double")).when(
+        F.col("_prev_v").isNotNull() & F.col("_next_v").isNotNull(),
+        prev_d
+        + (next_d - prev_d)
+        * (
+            (F.col("bucket_idx") - F.col("_prev_i")).cast("double")
+            / (F.col("_next_i") - F.col("_prev_i")).cast("double")
+        ),
+    )
+    return filled.select(
+        series_col,
+        "bucket_idx",
+        "n_events",
+        F.col("_v_dec").cast("double").alias("v_sum"),
+        F.col("_prev_v").cast("double").alias("locf_v"),
+        interp.alias("interp_v"),
+    )
+
+
+def ohlc_resample(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Per-(series, bucket) open/high/low/close/volume candles.
+
+    Open/close are the first/last value under the (ts, *order_cols)
+    total order — row_number in each direction, then conditional agg.
+    The window and the groupBy share the (series, bucket) key: one
+    exchange for the whole candle.
+    """
+    idx = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)).cast(
+        "long"
+    )
+    base = df.select(
+        F.col(series_col), idx.alias("bucket_idx"), F.col(ts_col), F.col(value_col),
+        *[F.col(c) for c in order_cols],
+    )
+    order = [F.col(ts_col), *[F.col(c) for c in order_cols]]
+    w_asc = Window.partitionBy(series_col, "bucket_idx").orderBy(*order)
+    w_desc = Window.partitionBy(series_col, "bucket_idx").orderBy(
+        *[c.desc() for c in order]
+    )
+    ranked = base.select(
+        series_col,
+        "bucket_idx",
+        value_col,
+        F.row_number().over(w_asc).alias("_rn_a"),
+        F.row_number().over(w_desc).alias("_rn_d"),
+    )
+    return ranked.groupBy(series_col, "bucket_idx").agg(
+        F.max(F.when(F.col("_rn_a") == 1, F.col(value_col))).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max(F.when(F.col("_rn_d") == 1, F.col(value_col))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("volume"),
+    )

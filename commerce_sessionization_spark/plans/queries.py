@@ -6521,6 +6521,147 @@ FROM noised
 """
 
 
+# --------------------------------------------------------------------------
+# Time-series resampling family (hypertable-style gapfill / OHLC)
+# --------------------------------------------------------------------------
+
+def q_event_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly per-type buckets with LOCF + linear interpolation.
+
+    The TimescaleDB ``time_bucket_gapfill`` + ``locf`` + ``interpolate``
+    surface: empty hours materialize from a GENERATED grid
+    (sequence+explode over the global bucket range — never a scan),
+    carried-forward and interpolated values come from four ignore-nulls
+    window passes sharing one (series, bucket) ordering. Scale: grid
+    size is (time range / bucket) × |series| — independent of event
+    count; each series is one window partition, the standard dense-
+    timeline bound. Determinism: bucket sums are exact DECIMAL;
+    interpolation is one IEEE expression on identical operands in both
+    engines, floor-quantized to 6 digits.
+    """
+    from commerce_sessionization_spark.operators.timeseries import (
+        time_bucket_gapfill,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    filled = time_bucket_gapfill(
+        ev, "event_type", ts_col="ts", value_col="value", bucket_seconds=3600
+    )
+    return filled.select(
+        "event_type",
+        "bucket_idx",
+        "n_events",
+        _quant(F.col("v_sum"), 6).alias("v_sum_q6"),
+        _quant(F.col("locf_v"), 6).alias("locf_q6"),
+        _quant(F.col("interp_v"), 6).alias("interp_q6"),
+    )
+
+
+SQL_EVENT_GAPFILL_INTERP = """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket_idx,
+         sum(CAST(value AS DECIMAL(18,2))) AS v_dec,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT CAST(floor(epoch(min(ts)) / 3600) AS BIGINT) AS lo,
+         CAST(floor(epoch(max(ts)) / 3600) AS BIGINT) AS hi
+  FROM events
+), grid AS (
+  SELECT t.event_type, g.bucket_idx
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS bucket_idx
+              FROM bounds) g
+), j AS (
+  SELECT grid.event_type, grid.bucket_idx, b.v_dec,
+         COALESCE(b.n_events, 0) AS n_events
+  FROM grid LEFT JOIN b
+    ON b.event_type = grid.event_type AND b.bucket_idx = grid.bucket_idx
+), w AS (
+  SELECT *,
+         last_value(v_dec IGNORE NULLS) OVER wp AS prev_v,
+         last_value(CASE WHEN v_dec IS NOT NULL THEN bucket_idx END
+                    IGNORE NULLS) OVER wp AS prev_i,
+         first_value(v_dec IGNORE NULLS) OVER wn AS next_v,
+         first_value(CASE WHEN v_dec IS NOT NULL THEN bucket_idx END
+                     IGNORE NULLS) OVER wn AS next_i
+  FROM j
+  WINDOW wp AS (PARTITION BY event_type ORDER BY bucket_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY event_type ORDER BY bucket_idx
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket_idx, n_events,
+       CAST(floor(CAST(v_dec AS DOUBLE) * 1000000.0) AS BIGINT) AS v_sum_q6,
+       CAST(floor(CAST(prev_v AS DOUBLE) * 1000000.0) AS BIGINT) AS locf_q6,
+       CAST(floor(
+         CASE WHEN v_dec IS NOT NULL THEN CAST(v_dec AS DOUBLE)
+              WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                CAST(prev_v AS DOUBLE)
+                + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+                  * (CAST(bucket_idx - prev_i AS DOUBLE)
+                     / CAST(next_i - prev_i AS DOUBLE))
+         END * 1000000.0) AS BIGINT) AS interp_q6
+FROM w
+"""
+
+
+def q_event_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candles per event type (pandas ``resample().ohlc()``).
+
+    Open/close are first/last value under the (ts, event_id) total
+    order — two row_numbers over one window spec, then conditional agg;
+    window and groupBy share the (series, bucket) key so Catalyst plans
+    a single exchange. high/low/volume are plain min/max/decimal-sum.
+    """
+    from commerce_sessionization_spark.operators.timeseries import ohlc_resample
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ohlc_resample(
+        ev, "event_type", ts_col="ts", value_col="value",
+        order_cols=("event_id",), bucket_seconds=86400,
+    )
+    return c.select(
+        "event_type",
+        "bucket_idx",
+        _quant(F.col("open"), 6).alias("open_q6"),
+        _quant(F.col("high"), 6).alias("high_q6"),
+        _quant(F.col("low"), 6).alias("low_q6"),
+        _quant(F.col("close"), 6).alias("close_q6"),
+        "n_events",
+        _quant(F.col("volume"), 6).alias("volume_q6"),
+    )
+
+
+SQL_EVENT_OHLC_DAILY = """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket_idx,
+         value,
+         row_number() OVER (PARTITION BY event_type,
+                              CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type,
+                              CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bucket_idx,
+       CAST(floor(max(CASE WHEN rn_a = 1 THEN value END) * 1000000.0)
+            AS BIGINT) AS open_q6,
+       CAST(floor(max(value) * 1000000.0) AS BIGINT) AS high_q6,
+       CAST(floor(min(value) * 1000000.0) AS BIGINT) AS low_q6,
+       CAST(floor(max(CASE WHEN rn_d = 1 THEN value END) * 1000000.0)
+            AS BIGINT) AS close_q6,
+       count(*) AS n_events,
+       CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS volume_q6
+FROM ranked
+GROUP BY event_type, bucket_idx
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -6943,6 +7084,13 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_REVENUE_CUSUM_ALARMS,
              "one-sided CUSUM drift alarms per priority series "
              "(exact decimal cumsum-minus-running-min)"),
+    QueryDef("event_gapfill_interp", q_event_gapfill_interp,
+             SQL_EVENT_GAPFILL_INTERP,
+             "hypertable-style dense hourly buckets: generated grid, "
+             "LOCF + linear interpolation from ignore-nulls windows"),
+    QueryDef("event_ohlc_daily", q_event_ohlc_daily, SQL_EVENT_OHLC_DAILY,
+             "daily OHLC candles per event type (single-exchange "
+             "window + agg on the shared bucket key)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
