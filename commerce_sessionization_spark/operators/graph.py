@@ -279,3 +279,66 @@ def triangle_counts(
             ).cast("long").alias("cc_q6"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 7,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling: nodes surviving `rounds` rounds of
+    "remove every node with degree < k" over an undirected simple graph.
+
+    Semantics are defined by the ROUND COUNT, not by convergence — each
+    round drops sub-k nodes and their edges, and a converged graph passes
+    through unchanged, so running extra rounds is a no-op. That makes the
+    operator deterministic AND lets the Spark side early-exit at the
+    fixpoint while a SQL oracle replays all `rounds` rounds verbatim:
+    identical output either way. (True core numbers = run to fixpoint;
+    peel depth on real graphs is small, but at 100 TB you bound it and
+    monitor the converged flag rather than loop unbounded.)
+
+    Each round is one degree aggregation (map-side combinable) plus two
+    anti-joins keyed by node — shuffle size shrinks monotonically as the
+    graph peels. ``localCheckpoint`` pins each round's survivor set so
+    lineage doesn't re-execute the whole peel chain per reference.
+
+    Output: (node, core_degree) — surviving nodes with their degree in
+    the surviving subgraph (>= k iff the peel reached fixpoint).
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    cur = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = cur.count()
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionAll(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        bad = deg.filter(F.col("deg") < k).select("node")
+        cur = (
+            cur.join(bad.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(bad.withColumnRenamed("node", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        next_edges = cur.count()
+        if next_edges == n_edges:  # fixpoint: further rounds are no-ops
+            break
+        n_edges = next_edges
+    return (
+        cur.select(F.col("a").alias("node"))
+        .unionAll(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )

@@ -6662,6 +6662,79 @@ GROUP BY event_type, bucket_idx
 """
 
 
+# --------------------------------------------------------------------------
+# k-core decomposition (graph family)
+# --------------------------------------------------------------------------
+
+_KCORE_K = 80
+_KCORE_ROUNDS = 7
+
+
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the part co-purchase graph: fixed-round peeling.
+
+    ``k_core`` removes sub-k-degree nodes (and their edges) for up to 7
+    rounds, early-exiting at the fixpoint; the oracle replays all 7
+    rounds as chained CTEs — a converged graph passes through later
+    rounds unchanged, so both paths agree (the PageRank replayed-oracle
+    pattern applied to an anti-join loop). k=80 sits inside the sf0.01
+    degree distribution (min 42, median 115), so the peel actually
+    cascades for several rounds before stabilizing.
+    """
+    from commerce_sessionization_spark.operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(y, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return k_core(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Chained-CTE replay of `rounds` peel rounds (the SQL twin).
+
+    Every CTE is ``AS MATERIALIZED``: each round references its
+    predecessor three times, so DuckDB's default inlining would expand
+    the chain into 3^rounds scans of the base table.
+    """
+    parts = [
+        """WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""", d{r} AS MATERIALIZED (
+  SELECT node, count(*) AS deg
+  FROM (SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r})
+  GROUP BY node
+), e{r + 1} AS MATERIALIZED (
+  SELECT * FROM e{r}
+  WHERE a NOT IN (SELECT node FROM d{r} WHERE deg < {k})
+    AND b NOT IN (SELECT node FROM d{r} WHERE deg < {k})
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, count(*) AS core_degree
+FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY node"""
+    )
+    return "".join(parts)
+
+
+SQL_KCORE_PARTS = _kcore_sql(_KCORE_K, _KCORE_ROUNDS)
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -7091,6 +7164,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("event_ohlc_daily", q_event_ohlc_daily, SQL_EVENT_OHLC_DAILY,
              "daily OHLC candles per event type (single-exchange "
              "window + agg on the shared bucket key)"),
+    QueryDef("kcore_parts", q_kcore_parts, SQL_KCORE_PARTS,
+             "fixed-round k-core peeling of the co-purchase graph "
+             "(early-exit Spark loop == full chained-CTE replay)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

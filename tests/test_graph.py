@@ -188,3 +188,46 @@ def test_cached_layout_elides_iteration_exchange(spark):
     ckpt = base.repartition(8, F.col("_dst")).localCheckpoint()
     plan = agg_plan(ckpt)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) >= 1, plan
+
+
+# --------------------------------------------------------------------------
+# k-core peeling
+# --------------------------------------------------------------------------
+
+def test_kcore_path_cascade_peels_everything(spark):
+    """A path graph has no 2-core: endpoints peel one per round, and the
+    cascade (5 rounds for a 9-node path under two-ended peeling) needs
+    the multi-round loop — one round would only trim the two endpoints."""
+    from commerce_sessionization_spark.operators.graph import k_core
+
+    path = _edges(spark, [(i, i + 1) for i in range(8)])
+    assert k_core(path, k=2, rounds=8).count() == 0
+    # with too few rounds the cascade is cut short mid-peel
+    partial = {r.node for r in k_core(path, k=2, rounds=2).collect()}
+    assert partial == {2, 3, 4, 5, 6}
+
+
+def test_kcore_triangle_survives_pendant_peels(spark):
+    from commerce_sessionization_spark.operators.graph import k_core
+
+    # triangle {1,2,3} + pendant chain 3-4-5: chain peels away, core stays
+    g = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    got = {r.node: r.core_degree for r in k_core(g, k=2, rounds=8).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_early_exit_matches_extra_rounds(spark):
+    from commerce_sessionization_spark.operators.graph import k_core
+
+    g = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (2, 4)])
+    a = sorted((r.node, r.core_degree) for r in k_core(g, k=2, rounds=4).collect())
+    b = sorted((r.node, r.core_degree) for r in k_core(g, k=2, rounds=12).collect())
+    assert a == b
+
+
+def test_kcore_duplicate_and_reversed_edges_collapse(spark):
+    from commerce_sessionization_spark.operators.graph import k_core
+
+    g = _edges(spark, [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3), (3, 3)])
+    got = {r.node: r.core_degree for r in k_core(g, k=2, rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
