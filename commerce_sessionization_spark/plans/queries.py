@@ -6735,6 +6735,96 @@ GROUP BY node"""
 SQL_KCORE_PARTS = _kcore_sql(_KCORE_K, _KCORE_ROUNDS)
 
 
+# --------------------------------------------------------------------------
+# SemDeDup: semantic dedup via cluster-then-prune (embedding family)
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.3
+_SEMDEDUP_NLIST = 16
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster embeddings, prune within.
+
+    Each vector is assigned to its max-cosine seed centroid (the
+    deterministic sha-free seeding ``centroid_topk`` already oracles),
+    then a vector is DROPPED iff some smaller-id vector in the same
+    cluster has cosine > τ with it — the greedy min-id keep rule, a
+    deterministic stand-in for the paper's keep-one-per-duplicate-group.
+
+    Scale: this is the whole point of SemDeDup's design — the O(n²)
+    similarity stays *within clusters*, so cluster count must grow with
+    the corpus (n/nlist bounded ⇒ per-cluster work bounded); the
+    cluster self-join shuffles on centroid_id only. Output is the prune
+    decision per doc: (vec_id, centroid_id, kept 0/1).
+    """
+    from commerce_sessionization_spark.operators.similarity import (
+        ivf_assign,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, nlist=_SEMDEDUP_NLIST)
+    assigned = ivf_assign(emb, cents).select("vec_id", "embedding", "centroid_id")
+    left = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("_vid"),
+        F.col("embedding").alias("_lv"),
+    )
+    right = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("_wid"),
+        F.col("embedding").alias("_rv"),
+    )
+    dropped = (
+        left.join(right, "centroid_id")
+        .filter(F.col("_wid") < F.col("_vid"))
+        .filter(
+            cosine_similarity(F.col("_lv"), F.col("_rv")) > F.lit(_SEMDEDUP_TAU)
+        )
+        .select(F.col("_vid").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "centroid_id",
+        F.when(F.col("_dropped").isNull(), 1).otherwise(0).alias("kept"),
+    )
+
+
+_COS_PAIR = (
+    "list_dot_product({l}, {r}) / (sqrt(list_dot_product({l}, {l}))"
+    " * sqrt(list_dot_product({r}, {r})))"
+)
+
+SQL_SEMDEDUP_PRUNE = f"""
+WITH cent AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+         embedding::DOUBLE[] AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_SEMDEDUP_NLIST})
+), scored AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+         {_COS_PAIR.format(l="e.embedding::DOUBLE[]", r="c.cvec")} AS sim
+  FROM embeddings e CROSS JOIN cent c
+), assigned AS MATERIALIZED (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT l.vec_id
+  FROM assigned l JOIN assigned r
+    ON l.cid = r.cid AND r.vec_id < l.vec_id
+  WHERE {_COS_PAIR.format(l="l.v", r="r.v")} > {_SEMDEDUP_TAU}
+)
+SELECT a.vec_id, a.cid AS centroid_id,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -7167,6 +7257,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("kcore_parts", q_kcore_parts, SQL_KCORE_PARTS,
              "fixed-round k-core peeling of the co-purchase graph "
              "(early-exit Spark loop == full chained-CTE replay)"),
+    QueryDef("semdedup_prune", q_semdedup_prune, SQL_SEMDEDUP_PRUNE,
+             "SemDeDup: cluster embeddings, greedy min-id prune of "
+             "cosine>tau pairs within each cluster"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -219,6 +219,8 @@ _INTENDED_LOOP_JOINS = {
     "train_test_split",
     "bm25_search",             # 1-row corpus stats (N, total_len) anchor
     "bigram_logprob_scores",   # 1-row vocabulary-size anchor
+    "event_gapfill_interp",    # 1-row global bucket-range anchor
+    "semdedup_prune",          # broadcast 16-row seed centroids (×3 refs)
 }
 
 
