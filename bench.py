@@ -73,6 +73,12 @@ HEADLINE = [
     "k_anonymized_customers",
     "augmented_docs",
     "revenue_cusum_alarms",
+    # round-4 families: time-series resampling, iterative peeling,
+    # semantic dedup
+    "event_gapfill_interp",
+    "event_ohlc_daily",
+    "kcore_parts",
+    "semdedup_prune",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

@@ -231,3 +231,21 @@ def test_kcore_duplicate_and_reversed_edges_collapse(spark):
     g = _edges(spark, [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3), (3, 3)])
     got = {r.node: r.core_degree for r in k_core(g, k=2, rounds=4).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_triangle_strategies_agree(spark):
+    """intersect (adjacency-array) and wedge (compact-forward join)
+    strategies must produce identical counts on a mixed graph."""
+    from commerce_sessionization_spark.operators.graph import triangle_counts
+
+    # K4 on {1..4} + triangle {5,6,7} + pendant 7-8 + isolated edge 9-10
+    g = _edges(
+        spark,
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (5, 6), (6, 7), (5, 7), (7, 8), (9, 10)],
+    )
+    a = sorted(map(tuple, triangle_counts(g, strategy="intersect").collect()))
+    b = sorted(map(tuple, triangle_counts(g, strategy="wedge").collect()))
+    assert a == b
+    got = {r[0]: r[2] for r in a}
+    assert got[1] == 3 and got[5] == 1 and got[7] == 1
