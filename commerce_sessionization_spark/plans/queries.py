@@ -6930,8 +6930,15 @@ CATALOG: list[QueryDef] = [
     # --- similarity / embeddings ---
     QueryDef("knn_cosine", q_knn_cosine, SQL_KNN_COSINE,
              "brute-force cosine top-10"),
-    QueryDef("centroid_topk", q_centroid_topk, SQL_CENTROID_TOPK,
-             "IVF ANN with exhaustive probe == brute force"),
+    # round-4 rotation: centroid_topk's oracle (and output) is identical
+    # to knn_cosine's — an IVF exhaustive-probe equals brute force by
+    # construction — so the slot goes to the time-series resampling
+    # family, which had no graded representative. centroid_topk stays
+    # oracle-checked in EXTENDED_CATALOG.
+    QueryDef("event_gapfill_interp", q_event_gapfill_interp,
+             SQL_EVENT_GAPFILL_INTERP,
+             "hypertable-style dense hourly buckets: generated grid, "
+             "LOCF + linear interpolation from ignore-nulls windows"),
     QueryDef("pq_adc_topk", q_pq_adc_topk, SQL_PQ_ADC_TOPK,
              "product-quantization ANN: seeded codebook, fold-expression "
              "encode, literal-LUT ADC top-10 (64x compression path)"),
@@ -7247,10 +7254,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_REVENUE_CUSUM_ALARMS,
              "one-sided CUSUM drift alarms per priority series "
              "(exact decimal cumsum-minus-running-min)"),
-    QueryDef("event_gapfill_interp", q_event_gapfill_interp,
-             SQL_EVENT_GAPFILL_INTERP,
-             "hypertable-style dense hourly buckets: generated grid, "
-             "LOCF + linear interpolation from ignore-nulls windows"),
+    QueryDef("centroid_topk", q_centroid_topk, SQL_CENTROID_TOPK,
+             "IVF ANN with exhaustive probe == brute force "
+             "(rotated from the driver window round 4: duplicate oracle "
+             "of knn_cosine)"),
     QueryDef("event_ohlc_daily", q_event_ohlc_daily, SQL_EVENT_OHLC_DAILY,
              "daily OHLC candles per event type (single-exchange "
              "window + agg on the shared bucket key)"),

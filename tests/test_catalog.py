@@ -35,7 +35,6 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "dedup_components",           # connected components
     "segment_dedup_docs",         # boilerplate removal
     "knn_cosine",                 # brute-force ANN
-    "centroid_topk",              # IVF ANN
     "lang_centroids",             # cross-modal join
     "kmv_distinct_users",         # KMV sketch
     "cms_heavy_hitters",          # count-min sketch
@@ -68,6 +67,10 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # (minhash_lsh_pairs carries the identical exhaustive-Jaccard oracle,
     # so that shape stays driver-graded)
     "k_anonymized_customers",     # anonymization / privacy release
+    # round-4 swap: centroid_topk to EXTENDED (its oracle and output are
+    # identical to knn_cosine's — exhaustive probe == brute force), the
+    # slot goes to the new time-series resampling family
+    "event_gapfill_interp",       # gapfill / LOCF / interpolation
 }
 
 
