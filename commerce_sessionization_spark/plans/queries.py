@@ -6825,6 +6825,167 @@ FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# Point-in-time SCD2 join (warehouse family)
+# --------------------------------------------------------------------------
+
+def q_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact→versioned-dimension join: each purchase picks
+    up the user's SCD2 state (built from their non-purchase events)
+    valid at the purchase timestamp.
+
+    Spark expresses PIT as a backward as-of join on ``effective_from``
+    — legal because SCD2 ranges are contiguous per key, so the latest
+    version starting at-or-before ``ts`` IS the version covering
+    ``ts``; the oracle uses the textbook
+    ``from <= ts AND (to IS NULL OR to > ts)`` range join, proving the
+    equivalence. Versions sharing one ``effective_from`` (same-ts
+    snapshots) collapse to the max version first: the others are
+    empty ``[T, T)`` intervals no range predicate can match. One
+    shuffle total — the as-of union+window keyed by user. At 100 TB
+    this beats the range join's per-key sort-merge + post-filter: the
+    window never materializes non-matching (fact, version) pairs.
+    """
+    from commerce_sessionization_spark.operators.joins import asof_join
+    from commerce_sessionization_spark.operators.scd import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev.filter(F.col("event_type") != "purchase").select(
+            "user_id", "ts", "event_type", "event_id"
+        ),
+        key_cols=("user_id",),
+        attr_cols=("event_type",),
+        ts_col="ts",
+        order_cols=("event_id",),
+    )
+    w = Window.partitionBy("user_id", "effective_from").orderBy(
+        F.desc("version")
+    )
+    dim = (
+        hist.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("effective_from").alias("ts"),
+            F.col("event_type").alias("state"),
+            F.col("version"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        facts, dim, on="ts", by="user_id",
+        right_cols=("state", "version"), right_prefix="pit_",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("pit_state"),
+        F.col("pit_version").cast("long").alias("pit_version"),
+    )
+
+
+SQL_PIT_SCD2_JOIN = """
+WITH marked AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS new_version
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), hist AS (
+  SELECT user_id, event_type AS state,
+         ts AS effective_from,
+         lead(ts) OVER w2 AS effective_to,
+         row_number() OVER w2 AS version
+  FROM marked WHERE new_version = 1
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+), facts AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts, f.value,
+       h.state AS pit_state,
+       CAST(h.version AS BIGINT) AS pit_version
+FROM facts f LEFT JOIN hist h
+  ON h.user_id = f.user_id
+ AND h.effective_from <= f.ts
+ AND (h.effective_to IS NULL OR h.effective_to > f.ts)
+"""
+
+
+# --------------------------------------------------------------------------
+# Domain mixture resampling (training-data mixing family)
+# --------------------------------------------------------------------------
+
+def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus toward a uniform per-source mixture at a 50%
+    token budget — the data-mixing step (DoReMi / Pile-style domain
+    weights) a pretraining pipeline runs after cleaning.
+
+    Each source gets quota = floor(N_total / (2 · n_sources)) docs;
+    its Bernoulli keep-rate is quota/c_s, applied as a parts-per-million
+    threshold on the doc-id hash — the gate itself is pure integer
+    (hash % 1e6 < thresh), and the one floor-division producing the
+    threshold evaluates on identical small integers in both engines,
+    so the kept set is reproducible on any engine or partitioning
+    (no rand(), no per-row float compares). Over-quota
+    sources downsample; under-quota sources keep everything (no
+    upsampling — duplication is the augmentation operator's job).
+    Scale: one count per source (map-side combinable), the S-row rate
+    table broadcast back; the corpus scans once and never shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.groupBy().agg(
+        F.count(F.lit(1)).alias("_n_total"),
+        F.countDistinct("source").alias("_n_sources"),
+    )
+    rates = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.floor(
+                    F.floor(F.col("_n_total") / (2 * F.col("_n_sources")))
+                    * 1000000
+                    / F.col("_c")
+                ),
+            ).alias("_thresh_ppm"),
+        )
+    )
+    h = hex_to_long(F.sha2(F.col("doc_id").cast("string"), 256))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter((h % 1000000) < F.col("_thresh_ppm"))
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+SQL_DOMAIN_MIXTURE_SAMPLE = f"""
+WITH totals AS (
+  SELECT count(*) AS n_total, count(DISTINCT source) AS n_sources
+  FROM documents
+), rates AS (
+  SELECT source,
+         least(1000000,
+               CAST(floor(floor(t.n_total / (2 * t.n_sources)) * 1000000
+                          / count(*)) AS BIGINT)) AS thresh_ppm
+  FROM documents CROSS JOIN totals t
+  GROUP BY source, t.n_total, t.n_sources
+)
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d JOIN rates r ON r.source = d.source
+WHERE ({_DOC_HASH_SQL.replace("doc_id", "d.doc_id")}) % 1000000 < r.thresh_ppm
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -7267,6 +7428,13 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("semdedup_prune", q_semdedup_prune, SQL_SEMDEDUP_PRUNE,
              "SemDeDup: cluster embeddings, greedy min-id prune of "
              "cosine>tau pairs within each cluster"),
+    QueryDef("pit_scd2_join", q_pit_scd2_join, SQL_PIT_SCD2_JOIN,
+             "point-in-time fact->SCD2-dimension join (as-of window == "
+             "range-join oracle on contiguous validity intervals)"),
+    QueryDef("domain_mixture_sample", q_domain_mixture_sample,
+             SQL_DOMAIN_MIXTURE_SAMPLE,
+             "uniform-mixture domain rebalancing at a 50% budget "
+             "(integer ppm hash gate, broadcast rate table)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -220,6 +220,7 @@ _INTENDED_LOOP_JOINS = {
     "bm25_search",             # 1-row corpus stats (N, total_len) anchor
     "bigram_logprob_scores",   # 1-row vocabulary-size anchor
     "event_gapfill_interp",    # 1-row global bucket-range anchor
+    "domain_mixture_sample",   # 1-row corpus totals anchor
     "semdedup_prune",          # broadcast 16-row seed centroids (×3 refs)
 }
 
