@@ -6986,6 +6986,94 @@ WHERE ({_DOC_HASH_SQL.replace("doc_id", "d.doc_id")}) % 1000000 < r.thresh_ppm
 """
 
 
+# --------------------------------------------------------------------------
+# Linear classifier inference (model-scoring family)
+# --------------------------------------------------------------------------
+
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-model inference at corpus scale: score every document with
+    a 256-weight classifier over hashed bag-of-words features — the
+    fastText-style quality-filter pattern (features never materialize a
+    vocabulary; weights broadcast; corpus scans once).
+
+    The weight vector is sha-derived per bucket (integer milli-weights
+    in [-1000, 1000]) so both engines rebuild the identical model with
+    no side-channel file: this exercises the exact inference plan a
+    real trained model would use — swap the generated table for a
+    256-row parquet and nothing else changes. score = Σ w·n is exact
+    integer; the length-normalized score is one floor-quantized
+    division. Labels threshold at 0 (no exp(): libm differences across
+    engines make sigmoids unhashable; monotone in the margin anyway).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    feats = (
+        toks.select(
+            "doc_id",
+            (hex_to_long(F.sha2(F.col("tok"), 256)) % 256)
+            .cast("long")
+            .alias("feature_idx"),
+        )
+        .groupBy("doc_id", "feature_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    weights = spark.range(256).select(
+        F.col("id").alias("feature_idx"),
+        (
+            hex_to_long(
+                F.sha2(F.concat(F.lit("w:"), F.col("id").cast("string")), 256)
+            )
+            % 2001
+            - 1000
+        ).alias("w"),
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "feature_idx")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("w") * F.col("n")).alias("score_raw"),
+            F.sum("n").alias("dl"),
+        )
+    )
+    margin = F.col("score_raw").cast("double") / F.col("dl").cast("double")
+    return scored.select(
+        "doc_id",
+        "score_raw",
+        "dl",
+        _quant(margin, 6).alias("margin_q6"),
+        F.when(F.col("score_raw") > 0, 1).otherwise(0).alias("label"),
+    )
+
+
+SQL_QUALITY_CLASSIFIER_SCORES = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), feats AS (
+  SELECT doc_id,
+         ({_hex2int_sql("sha256(tok)")}) % 256 AS feature_idx,
+         count(*) AS n
+  FROM toks GROUP BY 1, 2
+), weights AS (
+  SELECT range AS feature_idx,
+         ({_hex2int_sql("sha256('w:' || range::VARCHAR)")}) % 2001 - 1000 AS w
+  FROM range(256)
+), scored AS (
+  SELECT doc_id,
+         sum(w * n) AS score_raw,
+         sum(n) AS dl
+  FROM feats JOIN weights USING (feature_idx)
+  GROUP BY doc_id
+)
+SELECT doc_id, score_raw, dl,
+       CAST(floor(CAST(score_raw AS DOUBLE) / CAST(dl AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS margin_q6,
+       CASE WHEN score_raw > 0 THEN 1 ELSE 0 END AS label
+FROM scored
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -7435,6 +7523,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_DOMAIN_MIXTURE_SAMPLE,
              "uniform-mixture domain rebalancing at a 50% budget "
              "(integer ppm hash gate, broadcast rate table)"),
+    QueryDef("quality_classifier_scores", q_quality_classifier_scores,
+             SQL_QUALITY_CLASSIFIER_SCORES,
+             "linear-classifier inference over hashed features "
+             "(broadcast 256-weight model, exact integer margins)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
