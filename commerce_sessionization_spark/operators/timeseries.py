@@ -118,6 +118,64 @@ def time_bucket_gapfill(
     )
 
 
+def exp_smooth(
+    df: DataFrame,
+    series_col: str,
+    idx_col: str = "idx",
+    value_micro_col: str = "x_micro",
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+) -> DataFrame:
+    """Per-series simple exponential smoothing in integer micro-units.
+
+    ``s_1 = x_1;  s_t = (num·x_t + (den−num)·s_{t−1}) // den`` — the
+    floor keeps every state an exact integer, so the recurrence replays
+    bit-for-bit on any engine (a float EWMA would drift with summation
+    order; an exact-decimal one overflows scale after ~30 steps). The
+    per-step floor loses < 1 micro-unit per observation — noise at any
+    realistic magnitude.
+
+    A running recurrence is not window-expressible (each state feeds the
+    next decision), so this is a tier-b operator: Arrow-batched
+    ``applyInPandas`` per series key, sequential only WITHIN a series —
+    throughput scales with series count, the same contract as
+    ``pack_sequences``. The DuckDB oracle replays the walk with a
+    recursive CTE, hash-checking the imperative path.
+
+    Input needs dense per-series ``idx_col`` = 1..T (row_number over the
+    time order) and NON-NEGATIVE integer ``value_micro_col`` (Python //
+    floors, SQL // truncates — they agree only on non-negatives, and
+    smoothed non-negative series stay non-negative). Output adds
+    ``s_micro``.
+    """
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [
+            f"{series_col} string",
+            f"{idx_col} long",
+            f"{value_micro_col} long",
+            "s_micro long",
+        ]
+    )
+    num, den = alpha_num, alpha_den
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col).reset_index(drop=True)
+        xs = pdf[value_micro_col].to_list()
+        out = []
+        s = None
+        for x in xs:
+            s = int(x) if s is None else (num * int(x) + (den - num) * s) // den
+            out.append(s)
+        pdf["s_micro"] = out
+        return pdf[[series_col, idx_col, value_micro_col, "s_micro"]]
+
+    return df.select(series_col, idx_col, value_micro_col).groupBy(
+        series_col
+    ).applyInPandas(smooth, schema=out_schema)
+
+
 def ohlc_resample(
     df: DataFrame,
     series_col: str,

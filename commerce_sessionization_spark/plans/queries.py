@@ -7074,6 +7074,66 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------------------
+# Exponential smoothing (tier-b running recurrence, recursive-CTE oracle)
+# --------------------------------------------------------------------------
+
+def q_ses_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing baseline of daily revenue per event
+    type (α = 1/4) — the engine's third tier-b running-reset operator
+    (after the capped sessionizer and the sequence packer): state feeds
+    the next step, so no window function expresses it; an Arrow-batched
+    per-series walk does, in exact integer micro-units, and the DuckDB
+    oracle replays the recurrence with a recursive CTE. Parallelism =
+    series count (per-series cost is the bounded dense timeline).
+    """
+    from commerce_sessionization_spark.operators.timeseries import exp_smooth
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("_v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    indexed = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w).cast("long").alias("idx"),
+        (F.col("_v") * 1000000).cast("long").alias("x_micro"),
+    )
+    sm = exp_smooth(indexed, "event_type", idx_col="idx",
+                    value_micro_col="x_micro", alpha_num=1, alpha_den=4)
+    return sm.join(indexed.select("event_type", "idx", "day"),
+                   ["event_type", "idx"]).select(
+        "event_type", "idx", "day", "x_micro", "s_micro"
+    )
+
+
+SQL_SES_DAILY_REVENUE = """
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1, 2
+), indexed AS MATERIALIZED (
+  SELECT event_type, day,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS idx,
+         CAST(v * 1000000 AS BIGINT) AS x_micro
+  FROM daily
+), walk AS (
+  SELECT event_type, idx, x_micro, x_micro AS s_micro
+  FROM indexed WHERE idx = 1
+  UNION ALL
+  SELECT i.event_type, i.idx, i.x_micro,
+         (1 * i.x_micro + 3 * w.s_micro) // 4
+  FROM indexed i JOIN walk w
+    ON i.event_type = w.event_type AND i.idx = w.idx + 1
+)
+SELECT w.event_type, w.idx, i.day, w.x_micro, w.s_micro
+FROM walk w JOIN indexed i
+  ON i.event_type = w.event_type AND i.idx = w.idx
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -7527,6 +7587,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_QUALITY_CLASSIFIER_SCORES,
              "linear-classifier inference over hashed features "
              "(broadcast 256-weight model, exact integer margins)"),
+    QueryDef("ses_daily_revenue", q_ses_daily_revenue,
+             SQL_SES_DAILY_REVENUE,
+             "exponential smoothing per series: tier-b integer "
+             "recurrence, recursive-CTE replayed oracle"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

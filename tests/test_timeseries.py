@@ -88,3 +88,29 @@ class TestOhlc:
         )
         c = ohlc_resample(df, "event_type", order_cols=("event_id",)).collect()[0]
         assert (c.open, c.close) == (3.0, 7.0)
+
+
+class TestExpSmooth:
+    def test_hand_computed_walk(self, spark):
+        from commerce_sessionization_spark.operators.timeseries import exp_smooth
+
+        # s1=100; s2=(200+3*100)//4=125; s3=(0+3*125)//4=93; s4=(93*3+50)//4=82
+        rows = [("a", 1, 100), ("a", 2, 200), ("a", 3, 0), ("a", 4, 50),
+                ("b", 1, 7)]
+        df = spark.createDataFrame(
+            rows, "event_type string, idx long, x_micro long"
+        )
+        got = {(r.event_type, r.idx): r.s_micro
+               for r in exp_smooth(df, "event_type").collect()}
+        assert got == {("a", 1): 100, ("a", 2): 125, ("a", 3): 93,
+                       ("a", 4): 82, ("b", 1): 7}
+
+    def test_alpha_one_is_identity(self, spark):
+        from commerce_sessionization_spark.operators.timeseries import exp_smooth
+
+        rows = [("x", i, v) for i, v in enumerate([5, 9, 1, 4], start=1)]
+        df = spark.createDataFrame(
+            rows, "event_type string, idx long, x_micro long"
+        )
+        out = exp_smooth(df, "event_type", alpha_num=1, alpha_den=1).collect()
+        assert all(r.s_micro == r.x_micro for r in out)
