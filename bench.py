@@ -74,11 +74,16 @@ HEADLINE = [
     "augmented_docs",
     "revenue_cusum_alarms",
     # round-4 families: time-series resampling, iterative peeling,
-    # semantic dedup
+    # semantic dedup, warehouse PIT join, mixing, model inference,
+    # tier-b smoothing
     "event_gapfill_interp",
     "event_ohlc_daily",
     "kcore_parts",
     "semdedup_prune",
+    "pit_scd2_join",
+    "domain_mixture_sample",
+    "quality_classifier_scores",
+    "ses_daily_revenue",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off
