@@ -218,3 +218,82 @@ def ohlc_resample(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("volume"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable OHLC state (incremental / streaming candle maintenance)
+# --------------------------------------------------------------------------
+
+def ohlc_partial(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Per-(series, bucket) MERGEABLE candle state from one batch.
+
+    open/close ride as min/max of a (ts, *order_cols, value) struct —
+    struct ordering gives the earliest/latest event under the total
+    order, and min/max is associative+commutative, so partial states
+    from any batch split merge into the same candle
+    (``merge_ohlc(ohlc_partial(A), ohlc_partial(B)) ==
+    ohlc_partial(A ∪ B)`` — the continuous-aggregate contract that
+    lets a stream maintain candles without reprocessing history).
+    """
+    idx = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)).cast(
+        "long"
+    )
+    key = F.struct(
+        F.col(ts_col).alias("_t"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+        F.col(value_col).alias("_v"),
+    )
+    return (
+        df.select(
+            F.col(series_col),
+            idx.alias("bucket_idx"),
+            key.alias("_k"),
+            F.col(value_col),
+        )
+        .groupBy(series_col, "bucket_idx")
+        .agg(
+            F.min("_k").alias("first_evt"),
+            F.max("_k").alias("last_evt"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("vol_dec"),
+        )
+    )
+
+
+def merge_ohlc(a: DataFrame, b: DataFrame, series_col: str) -> DataFrame:
+    """Merge two candle-state tables (same algebra as ``ohlc_partial``)."""
+    return (
+        a.unionByName(b)
+        .groupBy(series_col, "bucket_idx")
+        .agg(
+            F.min("first_evt").alias("first_evt"),
+            F.max("last_evt").alias("last_evt"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("vol_dec").alias("vol_dec"),
+        )
+    )
+
+
+def candles_from_state(state: DataFrame, series_col: str) -> DataFrame:
+    """Finalize candle state → the ``ohlc_resample`` output schema."""
+    return state.select(
+        series_col,
+        "bucket_idx",
+        F.col("first_evt._v").alias("open"),
+        "high",
+        "low",
+        F.col("last_evt._v").alias("close"),
+        "n_events",
+        F.col("vol_dec").cast("double").alias("volume"),
+    )

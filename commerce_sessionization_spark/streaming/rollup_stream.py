@@ -138,6 +138,34 @@ def make_cms_writer(
     )
 
 
+def make_ohlc_writer(
+    spark: SparkSession,
+    out_path: str,
+    series_col: str = "event_type",
+    bucket_seconds: int = 86400,
+    keep_versions: int = 3,
+):
+    """Incremental OHLC candle maintenance: open/close ride as min/max of
+    a (ts, tiebreak, value) struct — associative+commutative like the
+    rest of the candle state, so the same MVCC maintainer gives
+    exactly-once streaming candles (`operators.timeseries.ohlc_partial`
+    supplies the algebra; finalize with ``candles_from_state``)."""
+    from commerce_sessionization_spark.operators.timeseries import (
+        merge_ohlc,
+        ohlc_partial,
+    )
+
+    return make_incremental_writer(
+        spark,
+        out_path,
+        lambda df: ohlc_partial(
+            df, series_col, bucket_seconds=bucket_seconds
+        ),
+        lambda a, b: merge_ohlc(a, b, series_col),
+        keep_versions=keep_versions,
+    )
+
+
 def rollup_stream(
     events: DataFrame,
     spark: SparkSession,
