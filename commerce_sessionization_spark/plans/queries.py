@@ -20,6 +20,8 @@ Cross-engine determinism rules (so order-insensitive value hashes match):
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 from typing import Callable
 
@@ -6740,7 +6742,6 @@ SQL_KCORE_PARTS = _kcore_sql(_KCORE_K, _KCORE_ROUNDS)
 # --------------------------------------------------------------------------
 
 _SEMDEDUP_TAU = 0.3
-_SEMDEDUP_NLIST = 16
 
 
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6753,10 +6754,16 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stand-in for the paper's keep-one-per-duplicate-group.
 
     Scale: this is the whole point of SemDeDup's design — the O(n²)
-    similarity stays *within clusters*, so cluster count must grow with
-    the corpus (n/nlist bounded ⇒ per-cluster work bounded); the
-    cluster self-join shuffles on centroid_id only. Output is the prune
-    decision per doc: (vec_id, centroid_id, kept 0/1).
+    similarity stays *within clusters*, so cluster count must GROW with
+    the corpus. nlist = max(16, ⌈√n⌉): assignment costs n·√n and
+    expected in-cluster pair work n²/√n = n^1.5 — balanced, and the
+    round-4 decade sweep that motivated this (fixed nlist=16 measured
+    23.6× wall for 10× data; √n-scaled re-measured 2.9×, SCALE.md) is
+    the empirical receipt. At 100 TB the assignment itself moves to the
+    partition-pruned IVF index / LSH pre-bucketing — the same algebra,
+    sublinear probe. The n scalar is a driver-side metadata count (the
+    kmeans-model-state pattern); the cluster self-join shuffles on
+    centroid_id only. Output: (vec_id, centroid_id, kept 0/1).
     """
     from commerce_sessionization_spark.operators.similarity import (
         ivf_assign,
@@ -6764,7 +6771,11 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = seed_centroids(emb, nlist=_SEMDEDUP_NLIST)
+    n = emb.count()
+    # ceil over float sqrt — the same expression the oracle's computed
+    # LIMIT evaluates, so both engines seed the identical centroid count
+    nlist = max(16, math.ceil(math.sqrt(n))) if n else 16
+    cents = seed_centroids(emb, nlist=nlist)
     assigned = ivf_assign(emb, cents).select("vec_id", "embedding", "centroid_id")
     left = assigned.select(
         "centroid_id",
@@ -6802,7 +6813,9 @@ SQL_SEMDEDUP_PRUNE = f"""
 WITH cent AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY vec_id) AS cid,
          embedding::DOUBLE[] AS cvec
-  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_SEMDEDUP_NLIST})
+  FROM (SELECT * FROM embeddings ORDER BY vec_id
+        LIMIT (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT))
+               FROM embeddings))
 ), scored AS MATERIALIZED (
   SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
          {_COS_PAIR.format(l="e.embedding::DOUBLE[]", r="c.cvec")} AS sim
