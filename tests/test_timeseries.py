@@ -114,3 +114,81 @@ class TestExpSmooth:
         )
         out = exp_smooth(df, "event_type", alpha_num=1, alpha_den=1).collect()
         assert all(r.s_micro == r.x_micro for r in out)
+
+
+class TestGapfillProperties:
+    """Invariants on randomized series (pure-Python reference sweep)."""
+
+    def test_randomized_invariants(self, spark):
+        import random
+        from datetime import datetime, timedelta
+
+        rng = random.Random(77)
+        base = datetime(2024, 3, 1)
+        rows = []
+        for i in range(120):
+            rows.append(
+                (
+                    i,
+                    base + timedelta(minutes=rng.randrange(0, 60 * 48)),
+                    rng.choice(["p", "q", "r"]),
+                    round(rng.uniform(0.01, 99.99), 2),
+                )
+            )
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        from commerce_sessionization_spark.operators.timeseries import (
+            time_bucket_gapfill,
+        )
+
+        out = time_bucket_gapfill(df, "event_type").collect()
+        by_series: dict[str, list] = {}
+        for r in out:
+            by_series.setdefault(r.event_type, []).append(r)
+        idxs = sorted({r.bucket_idx for r in out})
+        # dense: every series spans the identical contiguous global range
+        assert idxs == list(range(min(idxs), max(idxs) + 1))
+        for series, rs in by_series.items():
+            rs.sort(key=lambda r: r.bucket_idx)
+            assert [r.bucket_idx for r in rs] == idxs
+            # conservation: filled sums equal the raw per-series total
+            raw = sum(v for (_, ts, s, v) in rows if s == series)
+            assert abs(sum(r.v_sum for r in rs if r.v_sum is not None) - raw) < 1e-6
+            # LOCF equals the last observed sum at every position;
+            # interp lies between its bracketing observations
+            last = None
+            for r in rs:
+                if r.v_sum is not None:
+                    last = r.v_sum
+                assert r.locf_v == last
+            obs = [(r.bucket_idx, r.v_sum) for r in rs if r.v_sum is not None]
+            for r in rs:
+                if r.v_sum is None and r.interp_v is not None:
+                    prev = max((o for o in obs if o[0] < r.bucket_idx),
+                               key=lambda o: o[0])
+                    nxt = min((o for o in obs if o[0] > r.bucket_idx),
+                              key=lambda o: o[0])
+                    lo, hi = sorted((prev[1], nxt[1]))
+                    assert lo - 1e-9 <= r.interp_v <= hi + 1e-9
+
+    def test_exp_smooth_bounds_and_convergence(self, spark):
+        from commerce_sessionization_spark.operators.timeseries import exp_smooth
+
+        import random
+
+        rng = random.Random(5)
+        xs = [rng.randrange(0, 10**9) for _ in range(200)]
+        rows = [("s", i + 1, x) for i, x in enumerate(xs)]
+        # constant tail: the smoother must converge to the constant
+        rows += [("s", len(xs) + 1 + j, 42_000_000) for j in range(120)]
+        df = spark.createDataFrame(
+            rows, "event_type string, idx long, x_micro long"
+        )
+        got = sorted(
+            ((r.idx, r.s_micro) for r in exp_smooth(df, "event_type").collect())
+        )
+        lo, hi = min(x for _, _, x in rows), max(x for _, _, x in rows)
+        assert all(lo <= s <= hi for _, s in got)  # bounded by input range
+        # floor recurrence converges to within 3 of the constant
+        assert abs(got[-1][1] - 42_000_000) <= 3
