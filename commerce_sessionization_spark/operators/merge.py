@@ -98,3 +98,51 @@ def merge_upsert(
         key_set = F.broadcast(key_set)
     survivors = target.join(key_set, key_list, "left_anti")
     return survivors.unionByName(upserts)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Change feed between two table snapshots: one row per differing key
+    with ``change ∈ {insert, delete, update}`` — the table-diff that
+    backfills a CDC stream when the upstream can't emit one (the
+    inverse of ``merge_upsert``: diff(old, merge(old, batch)) recovers
+    the batch's net effect).
+
+    One full outer join on the key; updates compare via null-safe
+    equality so NULL→value and value→NULL both count as changes. At
+    scale both sides shuffle once on the key — unavoidable for a diff —
+    and unchanged rows (the overwhelming majority) are filtered before
+    anything else materializes.
+    """
+    keys = list(key_cols)
+    o = old.select(*keys, *compare_cols)
+    n = new.select(*keys, *compare_cols)
+    joined = o.alias("o").join(
+        n.alias("n"),
+        [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys],
+        "full_outer",
+    )
+    o_present = F.col(f"o.{keys[0]}").isNotNull()
+    n_present = F.col(f"n.{keys[0]}").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (
+        F.when(~o_present, F.lit("insert"))
+        .when(~n_present, F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
+    ]
+    old_vals = [F.col(f"o.{c}").alias(f"old_{c}") for c in compare_cols]
+    new_vals = [F.col(f"n.{c}").alias(f"new_{c}") for c in compare_cols]
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*out_keys, "change", *old_vals, *new_vals)
+    )

@@ -7198,6 +7198,72 @@ FROM hits GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Snapshot diff / table change feed (warehouse family)
+# --------------------------------------------------------------------------
+
+def q_customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table diff between two per-customer order-state snapshots (orders
+    before 2000-01-01 vs before 2001-01-01): the change feed a CDC
+    stream would have carried, recovered from the snapshots themselves
+    — ``insert`` for first-time customers, ``update`` where the count
+    or decimal-exact total moved. One full-outer join on the key;
+    unchanged keys (the overwhelming majority at 100 TB) filter out
+    before anything materializes downstream.
+    """
+    from commerce_sessionization_spark.operators.merge import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def snap(cutoff: str) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_spend"),
+            )
+        )
+
+    return snapshot_diff(
+        snap("2000-01-01"),
+        snap("2001-01-01"),
+        key_cols=("o_custkey",),
+        compare_cols=("n_orders", "total_spend"),
+    )
+
+
+SQL_CUSTOMER_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_spend
+  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+  GROUP BY o_custkey
+), new AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_spend
+  FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01'
+  GROUP BY o_custkey
+)
+SELECT COALESCE(n.o_custkey, o.o_custkey) AS o_custkey,
+       CASE WHEN o.o_custkey IS NULL THEN 'insert'
+            WHEN n.o_custkey IS NULL THEN 'delete'
+            WHEN o.n_orders IS DISTINCT FROM n.n_orders
+              OR o.total_spend IS DISTINCT FROM n.total_spend THEN 'update'
+       END AS change,
+       o.n_orders AS old_n_orders, o.total_spend AS old_total_spend,
+       n.n_orders AS new_n_orders, n.total_spend AS new_total_spend
+FROM old o FULL OUTER JOIN new n ON o.o_custkey = n.o_custkey
+WHERE (o.o_custkey IS NULL OR n.o_custkey IS NULL
+       OR o.n_orders IS DISTINCT FROM n.n_orders
+       OR o.total_spend IS DISTINCT FROM n.total_spend)
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -7658,6 +7724,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("phrase_search", q_phrase_search, SQL_PHRASE_SEARCH,
              "exact adjacent-token phrase matching via in-array "
              "position filter (zero-shuffle scan)"),
+    QueryDef("customer_snapshot_diff", q_customer_snapshot_diff,
+             SQL_CUSTOMER_SNAPSHOT_DIFF,
+             "table change feed recovered from two snapshots "
+             "(full-outer key join, null-safe compares)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -96,3 +96,42 @@ def test_merge_anti_join_broadcasts_small_batch(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+class TestSnapshotDiff:
+    def _old_new(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 4.0)],
+            "k long, s string, v double",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (4, None, 4.0), (5, "e", 50.0)],
+            "k long, s string, v double",
+        )
+        return old, new
+
+    def test_change_classification(self, spark):
+        from commerce_sessionization_spark.operators.merge import snapshot_diff
+
+        old, new = self._old_new(spark)
+        got = {r.k: r.change for r in
+               snapshot_diff(old, new, ("k",), ("s", "v")).collect()}
+        # 1 unchanged (absent), 2 NULL->20.0 update, 3 deleted, 4
+        # unchanged incl. NULL attr (absent), 5 inserted
+        assert got == {2: "update", 3: "delete", 5: "insert"}
+
+    def test_old_new_values_carried(self, spark):
+        from commerce_sessionization_spark.operators.merge import snapshot_diff
+
+        old, new = self._old_new(spark)
+        rows = {r.k: r for r in
+                snapshot_diff(old, new, ("k",), ("s", "v")).collect()}
+        assert rows[2].old_v is None and rows[2].new_v == 20.0
+        assert rows[3].new_s is None and rows[3].old_s == "c"
+        assert rows[5].old_s is None and rows[5].new_v == 50.0
+
+    def test_diff_of_identical_snapshots_is_empty(self, spark):
+        from commerce_sessionization_spark.operators.merge import snapshot_diff
+
+        old, _ = self._old_new(spark)
+        assert snapshot_diff(old, old, ("k",), ("s", "v")).count() == 0

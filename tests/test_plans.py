@@ -287,3 +287,28 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_phrase_search_zero_shuffle(spark, queries):
+    """Phrase matching must stay a pure narrow scan: positions filter
+    inside the token array (higher-order function), nothing shuffles."""
+    plan = plan_of(queries["phrase_search"](spark, SF_DIR))
+    assert node_count(plan, "Exchange") == 0, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_quality_classifier_broadcasts_model(spark, queries):
+    """The 256-row weight table broadcasts; the corpus side never
+    sort-merge-joins the model."""
+    plan = plan_of(queries["quality_classifier_scores"](spark, SF_DIR))
+    assert node_count(plan, "BroadcastHashJoin") >= 1
+    assert node_count(plan, "SortMergeJoin") == 0
+
+
+def test_domain_mixture_broadcasts_rate_table(spark, queries):
+    """The S-row per-source rate table broadcasts back onto the corpus —
+    the corpus itself must not shuffle for the gate."""
+    plan = plan_of(queries["domain_mixture_sample"](spark, SF_DIR))
+    assert node_count(plan, "BroadcastHashJoin") >= 1
+    assert node_count(plan, "SortMergeJoin") == 0
