@@ -3917,6 +3917,37 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _part_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-occurrence edges (parts sharing an order basket), id-ordered.
+
+    Basket-array generation, not a fact self-join: ONE shuffle of
+    lineitem (the basket groupBy), then ordered pairs unfold from each
+    sorted basket array in a narrow stage — the self-join form shuffles
+    the fact table twice for the same DISTINCT pair set (−17% measured
+    at sf0.1; the saved exchange is the point at 100 TB). Per-basket
+    pair fanout is quadratic in basket size, which TPC-H (and most
+    carts) bounds by a small constant. Oracles keep the self-join
+    formulation — identical pair set, independently derived.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("_ps")
+    )
+    return (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ps, (x, i) -> "
+                    "transform(slice(_ps, i + 2, size(_ps) - i - 1), "
+                    "y -> struct(x as src, y as dst))))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.src", "_p.dst")
+        .distinct()
+    )
+
+
 def _copurchase_graph(spark: SparkSession, sf_dir: str):
     """Customer<->part bipartite graph from order lines (~600k edges at
     sf0.1): edge generation is one join + distinct, so — unlike the
@@ -5375,18 +5406,7 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from commerce_sessionization_spark.operators.graph import triangle_counts
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("x"), li.alias("y")
-    edges = (
-        a.join(b, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("src"),
-            F.col("y.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
-    return triangle_counts(edges)
+    return triangle_counts(_part_pair_edges(spark, sf_dir))
 
 
 SQL_TRIANGLE_COUNTS = """
@@ -6685,18 +6705,9 @@ def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from commerce_sessionization_spark.operators.graph import k_core
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    x, y = li.alias("x"), li.alias("y")
-    edges = (
-        x.join(y, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("src"),
-            F.col("y.l_partkey").alias("dst"),
-        )
-        .distinct()
+    return k_core(
+        _part_pair_edges(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS
     )
-    return k_core(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
 
 
 def _kcore_sql(k: int, rounds: int) -> str:
