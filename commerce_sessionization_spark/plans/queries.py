@@ -5063,11 +5063,13 @@ def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over order baskets: support, confidence, lift.
 
     Baskets are orders; items are distinct parts on the order's lines.
-    Pairs come from a within-basket self-join — the blow-up is bounded
-    by basket size squared (a handful of lines per order), NEVER by
-    corpus size, the same bounded-block argument as session-bounded
-    attribution. Item and basket totals join back on the
-    high-cardinality part key. Pairs must co-occur in ≥ 2 baskets.
+    Pairs unfold from each basket's sorted item array (one groupBy of
+    the fact table, then a narrow per-basket unfold — the self-join
+    form shuffles the facts twice for the same pair multiset); the
+    blow-up is bounded by basket size squared (a handful of lines per
+    order), NEVER by corpus size, the same bounded-block argument as
+    session-bounded attribution. Item and basket totals join back on
+    the high-cardinality part key. Pairs must co-occur in ≥ 2 baskets.
 
     Determinism: all counts are exact ints; each metric is ONE integer
     division in IEEE double (support = n_ab/N, confidence = n_ab/n_a,
@@ -5080,16 +5082,22 @@ def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = li.agg(F.countDistinct("l_orderkey").alias("_n_baskets"))
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_n_item"))
-    a, b = li.alias("a"), li.alias("b")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("_ps")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ps, (x, i) -> "
+                    "transform(slice(_ps, i + 2, size(_ps) - i - 1), "
+                    "y -> struct(x as src, y as dst))))"
+                )
+            ).alias("_p")
         )
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("_p.src").alias("part_a"),
+            F.col("_p.dst").alias("part_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 2)
