@@ -7283,6 +7283,117 @@ WHERE (o.o_custkey IS NULL OR n.o_custkey IS NULL
 """
 
 
+# --------------------------------------------------------------------------
+# Sliding-window distinct via mergeable KMV sketches (sketch × time)
+# --------------------------------------------------------------------------
+
+def q_sliding_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct-user estimates from DAILY KMV sketches —
+    the sketch-reuse pattern for sliding windows: each day's K-minimum
+    hash set is built once, every window merges the 7 sketches covering
+    it (a KMV union is just "K smallest of the union"), and the raw
+    events are never rescanned per window. At 100 TB the daily sketches
+    are the only state (K rows/day); window count × K bounds all
+    downstream work. The exact per-window count rides along to show the
+    estimate lands near truth (drop it at scale).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    du = (
+        ev.select(day.alias("day_idx"), "user_id")
+        .distinct()
+        .withColumn(
+            "h", hex_to_long(F.sha2(F.col("user_id").cast("string"), 256))
+        )
+    )
+    wd = Window.partitionBy("day_idx").orderBy("h")
+    daily_sketch = (
+        du.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= KMV_K)
+        .select("day_idx", "h")
+    )
+    days = du.select("day_idx").distinct()
+    # replicate each day's sketch into the 7 windows it covers; keep
+    # only windows that are real days (broadcast 30-row day list)
+    spread = daily_sketch.select(
+        F.explode(
+            F.sequence(F.col("day_idx"), F.col("day_idx") + 6)
+        ).alias("window_day"),
+        "h",
+    ).join(
+        F.broadcast(days.withColumnRenamed("day_idx", "window_day")),
+        "window_day",
+    )
+    wwin = Window.partitionBy("window_day").orderBy("h")
+    est = (
+        spread.distinct()  # same user may appear in several days' sketches
+        .withColumn("rn", F.row_number().over(wwin))
+        .filter(F.col("rn") == KMV_K)
+        .select(
+            "window_day",
+            F.col("h").alias("kth_hash"),
+            F.floor(F.lit(_KMV_NUM) / F.col("h").cast("double"))
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )
+    exact = (
+        du.select(
+            F.explode(
+                F.sequence(F.col("day_idx"), F.col("day_idx") + 6)
+            ).alias("window_day"),
+            "user_id",
+        )
+        .join(
+            F.broadcast(days.withColumnRenamed("day_idx", "window_day")),
+            "window_day",
+        )
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "window_day")
+
+
+SQL_SLIDING_KMV_USERS = f"""
+WITH du AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+         user_id
+  FROM events
+), h AS (
+  SELECT day_idx, user_id, {_USER_HASH_SQL} AS h FROM du
+), daily_sketch AS (
+  SELECT day_idx, h FROM (
+    SELECT day_idx, h,
+           row_number() OVER (PARTITION BY day_idx ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= {KMV_K}
+), days AS (
+  SELECT DISTINCT day_idx FROM du
+), spread AS (
+  SELECT DISTINCT w.window_day, s.h
+  FROM daily_sketch s,
+       unnest(generate_series(s.day_idx, s.day_idx + 6)) AS w(window_day)
+  WHERE w.window_day IN (SELECT day_idx FROM days)
+), est AS (
+  SELECT window_day, h AS kth_hash,
+         CAST(floor({_KMV_NUM!r} / h::DOUBLE) AS BIGINT) AS est_distinct
+  FROM (
+    SELECT window_day, h,
+           row_number() OVER (PARTITION BY window_day ORDER BY h) AS rn
+    FROM spread
+  ) WHERE rn = {KMV_K}
+), exact AS (
+  SELECT w.window_day, count(DISTINCT d.user_id) AS exact_distinct
+  FROM du d,
+       unnest(generate_series(d.day_idx, d.day_idx + 6)) AS w(window_day)
+  WHERE w.window_day IN (SELECT day_idx FROM days)
+  GROUP BY w.window_day
+)
+SELECT est.window_day, est.kth_hash, est.est_distinct, exact.exact_distinct
+FROM est JOIN exact ON exact.window_day = est.window_day
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -7747,6 +7858,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_CUSTOMER_SNAPSHOT_DIFF,
              "table change feed recovered from two snapshots "
              "(full-outer key join, null-safe compares)"),
+    QueryDef("sliding_kmv_users", q_sliding_kmv_users,
+             SQL_SLIDING_KMV_USERS,
+             "trailing-7-day distinct users from merged daily KMV "
+             "sketches (sketch reuse across overlapping windows)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
