@@ -7394,6 +7394,182 @@ FROM est JOIN exact ON exact.window_day = est.window_day
 """
 
 
+# --------------------------------------------------------------------------
+# Time-bounded conversion funnel (windowFunnel semantics)
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("signup", "view", "purchase")
+_FUNNEL_WINDOW_S = 86400
+
+
+def q_conversion_funnel_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel signup → view → purchase within
+    24 h of the FIRST step (ClickHouse ``windowFunnel``-style): per
+    user, t1 is the earliest signup, t2 the earliest view after t1
+    (inside the window), t3 the earliest purchase after t2 (inside the
+    window); ``level`` = steps reached. Earliest-anchor semantics —
+    later signups never re-anchor, which keeps each stage ONE
+    conditional min over the user's events.
+
+    Three chained (agg → join) rounds, all keyed by user_id — Catalyst
+    reuses the single hash partitioning, so the funnel costs one real
+    exchange; nothing is materialized per (event × stage).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t1 = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.join(t1, "user_id")
+        .filter(
+            (F.col("event_type") == _FUNNEL_STEPS[1])
+            & (F.col("ts") > F.col("t1"))
+            & (
+                F.unix_micros("ts") - F.unix_micros("t1")
+                <= _FUNNEL_WINDOW_S * 1_000_000
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.join(t1, "user_id")
+        .join(t2, "user_id")
+        .filter(
+            (F.col("event_type") == _FUNNEL_STEPS[2])
+            & (F.col("ts") > F.col("t2"))
+            & (
+                F.unix_micros("ts") - F.unix_micros("t1")
+                <= _FUNNEL_WINDOW_S * 1_000_000
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            (
+                F.lit(1)
+                + F.when(F.col("t2").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t3").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("level"),
+        )
+    )
+
+
+SQL_CONVERSION_FUNNEL_24H = f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > t1.t1
+    AND epoch_us(e.ts) - epoch_us(t1.t1) <= {_FUNNEL_WINDOW_S * 1_000_000}
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t1 ON t1.user_id = e.user_id
+                JOIN t2 ON t2.user_id = e.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > t2.t2
+    AND epoch_us(e.ts) - epoch_us(t1.t1) <= {_FUNNEL_WINDOW_S * 1_000_000}
+  GROUP BY e.user_id
+)
+SELECT t1.user_id, t1.t1, t2.t2, t3.t3,
+       CAST(1 + CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS level
+FROM t1 LEFT JOIN t2 ON t2.user_id = t1.user_id
+        LEFT JOIN t3 ON t3.user_id = t1.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Right-to-be-forgotten purge audit (compliance family)
+# --------------------------------------------------------------------------
+
+def q_gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-cascade deletion audit for a right-to-be-forgotten
+    batch: a deterministic request set (c_custkey % 97 = 0 stands in
+    for the request table) cascades customer → orders → lineitem, and
+    the audit reports rows purged vs remaining per table — the dry-run
+    a compliance pipeline signs off before the actual anti-join
+    rewrite. Each stage is a semi-join on its own key (the request set
+    broadcasts; the fact tables never shuffle), so the audit costs one
+    scan per table at 100 TB.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    requests = F.broadcast(
+        customer.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    )
+    purged_orders = orders.join(
+        requests.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey",
+        "left_semi",
+    )
+    purged_order_keys = F.broadcast(purged_orders.select("o_orderkey"))
+
+    def audit(name: str, total_df: DataFrame, purged_df: DataFrame) -> DataFrame:
+        total = total_df.agg(F.count(F.lit(1)).alias("_t"))
+        purged = purged_df.agg(F.count(F.lit(1)).alias("_p"))
+        return total.crossJoin(purged).select(
+            F.lit(name).alias("table_name"),
+            F.col("_p").alias("rows_purged"),
+            (F.col("_t") - F.col("_p")).alias("rows_remaining"),
+        )
+
+    return (
+        audit("customer", customer, customer.join(requests, "c_custkey", "left_semi"))
+        .unionByName(audit("orders", orders, purged_orders))
+        .unionByName(
+            audit(
+                "lineitem",
+                lineitem,
+                lineitem.join(
+                    purged_order_keys.withColumnRenamed(
+                        "o_orderkey", "l_orderkey"
+                    ),
+                    "l_orderkey",
+                    "left_semi",
+                ),
+            )
+        )
+    )
+
+
+SQL_GDPR_PURGE_AUDIT = """
+WITH req AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+po AS (SELECT o_orderkey FROM orders
+       WHERE o_custkey IN (SELECT c_custkey FROM req))
+SELECT 'customer' AS table_name,
+       (SELECT count(*) FROM customer
+        WHERE c_custkey IN (SELECT c_custkey FROM req)) AS rows_purged,
+       (SELECT count(*) FROM customer) -
+       (SELECT count(*) FROM customer
+        WHERE c_custkey IN (SELECT c_custkey FROM req)) AS rows_remaining
+UNION ALL
+SELECT 'orders',
+       (SELECT count(*) FROM po),
+       (SELECT count(*) FROM orders) - (SELECT count(*) FROM po)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT count(*) FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM po)),
+       (SELECT count(*) FROM lineitem) -
+       (SELECT count(*) FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM po))
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -7862,6 +8038,13 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_SLIDING_KMV_USERS,
              "trailing-7-day distinct users from merged daily KMV "
              "sketches (sketch reuse across overlapping windows)"),
+    QueryDef("conversion_funnel_24h", q_conversion_funnel_24h,
+             SQL_CONVERSION_FUNNEL_24H,
+             "strict-order 24h conversion funnel (windowFunnel "
+             "semantics, earliest-anchor, single user-key exchange)"),
+    QueryDef("gdpr_purge_audit", q_gdpr_purge_audit, SQL_GDPR_PURGE_AUDIT,
+             "right-to-be-forgotten cascade audit: purged vs remaining "
+             "per table (broadcast request set, one scan per table)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
