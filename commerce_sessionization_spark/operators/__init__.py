@@ -57,7 +57,19 @@ from commerce_sessionization_spark.operators.chunking import (
     pack_sequences,
 )
 from commerce_sessionization_spark.operators.dq import check_rules, observed_write
-from commerce_sessionization_spark.operators.graph import pagerank, triangle_counts
+from commerce_sessionization_spark.operators.graph import (
+    k_core,
+    pagerank,
+    triangle_counts,
+)
+from commerce_sessionization_spark.operators.timeseries import (
+    candles_from_state,
+    exp_smooth,
+    merge_ohlc,
+    ohlc_partial,
+    ohlc_resample,
+    time_bucket_gapfill,
+)
 from commerce_sessionization_spark.operators.ivm import (
     apply_delta_z,
     as_zset,
@@ -95,6 +107,7 @@ from commerce_sessionization_spark.operators.layout import (
 from commerce_sessionization_spark.operators.merge import (
     collapse_batch,
     merge_upsert,
+    snapshot_diff,
 )
 from commerce_sessionization_spark.operators.rollup import (
     merge_rollups,
@@ -169,6 +182,14 @@ __all__ = [
     "sample_video_frames",
     "collapse_batch",
     "merge_upsert",
+    "snapshot_diff",
+    "k_core",
+    "time_bucket_gapfill",
+    "ohlc_resample",
+    "ohlc_partial",
+    "merge_ohlc",
+    "candles_from_state",
+    "exp_smooth",
     "write_zordered",
     "zorder_key",
     "merge_rollups",
