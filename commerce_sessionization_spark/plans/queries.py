@@ -7502,9 +7502,11 @@ def q_gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the request table) cascades customer → orders → lineitem, and
     the audit reports rows purged vs remaining per table — the dry-run
     a compliance pipeline signs off before the actual anti-join
-    rewrite. Each stage is a semi-join on its own key (the request set
-    broadcasts; the fact tables never shuffle), so the audit costs one
-    scan per table at 100 TB.
+    rewrite. The REQUEST set broadcasts (deletion batches are
+    human-sized by construction); the derived order-key set is left
+    unhinted — it scales with requests × orders-per-customer, so AQE
+    picks broadcast vs shuffle from its runtime size. One scan per
+    fact table either way.
     """
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -7516,7 +7518,7 @@ def q_gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         requests.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey",
         "left_semi",
     )
-    purged_order_keys = F.broadcast(purged_orders.select("o_orderkey"))
+    purged_order_keys = purged_orders.select("o_orderkey")
 
     def audit(name: str, total_df: DataFrame, purged_df: DataFrame) -> DataFrame:
         total = total_df.agg(F.count(F.lit(1)).alias("_t"))
