@@ -135,3 +135,55 @@ class TestSnapshotDiff:
 
         old, _ = self._old_new(spark)
         assert snapshot_diff(old, old, ("k",), ("s", "v")).count() == 0
+
+
+def test_diff_recovers_merge_net_effect(spark):
+    """Cross-operator law: snapshot_diff(old, merge_upsert(old, batch))
+    classifies exactly the batch's NET changes — inserts for new keys,
+    deletes for tombstoned existing keys, updates only where a value
+    actually moved (no-op upserts vanish from the diff)."""
+    import random
+
+    from commerce_sessionization_spark.operators.merge import (
+        merge_upsert,
+        snapshot_diff,
+    )
+
+    rng = random.Random(11)
+    old_rows = [(k, rng.choice("abc"), float(rng.randrange(100)))
+                for k in range(40)]
+    old = spark.createDataFrame(old_rows, "k long, s string, v double")
+    expected = {}
+    batch_rows = []
+    old_by_k = {k: (s, v) for k, s, v in old_rows}
+    for k in range(60):
+        action = rng.choice(["skip", "insert", "delete", "update", "noop"])
+        if k < 40:
+            if action == "insert":
+                action = "update"
+        else:
+            if action in ("delete", "update", "noop"):
+                action = "insert" if action == "insert" else "skip"
+        if action == "skip":
+            continue
+        if action == "insert":
+            batch_rows.append((k, "z", 999.0, False))
+            expected[k] = "insert"
+        elif action == "delete":
+            s, v = old_by_k[k]
+            batch_rows.append((k, s, v, True))
+            expected[k] = "delete"
+        elif action == "update":
+            batch_rows.append((k, "u", -1.0, False))
+            expected[k] = "update"
+        elif action == "noop":
+            s, v = old_by_k[k]
+            batch_rows.append((k, s, v, False))  # re-upsert same values
+    batch = spark.createDataFrame(
+        batch_rows, "k long, s string, v double, deleted boolean"
+    )
+    new = merge_upsert(old, batch, keys=("k",), delete_col="deleted",
+                       broadcast_batch=True)
+    got = {r.k: r.change
+           for r in snapshot_diff(old, new, ("k",), ("s", "v")).collect()}
+    assert got == expected
