@@ -84,6 +84,10 @@ HEADLINE = [
     "domain_mixture_sample",
     "quality_classifier_scores",
     "ses_daily_revenue",
+    "phrase_search",
+    "sliding_kmv_users",
+    "conversion_funnel_24h",
+    "customer_snapshot_diff",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off
