@@ -7572,6 +7572,54 @@ SELECT 'lineitem',
 """
 
 
+# --------------------------------------------------------------------------
+# Unpivot / melt (wide → long, the inverse of event_type_pivot)
+# --------------------------------------------------------------------------
+
+def q_lineitem_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot: per-returnflag exact sums of the four lineitem
+    measures, melted to (flag, measure, total) rows — the inverse of
+    the ``event_type_pivot`` shape, via the native ``DataFrame.unpivot``
+    (Spark ≥3.4) so the melt is a zero-shuffle Expand node over the
+    already-aggregated 3×4 grid, not a union of four re-scans.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double").alias("quantity"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double").alias("extendedprice"),
+        F.sum(F.col("l_discount").cast("decimal(18,2)"))
+        .cast("double").alias("discount"),
+        F.sum(F.col("l_tax").cast("decimal(18,2)"))
+        .cast("double").alias("tax"),
+    )
+    return wide.unpivot(
+        "l_returnflag",
+        ["quantity", "extendedprice", "discount", "tax"],
+        "measure",
+        "total",
+    )
+
+
+SQL_LINEITEM_MEASURES_LONG = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           AS quantity,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS extendedprice,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS discount,
+         CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, total
+FROM wide
+UNPIVOT (total FOR measure IN (quantity, extendedprice, discount, tax))
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -8047,6 +8095,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("gdpr_purge_audit", q_gdpr_purge_audit, SQL_GDPR_PURGE_AUDIT,
              "right-to-be-forgotten cascade audit: purged vs remaining "
              "per table (broadcast request set, one scan per table)"),
+    QueryDef("lineitem_measures_long", q_lineitem_measures_long,
+             SQL_LINEITEM_MEASURES_LONG,
+             "unpivot/melt: wide measure sums to long form "
+             "(native unpivot Expand, inverse of the pivot shape)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
