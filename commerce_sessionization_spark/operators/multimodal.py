@@ -246,9 +246,10 @@ def resize_images(df: DataFrame, max_dim: int = 64, fake: bool = False) -> DataF
     Arrow-batched ``mapInPandas`` (the thumbnail/normalize step every
     vision-data pipeline runs before feature extraction).
 
-    Real path: BMP decode → nearest-neighbor index sampling (pure numpy,
-    no PIL) → BMP re-encode; images already within bounds pass through
-    byte-identical. Non-BMP raises ``NotImplementedError`` (codec libs);
+    Real path: BMP/PNG decode → nearest-neighbor index sampling (pure
+    numpy, no PIL) → re-encode in the SAME container the asset arrived
+    in; images already within bounds pass through byte-identical.
+    Other formats raise ``NotImplementedError`` (codec libs);
     ``fake=True`` emits a deterministic payload-seeded stand-in with the
     correctly scaled dimensions so pipeline shape stays testable.
 
@@ -260,7 +261,9 @@ def resize_images(df: DataFrame, max_dim: int = 64, fake: bool = False) -> DataF
     from commerce_sessionization_spark.functions.codecs import (
         UnsupportedMediaError,
         decode_bmp,
+        decode_png,
         encode_bmp,
+        encode_png,
     )
 
     def scaled(w: int, h: int) -> tuple[int, int]:
@@ -283,10 +286,15 @@ def resize_images(df: DataFrame, max_dim: int = 64, fake: bool = False) -> DataF
                     )
                     continue
                 try:
-                    rgb, _bits = decode_bmp(payload)
+                    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                        rgb, _bits = decode_png(payload)
+                        encode = encode_png
+                    else:
+                        rgb, _bits = decode_bmp(payload)
+                        encode = encode_bmp
                 except UnsupportedMediaError as e:
                     raise NotImplementedError(
-                        f"asset {a}: only BMP resizes without codec libs "
+                        f"asset {a}: only BMP/PNG resize without codec libs "
                         f"({e}); use fake=True for other formats"
                     ) from e
                 ih, iw = rgb.shape[:2]
@@ -296,7 +304,7 @@ def resize_images(df: DataFrame, max_dim: int = 64, fake: bool = False) -> DataF
                 else:
                     ys = (np.arange(h) * ih) // h
                     xs = (np.arange(w) * iw) // w
-                    out = encode_bmp(rgb[ys][:, xs])
+                    out = encode(np.ascontiguousarray(rgb[ys][:, xs]))
                 recs.append(
                     {"asset_id": a, "width": w, "height": h, "content": out}
                 )

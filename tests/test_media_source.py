@@ -111,3 +111,37 @@ def test_resize_within_bounds_is_byte_identical(spark, media_dir):
     src = media.filter(F.col("modality") == "image").collect()[0]
     assert bytes(out["content"]) == bytes(src["content"])
     assert (out["width"], out["height"]) == (16, 16)
+
+
+def test_resize_real_png_keeps_container(spark):
+    """PNG in → PNG out: resize decodes via dispatch, re-encodes in the
+    same container, and the output still composes with featurization."""
+    import numpy as np
+
+    from commerce_sessionization_spark.functions.codecs import (
+        decode_png,
+        encode_png,
+    )
+    from commerce_sessionization_spark.operators.multimodal import (
+        extract_image_features,
+        resize_images,
+    )
+    from commerce_sessionization_spark.schemas import MEDIA_SCHEMA
+
+    img = np.zeros((32, 16, 3), dtype=np.uint8)
+    img[:, 8:] = 255  # right half white
+    media = spark.createDataFrame(
+        [(1, "image", bytes(encode_png(img)), "image/png", {})], MEDIA_SCHEMA
+    )
+    out = resize_images(media, max_dim=8).collect()[0]
+    assert (out["width"], out["height"]) == (4, 8)
+    payload = bytes(out["content"])
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"  # container preserved
+    rgb, _ = decode_png(payload)
+    assert rgb.shape == (8, 4, 3)
+    feats = extract_image_features(
+        spark.createDataFrame(
+            [(1, "image", payload, "image/png", {})], MEDIA_SCHEMA
+        )
+    ).collect()[0]
+    assert abs(feats["mean_luma"] - 0.5) < 0.05
