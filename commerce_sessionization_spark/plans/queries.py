@@ -7411,46 +7411,60 @@ def q_conversion_funnel_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     later signups never re-anchor, which keeps each stage ONE
     conditional min over the user's events.
 
-    Three chained (agg → join) rounds, all keyed by user_id — Catalyst
-    reuses the single hash partitioning, so the funnel costs one real
-    exchange; nothing is materialized per (event × stage).
+    The three stage anchors chain through three unordered window
+    passes over the SAME user_id partitioning (each stage's condition
+    references the previous stage's column), then a groupBy on that
+    key — Catalyst plans exactly ONE exchange for the whole funnel
+    (plan-asserted), versus the agg-and-join formulation's seven.
+    A per-step filtered-agg version shuffles less DATA when steps are
+    ultra-selective; this shape wins when funnel steps are common
+    event types, which is the analytics norm.
     """
     ev = load_table(spark, sf_dir, "events")
-    t1 = (
-        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    w = Window.partitionBy("user_id")
+    in_window = (
+        lambda t: F.unix_micros("ts") - F.unix_micros(t)
+        <= _FUNNEL_WINDOW_S * 1_000_000
     )
-    t2 = (
-        ev.join(t1, "user_id")
-        .filter(
-            (F.col("event_type") == _FUNNEL_STEPS[1])
-            & (F.col("ts") > F.col("t1"))
-            & (
-                F.unix_micros("ts") - F.unix_micros("t1")
-                <= _FUNNEL_WINDOW_S * 1_000_000
-            )
+    staged = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn(
+            "t1",
+            F.min(
+                F.when(F.col("event_type") == _FUNNEL_STEPS[0], F.col("ts"))
+            ).over(w),
         )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    t3 = (
-        ev.join(t1, "user_id")
-        .join(t2, "user_id")
-        .filter(
-            (F.col("event_type") == _FUNNEL_STEPS[2])
-            & (F.col("ts") > F.col("t2"))
-            & (
-                F.unix_micros("ts") - F.unix_micros("t1")
-                <= _FUNNEL_WINDOW_S * 1_000_000
-            )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == _FUNNEL_STEPS[1])
+                    & (F.col("ts") > F.col("t1"))
+                    & in_window(F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
         )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == _FUNNEL_STEPS[2])
+                    & (F.col("ts") > F.col("t2"))
+                    & in_window(F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
     return (
-        t1.join(t2, "user_id", "left")
-        .join(t3, "user_id", "left")
+        staged.filter(F.col("t1").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("t1").alias("t1"),
+            F.min("t2").alias("t2"),
+            F.min("t3").alias("t3"),
+        )
         .select(
             "user_id",
             "t1",

@@ -313,3 +313,10 @@ def test_domain_mixture_broadcasts_rate_table(spark, queries):
     plan = plan_of(queries["domain_mixture_sample"](spark, SF_DIR))
     assert node_count(plan, "BroadcastHashJoin") >= 1
     assert node_count(plan, "SortMergeJoin") == 0
+
+
+def test_funnel_single_exchange(spark, queries):
+    """The three funnel stages chain through windows over one user_id
+    partitioning + a groupBy on the same key: exactly ONE exchange."""
+    plan = plan_of(queries["conversion_funnel_24h"](spark, SF_DIR))
+    assert node_count(plan, "Exchange") == 1, plan
