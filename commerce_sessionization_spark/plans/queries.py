@@ -7305,6 +7305,9 @@ def q_sliding_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "h", hex_to_long(F.sha2(F.col("user_id").cast("string"), 256))
         )
+        # referenced by the sketch path, the day list, and the exact
+        # side — pin it so the events scan + distinct runs once
+        .localCheckpoint()
     )
     wd = Window.partitionBy("day_idx").orderBy("h")
     daily_sketch = (
