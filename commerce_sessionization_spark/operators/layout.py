@@ -96,3 +96,53 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global dense 1..N ordinals under a TOTAL order — without the
+    single-partition window.
+
+    ``row_number().over(Window.orderBy(...))`` funnels the whole table
+    through one task (Spark even warns); the scalable formulation is
+    two-phase: range-partition on the order keys, rank WITHIN each
+    partition (local sort only), then shift each partition by the row
+    count of all partitions before it. The per-partition counts are
+    the only driver state (num_partitions integers — the kmeans-model
+    pattern), and the offset table broadcasts back. The assigned ranks
+    are a pure function of the total order, so they are identical for
+    ANY partition boundaries the range sampler picks — which is what
+    lets a SQL oracle replay them with a plain row_number.
+
+    ``order_cols`` must be a total order (add a unique tiebreak);
+    ranks of tied rows would otherwise depend on partitioning.
+    """
+    from pyspark.sql import Window
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # localCheckpoint pins the partitioning: the counts collect and the
+    # ranked output must see the SAME partition assignment
+    with_pid = with_pid.localCheckpoint()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        with_pid.join(off_df, "_pid")
+        .withColumn(rank_col, F.row_number().over(w_local) + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )

@@ -7637,6 +7637,33 @@ UNPIVOT (total FOR measure IN (quantity, extendedprice, discount, tax))
 """
 
 
+# --------------------------------------------------------------------------
+# Scalable global ranking (no single-partition window)
+# --------------------------------------------------------------------------
+
+def q_doc_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 1..N ordinals for every document under the
+    (n_chars, doc_id) total order — via the two-phase range-partition +
+    offset formulation (``operators.layout.global_rank``), NOT a
+    single-partition window. Rank values are partitioning-invariant, so
+    the oracle replays them with a plain ``row_number()``; what differs
+    is the PLAN: N parallel local sorts instead of one task sorting the
+    world, which is the difference between a dashboard query and an
+    OOM at 100 TB.
+    """
+    from commerce_sessionization_spark.operators.layout import global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_rank(docs, order_cols=("n_chars", "doc_id"), num_partitions=8)
+
+
+SQL_DOC_GLOBAL_RANK = """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+FROM documents
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -8116,6 +8143,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_LINEITEM_MEASURES_LONG,
              "unpivot/melt: wide measure sums to long form "
              "(native unpivot Expand, inverse of the pivot shape)"),
+    QueryDef("doc_global_rank", q_doc_global_rank, SQL_DOC_GLOBAL_RANK,
+             "global 1..N ordinals via two-phase range-partition + "
+             "offset (no single-partition window)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

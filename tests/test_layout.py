@@ -121,3 +121,41 @@ def test_compact_partition_merges_small_files(spark, tmp_path):
     # idempotent re-run
     assert compact_partition(spark, p, df.schema, target_bytes=1 << 30) == 1
     assert spark.read.schema(df.schema).parquet(p).count() == 10_000
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from commerce_sessionization_spark.operators.layout import global_rank
+
+    # adversarial order: ties in the first key, unique tiebreak second
+    df = spark.range(0, 5_000).selectExpr(
+        "id", "cast(id % 97 as int) AS bucket"
+    )
+    got = global_rank(df, order_cols=("bucket", "id"), num_partitions=8)
+    want = df.withColumn(
+        "rank", F.row_number().over(Window.orderBy("bucket", "id"))
+    )
+    assert {tuple(r) for r in got.select("id", "bucket", "rank").collect()} == {
+        tuple(r) for r in want.select("id", "bucket", "rank").collect()
+    }
+    # dense 1..N with no gaps
+    n = df.count()
+    stats = got.agg(
+        F.min("rank").alias("lo"),
+        F.max("rank").alias("hi"),
+        F.countDistinct("rank").alias("d"),
+    ).collect()[0]
+    assert (stats["lo"], stats["hi"], stats["d"]) == (1, n, n)
+
+
+def test_global_rank_invariant_to_partition_count(spark):
+    from commerce_sessionization_spark.operators.layout import global_rank
+
+    df = spark.range(0, 2_000).selectExpr("id", "cast(id % 13 as int) AS b")
+    a = global_rank(df, order_cols=("b", "id"), num_partitions=3)
+    b = global_rank(df, order_cols=("b", "id"), num_partitions=17)
+    assert {tuple(r) for r in a.select("id", "rank").collect()} == {
+        tuple(r) for r in b.select("id", "rank").collect()
+    }
