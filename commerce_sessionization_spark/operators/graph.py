@@ -319,6 +319,80 @@ def triangle_counts(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_labels: int = 4_000_000,
+) -> DataFrame:
+    """Fixed-round synchronous label propagation (community detection).
+
+    Labels start as node ids. Each round, every node adopts the most
+    frequent label among its neighbors plus ITSELF (the self-vote damps
+    the bipartite oscillation synchronous LPA is famous for); ties break
+    to the smallest label. Both rules are deterministic, so — like
+    ``k_core`` — the semantics are defined by the ROUND COUNT and a SQL
+    oracle can replay every round as a chained CTE.
+
+    Each round is one labels⋈adjacency join plus one two-level
+    aggregation: (node, label) counts collapse map-side, then the
+    per-node argmax rides a single ``max(struct(cnt, -label))`` — no
+    window, no second shuffle beyond the groupBy(node). When the vertex
+    set is small enough (``<= broadcast_labels``), the per-round label
+    table broadcasts into the join so the pinned adjacency NEVER
+    reshuffles — the pagerank layout argument. Per-round state is the
+    (node, label) table, pinned with ``localCheckpoint`` for O(1)
+    lineage.
+
+    Output: (node, community) — the label each node holds after
+    ``rounds`` rounds.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_vert = verts.count()
+    small = n_vert <= broadcast_labels
+    # adjacency with the self-vote row, laid out by node once: the loop
+    # joins it on nbr each round with a broadcast label table, so the big
+    # side never moves again
+    adj = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .unionAll(verts.select("node", F.col("node").alias("nbr")))
+        .localCheckpoint()
+    )
+    labels = verts.select("node", F.col("node").alias("community"))
+    for _ in range(rounds):
+        lbl = labels.select(
+            F.col("node").alias("nbr"), F.col("community").alias("_l")
+        )
+        votes = adj.join(F.broadcast(lbl) if small else lbl, "nbr")
+        labels = (
+            votes.groupBy("node", "_l")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("_c"), (-F.col("_l")).alias("_nl"))
+                ).alias("_m")
+            )
+            .select("node", (-F.col("_m._nl")).alias("community"))
+            .localCheckpoint()
+        )
+    return labels
+
+
 def k_core(
     edges: DataFrame,
     k: int,

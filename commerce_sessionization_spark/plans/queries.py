@@ -6757,6 +6757,71 @@ SQL_KCORE_PARTS = _kcore_sql(_KCORE_K, _KCORE_ROUNDS)
 
 
 # --------------------------------------------------------------------------
+# Label propagation communities (graph family)
+# --------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community labels on the part co-purchase graph: fixed-round
+    synchronous label propagation with self-vote and smallest-label tie
+    break (``operators.graph.label_propagation``). Deterministic rules +
+    a fixed round count make the iteration SQL-replayable — the oracle
+    chains one (join → count → argmax) CTE per round, the k-core /
+    PageRank replayed-oracle pattern applied to a mode computation.
+    """
+    from commerce_sessionization_spark.operators.graph import label_propagation
+
+    return label_propagation(_part_pair_edges(spark, sf_dir), rounds=_LPA_ROUNDS)
+
+
+def _lpa_sql(rounds: int) -> str:
+    """Chained-CTE replay: argmax-by-(count desc, label asc) per round.
+
+    ``AS MATERIALIZED`` for the same reason as ``_kcore_sql``: each round
+    reads its predecessor once but sits under `rounds` levels of
+    nesting, and inlining would re-expand the basket self-join per level.
+    """
+    parts = [
+        """WITH und AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey
+), verts AS MATERIALIZED (
+  SELECT DISTINCT node
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+), adj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b, a FROM und
+  UNION ALL SELECT node, node FROM verts
+), l0 AS MATERIALIZED (
+  SELECT node, node AS community FROM verts
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""", c{r} AS MATERIALIZED (
+  SELECT adj.node, l.community AS lbl, count(*) AS c
+  FROM adj JOIN l{r} l ON adj.nbr = l.node
+  GROUP BY adj.node, l.community
+), l{r + 1} AS MATERIALIZED (
+  SELECT node, lbl AS community
+  FROM (SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl ASC) AS rn
+        FROM c{r})
+  WHERE rn = 1
+)"""
+        )
+    parts.append(f"\nSELECT node, community FROM l{rounds}")
+    return "".join(parts)
+
+
+SQL_LPA_COMMUNITIES = _lpa_sql(_LPA_ROUNDS)
+
+
+# --------------------------------------------------------------------------
 # SemDeDup: semantic dedup via cluster-then-prune (embedding family)
 # --------------------------------------------------------------------------
 
@@ -7664,6 +7729,55 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Batch hopping (sliding) windows — the overlapping-assignment Expand shape
+# --------------------------------------------------------------------------
+
+def q_hopping_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 6-hour windows hopping every 2 hours, per event type.
+
+    ``F.window(ts, "6 hours", "2 hours")`` assigns each event to
+    window-size/slide = 3 windows via a single Expand node — a
+    zero-join, zero-self-union formulation of sliding aggregation (the
+    batch twin of ``streaming.windows.windowed_counts``). The 3×
+    row expansion happens INSIDE the scan stage and is immediately
+    collapsed by the partial aggregate, so the shuffle carries only
+    (window, type) partial states, not tripled events. The oracle
+    replays the assignment arithmetic: window starts are the epoch-
+    aligned slide multiples within (ts - size, ts].
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "2 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sum"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("_sum").cast("double").alias("sum_value"),
+        )
+    )
+
+
+_HOP_S_US = 7_200 * 1_000_000       # 2-hour slide in microseconds
+_HOP_W_US = 21_600 * 1_000_000      # 6-hour window size
+
+SQL_HOPPING_WINDOW_STATS = f"""
+SELECT ({_HOP_S_US} * (epoch_us(ts) // {_HOP_S_US}) - {_HOP_S_US} * i)
+         // 1000000 AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM events, (SELECT unnest([0, 1, 2]) AS i)
+WHERE {_HOP_S_US} * (epoch_us(ts) // {_HOP_S_US}) - {_HOP_S_US} * i
+      > epoch_us(ts) - {_HOP_W_US}
+GROUP BY 1, 2
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -8146,6 +8260,13 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("doc_global_rank", q_doc_global_rank, SQL_DOC_GLOBAL_RANK,
              "global 1..N ordinals via two-phase range-partition + "
              "offset (no single-partition window)"),
+    QueryDef("hopping_window_stats", q_hopping_window_stats,
+             SQL_HOPPING_WINDOW_STATS,
+             "batch hopping 6h/2h windows via the Expand shape "
+             "(batch twin of streaming windowed_counts)"),
+    QueryDef("lpa_communities", q_lpa_communities, SQL_LPA_COMMUNITIES,
+             "fixed-round synchronous label propagation with self-vote "
+             "+ smallest-label tie break (chained-CTE replayed oracle)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -249,3 +249,55 @@ def test_triangle_strategies_agree(spark):
     assert a == b
     got = {r[0]: r[2] for r in a}
     assert got[1] == 3 and got[5] == 1 and got[7] == 1
+
+
+def _lpa_reference(pairs, rounds):
+    """Pure-Python synchronous LPA replay: self-vote, min-label tie break."""
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    nodes = sorted({n for e in und for n in e})
+    nbrs = {n: {n} for n in nodes}  # self-vote
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    lbl = {n: n for n in nodes}
+    for _ in range(rounds):
+        new = {}
+        for n in nodes:
+            counts = {}
+            for m in nbrs[n]:
+                counts[lbl[m]] = counts.get(lbl[m], 0) + 1
+            new[n] = min(counts, key=lambda v: (-counts[v], v))
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_matches_reference_replay(spark):
+    from commerce_sessionization_spark.operators.graph import label_propagation
+
+    # two dense blobs bridged by one edge + a pendant chain — mix of
+    # clear majorities and ties
+    pairs = (
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]          # K5
+        + [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]  # K4
+        + [(4, 10), (13, 20), (20, 21)]
+    )
+    for rounds in (1, 3, 5):
+        got = {
+            r.node: r.community
+            for r in label_propagation(_edges(spark, pairs), rounds=rounds).collect()
+        }
+        assert got == _lpa_reference(pairs, rounds), rounds
+
+
+def test_label_propagation_dense_blocks_converge_to_min_label(spark):
+    from commerce_sessionization_spark.operators.graph import label_propagation
+
+    pairs = [(a, b) for a in range(6) for b in range(a + 1, 6)] + [
+        (a, b) for a in range(100, 105) for b in range(a + 1, 105)
+    ]
+    got = {
+        r.node: r.community
+        for r in label_propagation(_edges(spark, pairs), rounds=4).collect()
+    }
+    assert all(got[n] == 0 for n in range(6))
+    assert all(got[n] == 100 for n in range(100, 105))

@@ -320,3 +320,16 @@ def test_funnel_single_exchange(spark, queries):
     partitioning + a groupBy on the same key: exactly ONE exchange."""
     plan = plan_of(queries["conversion_funnel_24h"](spark, SF_DIR))
     assert node_count(plan, "Exchange") == 1, plan
+
+
+def test_hopping_window_expands_before_partial_agg(spark, queries):
+    """The 6h/2h hopping window assigns via ONE Expand node collapsed by
+    a partial HashAggregate in the same stage — the shuffle carries
+    (window, type) states, never the 3x-expanded events, and no self-
+    union/join materializes the overlap."""
+    plan = plan_of(queries["hopping_window_stats"](spark, SF_DIR))
+    assert node_count(plan, "Expand") == 1, plan
+    assert node_count(plan, "Exchange") == 1, plan
+    # partial + final aggregate pair around the single exchange
+    assert node_count(plan, "HashAggregate") == 2, plan
+    assert "Join" not in plan and "Union" not in plan, plan
