@@ -557,3 +557,52 @@ def encode_gif(frames: list[np.ndarray], delay_cs: int = 10) -> bytes:
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+def wav_spectral_features(asset_id: int, payload: bytes) -> dict:
+    """Frequency-domain WAV features via one full-signal real FFT.
+
+    - ``dominant_hz``: frequency of the largest non-DC magnitude bin
+      (ties → lowest bin).
+    - ``spectral_centroid_hz``: magnitude-weighted mean frequency.
+    - ``rolloff85_hz``: lowest frequency below which 85% of the spectral
+      energy (|X|²) sits.
+    - ``zero_crossing_rate``: sign changes per second in the time domain
+      (≈ 2 × f0 for a pure tone — the cheap pitch cross-check).
+
+    numpy's rfft is the only dependency; resolution is sample_rate/N for
+    an N-sample clip, so tests assert against bin width, not exact Hz.
+    """
+    sample_rate, mono = decode_wav(payload)
+    n = len(mono)
+    if n < 2 or sample_rate <= 0:
+        return {
+            "asset_id": asset_id,
+            "sample_rate": sample_rate,
+            "dominant_hz": 0.0,
+            "spectral_centroid_hz": 0.0,
+            "rolloff85_hz": 0.0,
+            "zero_crossing_rate": 0.0,
+        }
+    mag = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+    dom = 1 + int(np.argmax(mag[1:])) if len(mag) > 1 else 0
+    total = float(mag.sum())
+    centroid = float((freqs * mag).sum() / total) if total > 0 else 0.0
+    energy = mag**2
+    etot = float(energy.sum())
+    if etot > 0:
+        roll_idx = int(np.searchsorted(np.cumsum(energy), 0.85 * etot))
+        roll = float(freqs[min(roll_idx, len(freqs) - 1)])
+    else:
+        roll = 0.0
+    signs = np.signbit(mono)
+    zc = int(np.count_nonzero(signs[1:] != signs[:-1]))
+    return {
+        "asset_id": asset_id,
+        "sample_rate": sample_rate,
+        "dominant_hz": round(float(freqs[dom]), 6),
+        "spectral_centroid_hz": round(centroid, 6),
+        "rolloff85_hz": round(roll, 6),
+        "zero_crossing_rate": round(zc * sample_rate / float(n), 6),
+    }

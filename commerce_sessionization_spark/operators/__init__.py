@@ -33,6 +33,9 @@ from commerce_sessionization_spark.operators.similarity import (
     ivf_assign,
     ivf_search,
     seed_centroids,
+    sq_bounds,
+    sq_encode,
+    sq_topk,
 )
 from commerce_sessionization_spark.operators.text import (
     augment_word_dropout,
@@ -59,6 +62,7 @@ from commerce_sessionization_spark.operators.chunking import (
 from commerce_sessionization_spark.operators.dq import check_rules, observed_write
 from commerce_sessionization_spark.operators.graph import (
     k_core,
+    label_propagation,
     pagerank,
     triangle_counts,
 )
@@ -95,12 +99,14 @@ from commerce_sessionization_spark.operators.pq import (
 )
 from commerce_sessionization_spark.operators.multimodal import (
     extract_audio_features,
+    extract_audio_spectral,
     extract_image_features,
     media_metadata_stats,
     resize_images,
     sample_video_frames,
 )
 from commerce_sessionization_spark.operators.layout import (
+    global_rank,
     write_zordered,
     zorder_key,
 )
@@ -146,6 +152,9 @@ __all__ = [
     "ivf_assign",
     "ivf_search",
     "seed_centroids",
+    "sq_bounds",
+    "sq_encode",
+    "sq_topk",
     "language_id",
     "pii_scrub",
     "quality_score",
@@ -176,6 +185,7 @@ __all__ = [
     "pq_adc_multi",
     "incremental_exact_dedup",
     "extract_audio_features",
+    "extract_audio_spectral",
     "extract_image_features",
     "media_metadata_stats",
     "resize_images",
@@ -184,12 +194,14 @@ __all__ = [
     "merge_upsert",
     "snapshot_diff",
     "k_core",
+    "label_propagation",
     "time_bucket_gapfill",
     "ohlc_resample",
     "ohlc_partial",
     "merge_ohlc",
     "candles_from_state",
     "exp_smooth",
+    "global_rank",
     "write_zordered",
     "zorder_key",
     "merge_rollups",

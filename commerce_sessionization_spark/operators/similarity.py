@@ -392,3 +392,101 @@ def jl_project(
     return df.select("*", F.array(*comps).alias(out_col)).drop(
         *[f"_j{j}" for j in range(out_dim)]
     )
+
+
+def sq_bounds(
+    df: DataFrame, dim: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension (min, max) corpus bounds as ONE 1-row aggregate.
+
+    ``dim`` column-min/max aggregates in a single pass — map-side
+    combinable, no explode (an (row × dim) explode would shuffle
+    dim·n rows for the same two arrays). The 1-row result broadcasts
+    into the encoder via crossJoin: no driver collect on the data path.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    return df.agg(
+        F.array(*[F.min(v[i]) for i in range(dim)]).alias("_mn"),
+        F.array(*[F.max(v[i]) for i in range(dim)]).alias("_mx"),
+    )
+
+
+def sq_encode(
+    df: DataFrame,
+    bounds: DataFrame,
+    vec_col: str = "embedding",
+    code_col: str = "sq_code",
+    levels: int = 256,
+) -> DataFrame:
+    """int8-style scalar quantization: each dimension mapped to an
+    integer code 0..levels-1 on the corpus min/max grid.
+
+    code_i = clamp(floor((x_i − min_i) · (levels−1) / (max_i − min_i)))
+    — the expression keeps ONE multiply before the divide, in that
+    order, so any IEEE-double engine (the DuckDB oracle included)
+    reproduces the codes bit-for-bit. Degenerate dims (min == max)
+    encode as 0. 64 dims × int8 = a 4× compression over float32, and
+    distance evaluation becomes small-integer arithmetic.
+    """
+    hi = F.lit(levels - 1)
+    v = F.col(vec_col).cast("array<double>")
+    code = F.transform(
+        v,
+        lambda x, i: F.when(
+            F.element_at(F.col("_mx"), i + 1) == F.element_at(F.col("_mn"), i + 1),
+            F.lit(0),
+        ).otherwise(
+            F.least(
+                hi,
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (x - F.element_at(F.col("_mn"), i + 1)) * hi
+                        / (
+                            F.element_at(F.col("_mx"), i + 1)
+                            - F.element_at(F.col("_mn"), i + 1)
+                        )
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(code_col, code)
+        .drop("_mn", "_mx")
+    )
+
+
+def sq_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "sq_code",
+    levels: int = 256,
+) -> DataFrame:
+    """Symmetric SQ top-k: rank by the EXACT integer dot product of
+    zero-centered codes, Σ (cx_i − L/2)(cq_i − L/2).
+
+    The score is pure integer arithmetic (64 dims × 128² ≈ 10⁶ per
+    term — far inside long range), so results hash-compare across
+    engines with no float quantization step. Plan shape matches
+    ``brute_force_topk``: broadcast the 1-row query codes, score every
+    row in codegen, TakeOrdered k — the corpus never shuffles.
+    """
+    half = F.lit(levels // 2)
+    q = F.broadcast(query_df.select(F.col(code_col).alias("_qc")))
+    score = F.aggregate(
+        F.zip_with(
+            F.col(code_col), F.col("_qc"), lambda a, b: (a - half) * (b - half)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.crossJoin(q)
+        .select(F.col(id_col), score.alias("sq_score"))
+        .orderBy(F.desc("sq_score"), F.col(id_col))
+        .limit(k)
+    )

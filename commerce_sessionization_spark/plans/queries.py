@@ -6822,6 +6822,66 @@ SQL_LPA_COMMUNITIES = _lpa_sql(_LPA_ROUNDS)
 
 
 # --------------------------------------------------------------------------
+# Scalar quantization (int8) similarity — compression path beside PQ/IVF
+# --------------------------------------------------------------------------
+
+def q_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized top-10 neighbors of vec_id 0.
+
+    The corpus min/max grid (one map-side-combinable agg, pinned — it
+    feeds both the corpus and query encoders) maps every dimension to a
+    0..255 code; ranking happens on the EXACT integer dot product of
+    centered codes, so scores hash-compare with no float quantization.
+    Complements PQ (codebook compression) and IVF (pruning): SQ is the
+    4x-compression + integer-SIMD scoring tier — the corpus never
+    shuffles (broadcast query, TakeOrdered k, same plan family as
+    ``knn_cosine``). The oracle replays the identical grid arithmetic
+    (one multiply then one divide, in that order) via list_zip.
+    """
+    from commerce_sessionization_spark.operators.similarity import (
+        sq_bounds,
+        sq_encode,
+        sq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bounds = sq_bounds(emb, dim=64).localCheckpoint()
+    coded = sq_encode(emb, bounds)
+    qdf = sq_encode(emb.filter(F.col("vec_id") == 0), bounds)
+    return sq_topk(coded, qdf, k=10)
+
+
+SQL_SQ_TOPK = """
+WITH bounds AS MATERIALIZED (
+  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+  FROM (
+    SELECT i, min(v) AS mn, max(v) AS mx
+    FROM (SELECT generate_subscripts(embedding, 1) AS i,
+                 unnest(embedding::DOUBLE[]) AS v
+          FROM embeddings)
+    GROUP BY i)
+), codes AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(
+           list_zip(embedding::DOUBLE[], mns, mxs),
+           z -> CASE WHEN z[3] = z[2] THEN 0
+                ELSE least(255, greatest(0,
+                  CAST(floor((z[1] - z[2]) * 255 / (z[3] - z[2]))
+                       AS INTEGER))) END
+         ) AS c
+  FROM embeddings, bounds
+), q AS (SELECT c AS qc FROM codes WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(list_sum(list_transform(list_zip(c, qc),
+                     z -> (z[1] - 128) * (z[2] - 128))) AS BIGINT)
+         AS sq_score
+FROM codes, q
+ORDER BY sq_score DESC, vec_id
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 # SemDeDup: semantic dedup via cluster-then-prune (embedding family)
 # --------------------------------------------------------------------------
 
@@ -8267,6 +8327,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("lpa_communities", q_lpa_communities, SQL_LPA_COMMUNITIES,
              "fixed-round synchronous label propagation with self-vote "
              "+ smallest-label tie break (chained-CTE replayed oracle)"),
+    QueryDef("sq_topk", q_sq_topk, SQL_SQ_TOPK,
+             "int8 scalar-quantized top-k: corpus min/max grid, exact "
+             "integer centered-code dot scores (compression tier beside "
+             "PQ/IVF)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -145,3 +145,57 @@ def test_resize_real_png_keeps_container(spark):
         )
     ).collect()[0]
     assert abs(feats["mean_luma"] - 0.5) < 0.05
+
+
+def test_spectral_features_recover_pure_tone(spark, media_dir):
+    """The fixture WAV is a 440 Hz sine at 16 kHz: the FFT path must put
+    the dominant bin within one bin width of 440 and the ZCR at ~2·f0."""
+    from commerce_sessionization_spark.operators.multimodal import (
+        extract_audio_spectral,
+    )
+
+    media = read_media_dir(spark, media_dir)
+    rows = extract_audio_spectral(media).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    bin_hz = 16000.0 / 1600  # clip is 1600 samples
+    assert abs(r["dominant_hz"] - 440.0) <= bin_hz
+    assert abs(r["zero_crossing_rate"] - 880.0) <= 2 * bin_hz
+    assert r["rolloff85_hz"] >= r["dominant_hz"] - bin_hz
+
+
+def test_spectral_two_tone_dominant_and_centroid(spark):
+    """Louder high tone wins dominance; the centroid sits between the
+    tones, pulled toward the louder one."""
+    from pyspark.sql import Row
+
+    from commerce_sessionization_spark.operators.multimodal import (
+        extract_audio_spectral,
+    )
+
+    t = np.arange(8000) / 16000.0
+    sig = 0.2 * np.sin(2 * np.pi * 500 * t) + 0.7 * np.sin(2 * np.pi * 3000 * t)
+    payload = encode_wav(sig, sample_rate=16000)
+    df = spark.createDataFrame(
+        [Row(asset_id=1, modality="audio", content=bytearray(payload))]
+    )
+    r = extract_audio_spectral(df).collect()[0]
+    assert abs(r["dominant_hz"] - 3000.0) <= 4.0
+    assert 500.0 < r["spectral_centroid_hz"] < 3000.0
+    assert r["spectral_centroid_hz"] > 1750.0  # pulled toward the loud tone
+
+
+def test_spectral_fake_path_is_deterministic(spark):
+    from pyspark.sql import Row
+
+    from commerce_sessionization_spark.operators.multimodal import (
+        extract_audio_spectral,
+    )
+
+    df = spark.createDataFrame(
+        [Row(asset_id=i, modality="audio", content=bytearray(b"x" * i))
+         for i in range(1, 4)]
+    )
+    a = sorted(map(tuple, extract_audio_spectral(df, fake=True).collect()))
+    b = sorted(map(tuple, extract_audio_spectral(df, fake=True).collect()))
+    assert a == b and len(a) == 3

@@ -113,3 +113,74 @@ def test_jl_projection_is_narrow_plan(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8) tier
+# ---------------------------------------------------------------------------
+
+
+def _sq_coded(spark):
+    from commerce_sessionization_spark.operators.similarity import (
+        sq_bounds,
+        sq_encode,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    bounds = sq_bounds(emb, dim=64).localCheckpoint()
+    return emb, sq_encode(emb, bounds)
+
+
+def test_sq_codes_in_range_and_extremes_hit_grid_ends(spark):
+    coded = _sq_coded(spark)[1]
+    stats = coded.select(
+        F.array_min("sq_code").alias("lo"), F.array_max("sq_code").alias("hi")
+    ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).collect()[0]
+    assert stats["lo"] == 0 and stats["hi"] == 255
+    # every dimension's min/max rows land on the grid ends: some row
+    # codes 0 and some row codes 255 in each dim
+    per_dim = coded.select(
+        F.posexplode("sq_code").alias("i", "c")
+    ).groupBy("i").agg(F.min("c").alias("mn"), F.max("c").alias("mx"))
+    bad = per_dim.filter((F.col("mn") != 0) | (F.col("mx") != 255)).count()
+    assert bad == 0
+
+
+def test_sq_degenerate_dimension_codes_zero(spark):
+    from pyspark.sql import Row
+
+    from commerce_sessionization_spark.operators.similarity import (
+        sq_bounds,
+        sq_encode,
+    )
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 7.0]) for i in range(4)]
+    )
+    coded = sq_encode(df, sq_bounds(df, dim=2))
+    assert all(r.sq_code[1] == 0 for r in coded.collect())
+    assert {r.sq_code[0] for r in coded.collect()} == {0, 85, 170, 255}
+
+
+def test_sq_topk_recall_vs_exact_cosine(spark):
+    """256-level quantization of unit-ish embeddings must keep most of
+    the exact top-10 (the compression/recall trade documented for SQ)."""
+    from commerce_sessionization_spark.operators.similarity import (
+        brute_force_topk,
+        sq_topk,
+    )
+
+    emb, coded = _sq_coded(spark)
+    exact = {
+        r.vec_id
+        for r in brute_force_topk(
+            emb, emb.filter(F.col("vec_id") == 0), k=10
+        ).collect()
+    }
+    got = {
+        r.vec_id
+        for r in sq_topk(
+            coded, coded.filter(F.col("vec_id") == 0), k=10
+        ).collect()
+    }
+    assert len(exact & got) >= 7, (exact, got)
