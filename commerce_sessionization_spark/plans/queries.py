@@ -7879,12 +7879,15 @@ CATALOG: list[QueryDef] = [
              "TPC-H Q1-shaped scan+agg"),
     QueryDef("revenue_by_nation", q_revenue_by_nation, SQL_REVENUE_BY_NATION,
              "star join over broadcast dims"),
-    QueryDef("customers_with_urgent_orders", q_customers_with_urgent_orders,
-             SQL_CUSTOMERS_WITH_URGENT_ORDERS, "semi join (EXISTS)"),
+    QueryDef("conversion_funnel_24h", q_conversion_funnel_24h,
+             SQL_CONVERSION_FUNNEL_24H,
+             "strict-order 24h conversion funnel (windowFunnel "
+             "semantics, earliest-anchor, single user-key exchange)"),
     QueryDef("customer_order_counts", q_customer_order_counts,
              SQL_CUSTOMER_ORDER_COUNTS, "left outer join with count"),
-    QueryDef("priority_line_counts", q_priority_line_counts,
-             SQL_PRIORITY_LINE_COUNTS, "Q12-shaped conditional aggregation"),
+    QueryDef("cdc_merge_apply", q_cdc_merge_apply, SQL_CDC_MERGE_APPLY,
+             "MERGE INTO: last-writer-wins CDC batch applied via "
+             "one-target-scan anti join (delete/update/insert/keep)"),
     QueryDef("order_cube", q_order_cube, SQL_ORDER_CUBE, "CUBE grouping sets"),
     QueryDef("forecast_revenue", q_forecast_revenue, SQL_FORECAST_REVENUE,
              "Q6-shaped selective scan + ungrouped agg (full pushdown)"),
@@ -8151,9 +8154,8 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_CONCURRENT_SESSIONS_PEAK,
              "peak concurrent sessions per day: day-partitioned interval "
              "sweep-line over session bounds"),
-    QueryDef("cdc_merge_apply", q_cdc_merge_apply, SQL_CDC_MERGE_APPLY,
-             "MERGE INTO: last-writer-wins CDC batch applied via "
-             "one-target-scan anti join (delete/update/insert/keep)"),
+    QueryDef("priority_line_counts", q_priority_line_counts,
+             SQL_PRIORITY_LINE_COUNTS, "Q12-shaped conditional aggregation"),
     QueryDef("revenue_anomalies", q_revenue_anomalies, SQL_REVENUE_ANOMALIES,
              "robust outlier days via exact decimal median/MAD "
              "(sum-of-middle-two, no engine interpolation)"),
@@ -8306,10 +8308,8 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_SLIDING_KMV_USERS,
              "trailing-7-day distinct users from merged daily KMV "
              "sketches (sketch reuse across overlapping windows)"),
-    QueryDef("conversion_funnel_24h", q_conversion_funnel_24h,
-             SQL_CONVERSION_FUNNEL_24H,
-             "strict-order 24h conversion funnel (windowFunnel "
-             "semantics, earliest-anchor, single user-key exchange)"),
+    QueryDef("customers_with_urgent_orders", q_customers_with_urgent_orders,
+             SQL_CUSTOMERS_WITH_URGENT_ORDERS, "semi join (EXISTS)"),
     QueryDef("gdpr_purge_audit", q_gdpr_purge_audit, SQL_GDPR_PURGE_AUDIT,
              "right-to-be-forgotten cascade audit: purged vs remaining "
              "per table (broadcast request set, one scan per table)"),

@@ -71,6 +71,14 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # identical to knn_cosine's — exhaustive probe == brute force), the
     # slot goes to the new time-series resampling family
     "event_gapfill_interp",       # gapfill / LOCF / interpolation
+    # round-4 rotation: two families with ZERO driver-graded reps get
+    # slots. customers_with_urgent_orders (plain semi join — EXISTS
+    # shape also exercised inside idle_rich_customers' anti/scalar mix
+    # and decontaminate's semi filter) and priority_line_counts (Q12
+    # conditional agg — CASE-agg shape carried by pricing_summary +
+    # revenue_by_nation) move to EXTENDED, still oracle-checked.
+    "conversion_funnel_24h",      # commerce funnel analytics family
+    "cdc_merge_apply",            # MERGE INTO / CDC apply family
 }
 
 
