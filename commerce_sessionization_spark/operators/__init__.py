@@ -59,7 +59,11 @@ from commerce_sessionization_spark.operators.chunking import (
     chunk_documents,
     pack_sequences,
 )
-from commerce_sessionization_spark.operators.dq import check_rules, observed_write
+from commerce_sessionization_spark.operators.dq import (
+    check_rules,
+    observed_write,
+    profile_columns,
+)
 from commerce_sessionization_spark.operators.graph import (
     k_core,
     label_propagation,
@@ -165,6 +169,7 @@ __all__ = [
     "ngram_contamination",
     "check_rules",
     "observed_write",
+    "profile_columns",
     "join_delta",
     "join_delta_z",
     "as_zset",

@@ -147,3 +147,56 @@ def observed_write(
     obs = Observation()
     named = [c.alias(n) for n, c in metrics.items()]
     return df.observe(obs, *named), obs
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: Sequence[tuple[str, F.Column]],
+    approx_ndv: bool = False,
+) -> DataFrame:
+    """ANALYZE-TABLE-style column profile in ONE scan: per column, row
+    count, null count, distinct count, min and max.
+
+    ``cols`` maps output column names to the expression to profile —
+    pass a render-stable expression (cast doubles to a decimal scale,
+    ``date_format`` timestamps) because min/max are returned as strings
+    in the long-form output. All statistics for all columns ride a
+    single aggregate: counts and min/max combine map-side; the 1-row
+    result is exploded to (column, …) rows driver-free.
+
+    ``approx_ndv=False`` uses exact ``count(DISTINCT)`` — Spark plans k
+    distinct columns as one Expand (k× row fanout collapsed by partial
+    aggregation), and a SQL oracle replays it exactly. At 100 TB flip
+    ``approx_ndv=True``: ``approx_count_distinct`` (HLL++) drops the
+    Expand entirely and every statistic becomes a plain mergeable
+    aggregate; the plan is otherwise identical, which is the point of
+    the flag living here and not in the caller.
+    """
+    if not cols:
+        raise ValueError("need at least one column")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, expr in cols:
+        ndv = (
+            F.approx_count_distinct(expr) if approx_ndv else F.countDistinct(expr)
+        )
+        aggs += [
+            F.sum(expr.isNull().cast("long")).alias(f"_nulls_{name}"),
+            ndv.alias(f"_ndv_{name}"),
+            F.min(expr).cast("string").alias(f"_min_{name}"),
+            F.max(expr).cast("string").alias(f"_max_{name}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nulls_{name}").alias("n_nulls"),
+                F.col(f"_ndv_{name}").alias("ndv"),
+                F.col(f"_min_{name}").alias("min_value"),
+                F.col(f"_max_{name}").alias("max_value"),
+            )
+            for name, _ in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("_p")).select("_p.*")

@@ -7838,6 +7838,58 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# One-pass column profiling (ANALYZE TABLE statistics)
+# --------------------------------------------------------------------------
+
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of ``orders`` — rows, nulls, NDV, min, max — in
+    ONE scan (``operators.dq.profile_columns``): every statistic for all
+    six columns rides a single aggregate; the 1-row result explodes to
+    long form with no driver round-trip. Exact ``count(DISTINCT)`` keeps
+    the oracle pairing (the operator's ``approx_ndv`` flag swaps in
+    HLL++ and drops the multi-distinct Expand at 100 TB — the only plan
+    difference). Render-unstable types are pinned up front: doubles
+    profile as DECIMAL(18,2), timestamps through ``date_format``.
+    """
+    from commerce_sessionization_spark.operators.dq import profile_columns
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        o,
+        [
+            ("o_orderkey", F.col("o_orderkey")),
+            ("o_custkey", F.col("o_custkey")),
+            ("o_orderstatus", F.col("o_orderstatus")),
+            ("o_orderpriority", F.col("o_orderpriority")),
+            ("o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")),
+            ("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")),
+        ],
+    )
+
+
+def _profile_sql_block(name: str, expr: str) -> str:
+    return f"""SELECT '{name}' AS col_name, count(*) AS n_rows,
+       COALESCE(sum(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END), 0) AS n_nulls,
+       count(DISTINCT {expr}) AS ndv,
+       CAST(min({expr}) AS VARCHAR) AS min_value,
+       CAST(max({expr}) AS VARCHAR) AS max_value
+FROM orders"""
+
+
+SQL_ORDERS_PROFILE = "\nUNION ALL\n".join(
+    _profile_sql_block(n, e)
+    for n, e in [
+        ("o_orderkey", "o_orderkey"),
+        ("o_custkey", "o_custkey"),
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_orderpriority", "o_orderpriority"),
+        ("o_totalprice", "o_totalprice::DECIMAL(18,2)"),
+        ("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"),
+    ]
+)
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -8331,6 +8383,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "int8 scalar-quantized top-k: corpus min/max grid, exact "
              "integer centered-code dot scores (compression tier beside "
              "PQ/IVF)"),
+    QueryDef("orders_profile", q_orders_profile, SQL_ORDERS_PROFILE,
+             "ANALYZE-style one-scan column profile: rows/nulls/ndv/"
+             "min/max per column, long form (approx_ndv flag = HLL++ "
+             "at scale)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -102,3 +102,48 @@ def test_observed_write_default_rowcount(spark):
     obs_df, obs = observed_write(spark.range(7))
     obs_df.write.format("noop").mode("overwrite").save()
     assert obs.get == {"rows": 7}
+
+
+def test_profile_columns_counts_nulls_and_ndv(spark):
+    from pyspark.sql import Row
+
+    from commerce_sessionization_spark.operators.dq import profile_columns
+
+    df = spark.createDataFrame(
+        [
+            Row(a=1, b="x"),
+            Row(a=1, b=None),
+            Row(a=2, b="y"),
+            Row(a=None, b="y"),
+        ]
+    )
+    prof = {
+        r.col_name: r
+        for r in profile_columns(
+            df, [("a", F.col("a")), ("b", F.col("b"))]
+        ).collect()
+    }
+    assert prof["a"].n_rows == 4 and prof["a"].n_nulls == 1
+    assert prof["a"].ndv == 2 and prof["a"].min_value == "1"
+    assert prof["a"].max_value == "2"
+    assert prof["b"].n_nulls == 1 and prof["b"].ndv == 2
+    assert (prof["b"].min_value, prof["b"].max_value) == ("x", "y")
+
+
+def test_profile_columns_approx_mode_close_and_expand_free(spark):
+    import io
+    import contextlib
+
+    from commerce_sessionization_spark.operators.dq import profile_columns
+
+    df = spark.range(0, 5000).selectExpr("id", "id % 37 AS m")
+    cols = [("id", F.col("id")), ("m", F.col("m"))]
+    approx = profile_columns(df, cols, approx_ndv=True)
+    got = {r.col_name: r.ndv for r in approx.collect()}
+    assert abs(got["id"] - 5000) / 5000 < 0.1
+    assert abs(got["m"] - 37) <= 2
+    # the approx plan must NOT pay the multi-distinct Expand
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        approx.explain(mode="formatted")
+    assert "Expand" not in buf.getvalue()
