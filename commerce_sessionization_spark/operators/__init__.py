@@ -68,6 +68,7 @@ from commerce_sessionization_spark.operators.graph import (
     k_core,
     label_propagation,
     pagerank,
+    shortest_paths,
     triangle_counts,
 )
 from commerce_sessionization_spark.operators.timeseries import (
@@ -200,6 +201,7 @@ __all__ = [
     "snapshot_diff",
     "k_core",
     "label_propagation",
+    "shortest_paths",
     "time_bucket_gapfill",
     "ohlc_resample",
     "ohlc_partial",

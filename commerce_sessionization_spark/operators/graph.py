@@ -393,6 +393,66 @@ def label_propagation(
     return labels
 
 
+def shortest_paths(
+    edges: DataFrame,
+    source: int,
+    rounds: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Unweighted single-source shortest paths (BFS), ``rounds`` hops.
+
+    Frontier-propagation form: each round joins ONLY the nodes settled
+    in the previous round against the adjacency — per-round shuffle is
+    O(frontier × degree), not O(|V|) — and a left-anti join keeps first
+    (= shortest, for unit weights) settlements. Round count bounds the
+    hop radius, so — like ``k_core`` — a SQL oracle replays the same
+    rounds as chained CTEs: full min-relaxation over all settled nodes
+    collapses to BFS when weights are 1, and a converged frontier goes
+    empty, making extra rounds no-ops (early exit == full replay).
+
+    Output: (node, dist) for every node within ``rounds`` hops of
+    ``source`` (the source itself at dist 0).
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    settled = spark.createDataFrame([(source, 0)], "node long, dist int")
+    frontier = settled
+    n_frontier = 1
+    # broadcast the frontier while it's dimension-sized (the common BFS
+    # regime); a web-scale frontier that outgrows this falls back to a
+    # shuffle join — same result, the plan billion-node graphs need
+    broadcast_limit = 4_000_000
+    for r in range(1, rounds + 1):
+        if n_frontier == 0:
+            break
+        fr = frontier.select(F.col("node").alias("nbr"))
+        if n_frontier <= broadcast_limit:
+            fr = F.broadcast(fr)
+        reached = (
+            adj.join(fr, "nbr")
+            .select("node")
+            .distinct()
+            .join(settled, "node", "left_anti")
+            .select("node", F.lit(r).alias("dist"))
+            .localCheckpoint()
+        )
+        settled = settled.unionAll(reached).localCheckpoint()
+        frontier = reached
+        n_frontier = reached.count()
+    return settled
+
+
 def k_core(
     edges: DataFrame,
     k: int,

@@ -7839,6 +7839,61 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Single-source shortest paths (BFS) — graph family
+# --------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 4
+
+
+def q_part_hop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distances from the smallest part key over the co-purchase
+    graph: frontier-propagated BFS (``operators.graph.shortest_paths``),
+    4 rounds. The Spark side joins only each round's frontier against
+    the adjacency (broadcast while dimension-sized); the oracle replays
+    the same rounds as chained CTEs — for unit weights, full
+    min-relaxation IS BFS, and an emptied frontier makes extra rounds
+    no-ops, so early exit and full replay agree.
+    """
+    from commerce_sessionization_spark.operators.graph import shortest_paths
+
+    edges = _part_pair_edges(spark, sf_dir).localCheckpoint()
+    src = edges.agg(
+        F.min(F.least(F.col("src"), F.col("dst")))
+    ).first()[0]
+    return shortest_paths(edges, source=int(src), rounds=_SSSP_ROUNDS)
+
+
+def _sssp_sql(rounds: int) -> str:
+    parts = [
+        """WITH und AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey
+), adj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b, a FROM und
+), d0 AS MATERIALIZED (
+  SELECT min(a) AS node, 0 AS dist FROM und
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", d{r} AS MATERIALIZED (
+  SELECT * FROM d{r - 1}
+  UNION ALL
+  SELECT DISTINCT adj.node, {r} AS dist
+  FROM adj JOIN d{r - 1} p ON adj.nbr = p.node
+  WHERE adj.node NOT IN (SELECT node FROM d{r - 1})
+)"""
+        )
+    parts.append(f"\nSELECT node, dist FROM d{rounds}")
+    return "".join(parts)
+
+
+SQL_PART_HOP_DISTANCES = _sssp_sql(_SSSP_ROUNDS)
+
+
+# --------------------------------------------------------------------------
 # One-pass column profiling (ANALYZE TABLE statistics)
 # --------------------------------------------------------------------------
 
@@ -8387,6 +8442,11 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "ANALYZE-style one-scan column profile: rows/nulls/ndv/"
              "min/max per column, long form (approx_ndv flag = HLL++ "
              "at scale)"),
+    QueryDef("part_hop_distances", q_part_hop_distances,
+             SQL_PART_HOP_DISTANCES,
+             "single-source BFS hop distances, frontier-propagated "
+             "(chained-CTE replayed oracle; frontier broadcast while "
+             "dimension-sized)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -301,3 +301,29 @@ def test_label_propagation_dense_blocks_converge_to_min_label(spark):
     }
     assert all(got[n] == 0 for n in range(6))
     assert all(got[n] == 100 for n in range(100, 105))
+
+
+def test_shortest_paths_hand_graph(spark):
+    from commerce_sessionization_spark.operators.graph import shortest_paths
+
+    # path 1-2-3-4 with shortcut 1-3, plus unreachable island {8,9}
+    g = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 3), (8, 9)])
+    got = {r.node: r.dist for r in shortest_paths(g, source=1, rounds=5).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_shortest_paths_rounds_bound_radius(spark):
+    from commerce_sessionization_spark.operators.graph import shortest_paths
+
+    chain = _edges(spark, [(i, i + 1) for i in range(6)])
+    got = {r.node: r.dist for r in shortest_paths(chain, source=0, rounds=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_shortest_paths_early_exit_equals_full_rounds(spark):
+    from commerce_sessionization_spark.operators.graph import shortest_paths
+
+    g = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    a = sorted(map(tuple, shortest_paths(g, source=1, rounds=2).collect()))
+    b = sorted(map(tuple, shortest_paths(g, source=1, rounds=9).collect()))
+    assert a == b
