@@ -88,6 +88,14 @@ HEADLINE = [
     "sliding_kmv_users",
     "conversion_funnel_24h",
     "customer_snapshot_diff",
+    # round-4 continued: overlapping windows, community detection, BFS,
+    # int8 quantized ANN, one-scan profiling, scalable global ranking
+    "hopping_window_stats",
+    "lpa_communities",
+    "part_hop_distances",
+    "sq_topk",
+    "orders_profile",
+    "doc_global_rank",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off
