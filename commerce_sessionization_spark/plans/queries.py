@@ -7894,6 +7894,222 @@ SQL_PART_HOP_DISTANCES = _sssp_sql(_SSSP_ROUNDS)
 
 
 # --------------------------------------------------------------------------
+# Autocorrelation (ACF) of the daily revenue series — time-series family
+# --------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3)
+
+
+def q_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1–3 of each event type's daily-revenue series.
+
+    The distributed-covariance pattern of ``metric_correlations``
+    applied to LAGGED pairs: one window pass produces lead(rev, L) and
+    lead(day, L) for all three lags (one partitioning, one sort), pairs
+    align only where the lagged day is exactly day+L (calendar gaps
+    yield no pair instead of a shifted one), and each (series, lag)
+    cell reduces to six exact decimal sufficient statistics. Only the
+    final Pearson divide runs in double — identical operands in both
+    engines, so corr_q6 hash-matches; engine-native corr() would be
+    order-dependent and unverifiable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    sel = ["event_type", "day", "rev"]
+    for L in _ACF_LAGS:
+        sel += [
+            F.lead("rev", L).over(w).alias(f"rv{L}"),
+            F.lead("day", L).over(w).alias(f"d{L}"),
+        ]
+    lagged = daily.select(*sel)
+    pairs = (
+        lagged.select(
+            "event_type",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(L).alias("lag"),
+                            F.col("rev").alias("x"),
+                            F.when(
+                                F.col(f"d{L}") == F.col("day") + L,
+                                F.col(f"rv{L}"),
+                            ).alias("y"),
+                        )
+                        for L in _ACF_LAGS
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("event_type", "p.lag", "p.x", "p.y")
+        .filter(F.col("y").isNotNull())
+    )
+    stats = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (
+        F.col("n") * F.col("sxx") - F.col("sx").cast("decimal(38,4)") * F.col("sx")
+    ).cast("double")
+    dy = (
+        F.col("n") * F.col("syy") - F.col("sy").cast("decimal(38,4)") * F.col("sy")
+    ).cast("double")
+    return stats.select(
+        "event_type",
+        "lag",
+        "n",
+        _quant(num / F.sqrt(dx * dy), 6).alias("acf_q6"),
+    )
+
+
+def _acf_lag_block(L: int) -> str:
+    return f"""SELECT event_type, {L} AS lag, rev AS x,
+       CASE WHEN d{L} = day + {L} THEN rv{L} END AS y
+FROM lagged"""
+
+
+SQL_REVENUE_AUTOCORRELATION = (
+    """WITH daily AS MATERIALIZED (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         sum(value::DECIMAL(18,2)) AS rev
+  FROM events GROUP BY 1, 2
+), lagged AS MATERIALIZED (
+  SELECT event_type, day, rev,
+         lead(rev, 1) OVER w AS rv1, lead(day, 1) OVER w AS d1,
+         lead(rev, 2) OVER w AS rv2, lead(day, 2) OVER w AS d2,
+         lead(rev, 3) OVER w AS rv3, lead(day, 3) OVER w AS d3
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), pairs AS (
+  SELECT * FROM (
+"""
+    + "\nUNION ALL\n".join(_acf_lag_block(L) for L in _ACF_LAGS)
+    + """
+  ) WHERE y IS NOT NULL
+), stats AS (
+  SELECT event_type, lag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pairs GROUP BY event_type, lag
+)
+SELECT event_type, lag, n,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - CAST(sx AS DECIMAL(38,4)) * sx AS DOUBLE)
+                         * CAST(n * syy - CAST(sy AS DECIMAL(38,4)) * sy AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS acf_q6
+FROM stats
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# Smoothed target encoding (ML feature prep)
+# --------------------------------------------------------------------------
+
+_TENC_M = 10  # pseudo-count weight pulling rare categories toward the prior
+
+
+def q_priority_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of order priority against order value:
+    enc(c) = (Σ_c y + m·μ) / (n_c + m), the empirical-Bayes shrinkage
+    that keeps rare categories from memorizing their few labels.
+
+    Two aggregates share one scan lineage (per-category + global), the
+    1-row global prior broadcasts via crossJoin, and every sum is exact
+    decimal — only the two final divisions run in double, on identical
+    operands in both engines, so enc_q6 hash-matches. At 100 TB this is
+    the fold-free encoding pass you'd run per CV fold by adding the
+    fold key to both groupings; the plan shape is unchanged.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("decimal(18,2)").alias("_y")
+    )
+    glob = o.agg(
+        F.sum("_y").alias("_gs"), F.count(F.lit(1)).cast("long").alias("_gn")
+    )
+    per = o.groupBy("o_orderpriority").agg(
+        F.sum("_y").alias("_cs"), F.count(F.lit(1)).cast("long").alias("_cn")
+    )
+    mu = F.col("_gs").cast("double") / F.col("_gn").cast("double")
+    enc = (F.col("_cs").cast("double") + F.lit(float(_TENC_M)) * mu) / (
+        F.col("_cn") + F.lit(_TENC_M)
+    ).cast("double")
+    return per.crossJoin(F.broadcast(glob)).select(
+        "o_orderpriority",
+        F.col("_cn").alias("n_orders"),
+        _quant(enc, 6).alias("enc_q6"),
+    )
+
+
+SQL_PRIORITY_TARGET_ENCODING = f"""
+WITH g AS (
+  SELECT sum(o_totalprice::DECIMAL(18,2)) AS gs, count(*) AS gn FROM orders
+), per AS (
+  SELECT o_orderpriority,
+         sum(o_totalprice::DECIMAL(18,2)) AS cs, count(*) AS cn
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, cn AS n_orders,
+       CAST(floor(
+         (CAST(cs AS DOUBLE) + {_TENC_M}.0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))
+         / CAST(cn + {_TENC_M} AS DOUBLE) * 1000000.0) AS BIGINT) AS enc_q6
+FROM per, g
+"""
+
+
+# --------------------------------------------------------------------------
+# VARIANT ingestion (Spark 4 semi-structured path)
+# --------------------------------------------------------------------------
+
+def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    ``parse_json`` binds the props string ONCE into the binary variant
+    encoding, and ``variant_get`` extracts typed paths with no re-parse
+    — at 100 TB the parse happens at ingestion and every downstream
+    path extraction is a cheap binary probe, vs ``get_json_object``
+    re-parsing the string per call (the shape ``event_props_extract``
+    covers). Aggregates distinct users and exact decimal revenue per
+    extracted key bucket; the oracle replays with native JSON
+    extraction, proving the variant path changes representation, not
+    semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select(
+            (k % 10).alias("k_mod"),
+            "user_id",
+            F.col("value").cast("decimal(18,2)").alias("_v"),
+        )
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("_v").cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_PROPS_VARIANT_STATS = """
+SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # One-pass column profiling (ANALYZE TABLE statistics)
 # --------------------------------------------------------------------------
 
@@ -8447,6 +8663,19 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "single-source BFS hop distances, frontier-propagated "
              "(chained-CTE replayed oracle; frontier broadcast while "
              "dimension-sized)"),
+    QueryDef("revenue_autocorrelation", q_revenue_autocorrelation,
+             SQL_REVENUE_AUTOCORRELATION,
+             "ACF lags 1-3 of daily revenue per series: one window "
+             "pass, exact decimal sufficient stats, calendar-gap-aware "
+             "pair alignment"),
+    QueryDef("priority_target_encoding", q_priority_target_encoding,
+             SQL_PRIORITY_TARGET_ENCODING,
+             "empirical-Bayes smoothed target encoding (m=10 prior "
+             "pseudo-count), exact decimal sums, broadcast global prior"),
+    QueryDef("props_variant_stats", q_props_variant_stats,
+             SQL_PROPS_VARIANT_STATS,
+             "Spark-4 VARIANT semi-structured path: parse_json once, "
+             "typed variant_get extraction, agg per extracted bucket"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

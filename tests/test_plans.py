@@ -223,6 +223,8 @@ _INTENDED_LOOP_JOINS = {
     "domain_mixture_sample",   # 1-row corpus totals anchor
     "gdpr_purge_audit",        # three 1-row (total x purged) count crosses
     "semdedup_prune",          # broadcast 16-row seed centroids (×3 refs)
+    "sq_topk",                 # 1-row bounds + 1-row query-code broadcasts
+    "priority_target_encoding",  # 1-row global prior broadcast
 }
 
 
