@@ -335,14 +335,20 @@ def label_propagation(
     ``k_core`` — the semantics are defined by the ROUND COUNT and a SQL
     oracle can replay every round as a chained CTE.
 
-    Each round is one labels⋈adjacency join plus one two-level
-    aggregation: (node, label) counts collapse map-side, then the
-    per-node argmax rides a single ``max(struct(cnt, -label))`` — no
-    window, no second shuffle beyond the groupBy(node). When the vertex
-    set is small enough (``<= broadcast_labels``), the per-round label
-    table broadcasts into the join so the pinned adjacency NEVER
-    reshuffles — the pagerank layout argument. Per-round state is the
-    (node, label) table, pinned with ``localCheckpoint`` for O(1)
+    Each round is one labels⋈adjacency join plus ONE aggregation:
+    ``mode(label, deterministic=true)`` — Spark's deterministic mode
+    breaks frequency ties to the smallest value, which IS the LPA tie
+    rule, so the per-node winner needs no (node, label) pre-count and
+    no struct-argmax second shuffle. When the vertex set is small
+    enough (``<= broadcast_labels``), the per-round label table
+    broadcasts into the join and the adjacency is laid out
+    hash-partitioned by node ONCE (cache, not localCheckpoint — a
+    checkpoint forgets its outputPartitioning, cf. pagerank): hash(node)
+    satisfies the groupBy(node) clustering, so each round runs with
+    ZERO data exchanges — the loop moves only the broadcast of the
+    small label table. Past the threshold the join falls back to
+    shuffle, the right plan for billion-node graphs. Per-round state is
+    the (node, label) table, pinned with ``localCheckpoint`` for O(1)
     lineage.
 
     Output: (node, community) — the label each node holds after
@@ -370,8 +376,11 @@ def label_propagation(
         und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
         .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
         .unionAll(verts.select("node", F.col("node").alias("nbr")))
-        .localCheckpoint()
     )
+    if small:
+        adj = adj.repartition(F.col("node")).cache()
+    else:
+        adj = adj.localCheckpoint()
     labels = verts.select("node", F.col("node").alias("community"))
     for _ in range(rounds):
         lbl = labels.select(
@@ -379,17 +388,12 @@ def label_propagation(
         )
         votes = adj.join(F.broadcast(lbl) if small else lbl, "nbr")
         labels = (
-            votes.groupBy("node", "_l")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .groupBy("node")
-            .agg(
-                F.max(
-                    F.struct(F.col("_c"), (-F.col("_l")).alias("_nl"))
-                ).alias("_m")
-            )
-            .select("node", (-F.col("_m._nl")).alias("community"))
+            votes.groupBy("node")
+            .agg(F.mode(F.col("_l"), True).alias("community"))
             .localCheckpoint()
         )
+    if small:
+        adj.unpersist(blocking=False)
     return labels
 
 

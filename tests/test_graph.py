@@ -327,3 +327,54 @@ def test_shortest_paths_early_exit_equals_full_rounds(spark):
     a = sorted(map(tuple, shortest_paths(g, source=1, rounds=2).collect()))
     b = sorted(map(tuple, shortest_paths(g, source=1, rounds=9).collect()))
     assert a == b
+
+
+def test_lpa_round_runs_without_data_exchange(spark):
+    """LPA's per-round claim: with the adjacency cached hash-partitioned
+    by node and the label table broadcast, the join → mode(label)
+    aggregation plans ZERO data Exchanges (hash(node) satisfies the
+    groupBy(node) clustering through the broadcast join)."""
+    import contextlib
+    import io
+    import re
+
+    adj = (
+        spark.range(2000)
+        .select(F.col("id").alias("node"), (F.col("id") % 131).alias("nbr"))
+        .repartition(8, F.col("node"))
+        .cache()
+    )
+    try:
+        adj.count()
+        labels = spark.range(131).select(
+            F.col("id").alias("nbr"), F.col("id").alias("_l")
+        )
+        df = (
+            adj.join(F.broadcast(labels), "nbr")
+            .groupBy("node")
+            .agg(F.mode(F.col("_l"), True).alias("community"))
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+        post_cache = plan.split("BroadcastExchange")[0].split("InMemoryTableScan")[0]
+        assert len(re.findall(r"\(\d+\) Exchange", post_cache)) == 0, plan
+    finally:
+        adj.unpersist()
+
+
+def test_mode_deterministic_breaks_ties_to_smallest(spark):
+    """label_propagation leans on mode(col, deterministic=true) picking
+    the SMALLEST value among frequency ties — pin that contract."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(g=1, v=9), Row(g=1, v=9), Row(g=1, v=4), Row(g=1, v=4),
+         Row(g=2, v=7), Row(g=2, v=2), Row(g=2, v=7)]
+    )
+    got = {
+        r.g: r.m
+        for r in df.groupBy("g").agg(F.mode(F.col("v"), True).alias("m")).collect()
+    }
+    assert got == {1: 4, 2: 7}
