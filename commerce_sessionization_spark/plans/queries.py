@@ -3928,6 +3928,11 @@ def _part_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair fanout is quadratic in basket size, which TPC-H (and most
     carts) bounds by a small constant. Oracles keep the self-join
     formulation — identical pair set, independently derived.
+
+    Emits the pair MULTISET (one row per co-occurring basket): every
+    graph consumer (triangles / k-core / LPA / BFS) normalizes and
+    dedupes internally anyway, so a distinct here would only add a
+    second full-pair shuffle in front of theirs.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
@@ -3944,7 +3949,6 @@ def _part_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_p")
         )
         .select("_p.src", "_p.dst")
-        .distinct()
     )
 
 
