@@ -20,10 +20,12 @@ from commerce_sessionization_spark.operators.dedup import (
 )
 from commerce_sessionization_spark.operators.sampling import hash_split
 from commerce_sessionization_spark.operators.sketches import (
+    bottomk_sample,
     count_min_cells,
     count_min_estimates,
     histogram_quantiles,
     histogram_sketch,
+    sample_quantiles,
 )
 from commerce_sessionization_spark.operators.joins import asof_join, range_join
 from commerce_sessionization_spark.operators.similarity import (
@@ -143,10 +145,12 @@ __all__ = [
     "ngram_jaccard_pairs",
     "segment_dedup",
     "hash_split",
+    "bottomk_sample",
     "count_min_cells",
     "count_min_estimates",
     "histogram_quantiles",
     "histogram_sketch",
+    "sample_quantiles",
     "simhash_dedup_candidates",
     "simhash_table",
     "asof_join",

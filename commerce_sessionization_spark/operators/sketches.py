@@ -17,6 +17,8 @@ asserted separately in pytest).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -232,3 +234,59 @@ def histogram_quantiles(
             ).alias("est"),
         )
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int = 256,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Deterministic uniform row sample: the ``k`` rows whose
+    sha256(id) hashes are globally smallest.
+
+    The hash of a unique row id is a deterministic uniform rank, so
+    bottom-k-by-hash IS a uniform random sample — and a MERGEABLE one:
+    bottom-k of a union = bottom-k of each part's bottom-k, which is
+    how a 100 TB scan reduces it (per-partition TakeOrdered k, then k·P
+    rows to one reducer — never a global sort). Replayable by any
+    engine with the same sha arithmetic, so sample-derived statistics
+    hash-compare exactly, unlike rand()-based sampling.
+    """
+    h = hex_to_long(F.sha2(F.col(id_col).cast("string"), 256))
+    return (
+        df.select(id_col, *keep_cols, h.alias("_h"))
+        .orderBy("_h")
+        .limit(k)
+    )
+
+
+def sample_quantiles(
+    sample: DataFrame,
+    value_col: str,
+    id_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact order statistics OF THE SAMPLE: for each p, the value at
+    1-indexed rank ceil(p·k) under the (value, id) total order.
+
+    No interpolation — rank selection is pure integer arithmetic, so
+    a SQL oracle replays it bit-for-bit. With a bottom-k uniform
+    sample of k rows, the sampled p-quantile estimates the population
+    quantile with error O(1/sqrt(k)) (standard order-statistic bound);
+    the estimate is rank-based, so it needs no value-range knowledge —
+    the complement of the equi-width histogram sketch.
+    """
+    w = Window.orderBy(F.col(value_col), F.col(id_col))
+    n = sample.count()  # k, a bounded constant by construction
+    ranked = sample.select(
+        value_col, F.row_number().over(w).alias("_rn")
+    )
+    targets = [(p, math.ceil(p * n)) for p in percentiles]
+    picks = None
+    for p, r in targets:
+        one = ranked.filter(F.col("_rn") == r).select(
+            F.lit(p).alias("p"), F.col(value_col).alias("q_value")
+        )
+        picks = one if picks is None else picks.unionAll(one)
+    return picks

@@ -8016,6 +8016,67 @@ FROM stats
 
 
 # --------------------------------------------------------------------------
+# Bottom-k uniform sample + rank-based sample quantiles (sketch family)
+# --------------------------------------------------------------------------
+
+_BKQ_K = 256
+
+
+def q_sampled_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of event value from a deterministic 256-row uniform
+    sample — the RANK-based quantile sketch (no value-range knowledge),
+    complementing the equi-width ``histogram_quantile_sketch``.
+
+    ``bottomk_sample`` keeps the globally smallest sha256(event_id)
+    hashes — a mergeable uniform sample (bottom-k of a union = bottom-k
+    of per-part bottom-ks; the plan is per-partition TakeOrdered, never
+    a global sort). Quantiles are exact order statistics of the sample
+    at rank ceil(p·k) under the (value, id) total order — pure rank
+    selection, no interpolation, replayed bit-for-bit by the oracle.
+    """
+    from commerce_sessionization_spark.operators.sketches import (
+        bottomk_sample,
+        sample_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    s = bottomk_sample(ev, id_col="event_id", k=_BKQ_K, keep_cols=("value",))
+    q = sample_quantiles(
+        s, value_col="value", id_col="event_id", percentiles=(0.5, 0.9, 0.99)
+    )
+    return q.select(
+        (F.col("p") * 100).cast("int").alias("p_pct"),
+        _quant(F.col("q_value"), 6).alias("q_value_q6"),
+    )
+
+
+_BKQ_HASH_SQL = _hex2int_sql("sha256(event_id::VARCHAR)")
+
+
+def _bkq_pick_sql(p: float) -> str:
+    import math as _math
+
+    r = _math.ceil(p * _BKQ_K)
+    return (
+        f"SELECT {int(p * 100)} AS p_pct, "
+        f"CAST(floor(value * 1000000.0) AS BIGINT) "
+        f"AS q_value_q6 FROM r WHERE rn = {r}"
+    )
+
+
+SQL_SAMPLED_VALUE_QUANTILES = (
+    f"""WITH s AS MATERIALIZED (
+  SELECT event_id, value FROM events
+  ORDER BY {_BKQ_HASH_SQL} LIMIT {_BKQ_K}
+), r AS (
+  SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn FROM s
+)
+"""
+    + "\nUNION ALL\n".join(_bkq_pick_sql(p) for p in (0.5, 0.9, 0.99))
+)
+
+
+# --------------------------------------------------------------------------
 # Smoothed target encoding (ML feature prep)
 # --------------------------------------------------------------------------
 
@@ -8680,6 +8741,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_PROPS_VARIANT_STATS,
              "Spark-4 VARIANT semi-structured path: parse_json once, "
              "typed variant_get extraction, agg per extracted bucket"),
+    QueryDef("sampled_value_quantiles", q_sampled_value_quantiles,
+             SQL_SAMPLED_VALUE_QUANTILES,
+             "rank-based quantile sketch: mergeable bottom-k-by-hash "
+             "uniform sample, exact order-statistic selection"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -154,3 +154,61 @@ def test_histogram_sketch_merges_and_bounds_quantiles(spark):
     ).first()["q"]
     for p, ex in zip((0.5, 0.95, 0.99), exact):
         assert abs(ests[p] - ex) <= 100.0, (p, ests[p], ex)
+
+
+def test_bottomk_sample_is_mergeable(spark):
+    """bottom-k of a union == bottom-k of the parts' bottom-ks — the
+    property that lets the sample reduce tree-wise at scale."""
+    from commerce_sessionization_spark.operators.sketches import bottomk_sample
+
+    a = spark.range(0, 3000).selectExpr("id", "id * 2 AS v")
+    b = spark.range(3000, 6000).selectExpr("id", "id * 2 AS v")
+    k = 64
+    direct = bottomk_sample(a.unionAll(b), "id", k=k, keep_cols=("v",))
+    merged = bottomk_sample(
+        bottomk_sample(a, "id", k=k, keep_cols=("v",)).unionAll(
+            bottomk_sample(b, "id", k=k, keep_cols=("v",))
+        ),
+        "id",
+        k=k,
+        keep_cols=("v",),
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_sample_quantiles_rank_selection(spark):
+    from pyspark.sql import Row
+
+    from commerce_sessionization_spark.operators.sketches import sample_quantiles
+
+    # 10 known values; ceil(0.5*10)=5 -> 50, ceil(0.9*10)=9 -> 90
+    df = spark.createDataFrame(
+        [Row(id=i, value=float((i + 1) * 10)) for i in range(10)]
+    )
+    got = {
+        r.p: r.q_value
+        for r in sample_quantiles(
+            df, "value", "id", percentiles=(0.5, 0.9)
+        ).collect()
+    }
+    assert got == {0.5: 50.0, 0.9: 90.0}
+
+
+def test_sampled_quantiles_track_population(spark):
+    """256-row sample medians of 50k uniform values must sit within a
+    few percent of the true quantiles (O(1/sqrt(k)) order-stat bound)."""
+    from commerce_sessionization_spark.operators.sketches import (
+        bottomk_sample,
+        sample_quantiles,
+    )
+
+    df = spark.range(0, 50_000).selectExpr("id", "CAST(id AS DOUBLE) AS value")
+    s = bottomk_sample(df, "id", k=256, keep_cols=("value",))
+    got = {
+        r.p: r.q_value
+        for r in sample_quantiles(s, "value", "id", (0.5, 0.9)).collect()
+    }
+    assert abs(got[0.5] - 25_000) < 5_000
+    assert abs(got[0.9] - 45_000) < 5_000
