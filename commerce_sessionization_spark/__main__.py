@@ -120,6 +120,21 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--limit", type=int, default=20)
     sq.add_argument("--master", default=None)
 
+    pr = sub.add_parser(
+        "profile",
+        help="one-scan column profile (rows/nulls/ndv/min/max) of a "
+             "parquet table or testdata table name",
+    )
+    pr.add_argument("table", help="parquet path, or a testdata table name "
+                                  "when --sf-dir is given")
+    pr.add_argument("--sf-dir", default=None,
+                    help="resolve `table` inside this testdata dir")
+    pr.add_argument("--columns", default=None,
+                    help="comma-separated subset (default: all columns)")
+    pr.add_argument("--approx", action="store_true",
+                    help="approx_count_distinct (HLL++) instead of exact NDV")
+    pr.add_argument("--master", default=None)
+
     ge = sub.add_parser(
         "generate",
         help="write deterministic synthetic events via the "
@@ -228,6 +243,26 @@ def main(argv: list[str] | None = None) -> int:
                 .parquet(args.out)
             )
             print(f"generated {args.rows} events -> {args.out}")
+        elif args.cmd == "profile":
+            from pyspark.sql import functions as F
+
+            from commerce_sessionization_spark.operators.dq import profile_columns
+
+            if args.sf_dir:
+                from commerce_sessionization_spark.sources.tables import load_table
+
+                df = load_table(spark, args.sf_dir, args.table)
+            else:
+                df = spark.read.parquet(args.table)
+            names = (
+                [c.strip() for c in args.columns.split(",")]
+                if args.columns
+                else df.columns
+            )
+            prof = profile_columns(
+                df, [(c, F.col(c)) for c in names], approx_ndv=args.approx
+            )
+            prof.show(len(names) + 1, truncate=False)
         elif args.cmd == "compact":
             from commerce_sessionization_spark.sources.io import compact_partition
 

@@ -181,3 +181,38 @@ def rollup_stream(
         .outputMode("update")
         .start()
     )
+
+
+def make_bottomk_writer(
+    spark: SparkSession,
+    out_path: str,
+    id_col: str,
+    keep_cols: tuple[str, ...] = (),
+    k: int = 256,
+    keep_versions: int = 3,
+):
+    """Incremental bottom-k-by-hash uniform sample over a stream.
+
+    The sample algebra is mergeable (bottom-k of a union == bottom-k of
+    the parts' bottom-ks), so a statistically-valid uniform sample of
+    EVERYTHING EVER SEEN rides the same MVCC epoch maintainer as the
+    rollups and the CMS — per epoch: bottom-k the micro-batch, merge
+    with the previous version, keep k rows. Epoch replay rewrites the
+    identical version (the sample is a deterministic function of the
+    id set), so exactly-once needs no dedup pass. Any downstream
+    statistic (e.g. ``sketches.sample_quantiles``) reads the newest
+    version — streaming quantiles with no per-value state.
+    """
+    from commerce_sessionization_spark.operators.sketches import bottomk_sample
+
+    def partial(df: DataFrame) -> DataFrame:
+        return bottomk_sample(df, id_col, k=k, keep_cols=keep_cols)
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        # parts already carry _h; re-rank the union and keep k smallest
+        from pyspark.sql import functions as F
+
+        return a.unionByName(b).orderBy(F.col("_h")).limit(k)
+
+    return make_incremental_writer(spark, out_path, partial, merge,
+                                   keep_versions=keep_versions)

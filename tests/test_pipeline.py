@@ -277,3 +277,18 @@ def test_cli_sql_subcommand(tmp_path):
         f"SELECT count(*) FROM read_parquet('{out}/*.parquet')"
     ).fetchone()[0]
     assert rows == 5  # five TPC-H regions
+
+
+def test_cli_profile_subcommand():
+    """`profile` prints the one-scan column profile for a testdata table."""
+    import subprocess
+    import sys as _sys
+
+    run = subprocess.run(
+        [_sys.executable, "-m", "commerce_sessionization_spark", "profile",
+         "region", "--sf-dir", "/root/testdata/sf0.001",
+         "--columns", "r_regionkey,r_name", "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert run.returncode == 0, run.stderr[-500:]
+    assert "r_regionkey" in run.stdout and "ndv" in run.stdout

@@ -173,3 +173,28 @@ def test_cms_writer_incremental_equals_direct_and_replay_safe(spark, tmp_path):
         for r in count_min_cells(toks(spark, w0 + w1), "tok").collect()
     }
     assert got == want
+
+
+def test_bottomk_writer_incremental_equals_direct_and_replay_safe(spark, tmp_path):
+    """Streaming bottom-k sample state == the sample of all rows ever
+    seen, and epoch replay rewrites the identical version."""
+    from commerce_sessionization_spark.operators.sketches import bottomk_sample
+    from commerce_sessionization_spark.streaming.rollup_stream import (
+        make_bottomk_writer,
+        read_rollup_state,
+    )
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).selectExpr("id", "id * 3 AS v")
+
+    out = str(tmp_path / "bk")
+    write = make_bottomk_writer(spark, out, "id", keep_cols=("v",), k=16)
+    write(batch(0, 500), 0)
+    write(batch(500, 1000), 1)
+    write(batch(500, 1000), 1)  # replay must be a no-op rewrite
+    got = sorted(map(tuple, read_rollup_state(spark, out).collect()))
+    want = sorted(
+        map(tuple, bottomk_sample(batch(0, 1000), "id", k=16,
+                                  keep_cols=("v",)).collect())
+    )
+    assert got == want and len(got) == 16
