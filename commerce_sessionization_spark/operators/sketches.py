@@ -277,6 +277,10 @@ def sample_quantiles(
     the estimate is rank-based, so it needs no value-range knowledge —
     the complement of the equi-width histogram sketch.
     """
+    # pin the k-row sample: count + ranking + one filter per percentile
+    # all reference it, and without the pin each reference re-executes
+    # the full upstream corpus scan (PLANS.md caught 3 scans)
+    sample = sample.localCheckpoint()
     w = Window.orderBy(F.col(value_col), F.col(id_col))
     n = sample.count()  # k, a bounded constant by construction
     ranked = sample.select(
