@@ -27,7 +27,12 @@ from commerce_sessionization_spark.operators.sketches import (
     histogram_sketch,
     sample_quantiles,
 )
-from commerce_sessionization_spark.operators.joins import asof_join, range_join
+from commerce_sessionization_spark.operators.joins import (
+    asof_join,
+    bloom_filtered_join,
+    range_join,
+    salted_join,
+)
 from commerce_sessionization_spark.operators.similarity import (
     all_pairs_topk,
     brute_force_topk,
@@ -154,7 +159,9 @@ __all__ = [
     "simhash_dedup_candidates",
     "simhash_table",
     "asof_join",
+    "bloom_filtered_join",
     "range_join",
+    "salted_join",
     "all_pairs_topk",
     "brute_force_topk",
     "embedding_dedup_pairs",

@@ -130,3 +130,61 @@ def range_join(
     a cross product; AQE splits skewed keys.
     """
     return left.join(right, on & interval, how)
+
+
+def bloom_filtered_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    m: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Equi-join with a bloom-filter pre-prune of the probe side.
+
+    Builds a bloom filter of ``right``'s distinct keys (``sketches.
+    bloom_bits`` — a ≤ m-row position set), collapses it to a 1-row
+    broadcast lookup map, and filters ``left`` BEFORE the join: rows
+    whose key cannot be on the right never enter the shuffle. False
+    positives pass the filter and are dropped by the real join, so the
+    result is bit-identical to ``left.join(right, key, how)`` — the
+    filter only moves bytes off the exchange.
+
+    This is the manual form of runtime row-group/bloom pruning for the
+    regime Spark's broadcast join can't reach: ``right`` too LARGE to
+    broadcast as rows, but its key fingerprint (m bits) still tiny. At
+    100 TB, a selective dimension predicate shrinks the fact-side
+    shuffle by the join selectivity — the same motivation as Spark's
+    own `spark.sql.optimizer.runtime.bloomFilter`, expressed as a
+    composable operator with a deterministic (SHA-derived, replayable)
+    filter. Probe cost is k hash + k map lookups per row, inside
+    codegen; no shuffle is added anywhere.
+
+    Supports ``inner`` and ``left_semi`` (prune-then-join preserves
+    them; outer joins would lose left rows at the filter).
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"bloom_filtered_join supports inner|left_semi, got {how!r}")
+    from commerce_sessionization_spark.operators.sketches import (
+        _bloom_positions,
+        bloom_bits,
+    )
+
+    bits = bloom_bits(right, key, m=m, k=k)
+    bitmap = bits.agg(
+        F.map_from_arrays(
+            F.collect_list("pos"),
+            F.transform(F.collect_list("pos"), lambda _: F.lit(True)),
+        ).alias("_bm")
+    )
+    pruned = (
+        left.crossJoin(F.broadcast(bitmap))
+        .filter(
+            F.forall(
+                _bloom_positions(F.col(key).cast("string"), m, k),
+                lambda p: F.element_at(F.col("_bm"), p).isNotNull(),
+            )
+        )
+        .drop("_bm")
+    )
+    return pruned.join(right, key, how)

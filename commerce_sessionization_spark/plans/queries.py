@@ -8016,6 +8016,54 @@ FROM stats
 
 
 # --------------------------------------------------------------------------
+# Bloom-pruned join (runtime-filter shape)
+# --------------------------------------------------------------------------
+
+def q_bloom_pruned_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order line revenue through ``joins.bloom_filtered_join``:
+    a bloom fingerprint of the urgent order keys (SHA-derived,
+    deterministic) filters lineitem BEFORE the join shuffle — ~80% of
+    the fact side never enters the exchange (1 of 5 priorities). The
+    result is bit-identical to the plain join (false positives die at
+    the real join), which is exactly what the oracle replays; the plan
+    difference — probe condition below the exchange — is pinned in
+    ``tests/test_joins.py``. The manual, composable form of Spark's
+    runtime bloom filter, for the right-too-big-to-broadcast regime.
+    """
+    from commerce_sessionization_spark.operators.joins import bloom_filtered_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        bloom_filtered_join(li, urgent, "l_orderkey", how="left_semi")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+SQL_BLOOM_PRUNED_ORDER_REVENUE = """
+SELECT count(*) AS n_lines,
+       CAST(sum(l_extendedprice::DECIMAL(18,2)
+                * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+# --------------------------------------------------------------------------
 # Bottom-k uniform sample + rank-based sample quantiles (sketch family)
 # --------------------------------------------------------------------------
 
@@ -8745,6 +8793,11 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_SAMPLED_VALUE_QUANTILES,
              "rank-based quantile sketch: mergeable bottom-k-by-hash "
              "uniform sample, exact order-statistic selection"),
+    QueryDef("bloom_pruned_order_revenue", q_bloom_pruned_order_revenue,
+             SQL_BLOOM_PRUNED_ORDER_REVENUE,
+             "bloom-filter join pruning: fact side filtered by the dim "
+             "keys' SHA bloom BEFORE the shuffle (runtime-filter shape, "
+             "bit-identical result)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -181,3 +181,85 @@ def test_salted_join_equals_plain_join(spark):
             for r in salted_join(left, right, "k", n_salts=4, how=how).collect()
         )
         assert salted == plain, how
+
+
+def test_bloom_filtered_join_equals_plain_join(spark):
+    from commerce_sessionization_spark.operators.joins import bloom_filtered_join
+
+    left = spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS v")
+    right = spark.range(0, 5000).filter("id % 50 = 0").selectExpr(
+        "id AS k", "id + 1 AS w"
+    )
+    for how in ("inner", "left_semi"):
+        got = sorted(map(tuple, bloom_filtered_join(left, right, "k", how).collect()))
+        want = sorted(map(tuple, left.join(right, "k", how).collect()))
+        assert got == want, how
+
+
+def test_bloom_filtered_join_prunes_before_exchange(spark):
+    """The point of the operator: the bloom filter must sit UNDER the
+    join's exchange so pruned rows never shuffle."""
+    import contextlib
+    import io
+    import re
+
+    from commerce_sessionization_spark.operators.joins import bloom_filtered_join
+
+    left = spark.range(0, 10000).selectExpr("id AS k", "id AS v")
+    right = spark.range(0, 100).selectExpr("id * 97 AS k", "id AS w")
+    # force the shuffle regime (no broadcast of right as rows)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bloom_filtered_join(left, right, "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        # the bloom probe (a forall over the k hash positions) must be
+        # evaluated BELOW the join's left-side Exchange — Catalyst fuses
+        # the crossJoin+filter into a BroadcastNestedLoopJoin condition,
+        # so locate the node holding the forall and the Exchange feeding
+        # the SMJ's left Sort, and compare tree depth via node ids
+        # (children have smaller ids than their ancestors here)
+        import re as _re
+
+        probe = _re.search(r"\((\d+)\) \w+[\s\S]{0,600}?forall", plan)
+        sort_exch = _re.search(r":- Sort \((\d+)\)\s*\n\s*:\s*\+- Exchange \((\d+)\)", plan)
+        assert probe and sort_exch, plan
+        assert int(probe.group(1)) < int(sort_exch.group(2)), plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bloom_filtered_join_actually_prunes(spark):
+    from commerce_sessionization_spark.operators.joins import bloom_filtered_join
+    from commerce_sessionization_spark.operators.sketches import (
+        _bloom_positions,
+        bloom_bits,
+    )
+    from pyspark.sql import functions as F
+
+    left = spark.range(0, 20000).selectExpr("id AS k")
+    right = spark.range(0, 20).selectExpr("id * 1000 AS k")
+    bits = bloom_bits(right, "k", m=8192, k=3)
+    bitmap = bits.agg(
+        F.map_from_arrays(
+            F.collect_list("pos"),
+            F.transform(F.collect_list("pos"), lambda _: F.lit(True)),
+        ).alias("_bm")
+    )
+    survivors = (
+        left.crossJoin(F.broadcast(bitmap))
+        .filter(
+            F.forall(
+                _bloom_positions(F.col("k").cast("string"), 8192, 3),
+                lambda p: F.element_at(F.col("_bm"), p).isNotNull(),
+            )
+        )
+        .count()
+    )
+    # 20 true keys; false-positive rate with m=8192,k=3,n=20 is ~0 —
+    # allow a loose bound while proving >99% of rows never shuffle
+    assert survivors < 200, survivors
+    assert bloom_filtered_join(left, right, "k").count() == 20

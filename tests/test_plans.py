@@ -225,6 +225,7 @@ _INTENDED_LOOP_JOINS = {
     "semdedup_prune",          # broadcast 16-row seed centroids (×3 refs)
     "sq_topk",                 # 1-row bounds + 1-row query-code broadcasts
     "priority_target_encoding",  # 1-row global prior broadcast
+    "bloom_pruned_order_revenue",  # 1-row bloom bitmap broadcast probe
 }
 
 
