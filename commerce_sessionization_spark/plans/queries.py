@@ -2571,7 +2571,11 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("quality_score") >= 0.5)
         .select(*docs.columns)
     )
-    uniq = exact_dedup(kept)
+    # stage materialization: `uniq` feeds BOTH the near-dup pair gen and
+    # the survivor anti-join — a real pipeline writes each stage to
+    # parquet; the pin is the in-process equivalent (one quality+dedup
+    # pass instead of two)
+    uniq = exact_dedup(kept).localCheckpoint()
     pairs = ngram_jaccard_pairs(uniq, n=3, threshold=0.8)
     survivors = uniq.join(
         pairs.select(F.col("b").alias("doc_id")).distinct(), "doc_id", "left_anti"
@@ -3457,8 +3461,13 @@ def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("event_type").orderBy("h")
-    sketches = du.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= KMV_K
+    # pin the sketch (<= 2K rows): union_k and shared both read it, and
+    # without the pin each reference re-executes the corpus distinct +
+    # window subtree (PLANS.md showed 13 exchanges for this query)
+    sketches = (
+        du.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .localCheckpoint()
     )
     union_w = Window.orderBy("h")
     union_k = (
@@ -3467,7 +3476,7 @@ def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("urn", F.row_number().over(union_w))
         .filter(F.col("urn") <= KMV_K)
     )
-    tau = union_k.agg(F.max("h").alias("tau"))
+    tau = union_k.agg(F.max("h").alias("tau")).localCheckpoint()  # 1 row, read 3x
     shared = (
         sketches.groupBy("h")
         .agg(F.countDistinct("event_type").alias("nt"))
