@@ -332,3 +332,29 @@ def compact_partition(
     fs.rename(spath, hpath)
     fs.delete(backup, True)
     return n_files
+
+
+def write_parquet_with_bloom(
+    df,
+    path: str,
+    bloom_cols: dict[str, int],
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink with writer-side bloom filters on selected columns.
+
+    ``bloom_cols`` maps column name → expected NDV (sizes the filter;
+    parquet-mr needs it to hit its false-positive target). The filters
+    live in the file footer region and cost bytes at write time only —
+    readers that understand them (parquet-mr predicate pushdown, Trino,
+    Impala, Spark's own scan with ``spark.sql.parquet.filterPushdown``)
+    skip whole row groups on point lookups over high-NDV columns where
+    min/max ranges are useless (UUIDs, hashes: every row group spans
+    the full value range, so only a bloom can prove absence). The
+    complement of z-ordering, which makes min/max ranges tight for
+    RANGE predicates.
+    """
+    w = df.write.mode(mode)
+    for col, ndv in bloom_cols.items():
+        w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        w = w.option(f"parquet.bloom.filter.expected.ndv#{col}", str(int(ndv)))
+    w.parquet(path)

@@ -159,3 +159,29 @@ def test_global_rank_invariant_to_partition_count(spark):
     assert {tuple(r) for r in a.select("id", "rank").collect()} == {
         tuple(r) for r in b.select("id", "rank").collect()
     }
+
+
+def test_bloom_sink_writes_filters(spark, tmp_path):
+    """The bloom option must actually reach the writer: same data with a
+    bloom on the high-NDV column produces a measurably larger file
+    (the filter's bitset), and the payload reads back identically."""
+    import glob
+    import os
+
+    from commerce_sessionization_spark.sources.io import write_parquet_with_bloom
+
+    df = spark.range(0, 50_000).selectExpr(
+        "sha2(cast(id AS string), 256) AS uid", "id % 100 AS v"
+    ).coalesce(1)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    df.write.mode("overwrite").parquet(plain)
+    write_parquet_with_bloom(df, bloomed, {"uid": 50_000})
+
+    size = lambda p: sum(
+        os.path.getsize(f) for f in glob.glob(p + "/part-*.parquet")
+    )
+    # a 50k-NDV bloom at default fpp is tens of KB — well above noise
+    assert size(bloomed) > size(plain) + 10_000, (size(plain), size(bloomed))
+    back = spark.read.parquet(bloomed)
+    assert back.count() == 50_000
+    assert back.filter("v = 3").count() == 500
