@@ -122,6 +122,10 @@ from commerce_sessionization_spark.operators.layout import (
     write_zordered,
     zorder_key,
 )
+from commerce_sessionization_spark.operators.ml import (
+    apply_linear_model,
+    fit_ridge_regression,
+)
 from commerce_sessionization_spark.operators.merge import (
     collapse_batch,
     merge_upsert,
@@ -146,6 +150,7 @@ __all__ = [
     "session_stats",
     "divide_file",
     "exact_dedup",
+    "fit_ridge_regression",
     "minhash_lsh_dedup_pairs",
     "ngram_jaccard_pairs",
     "segment_dedup",
@@ -158,6 +163,7 @@ __all__ = [
     "sample_quantiles",
     "simhash_dedup_candidates",
     "simhash_table",
+    "apply_linear_model",
     "asof_join",
     "bloom_filtered_join",
     "range_join",
