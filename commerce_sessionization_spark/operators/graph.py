@@ -273,6 +273,11 @@ def triangle_counts(
             .select(
                 "u", "v", F.array_intersect("_nu", "_nv").alias("_ws")
             )
+            # pinned: the 3-way per_node union below reads ej three times,
+            # and without this the adjacency joins + array_intersect (the
+            # dominant stage — 19 of 45 task-seconds at sf0.1, measured
+            # with tools/profile_query.py) re-execute per reference
+            .localCheckpoint()
         )
         # each triangle closes at exactly one base edge: +1 to u, v, and
         # every common out-neighbor w
