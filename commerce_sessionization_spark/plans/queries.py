@@ -3903,7 +3903,14 @@ def _neardup_graph(spark: SparkSession, sf_dir: str):
     """Symmetrized 3-gram-Jaccard near-dup graph over all documents
     (isolated docs included — they exercise dangling redistribution)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8).select("a", "b")
+    # pinned: both branches of the symmetrizing union read `pairs`, and
+    # the Jaccard pair generation is the expensive subtree (cf. the
+    # _copurchase_graph cp pin — same double-execution, same fix)
+    pairs = (
+        ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+        .select("a", "b")
+        .localCheckpoint()
+    )
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -3976,6 +3983,11 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
             F.concat(F.lit("p"), F.col("l_partkey")).alias("p"),
         )
         .distinct()
+        # pinned: edges AND verts derive from cp, and pagerank
+        # checkpoints each input separately — unpinned, the join+distinct
+        # executed twice (profiler: the two ~10 MiB-shuffle pair-gen jobs
+        # back to back at the head of every pagerank run)
+        .localCheckpoint()
     )
     edges = cp.select(F.col("c").alias("src"), F.col("p").alias("dst")).unionByName(
         cp.select(F.col("p").alias("src"), F.col("c").alias("dst"))
