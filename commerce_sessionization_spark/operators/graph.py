@@ -241,8 +241,7 @@ def triangle_counts(
         .localCheckpoint()
     )
     deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
+        und.select(F.explode(F.array(F.col("a"), F.col("b"))).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
@@ -367,8 +366,7 @@ def label_propagation(
         .localCheckpoint()
     )
     verts = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
+        und.select(F.explode(F.array(F.col("a"), F.col("b"))).alias("node"))
         .distinct()
         .localCheckpoint()
     )
@@ -378,8 +376,15 @@ def label_propagation(
     # joins it on nbr each round with a broadcast label table, so the big
     # side never moves again
     adj = (
-        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
-        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("node"), F.col("b").alias("nbr")),
+                    F.struct(F.col("b").alias("node"), F.col("a").alias("nbr")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.node", "_e.nbr")
         .unionAll(verts.select("node", F.col("node").alias("nbr")))
     )
     if small:
@@ -430,8 +435,15 @@ def shortest_paths(
         .distinct()
     )
     adj = (
-        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
-        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("node"), F.col("b").alias("nbr")),
+                    F.struct(F.col("b").alias("node"), F.col("a").alias("nbr")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.node", "_e.nbr")
         .localCheckpoint()
     )
     spark = edges.sparkSession
@@ -500,9 +512,11 @@ def k_core(
     for _ in range(rounds):
         if n_edges == 0:
             break
+        # explode, not unionAll-of-two-selects: one pass over the pinned
+        # survivor set per round instead of two (the 2x fanout happens
+        # inside the scan stage and combines map-side)
         deg = (
-            cur.select(F.col("a").alias("node"))
-            .unionAll(cur.select(F.col("b").alias("node")))
+            cur.select(F.explode(F.array(F.col("a"), F.col("b"))).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
@@ -518,8 +532,7 @@ def k_core(
             break
         n_edges = next_edges
     return (
-        cur.select(F.col("a").alias("node"))
-        .unionAll(cur.select(F.col("b").alias("node")))
+        cur.select(F.explode(F.array(F.col("a"), F.col("b"))).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
