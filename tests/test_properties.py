@@ -239,3 +239,69 @@ def test_cdc_fold_order_independence(spark, changes, cut):
     # adversarial arrival: later seqs delivered first
     reversed_arrival = fold([rows[cut:], rows[:cut]])
     assert whole == split == reversed_arrival
+
+
+# ---------------------------------------------------------------------------
+# Property: bloom-pruned join == plain join for ANY key sets
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    left_keys=st.lists(st.integers(min_value=-50, max_value=50), max_size=60),
+    right_keys=st.lists(st.integers(min_value=-50, max_value=50), max_size=20),
+)
+def test_bloom_filtered_join_equivalence_property(spark, left_keys, right_keys):
+    from pyspark.sql import Row
+
+    from commerce_sessionization_spark.operators.joins import bloom_filtered_join
+
+    left = spark.createDataFrame(
+        [Row(k=k, v=i) for i, k in enumerate(left_keys)] or [Row(k=999, v=0)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=k, w=i) for i, k in enumerate(right_keys)] or [Row(k=998, w=0)]
+    )
+    got = sorted(map(tuple, bloom_filtered_join(left, right, "k").collect()))
+    want = sorted(map(tuple, left.join(right, "k", "inner").collect()))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Property: global_rank == single-partition window rank for ANY total order
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=9), min_size=1, max_size=80
+    ),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_global_rank_matches_window_property(spark, values, parts):
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+
+    from commerce_sessionization_spark.operators.layout import global_rank
+
+    df = spark.createDataFrame(
+        [Row(id=i, b=v) for i, v in enumerate(values)]
+    )
+    got = {
+        r.id: r.rank
+        for r in global_rank(df, order_cols=("b", "id"), num_partitions=parts).collect()
+    }
+    want = {
+        r.id: r.rank
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("b", "id"))
+        ).collect()
+    }
+    assert got == want
