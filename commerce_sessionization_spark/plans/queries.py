@@ -8037,6 +8037,72 @@ FROM stats
 
 
 # --------------------------------------------------------------------------
+# Order-independent table checksums (integrity / replication verification)
+# --------------------------------------------------------------------------
+
+def q_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint per table: row count + the SUM of per-row
+    SHA-derived 60-bit hashes. Addition is commutative, so the checksum
+    is independent of row order, partitioning, and file layout — two
+    replicas agree iff the multiset of rows agrees (modulo 2⁶⁰-space
+    collisions). The verification primitive behind replication checks,
+    migration sign-offs, and engine-parity gates: one scan per table,
+    map-side combinable, constant output. Rows are serialized with an
+    explicit delimiter + null sentinel so ('a','') and ('','a') differ.
+    """
+    def table_sum(name: str, cols: list[str]):
+        df = load_table(spark, sf_dir, name)
+        preimage = F.concat_ws(
+            "\x01",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+        )
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            # exact decimal accumulation (38 digits holds ~1e12 rows of
+            # 2^60 hashes), folded mod 2^60 back into a bigint
+            F.pmod(
+                F.sum(hex_to_long(F.sha2(preimage, 256)).cast("decimal(38,0)")),
+                F.lit(2 ** 60).cast("decimal(38,0)"),
+            ).cast("long").alias("checksum"),
+        )
+
+    specs = [
+        ("region", ["r_regionkey", "r_name"]),
+        ("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        ("supplier", ["s_suppkey", "s_name", "s_nationkey"]),
+        ("part", ["p_partkey", "p_name", "p_type"]),
+    ]
+    out = None
+    for name, cols in specs:
+        t = table_sum(name, cols)
+        out = t if out is None else out.unionAll(t)
+    return out
+
+
+def _checksum_block_sql(name: str, cols: list[str]) -> str:
+    pre = " || chr(1) || ".join(
+        f"COALESCE({c}::VARCHAR, chr(0))" for c in cols
+    )
+    h = _hex2int_sql(f"sha256({pre})")
+    return (
+        f"SELECT '{name}' AS table_name, count(*) AS n_rows, "
+        f"CAST(sum({h}) % {2 ** 60} AS BIGINT) AS checksum FROM {name}"
+    )
+
+
+SQL_TABLE_CHECKSUMS = "\nUNION ALL\n".join(
+    _checksum_block_sql(n, c)
+    for n, c in [
+        ("region", ["r_regionkey", "r_name"]),
+        ("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        ("supplier", ["s_suppkey", "s_name", "s_nationkey"]),
+        ("part", ["p_partkey", "p_name", "p_type"]),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
 # Bloom-pruned join (runtime-filter shape)
 # --------------------------------------------------------------------------
 
@@ -8819,6 +8885,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "bloom-filter join pruning: fact side filtered by the dim "
              "keys' SHA bloom BEFORE the shuffle (runtime-filter shape, "
              "bit-identical result)"),
+    QueryDef("table_checksums", q_table_checksums, SQL_TABLE_CHECKSUMS,
+             "order/layout-independent content fingerprints (count + "
+             "sum of per-row SHA hashes) — replication / migration "
+             "verification, one scan per table"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
