@@ -81,6 +81,7 @@ from commerce_sessionization_spark.operators.graph import (
 from commerce_sessionization_spark.operators.timeseries import (
     candles_from_state,
     exp_smooth,
+    holt_smooth,
     merge_ohlc,
     ohlc_partial,
     ohlc_resample,
@@ -225,6 +226,7 @@ __all__ = [
     "merge_ohlc",
     "candles_from_state",
     "exp_smooth",
+    "holt_smooth",
     "global_rank",
     "write_zordered",
     "zorder_key",

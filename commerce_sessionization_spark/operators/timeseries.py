@@ -297,3 +297,71 @@ def candles_from_state(state: DataFrame, series_col: str) -> DataFrame:
         "n_events",
         F.col("vol_dec").cast("double").alias("volume"),
     )
+
+
+def holt_smooth(
+    df: DataFrame,
+    series_col: str,
+    idx_col: str = "idx",
+    value_micro_col: str = "x_micro",
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 4,
+) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing per series, in
+    integer micro-units — level AND trend state:
+
+        s_1 = x_1;  b_1 = 0
+        s_t = ⌊(αn·x_t + (αd−αn)·(s_{t−1}+b_{t−1})) / αd⌋
+        b_t = ⌊(βn·(s_t − s_{t−1}) + (βd−βn)·b_{t−1}) / βd⌋
+
+    Unlike ``exp_smooth``'s level-only recurrence, the trend term (and
+    a falling series' level) can go NEGATIVE, and Python ``//`` floors
+    while SQL integer division truncates — so the oracle replays the
+    divisions with an explicit floor form ((a − ((a%d + d)%d)) / d),
+    keeping the walk bit-exact on any engine. Same tier-b contract as
+    ``exp_smooth``: Arrow-batched per-series walk, sequential only
+    within a series, recursive-CTE-replayable. Output adds ``s_micro``
+    (level), ``b_micro`` (trend), and ``forecast_micro`` = s + b, the
+    one-step-ahead Holt forecast.
+    """
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [
+            f"{series_col} string",
+            f"{idx_col} long",
+            f"{value_micro_col} long",
+            "s_micro long",
+            "b_micro long",
+            "forecast_micro long",
+        ]
+    )
+    an, ad, bn, bd = alpha_num, alpha_den, beta_num, beta_den
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col).reset_index(drop=True)
+        xs = pdf[value_micro_col].to_list()
+        ss, bs = [], []
+        s = b = None
+        for x in xs:
+            if s is None:
+                s, b = int(x), 0
+            else:
+                prev_s = s
+                s = (an * int(x) + (ad - an) * (s + b)) // ad
+                b = (bn * (s - prev_s) + (bd - bn) * b) // bd
+            ss.append(s)
+            bs.append(b)
+        pdf["s_micro"] = ss
+        pdf["b_micro"] = bs
+        pdf["forecast_micro"] = [s_ + b_ for s_, b_ in zip(ss, bs)]
+        return pdf[
+            [series_col, idx_col, value_micro_col,
+             "s_micro", "b_micro", "forecast_micro"]
+        ]
+
+    return df.select(series_col, idx_col, value_micro_col).groupBy(
+        series_col
+    ).applyInPandas(smooth, schema=out_schema)

@@ -8037,6 +8037,72 @@ FROM stats
 
 
 # --------------------------------------------------------------------------
+# Holt linear-trend smoothing (double exponential — timeseries family)
+# --------------------------------------------------------------------------
+
+def q_holt_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing of daily revenue per event type
+    (α = β = 1/4) with the one-step-ahead forecast — the trend-aware
+    upgrade of ``ses_daily_revenue``. The trend state goes negative on
+    falling series, so the recursive-CTE oracle replays the divisions
+    in an explicit FLOOR form (SQL ``//`` truncates, Python ``//``
+    floors — they differ exactly on the negatives Holt produces).
+    """
+    from commerce_sessionization_spark.operators.timeseries import holt_smooth
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("_v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    indexed = daily.select(
+        "event_type",
+        F.row_number().over(w).cast("long").alias("idx"),
+        (F.col("_v") * 1000000).cast("long").alias("x_micro"),
+    )
+    return holt_smooth(indexed, "event_type")
+
+
+def _fdiv(a: str, d: int) -> str:
+    """Floor division in SQL for positive divisors: subtract the
+    non-negative remainder first, then exact integer division."""
+    return f"(({a}) - (((({a}) % {d}) + {d}) % {d})) // {d}"
+
+
+SQL_HOLT_DAILY_REVENUE = f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1, 2
+), indexed AS MATERIALIZED (
+  SELECT event_type,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS idx,
+         CAST(v * 1000000 AS BIGINT) AS x_micro
+  FROM daily
+), walk AS (
+  SELECT event_type, idx, x_micro,
+         x_micro AS s_micro, CAST(0 AS BIGINT) AS b_micro
+  FROM indexed WHERE idx = 1
+  UNION ALL
+  SELECT i.event_type, i.idx, i.x_micro,
+         {_fdiv("1 * i.x_micro + 3 * (w.s_micro + w.b_micro)", 4)} AS s_micro,
+         {_fdiv(
+             "1 * (("
+             + _fdiv("1 * i.x_micro + 3 * (w.s_micro + w.b_micro)", 4)
+             + ") - w.s_micro) + 3 * w.b_micro",
+             4,
+         )} AS b_micro
+  FROM indexed i JOIN walk w
+    ON i.event_type = w.event_type AND i.idx = w.idx + 1
+)
+SELECT event_type, idx, x_micro, s_micro, b_micro,
+       s_micro + b_micro AS forecast_micro
+FROM walk
+"""
+
+
+# --------------------------------------------------------------------------
 # Order-independent table checksums (integrity / replication verification)
 # --------------------------------------------------------------------------
 
@@ -8889,6 +8955,11 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "order/layout-independent content fingerprints (count + "
              "sum of per-row SHA hashes) — replication / migration "
              "verification, one scan per table"),
+    QueryDef("holt_daily_revenue", q_holt_daily_revenue,
+             SQL_HOLT_DAILY_REVENUE,
+             "Holt level+trend smoothing (tier-b integer recurrence; "
+             "oracle floor-div replay exact on negative trends) with "
+             "one-step forecast"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -192,3 +192,71 @@ class TestGapfillProperties:
         assert all(lo <= s <= hi for _, s in got)  # bounded by input range
         # floor recurrence converges to within 3 of the constant
         assert abs(got[-1][1] - 42_000_000) <= 3
+
+
+def _holt_ref(xs, an=1, ad=4, bn=1, bd=4):
+    s = b = None
+    out = []
+    for x in xs:
+        if s is None:
+            s, b = int(x), 0
+        else:
+            prev = s
+            s = (an * int(x) + (ad - an) * (s + b)) // ad
+            b = (bn * (s - prev) + (bd - bn) * b) // bd
+        out.append((s, b, s + b))
+    return out
+
+
+def test_holt_matches_reference_including_negative_trend(spark):
+    from pyspark.sql import Row
+
+    from commerce_sessionization_spark.operators.timeseries import holt_smooth
+
+    # falling series: trend state goes NEGATIVE — the floor-division
+    # regime where engines disagree unless handled
+    xs = [1_000_000, 900_000, 700_000, 400_000, 350_000, 100_000]
+    df = spark.createDataFrame(
+        [Row(event_type="a", idx=i + 1, x_micro=x) for i, x in enumerate(xs)]
+    )
+    got = {
+        r.idx: (r.s_micro, r.b_micro, r.forecast_micro)
+        for r in holt_smooth(df, "event_type").collect()
+    }
+    want = {i + 1: t for i, t in enumerate(_holt_ref(xs))}
+    assert got == want
+    assert any(b < 0 for _, b, _ in want.values())  # the regime is exercised
+
+
+def test_holt_tracks_linear_ramp(spark):
+    """On a pure linear ramp the trend state must converge to the slope
+    and the one-step forecast must track the next value closely."""
+    from pyspark.sql import Row
+
+    from commerce_sessionization_spark.operators.timeseries import holt_smooth
+
+    slope = 50_000
+    xs = [1_000_000 + slope * i for i in range(60)]
+    df = spark.createDataFrame(
+        [Row(event_type="r", idx=i + 1, x_micro=x) for i, x in enumerate(xs)]
+    )
+    rows = sorted(holt_smooth(df, "event_type").collect(), key=lambda r: r.idx)
+    tail = rows[-1]
+    assert abs(tail.b_micro - slope) < slope * 0.1
+    assert abs(tail.forecast_micro - (xs[-1] + slope)) < slope * 2
+
+
+def test_holt_multiseries_independence(spark):
+    from pyspark.sql import Row
+
+    from commerce_sessionization_spark.operators.timeseries import holt_smooth
+
+    xs_a = [5, 10, 15, 20]
+    xs_b = [100, 90, 80, 70]
+    rows = [Row(event_type="a", idx=i + 1, x_micro=x) for i, x in enumerate(xs_a)]
+    rows += [Row(event_type="b", idx=i + 1, x_micro=x) for i, x in enumerate(xs_b)]
+    got = holt_smooth(spark.createDataFrame(rows), "event_type").collect()
+    for series, xs in (("a", xs_a), ("b", xs_b)):
+        sub = {r.idx: (r.s_micro, r.b_micro, r.forecast_micro)
+               for r in got if r.event_type == series}
+        assert sub == {i + 1: t for i, t in enumerate(_holt_ref(xs))}, series
