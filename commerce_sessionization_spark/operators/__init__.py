@@ -77,6 +77,7 @@ from commerce_sessionization_spark.operators.graph import (
     pagerank,
     shortest_paths,
     triangle_counts,
+    weighted_shortest_paths,
 )
 from commerce_sessionization_spark.operators.timeseries import (
     candles_from_state,
@@ -220,6 +221,7 @@ __all__ = [
     "k_core",
     "label_propagation",
     "shortest_paths",
+    "weighted_shortest_paths",
     "time_bucket_gapfill",
     "ohlc_resample",
     "ohlc_partial",

@@ -474,6 +474,89 @@ def shortest_paths(
     return settled
 
 
+def weighted_shortest_paths(
+    edges: DataFrame,
+    source: int,
+    rounds: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    broadcast_limit: int = 4_000_000,
+) -> DataFrame:
+    """Bellman-Ford single-source shortest paths with non-negative
+    integer edge weights, ``rounds`` relaxation rounds.
+
+    Unlike unit-weight BFS (``shortest_paths``), a settled node's
+    distance can still improve, so every round relaxes ALL current
+    distances through the adjacency: dist' = min(dist, min over
+    incoming (dist(u) + w)) — one join + one min-aggregation, the
+    textbook min-plus iteration. Distances after round r are exact for
+    every path of ≤ r edges, and a converged table passes through
+    unchanged — so (like k-core) a chained-CTE oracle replaying all
+    ``rounds`` rounds agrees with early exit at the fixpoint. Integer
+    weights keep every distance exact (no float min drift).
+
+    The distance table broadcasts into the relaxation join while it is
+    dimension-sized; the pinned adjacency never reshuffles. Output:
+    (node, dist) for nodes reachable within ``rounds`` edges.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    wgt = F.col(weight_col).cast("long")
+    und = (
+        edges.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b"), wgt.alias("w")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))  # parallel edges keep the cheapest
+    )
+    adj = (
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("node"),
+                        F.col("b").alias("nbr"),
+                        F.col("w"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("node"),
+                        F.col("a").alias("nbr"),
+                        F.col("w"),
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.node", "_e.nbr", "_e.w")
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "node long, dist long")
+    # distances only decrease and the reached set only grows, so the
+    # (count, total-distance) pair is a monotone fixpoint witness
+    fingerprint = (1, 0)
+    for _ in range(rounds):
+        d = dist.select(F.col("node").alias("nbr"), F.col("dist").alias("_d"))
+        if fingerprint[0] <= broadcast_limit:
+            d = F.broadcast(d)
+        relaxed = adj.join(d, "nbr").select(
+            "node", (F.col("_d") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        row = dist.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        if (row["n"], row["s"]) == fingerprint:
+            break  # fixpoint: further rounds are no-ops
+        fingerprint = (row["n"], row["s"])
+    return dist
+
+
 def k_core(
     edges: DataFrame,
     k: int,

@@ -8037,6 +8037,66 @@ FROM stats
 
 
 # --------------------------------------------------------------------------
+# Weighted shortest paths (Bellman-Ford — graph family)
+# --------------------------------------------------------------------------
+
+_WSSSP_ROUNDS = 5
+
+
+def q_part_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths on the co-purchase graph:
+    Bellman-Ford min-plus rounds (``graph.weighted_shortest_paths``)
+    with deterministic integer weights 1 + (a+b) mod 5 — unlike BFS, a
+    reached node's distance keeps improving through cheaper multi-hop
+    routes, so every round relaxes ALL distances (broadcast while
+    dimension-sized) instead of only a frontier. Fixpoint early-exit ==
+    the oracle's full chained-CTE replay, the k-core argument again.
+    """
+    from commerce_sessionization_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+
+    edges = (
+        _part_pair_edges(spark, sf_dir)
+        .withColumn("w", 1 + (F.col("src") + F.col("dst")) % 5)
+        .localCheckpoint()
+    )
+    src = edges.agg(F.min(F.least(F.col("src"), F.col("dst")))).first()[0]
+    return weighted_shortest_paths(edges, source=int(src), rounds=_WSSSP_ROUNDS)
+
+
+def _wsssp_sql(rounds: int) -> str:
+    parts = [
+        """WITH und0 AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey
+), adj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr, 1 + (a + b) % 5 AS w FROM und0
+  UNION ALL SELECT b, a, 1 + (a + b) % 5 FROM und0
+), d0 AS MATERIALIZED (
+  SELECT min(a) AS node, CAST(0 AS BIGINT) AS dist FROM und0
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", d{r} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{r - 1}
+    UNION ALL
+    SELECT adj.node, p.dist + adj.w
+    FROM adj JOIN d{r - 1} p ON adj.nbr = p.node
+  ) GROUP BY node
+)"""
+        )
+    parts.append(f"\nSELECT node, dist FROM d{rounds}")
+    return "".join(parts)
+
+
+SQL_PART_WEIGHTED_DISTANCES = _wsssp_sql(_WSSSP_ROUNDS)
+
+
+# --------------------------------------------------------------------------
 # Holt linear-trend smoothing (double exponential — timeseries family)
 # --------------------------------------------------------------------------
 
@@ -8960,6 +9020,11 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "Holt level+trend smoothing (tier-b integer recurrence; "
              "oracle floor-div replay exact on negative trends) with "
              "one-step forecast"),
+    QueryDef("part_weighted_distances", q_part_weighted_distances,
+             SQL_PART_WEIGHTED_DISTANCES,
+             "Bellman-Ford weighted shortest paths: min-plus relaxation "
+             "rounds, integer-exact, fixpoint early-exit == chained-CTE "
+             "replay"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

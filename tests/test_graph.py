@@ -378,3 +378,44 @@ def test_mode_deterministic_breaks_ties_to_smallest(spark):
         for r in df.groupBy("g").agg(F.mode(F.col("v"), True).alias("m")).collect()
     }
     assert got == {1: 4, 2: 7}
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(
+        [Row(src=a, dst=b, w=w) for a, b, w in triples]
+    )
+
+
+def test_weighted_shortest_paths_prefers_cheap_multihop(spark):
+    from commerce_sessionization_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+
+    # direct 1-3 costs 10; the 1-2-3 route costs 2 — BFS would say 1 hop,
+    # Bellman-Ford must say cost 2
+    g = _wedges(spark, [(1, 2, 1), (2, 3, 1), (1, 3, 10), (3, 4, 1)])
+    got = {r.node: r.dist
+           for r in weighted_shortest_paths(g, source=1, rounds=5).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_weighted_shortest_paths_parallel_edges_keep_cheapest(spark):
+    from commerce_sessionization_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+
+    g = _wedges(spark, [(1, 2, 7), (2, 1, 3), (1, 2, 5)])
+    got = {r.node: r.dist
+           for r in weighted_shortest_paths(g, source=1, rounds=3).collect()}
+    assert got == {1: 0, 2: 3}
+
+
+def test_weighted_shortest_paths_fixpoint_equals_more_rounds(spark):
+    from commerce_sessionization_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+
+    g = _wedges(spark, [(1, 2, 2), (2, 3, 2), (1, 3, 5), (3, 4, 1)])
+    a = sorted(map(tuple, weighted_shortest_paths(g, 1, rounds=3).collect()))
+    b = sorted(map(tuple, weighted_shortest_paths(g, 1, rounds=10).collect()))
+    assert a == b
