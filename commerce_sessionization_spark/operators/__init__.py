@@ -112,6 +112,7 @@ from commerce_sessionization_spark.operators.pq import (
     pq_encode,
 )
 from commerce_sessionization_spark.operators.multimodal import (
+    detect_scene_cuts,
     extract_audio_features,
     extract_audio_spectral,
     extract_image_features,
@@ -209,6 +210,7 @@ __all__ = [
     "pq_adc_topk",
     "pq_adc_multi",
     "incremental_exact_dedup",
+    "detect_scene_cuts",
     "extract_audio_features",
     "extract_audio_spectral",
     "extract_image_features",

@@ -284,6 +284,77 @@ def sample_video_frames(
     )
 
 
+SCENE_CUT_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("cut_at_frame", IntegerType()),
+        StructField("prev_fingerprint", StringType()),
+        StructField("next_fingerprint", StringType()),
+    ]
+)
+
+
+def detect_scene_cuts(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Scene-change detection for motion payloads: one row per position
+    where consecutive frame content fingerprints DIFFER.
+
+    Composes the container walk ``sample_video_frames`` uses (every
+    frame, no sampling) with a per-asset adjacent-compare — all inside
+    the same Arrow batch, so no second pass over payload bytes and no
+    shuffle: the expensive part (container parsing) happens once per
+    asset and the cut positions come out directly. Real codecs would
+    swap the fingerprint for a frame-difference metric; the GIF path
+    uses the compressed-bytes SHA the codec layer already exposes
+    (identical frames ⇒ identical bytes in practice for our encoder
+    path). ``fake=True`` derives a deterministic stand-in cut list.
+    """
+    from commerce_sessionization_spark.functions.codecs import (
+        UnsupportedMediaError,
+        parse_gif_frames,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for a, c in zip(pdf["asset_id"], pdf["content"]):
+                if fake:
+                    h = hashlib.sha256(c or b"").digest()
+                    for i in range(h[0] % 3):
+                        recs.append(
+                            {
+                                "asset_id": a,
+                                "cut_at_frame": i + 1,
+                                "prev_fingerprint": h[1:9].hex(),
+                                "next_fingerprint": h[9:17].hex(),
+                            }
+                        )
+                    continue
+                try:
+                    frames = parse_gif_frames(bytes(c or b""))
+                except UnsupportedMediaError as e:
+                    raise NotImplementedError(
+                        f"asset {a}: only GIF containers parse without "
+                        f"ffmpeg ({e}); use fake=True for other formats"
+                    ) from e
+                for prev, nxt in zip(frames, frames[1:]):
+                    if prev["data_sha256"] != nxt["data_sha256"]:
+                        recs.append(
+                            {
+                                "asset_id": a,
+                                "cut_at_frame": nxt["frame_idx"],
+                                "prev_fingerprint": prev["data_sha256"][:16],
+                                "next_fingerprint": nxt["data_sha256"][:16],
+                            }
+                        )
+            yield pd.DataFrame.from_records(
+                recs, columns=[f.name for f in SCENE_CUT_SCHEMA.fields]
+            )
+
+    return df.filter(F.col("modality") == "video").mapInPandas(
+        batches, schema=SCENE_CUT_SCHEMA
+    )
+
+
 def media_metadata_stats(df: DataFrame) -> DataFrame:
     """Per-modality rollup over modality + payload size only (no decode)."""
     return df.groupBy("modality").agg(

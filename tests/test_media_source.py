@@ -199,3 +199,40 @@ def test_spectral_fake_path_is_deterministic(spark):
     a = sorted(map(tuple, extract_audio_spectral(df, fake=True).collect()))
     b = sorted(map(tuple, extract_audio_spectral(df, fake=True).collect()))
     assert a == b and len(a) == 3
+
+
+def test_scene_cuts_on_real_gif(spark):
+    """A GIF with frames A A B B C must cut exactly at the A->B and
+    B->C boundaries."""
+    from pyspark.sql import Row
+
+    from commerce_sessionization_spark.operators.multimodal import (
+        detect_scene_cuts,
+    )
+
+    fa = np.full((8, 8), 10, dtype=np.uint8)
+    fb = np.full((8, 8), 70, dtype=np.uint8)
+    fc = np.full((8, 8), 120, dtype=np.uint8)
+    payload = encode_gif([fa, fa, fb, fb, fc])
+    df = spark.createDataFrame(
+        [Row(asset_id=5, modality="video", content=bytearray(payload))]
+    )
+    cuts = sorted(
+        (r.cut_at_frame, r.prev_fingerprint != r.next_fingerprint)
+        for r in detect_scene_cuts(df).collect()
+    )
+    assert cuts == [(2, True), (4, True)]
+
+
+def test_scene_cuts_static_gif_has_none(spark):
+    from pyspark.sql import Row
+
+    from commerce_sessionization_spark.operators.multimodal import (
+        detect_scene_cuts,
+    )
+
+    f = np.full((4, 4), 33, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [Row(asset_id=6, modality="video", content=bytearray(encode_gif([f, f, f])))]
+    )
+    assert detect_scene_cuts(df).count() == 0
