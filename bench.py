@@ -96,6 +96,14 @@ HEADLINE = [
     "sq_topk",
     "orders_profile",
     "doc_global_rank",
+    # round-4 late: ACF, bloom-pruned join, sample quantiles, integrity
+    # checksums, Holt trend, weighted SSSP
+    "revenue_autocorrelation",
+    "bloom_pruned_order_revenue",
+    "sampled_value_quantiles",
+    "table_checksums",
+    "holt_daily_revenue",
+    "part_weighted_distances",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

@@ -233,28 +233,28 @@ def test_bloom_filtered_join_prunes_before_exchange(spark):
 
 
 def test_bloom_filtered_join_actually_prunes(spark):
-    from commerce_sessionization_spark.operators.joins import bloom_filtered_join
-    from commerce_sessionization_spark.operators.sketches import (
-        _bloom_positions,
-        bloom_bits,
+    from commerce_sessionization_spark.operators.joins import (
+        _bloom_words,
+        _probe_positions,
+        bloom_filtered_join,
     )
     from pyspark.sql import functions as F
 
     left = spark.range(0, 20000).selectExpr("id AS k")
     right = spark.range(0, 20).selectExpr("id * 1000 AS k")
-    bits = bloom_bits(right, "k", m=8192, k=3)
-    bitmap = bits.agg(
-        F.map_from_arrays(
-            F.collect_list("pos"),
-            F.transform(F.collect_list("pos"), lambda _: F.lit(True)),
-        ).alias("_bm")
-    )
+    bitmap = _bloom_words(right, "k", m=8192, k=3)
     survivors = (
         left.crossJoin(F.broadcast(bitmap))
         .filter(
             F.forall(
-                _bloom_positions(F.col("k").cast("string"), 8192, 3),
-                lambda p: F.element_at(F.col("_bm"), p).isNotNull(),
+                _probe_positions(F.col("k"), 8192, 3),
+                lambda p: (
+                    F.element_at(F.col("_bw"), (p / 32).cast("int") + 1)
+                    .bitwiseAND(
+                        F.pow(F.lit(2.0), (p % 32).cast("int")).cast("long")
+                    )
+                    != 0
+                ),
             )
         )
         .count()
