@@ -21,6 +21,7 @@ from commerce_sessionization_spark.operators.dedup import (
 from commerce_sessionization_spark.operators.sampling import hash_split
 from commerce_sessionization_spark.operators.sketches import (
     bottomk_sample,
+    cms_join_size_estimate,
     count_min_cells,
     count_min_estimates,
     histogram_quantiles,
@@ -159,6 +160,7 @@ __all__ = [
     "segment_dedup",
     "hash_split",
     "bottomk_sample",
+    "cms_join_size_estimate",
     "count_min_cells",
     "count_min_estimates",
     "histogram_quantiles",

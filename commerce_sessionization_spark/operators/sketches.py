@@ -294,3 +294,34 @@ def sample_quantiles(
         )
         picks = one if picks is None else picks.unionAll(one)
     return picks
+
+
+def cms_join_size_estimate(
+    cells_a: DataFrame, cells_b: DataFrame, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches:
+    |A ⋈ B| = Σ_k f_A(k)·f_B(k), estimated as the MIN over sketch rows
+    of the cell-wise inner product Σ_c a_rc·b_rc (AMS/CMS inner
+    product — each row over-estimates by hash collisions, never
+    under-estimates, so the min is the tightest bound).
+
+    This is the optimizer's question — "how big is this join?" —
+    answered from two mergeable, constant-size summaries WITHOUT
+    touching either table again: the sketches may have been built
+    stream-side (``make_cms_writer``) or at ingest. Exact integer
+    arithmetic end to end, so a SQL oracle replays it bit-for-bit.
+
+    Output: 1 row — (est_join_size,).
+    """
+    a = cells_a.select(
+        F.col("r_idx"), F.col("c_idx"), F.col("cnt").alias("_a")
+    )
+    b = cells_b.select(
+        F.col("r_idx"), F.col("c_idx"), F.col("cnt").alias("_b")
+    )
+    return (
+        a.join(b, ["r_idx", "c_idx"])
+        .groupBy("r_idx")
+        .agg(F.sum(F.col("_a") * F.col("_b")).alias("_dot"))
+        .agg(F.min("_dot").alias("est_join_size"))
+    )

@@ -8037,6 +8037,65 @@ FROM stats
 
 
 # --------------------------------------------------------------------------
+# CMS inner product: join-size estimation from sketches alone
+# --------------------------------------------------------------------------
+
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|lineitem ⋈ part| estimated from two count-min sketches WITHOUT
+    touching either table again — the AMS/CMS inner product, min over
+    sketch rows of the cell-wise dot product. The optimizer's question
+    ("how big is this join?") answered from two constant-size mergeable
+    summaries; the exact size rides along to show est ≥ exact (the
+    one-sided CMS bound — collisions only ADD). All-integer arithmetic,
+    bit-replayed by the oracle.
+    """
+    from commerce_sessionization_spark.operators.sketches import (
+        cms_join_size_estimate,
+        count_min_cells,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    est = cms_join_size_estimate(
+        count_min_cells(li, "l_partkey"),
+        count_min_cells(part, "p_partkey"),
+    )
+    exact = li.join(
+        part, li["l_partkey"] == part["p_partkey"]
+    ).agg(F.count(F.lit(1)).alias("exact_join_size"))
+    return est.crossJoin(F.broadcast(exact))
+
+
+_CMS_JS_HASH_A = _hex2int_sql("sha256(g.r::VARCHAR || ':' || k)")
+
+SQL_CMS_JOIN_SIZE = f"""
+WITH ka AS (SELECT l_partkey::VARCHAR AS k, count(*) AS n
+            FROM lineitem GROUP BY 1),
+kb AS (SELECT p_partkey::VARCHAR AS k, count(*) AS n FROM part GROUP BY 1),
+ca AS (
+  SELECT CAST(g.r AS BIGINT) AS r_idx,
+         CAST(({_CMS_JS_HASH_A}) % 256 AS BIGINT) AS c_idx,
+         CAST(sum(n) AS BIGINT) AS cnt
+  FROM ka, LATERAL (SELECT unnest([0, 1, 2, 3]) AS r) g
+  GROUP BY 1, 2
+), cb AS (
+  SELECT CAST(g.r AS BIGINT) AS r_idx,
+         CAST(({_CMS_JS_HASH_A}) % 256 AS BIGINT) AS c_idx,
+         CAST(sum(n) AS BIGINT) AS cnt
+  FROM kb, LATERAL (SELECT unnest([0, 1, 2, 3]) AS r) g
+  GROUP BY 1, 2
+), dots AS (
+  SELECT ca.r_idx, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS dot
+  FROM ca JOIN cb ON ca.r_idx = cb.r_idx AND ca.c_idx = cb.c_idx
+  GROUP BY ca.r_idx
+)
+SELECT (SELECT min(dot) FROM dots) AS est_join_size,
+       (SELECT count(*) FROM lineitem JOIN part ON l_partkey = p_partkey)
+         AS exact_join_size
+"""
+
+
+# --------------------------------------------------------------------------
 # Weighted shortest paths (Bellman-Ford — graph family)
 # --------------------------------------------------------------------------
 
@@ -9025,6 +9084,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "Bellman-Ford weighted shortest paths: min-plus relaxation "
              "rounds, integer-exact, fixpoint early-exit == chained-CTE "
              "replay"),
+    QueryDef("cms_join_size", q_cms_join_size, SQL_CMS_JOIN_SIZE,
+             "join-cardinality estimation from two CMS sketches (AMS "
+             "inner product, min over rows) next to the exact size"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -212,3 +212,39 @@ def test_sampled_quantiles_track_population(spark):
     }
     assert abs(got[0.5] - 25_000) < 5_000
     assert abs(got[0.9] - 45_000) < 5_000
+
+
+def test_cms_join_size_upper_bounds_and_tracks_truth(spark):
+    """The inner-product estimate never under-counts (collisions only
+    add), and with width >> distinct keys it is exact."""
+    from commerce_sessionization_spark.operators.sketches import (
+        cms_join_size_estimate,
+        count_min_cells,
+    )
+
+    a = spark.range(0, 3000).selectExpr("CAST(id % 40 AS STRING) AS k")
+    b = spark.range(0, 500).selectExpr("CAST(id % 40 AS STRING) AS k")
+    est = cms_join_size_estimate(
+        count_min_cells(a, "k"), count_min_cells(b, "k")
+    ).collect()[0]["est_join_size"]
+    exact = a.join(b, "k").count()
+    assert est >= exact
+    # 40 distinct keys in a 256-wide sketch: few collisions; the min-row
+    # bound should land within 2x of truth
+    assert est <= 2 * exact, (est, exact)
+
+
+def test_cms_join_size_disjoint_keys_estimates_near_zero(spark):
+    from commerce_sessionization_spark.operators.sketches import (
+        cms_join_size_estimate,
+        count_min_cells,
+    )
+
+    a = spark.range(0, 1000).selectExpr("CAST(id AS STRING) AS k")
+    b = spark.range(100000, 101000).selectExpr("CAST(id AS STRING) AS k")
+    est = cms_join_size_estimate(
+        count_min_cells(a, "k"), count_min_cells(b, "k")
+    ).collect()[0]["est_join_size"]
+    # true join is 0; 1000 keys in 256 cells collide, so the bound is
+    # loose but must stay far below the 10^6 cross-product mass
+    assert est < 50_000, est
