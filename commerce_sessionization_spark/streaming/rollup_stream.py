@@ -216,3 +216,54 @@ def make_bottomk_writer(
 
     return make_incremental_writer(spark, out_path, partial, merge,
                                    keep_versions=keep_versions)
+
+
+def make_checksum_writer(
+    spark: SparkSession,
+    out_path: str,
+    cols: list[str],
+    keep_versions: int = 3,
+):
+    """Continuously maintained table checksum over an append stream.
+
+    The fingerprint (row count + sum of per-row SHA hashes mod 2^60 —
+    the ``table_checksums`` algebra) is commutative and associative, so
+    it rides the MVCC epoch maintainer: per epoch, checksum the
+    micro-batch and fold into the previous version with modular
+    addition. Epoch replay rewrites the identical version, so the
+    running fingerprint is exactly-once without any dedup — continuous
+    integrity verification of everything ever ingested, readable any
+    time with ``read_rollup_state``.
+    """
+    from pyspark.sql import functions as F
+
+    from commerce_sessionization_spark.functions.hashing import hex_to_long
+
+    mod = 2 ** 60
+
+    def partial(df: DataFrame) -> DataFrame:
+        preimage = F.concat_ws(
+            "\x01",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+        )
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.pmod(
+                F.sum(hex_to_long(F.sha2(preimage, 256)).cast("decimal(38,0)")),
+                F.lit(mod).cast("decimal(38,0)"),
+            ).cast("long").alias("checksum"),
+        )
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return a.unionByName(b).agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.pmod(
+                F.sum(F.col("checksum").cast("decimal(38,0)")),
+                F.lit(mod).cast("decimal(38,0)"),
+            ).cast("long").alias("checksum"),
+        )
+
+    return make_incremental_writer(spark, out_path, partial, merge,
+                                   keep_versions=keep_versions)

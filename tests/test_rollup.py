@@ -198,3 +198,36 @@ def test_bottomk_writer_incremental_equals_direct_and_replay_safe(spark, tmp_pat
                                   keep_cols=("v",)).collect())
     )
     assert got == want and len(got) == 16
+
+
+def test_checksum_writer_matches_batch_fingerprint_and_replays(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from commerce_sessionization_spark.functions.hashing import hex_to_long
+    from commerce_sessionization_spark.streaming.rollup_stream import (
+        make_checksum_writer,
+        read_rollup_state,
+    )
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).selectExpr("id", "CAST(id % 5 AS STRING) AS s")
+
+    out = str(tmp_path / "ck")
+    write = make_checksum_writer(spark, out, ["id", "s"])
+    write(batch(0, 400), 0)
+    write(batch(400, 900), 1)
+    write(batch(400, 900), 1)  # replay: must not double-fold
+    got = read_rollup_state(spark, out).collect()[0]
+
+    pre = F.concat_ws(
+        "\x01", F.coalesce(F.col("id").cast("string"), F.lit("\x00")),
+        F.coalesce(F.col("s").cast("string"), F.lit("\x00")),
+    )
+    want = batch(0, 900).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.pmod(
+            F.sum(hex_to_long(F.sha2(pre, 256)).cast("decimal(38,0)")),
+            F.lit(2 ** 60).cast("decimal(38,0)"),
+        ).cast("long").alias("c"),
+    ).collect()[0]
+    assert (got["n_rows"], got["checksum"]) == (want["n"], want["c"])
