@@ -6,6 +6,7 @@ from commerce_sessionization_spark.sources.io import (
     read_source_permissive,
     split_corrupt,
     write_bucketed_table,
+    read_parquet_evolving,
     write_parquet_with_bloom,
     write_partitioned,
     write_partitioned_parquet,
@@ -28,6 +29,7 @@ __all__ = [
     "read_source_permissive",
     "split_corrupt",
     "write_bucketed_table",
+    "read_parquet_evolving",
     "write_parquet_with_bloom",
     "write_partitioned",
     "write_partitioned_parquet",

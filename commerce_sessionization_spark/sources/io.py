@@ -358,3 +358,32 @@ def write_parquet_with_bloom(
         w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
         w = w.option(f"parquet.bloom.filter.expected.ndv#{col}", str(int(ndv)))
     w.parquet(path)
+
+
+def read_parquet_evolving(spark, path: str, expected_schema=None):
+    """Read a parquet directory whose files were written under EVOLVING
+    schemas (columns added over time): ``mergeSchema`` unions all file
+    footers, older files surface the new columns as NULL.
+
+    At 100 TB footer merging is a real cost (one footer read per file),
+    which is why it is opt-in here and NOT the default in
+    ``read_parquet`` — steady-state readers should pin the current
+    schema (free) and only the backfill/migration path pays the merge.
+    Pass ``expected_schema`` to assert the merged result covers it
+    (older files missing a column are fine; a TYPE conflict or a
+    missing expected column fails loudly rather than silently casting).
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if expected_schema is not None:
+        have = {f.name: f.dataType for f in df.schema.fields}
+        for f in expected_schema.fields:
+            if f.name not in have:
+                raise ValueError(
+                    f"evolved table at {path} lacks expected column {f.name!r}"
+                )
+            if have[f.name] != f.dataType:
+                raise ValueError(
+                    f"column {f.name!r} type drifted: "
+                    f"{have[f.name]} != expected {f.dataType}"
+                )
+    return df

@@ -292,3 +292,36 @@ def test_cli_profile_subcommand():
     )
     assert run.returncode == 0, run.stderr[-500:]
     assert "r_regionkey" in run.stdout and "ndv" in run.stdout
+
+
+def test_read_parquet_evolving_merges_added_column(spark, tmp_path):
+    import pytest as _pytest
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from commerce_sessionization_spark.sources.io import read_parquet_evolving
+
+    p = str(tmp_path / "evolve")
+    spark.range(0, 10).selectExpr("id").write.parquet(p)  # v1: (id)
+    spark.range(10, 20).selectExpr("id", "CAST(id AS STRING) AS tag").write.mode(
+        "append"
+    ).parquet(p)  # v2 adds tag
+
+    df = read_parquet_evolving(spark, p)
+    assert set(df.columns) == {"id", "tag"}
+    assert df.count() == 20
+    # old files surface the new column as NULL
+    assert df.filter("tag IS NULL").count() == 10
+
+    ok_schema = StructType([StructField("id", LongType()),
+                            StructField("tag", StringType())])
+    read_parquet_evolving(spark, p, ok_schema)
+    with _pytest.raises(ValueError, match="lacks expected column"):
+        read_parquet_evolving(
+            spark, p,
+            StructType([StructField("missing_col", LongType())]),
+        )
+    with _pytest.raises(ValueError, match="type drifted"):
+        read_parquet_evolving(
+            spark, p, StructType([StructField("tag", LongType())])
+        )
