@@ -226,6 +226,7 @@ _INTENDED_LOOP_JOINS = {
     "sq_topk",                 # 1-row bounds + 1-row query-code broadcasts
     "priority_target_encoding",  # 1-row global prior broadcast
     "bloom_pruned_order_revenue",  # 1-row bloom bitmap broadcast probe
+    "cms_join_size",           # 1-row exact-size scalar rides along
 }
 
 
