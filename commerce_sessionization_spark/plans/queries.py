@@ -8570,9 +8570,10 @@ CATALOG: list[QueryDef] = [
              "JSON path extraction"),
     QueryDef("event_type_pivot", q_event_type_pivot, SQL_EVENT_TYPE_PIVOT,
              "pivot: per-user event-type count matrix"),
-    QueryDef("rolling_user_activity", q_rolling_user_activity,
-             SQL_ROLLING_USER_ACTIVITY,
-             "trailing-1h RANGE window per user (time-based frame)"),
+    QueryDef("orders_profile", q_orders_profile, SQL_ORDERS_PROFILE,
+             "ANALYZE-style one-scan column profile: rows/nulls/ndv/"
+             "min/max per column, long form (approx_ndv flag = HLL++ "
+             "at scale)"),
     QueryDef("window_rank_suite", q_window_rank_suite, SQL_WINDOW_RANK_SUITE,
              "rank/dense_rank/lead/ntile/cume_dist over one spec"),
     QueryDef("value_percentiles", q_value_percentiles, SQL_VALUE_PERCENTILES,
@@ -9039,10 +9040,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "int8 scalar-quantized top-k: corpus min/max grid, exact "
              "integer centered-code dot scores (compression tier beside "
              "PQ/IVF)"),
-    QueryDef("orders_profile", q_orders_profile, SQL_ORDERS_PROFILE,
-             "ANALYZE-style one-scan column profile: rows/nulls/ndv/"
-             "min/max per column, long form (approx_ndv flag = HLL++ "
-             "at scale)"),
+    QueryDef("rolling_user_activity", q_rolling_user_activity,
+             SQL_ROLLING_USER_ACTIVITY,
+             "trailing-1h RANGE window per user (time-based frame)"),
     QueryDef("part_hop_distances", q_part_hop_distances,
              SQL_PART_HOP_DISTANCES,
              "single-source BFS hop distances, frontier-propagated "

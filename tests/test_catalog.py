@@ -79,6 +79,11 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # revenue_by_nation) move to EXTENDED, still oracle-checked.
     "conversion_funnel_24h",      # commerce funnel analytics family
     "cdc_merge_apply",            # MERGE INTO / CDC apply family
+    # second round-4 swap: data profiling (ANALYZE statistics) had no
+    # graded rep; rolling_user_activity (RANGE time frame — the window
+    # family keeps window_rank_suite graded and running_revenue +
+    # rolling_user_activity oracle-checked in EXTENDED) moves out.
+    "orders_profile",             # one-scan column profiling family
 }
 
 
