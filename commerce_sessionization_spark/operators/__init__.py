@@ -24,6 +24,7 @@ from commerce_sessionization_spark.operators.sketches import (
     cms_join_size_estimate,
     count_min_cells,
     count_min_estimates,
+    grouped_histogram_quantiles,
     histogram_quantiles,
     histogram_sketch,
     sample_quantiles,
@@ -163,6 +164,7 @@ __all__ = [
     "cms_join_size_estimate",
     "count_min_cells",
     "count_min_estimates",
+    "grouped_histogram_quantiles",
     "histogram_quantiles",
     "histogram_sketch",
     "sample_quantiles",

@@ -325,3 +325,58 @@ def cms_join_size_estimate(
         .agg(F.sum(F.col("_a") * F.col("_b")).alias("_dot"))
         .agg(F.min("_dot").alias("est_join_size"))
     )
+
+
+def grouped_histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_width: float,
+    percentiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Per-group quantile estimates off per-group histogram sketches —
+    the p50/p95-latency-per-service query, sketch-sized.
+
+    One pass builds (group, bucket, cnt) cells (map-side combinable;
+    sketch size = groups × occupied buckets, independent of row count),
+    the cumulative walk windows per GROUP over the histogram (O(buckets)
+    rows per partition — it sorts the sketch, not the data), and each
+    requested percentile interpolates inside its straddling bucket with
+    the same deterministic arithmetic as the global
+    ``histogram_quantiles``, so a SQL oracle replays it exactly.
+
+    Output: (group, p, est).
+    """
+    g = F.col(group_col)
+    b = F.floor(F.col(value_col).cast("double") / F.lit(bucket_width))
+    hist = df.groupBy(g.alias("grp"), b.cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("grp").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "prev", F.col("cum") - F.col("cnt")
+    )
+    totals = df.groupBy(g.alias("grp")).agg(F.count(F.lit(1)).alias("n"))
+    ps = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in percentiles])).alias("p")
+    )
+    t = totals.crossJoin(F.broadcast(ps))
+    need = t["p"] * t["n"]
+    return (
+        t.join(
+            cum,
+            (t["grp"] == cum["grp"])
+            & (cum["prev"] < need)
+            & (cum["cum"] >= need),
+        )
+        .select(
+            t["grp"].alias(group_col),
+            t["p"].alias("p"),
+            (
+                cum["bucket"] * F.lit(bucket_width)
+                + (need - cum["prev"]) / cum["cnt"] * F.lit(bucket_width)
+            ).alias("est"),
+        )
+    )

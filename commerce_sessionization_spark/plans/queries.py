@@ -8037,6 +8037,60 @@ FROM stats
 
 
 # --------------------------------------------------------------------------
+# Grouped histogram quantiles (per-group sketch quantiles)
+# --------------------------------------------------------------------------
+
+_GHQ_WIDTH = 10_000.0
+
+
+def q_priority_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95 order value per priority from per-group histogram
+    sketches (``sketches.grouped_histogram_quantiles``) — the per-
+    service-percentile dashboard shape, sketch-sized: the cumulative
+    walk sorts the (group, bucket) sketch, never the orders. Identical
+    interpolation arithmetic in both engines, quantized at q6.
+    """
+    from commerce_sessionization_spark.operators.sketches import (
+        grouped_histogram_quantiles,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    q = grouped_histogram_quantiles(
+        o, "o_orderpriority", "o_totalprice",
+        bucket_width=_GHQ_WIDTH, percentiles=(0.5, 0.95),
+    )
+    return q.select(
+        "o_orderpriority",
+        (F.col("p") * 100).cast("int").alias("p_pct"),
+        _quant(F.col("est"), 6).alias("est_q6"),
+    )
+
+
+SQL_PRIORITY_PRICE_QUANTILES = f"""
+WITH hist AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(o_totalprice / {_GHQ_WIDTH}) AS BIGINT) AS bucket,
+         count(*) AS cnt
+  FROM orders GROUP BY 1, 2
+), cum AS (
+  SELECT grp, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum
+  FROM hist
+), totals AS (
+  SELECT o_orderpriority AS grp, count(*) AS n FROM orders GROUP BY 1
+), ps AS (SELECT unnest([0.5, 0.95]) AS p)
+SELECT t.grp AS o_orderpriority,
+       CAST(p * 100 AS INTEGER) AS p_pct,
+       CAST(floor((c.bucket * {_GHQ_WIDTH}
+                   + (p * t.n - (c.cum - c.cnt)) / c.cnt * {_GHQ_WIDTH})
+                  * 1000000.0) AS BIGINT) AS est_q6
+FROM totals t, ps
+JOIN cum c ON c.grp = t.grp
+          AND (c.cum - c.cnt) < p * t.n AND c.cum >= p * t.n
+"""
+
+
+# --------------------------------------------------------------------------
 # CMS inner product: join-size estimation from sketches alone
 # --------------------------------------------------------------------------
 
@@ -9087,6 +9141,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("cms_join_size", q_cms_join_size, SQL_CMS_JOIN_SIZE,
              "join-cardinality estimation from two CMS sketches (AMS "
              "inner product, min over rows) next to the exact size"),
+    QueryDef("priority_price_quantiles", q_priority_price_quantiles,
+             SQL_PRIORITY_PRICE_QUANTILES,
+             "per-group histogram-sketch quantiles (p50/p95 per "
+             "priority) — the per-service percentile dashboard shape"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

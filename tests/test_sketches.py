@@ -248,3 +248,35 @@ def test_cms_join_size_disjoint_keys_estimates_near_zero(spark):
     # true join is 0; 1000 keys in 256 cells collide, so the bound is
     # loose but must stay far below the 10^6 cross-product mass
     assert est < 50_000, est
+
+
+def test_grouped_histogram_quantiles_match_per_group_truth(spark):
+    """Uniform 0..N-1 values per group: p-quantile estimate must land
+    within one bucket of p*N, independently per group."""
+    from commerce_sessionization_spark.operators.sketches import (
+        grouped_histogram_quantiles,
+    )
+
+    a = spark.range(0, 10_000).selectExpr("'a' AS g", "CAST(id AS DOUBLE) AS v")
+    b = spark.range(0, 1_000).selectExpr("'b' AS g", "CAST(id * 5 AS DOUBLE) AS v")
+    df = a.unionAll(b)
+    got = {
+        (r.g, r.p): r.est
+        for r in grouped_histogram_quantiles(
+            df, "g", "v", bucket_width=100.0, percentiles=(0.5, 0.95)
+        ).collect()
+    }
+    assert abs(got[("a", 0.5)] - 5_000) <= 100
+    assert abs(got[("a", 0.95)] - 9_500) <= 100
+    assert abs(got[("b", 0.5)] - 2_500) <= 100
+    assert abs(got[("b", 0.95)] - 4_750) <= 100
+
+
+def test_grouped_histogram_quantiles_single_row_group(spark):
+    from commerce_sessionization_spark.operators.sketches import (
+        grouped_histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([("solo", 42.0)], "g string, v double")
+    got = grouped_histogram_quantiles(df, "g", "v", 10.0, (0.5,)).collect()
+    assert len(got) == 1 and 40.0 <= got[0].est <= 50.0
