@@ -8037,6 +8037,69 @@ FROM stats
 
 
 # --------------------------------------------------------------------------
+# Markov transition matrix over event types (journey analytics)
+# --------------------------------------------------------------------------
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition estimates between event types:
+    P(next | current) over each user's event timeline.
+
+    One lag window per user (single exchange on the key the timeline
+    lives on) produces (from, to) pairs; counts aggregate map-side and
+    the row-normalizing totals come from a second grouping of the SAME
+    pair table — no re-scan of events. Probability is ONE integer
+    division in double (identical operands both engines), quantized q6.
+    The journey-analytics companion to ``user_event_sequence``
+    (sequences) and ``session_pattern_match`` (regex classification):
+    this is the estimator behind next-step prediction and absorbing-
+    state (churn) analysis.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("_row_total")
+    )
+    return counts.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        _quant(
+            F.col("n_transitions").cast("double") / F.col("_row_total"), 6
+        ).alias("p_q6"),
+    )
+
+
+SQL_EVENT_TRANSITION_MATRIX = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(floor(CAST(n_transitions AS DOUBLE)
+                  / sum(n_transitions) OVER (PARTITION BY from_type)
+                  * 1000000.0) AS BIGINT) AS p_q6
+FROM counts
+"""
+
+
+# --------------------------------------------------------------------------
 # Grouped histogram quantiles (per-group sketch quantiles)
 # --------------------------------------------------------------------------
 
@@ -9145,6 +9208,11 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_PRIORITY_PRICE_QUANTILES,
              "per-group histogram-sketch quantiles (p50/p95 per "
              "priority) — the per-service percentile dashboard shape"),
+    QueryDef("event_transition_matrix", q_event_transition_matrix,
+             SQL_EVENT_TRANSITION_MATRIX,
+             "first-order Markov transition estimates over user "
+             "timelines (one lag window, row-normalized, exact-integer "
+             "division)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG
