@@ -112,6 +112,11 @@ def pagerank(
     # count AFTER the checkpoint: it reads the materialized partitions
     # instead of executing the vertex subtree a second time
     n_vert = vertices.count()  # scalar dimension, like k-means' k
+    if n_vert == 0:
+        # empty graph: no ranks, not a division by zero
+        return vertices.select(
+            F.col(id_col), F.lit(0.0).alias("rank")
+        )
     out_deg = edges.groupBy(src.alias(id_col)).agg(
         F.count(F.lit(1)).alias("_outdeg")
     )

@@ -7885,6 +7885,8 @@ def q_part_hop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = edges.agg(
         F.min(F.least(F.col("src"), F.col("dst")))
     ).first()[0]
+    if src is None:  # empty graph: no source, empty distance table
+        return spark.createDataFrame([], "node long, dist int")
     return shortest_paths(edges, source=int(src), rounds=_SSSP_ROUNDS)
 
 
@@ -8238,6 +8240,8 @@ def q_part_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     src = edges.agg(F.min(F.least(F.col("src"), F.col("dst")))).first()[0]
+    if src is None:  # empty graph
+        return spark.createDataFrame([], "node long, dist long")
     return weighted_shortest_paths(edges, source=int(src), rounds=_WSSSP_ROUNDS)
 
 

@@ -1,0 +1,72 @@
+"""Degenerate-input robustness: catalog queries on EMPTY tables.
+
+A pipeline's first production incident is usually an empty partition —
+a source gap, a new tenant, a filter that matched nothing. Every query
+here must return an empty (or well-defined) result instead of crashing
+on a driver-side scalar that doesn't exist. The full-catalog sweep ran
+once offline (172/179 already clean; pagerank's uniform-rank division
+and the BFS source-pick were the fixes); this test pins the previously-
+crashing shapes plus one representative per major family so the
+property can't rot.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from commerce_sessionization_spark.plans.queries import all_spark_queries
+from commerce_sessionization_spark.schemas import ALL_TESTDATA_TABLES
+from commerce_sessionization_spark.sources.tables import load_table
+
+PINNED = [
+    # previously crashed (ZeroDivisionError / int(None))
+    "pagerank_copurchase",
+    "pagerank_copurchase_fast",
+    "pagerank_neardup",
+    "pagerank_neardup_fast",
+    "part_hop_distances",
+    "part_weighted_distances",
+    # one per family: window chain, agg, join, dedup, sketch, tier-b,
+    # iterative graph, timeseries, profiling
+    "sessionize_events",
+    "pricing_summary",
+    "revenue_by_nation",
+    "exact_dedup_docs",
+    "kmv_distinct_users",
+    "pack_sequences",
+    "kcore_parts",
+    "event_gapfill_interp",
+    "holt_daily_revenue",
+    "orders_profile",
+    "event_transition_matrix",
+    "conversion_funnel_24h",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in ALL_TESTDATA_TABLES:
+        load_table(spark, "/root/testdata/sf0.001", t).limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{t}.parquet")
+    return d
+
+
+def test_pinned_queries_survive_empty_tables(spark, empty_sf):
+    queries = all_spark_queries()
+    failures = {}
+    for name in PINNED:
+        try:
+            queries[name](spark, empty_sf).count()
+        except Exception as e:  # noqa: BLE001 — we report them all at once
+            failures[name] = f"{type(e).__name__}: {e}"
+    assert not failures, failures
+
+
+def test_pq_seeding_fails_loudly_not_cryptically(spark, empty_sf):
+    """pq_adc_topk genuinely cannot seed a codebook from nothing — the
+    contract is an explicit ValueError, not a downstream crash."""
+    queries = all_spark_queries()
+    with pytest.raises(ValueError, match="at least 16 vectors"):
+        queries["pq_adc_topk"](spark, empty_sf).count()
