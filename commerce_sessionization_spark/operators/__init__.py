@@ -131,6 +131,10 @@ from commerce_sessionization_spark.operators.ml import (
     apply_linear_model,
     fit_ridge_regression,
 )
+from commerce_sessionization_spark.operators.legacy import (
+    augment_session_id_udf,
+    filter_date_hour,
+)
 from commerce_sessionization_spark.operators.merge import (
     collapse_batch,
     merge_upsert,
@@ -155,6 +159,7 @@ __all__ = [
     "session_stats",
     "divide_file",
     "exact_dedup",
+    "filter_date_hour",
     "fit_ridge_regression",
     "minhash_lsh_dedup_pairs",
     "ngram_jaccard_pairs",
@@ -172,6 +177,7 @@ __all__ = [
     "simhash_table",
     "apply_linear_model",
     "asof_join",
+    "augment_session_id_udf",
     "bloom_filtered_join",
     "range_join",
     "salted_join",
