@@ -44,26 +44,32 @@ def filter_date_hour(df: DataFrame, date: str, hour: str) -> DataFrame:
     return df.filter(F.col("date_hour") == f"{date}T{hour}Z")
 
 
+def _epoch_millis(ts) -> int:
+    """UTC epoch milliseconds of a (naive-UTC) timestamp. The UDF
+    receives naive datetimes in the session timezone (UTC here);
+    ``datetime.timestamp()`` would interpret them in the WORKER's local
+    zone, so derive millis via timegm — correct on any host."""
+    import calendar
+
+    if hasattr(ts, "value"):  # pandas Timestamp: exact ns
+        return ts.value // 1_000_000
+    return calendar.timegm(ts.timetuple()) * 1000 + ts.microsecond // 1000
+
+
 @F.udf(ArrayType(StringType()))
 def _assign_session_ids(user_id, event_times):
     """The reference UDF verbatim: fold over the sorted times, minting
     sha256("{userId}-{epochMillis}") when the ms-gap exceeds the
     threshold, else repeating the last id."""
     def mint(ts):
-        millis = ts.value // 1_000_000 if hasattr(ts, "value") else int(
-            ts.timestamp() * 1000
-        )
-        return hashlib.sha256(f"{user_id}-{millis}".encode()).hexdigest()
-
-    def millis(ts):
-        return ts.value // 1_000_000 if hasattr(ts, "value") else int(
-            ts.timestamp() * 1000
-        )
+        return hashlib.sha256(
+            f"{user_id}-{_epoch_millis(ts)}".encode()
+        ).hexdigest()
 
     out = [mint(event_times[0])]
     prev = event_times[0]
     for cur in event_times[1:]:
-        if millis(cur) - millis(prev) > SESSION_EXPIRED_MS:
+        if _epoch_millis(cur) - _epoch_millis(prev) > SESSION_EXPIRED_MS:
             out.append(mint(cur))
         else:
             out.append(out[-1])

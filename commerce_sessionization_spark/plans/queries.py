@@ -8039,6 +8039,55 @@ FROM stats
 
 
 # --------------------------------------------------------------------------
+# Deprecated UDF sessionization path (legacy parity, oracle-replayed)
+# --------------------------------------------------------------------------
+
+def q_legacy_udf_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DEPRECATED UDF sessionization
+    (``operators/legacy.py``, port of ``SessionizationUdf.scala``) run
+    over the events table — included so the legacy path is
+    ORACLE-verified, not just unit-tested: the DuckDB side replays the
+    per-user fold as a recursive CTE, including the strict
+    millisecond threshold and the sha256("{user}-{epochMillis}") id
+    preimage. (Production sessionization is the window-function path;
+    this is the quarantined §2.9 row, proven equivalent to its spec.)
+    """
+    from commerce_sessionization_spark.operators.legacy import (
+        augment_session_id_udf,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("event_time"), "event_id"
+    )
+    return augment_session_id_udf(ev).select(
+        "user_id", "event_id", "session_id"
+    )
+
+
+SQL_LEGACY_UDF_SESSIONS = """
+WITH RECURSIVE indexed AS MATERIALIZED (
+  SELECT user_id, event_id,
+         epoch_us(ts) // 1000 AS ms,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), walk AS (
+  SELECT user_id, event_id, ms, rn,
+         sha256(user_id::VARCHAR || '-' || ms::VARCHAR) AS session_id
+  FROM indexed WHERE rn = 1
+  UNION ALL
+  SELECT i.user_id, i.event_id, i.ms, i.rn,
+         CASE WHEN i.ms - w.ms > 1800000
+              THEN sha256(i.user_id::VARCHAR || '-' || i.ms::VARCHAR)
+              ELSE w.session_id END
+  FROM indexed i JOIN walk w
+    ON i.user_id = w.user_id AND i.rn = w.rn + 1
+)
+SELECT user_id, event_id, session_id FROM walk
+"""
+
+
+# --------------------------------------------------------------------------
 # Markov transition matrix over event types (journey analytics)
 # --------------------------------------------------------------------------
 
@@ -9217,6 +9266,11 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "first-order Markov transition estimates over user "
              "timelines (one lag window, row-normalized, exact-integer "
              "division)"),
+    QueryDef("legacy_udf_sessions", q_legacy_udf_sessions,
+             SQL_LEGACY_UDF_SESSIONS,
+             "deprecated UDF sessionization path (quarantined legacy "
+             "port) — recursive-CTE oracle replays the ms-threshold "
+             "fold and epoch-millis sha256 ids"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -94,8 +94,10 @@ def test_udf_id_preimage_is_user_dash_epoch_millis(spark):
 
     t0 = datetime(2019, 10, 1, 10, 0, 0)
     df = _events(spark, [t0], user=42)
+    import calendar
+
     got = augment_session_id_udf(df).collect()[0]["session_id"]
-    epoch_ms = int(t0.timestamp() * 1000)
+    epoch_ms = calendar.timegm(t0.timetuple()) * 1000
     assert got == hashlib.sha256(f"42-{epoch_ms}".encode()).hexdigest()
 
 
