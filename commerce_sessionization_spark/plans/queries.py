@@ -5742,11 +5742,16 @@ def q_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n") * F.col(f"ss_{y}")
                 - F.col(f"s_{y}").cast("decimal(38,6)") * F.col(f"s_{y}")
             ).cast("double")
+            denom = dx * dy
             pairs.append(
                 F.struct(
                     F.lit(x).alias("col_x"),
                     F.lit(y).alias("col_y"),
-                    _quant(num / F.sqrt(dx * dy), 6).alias("corr_q6"),
+                    # degenerate variance (n=1, or a constant column)
+                    # -> correlation undefined -> NULL, both engines
+                    _quant(
+                        F.when(denom > 0, num / F.sqrt(denom)), 6
+                    ).alias("corr_q6"),
                 )
             )
     return stats.select(F.explode(F.array(*pairs)).alias("p")).select(
@@ -5760,8 +5765,8 @@ def _corr_pair_sql(x: str, y: str) -> str:
     dy = f"CAST(n * ss_{y} - CAST(s_{y} AS DECIMAL(38,6)) * s_{y} AS DOUBLE)"
     return (
         f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
-        f"CAST(floor({num} / sqrt({dx} * {dy}) * 1000000.0) AS BIGINT) "
-        f"AS corr_q6 FROM stats"
+        f"CAST(floor({num} / sqrt(NULLIF({dx} * {dy}, 0)) * 1000000.0) "
+        f"AS BIGINT) AS corr_q6 FROM stats"
     )
 
 

@@ -70,3 +70,17 @@ def test_pq_seeding_fails_loudly_not_cryptically(spark, empty_sf):
     queries = all_spark_queries()
     with pytest.raises(ValueError, match="at least 16 vectors"):
         queries["pq_adc_topk"](spark, empty_sf).count()
+
+
+def test_metric_correlations_single_row_yields_null_not_crash(spark, tmp_path):
+    """n=1 makes every variance zero: correlation is undefined — the
+    query must return NULLs, not DIVIDE_BY_ZERO."""
+    from commerce_sessionization_spark.schemas import ALL_TESTDATA_TABLES
+
+    d = str(tmp_path / "one")
+    for t in ALL_TESTDATA_TABLES:
+        load_table(spark, "/root/testdata/sf0.001", t).limit(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{t}.parquet")
+    rows = all_spark_queries()["metric_correlations"](spark, d).collect()
+    assert rows and all(r.corr_q6 is None for r in rows)
