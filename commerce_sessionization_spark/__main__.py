@@ -135,6 +135,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="approx_count_distinct (HLL++) instead of exact NDV")
     pr.add_argument("--master", default=None)
 
+    ck = sub.add_parser(
+        "checksum",
+        help="order/layout-independent content fingerprint of a parquet "
+             "table (count + modular sum of per-row SHA hashes)",
+    )
+    ck.add_argument("table", help="parquet path, or a testdata table name "
+                                  "when --sf-dir is given")
+    ck.add_argument("--sf-dir", default=None)
+    ck.add_argument("--columns", default=None,
+                    help="comma-separated subset (default: all columns)")
+    ck.add_argument("--master", default=None)
+
     ge = sub.add_parser(
         "generate",
         help="write deterministic synthetic events via the "
@@ -243,6 +255,38 @@ def main(argv: list[str] | None = None) -> int:
                 .parquet(args.out)
             )
             print(f"generated {args.rows} events -> {args.out}")
+        elif args.cmd == "checksum":
+            from pyspark.sql import functions as F
+
+            from commerce_sessionization_spark.functions.hashing import (
+                hex_to_long,
+            )
+
+            if args.sf_dir:
+                from commerce_sessionization_spark.sources.tables import load_table
+
+                df = load_table(spark, args.sf_dir, args.table)
+            else:
+                df = spark.read.parquet(args.table)
+            names = (
+                [c.strip() for c in args.columns.split(",")]
+                if args.columns
+                else df.columns
+            )
+            pre = F.concat_ws(
+                "\x01",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                  for c in names],
+            )
+            row = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.pmod(
+                    F.sum(hex_to_long(F.sha2(pre, 256)).cast("decimal(38,0)")),
+                    F.lit(2 ** 60).cast("decimal(38,0)"),
+                ).cast("long").alias("checksum"),
+            ).collect()[0]
+            print(f"rows={row['n_rows']} checksum={row['checksum']} "
+                  f"columns={','.join(names)}")
         elif args.cmd == "profile":
             from pyspark.sql import functions as F
 
