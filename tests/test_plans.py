@@ -227,6 +227,7 @@ _INTENDED_LOOP_JOINS = {
     "priority_target_encoding",  # 1-row global prior broadcast
     "bloom_pruned_order_revenue",  # 1-row bloom bitmap broadcast probe
     "cms_join_size",           # 1-row exact-size scalar rides along
+    "priority_price_quantiles",  # percentile literals x per-group totals
 }
 
 
