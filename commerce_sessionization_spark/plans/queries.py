@@ -8123,15 +8123,16 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n_transitions")
     )
-    totals = counts.groupBy("from_type").agg(
-        F.sum("n_transitions").alias("_row_total")
-    )
-    return counts.join(totals, "from_type").select(
+    # row-normalize with a window over the COUNTS table (|types|² rows
+    # — sketch-sized), not a groupBy + join back: one exchange on
+    # from_type instead of three
+    row_total = F.sum("n_transitions").over(Window.partitionBy("from_type"))
+    return counts.select(
         "from_type",
         "to_type",
         "n_transitions",
         _quant(
-            F.col("n_transitions").cast("double") / F.col("_row_total"), 6
+            F.col("n_transitions").cast("double") / row_total, 6
         ).alias("p_q6"),
     )
 
