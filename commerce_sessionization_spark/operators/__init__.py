@@ -48,6 +48,7 @@ from commerce_sessionization_spark.operators.similarity import (
 )
 from commerce_sessionization_spark.operators.text import (
     augment_word_dropout,
+    clean_text,
     cross_doc_span_stats,
     language_id,
     pii_scrub,
@@ -166,6 +167,7 @@ __all__ = [
     "segment_dedup",
     "hash_split",
     "bottomk_sample",
+    "clean_text",
     "cms_join_size_estimate",
     "count_min_cells",
     "count_min_estimates",

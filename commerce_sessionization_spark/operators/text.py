@@ -406,3 +406,32 @@ def augment_word_dropout(
     return wdf.withColumn(
         out_col, F.array_join(F.transform(kept, lambda s: s["w"]), " ")
     ).drop("_aw")
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_clean",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus cleaning as pure column expressions — the step-0 pass of
+    every training-data pipeline, kept JVM-side:
+
+    1. strip C0/C1 control characters (tab/newline become spaces first
+       so token boundaries survive),
+    2. collapse whitespace runs to one space and trim,
+    3. optional ASCII lowercasing.
+
+    Every regex is in the Java∩RE2 subset (the ``pii_scrub`` contract),
+    so a SQL oracle replays the identical cleaning — and the pass adds
+    ZERO shuffles (scan → project). Unicode canonicalization (NFC) needs
+    ICU and is deliberately out of scope for JVM-side expressions; run
+    it at ingest if sources mix composition forms.
+    """
+    c = F.col(text_col)
+    c = F.regexp_replace(c, "[\\t\\n\\r]", " ")
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    c = F.trim(F.regexp_replace(c, " +", " "))
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(out_col, c)

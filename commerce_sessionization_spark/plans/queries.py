@@ -8044,6 +8044,44 @@ FROM stats
 
 
 # --------------------------------------------------------------------------
+# Corpus text cleaning (step-0 of training-data prep)
+# --------------------------------------------------------------------------
+
+def q_cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control-char strip + whitespace collapse + lowercase over the
+    corpus (``operators.text.clean_text``) — pure column expressions in
+    the Java∩RE2 regex subset, zero shuffles, replayed identically by
+    the oracle. Emits per-doc before/after lengths so the cleaning is
+    verifiable at a glance (clean length ≤ raw length always).
+    """
+    from commerce_sessionization_spark.operators.text import clean_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return clean_text(docs).select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length("text_clean").alias("clean_len"),
+        F.sha2(F.col("text_clean"), 256).alias("clean_sha"),
+    )
+
+
+SQL_CLEANED_DOCS = """
+WITH cleaned AS (
+  SELECT doc_id, text,
+         lower(trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[\\t\\n\\r]', ' ', 'g'),
+             '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+           ' +', ' ', 'g'))) AS text_clean
+  FROM documents
+)
+SELECT doc_id, length(text) AS raw_len, length(text_clean) AS clean_len,
+       sha256(text_clean) AS clean_sha
+FROM cleaned
+"""
+
+
+# --------------------------------------------------------------------------
 # Deprecated UDF sessionization path (legacy parity, oracle-replayed)
 # --------------------------------------------------------------------------
 
@@ -9277,6 +9315,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "deprecated UDF sessionization path (quarantined legacy "
              "port) — recursive-CTE oracle replays the ms-threshold "
              "fold and epoch-millis sha256 ids"),
+    QueryDef("cleaned_docs", q_cleaned_docs, SQL_CLEANED_DOCS,
+             "step-0 corpus cleaning (control strip, ws collapse, "
+             "lowercase) as zero-shuffle RE2-subset expressions, "
+             "sha-verified"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

@@ -268,3 +268,38 @@ def test_augment_fast_mode_same_contract_cheaper_hash(spark):
     r0 = next(r for r in f1 if r.doc_id == 0)
     idxs = [int(w[1:]) for w in r0.text_aug.split(" ")]
     assert idxs == sorted(idxs) and len(set(idxs)) == len(idxs)
+
+
+def test_clean_text_strips_controls_collapses_ws_lowercases(spark):
+    from pyspark.sql import Row
+
+    from commerce_sessionization_spark.operators.text import clean_text
+
+    df = spark.createDataFrame(
+        [
+            Row(text="Hello\tWorld\n\nFOO\x00bar  \x1f  Baz  "),
+            Row(text="  already clean  "),
+            Row(text=""),
+        ]
+    )
+    got = [r.text_clean for r in clean_text(df).collect()]
+    assert got[0] == "hello world foobar baz"
+    assert got[1] == "already clean"
+    assert got[2] == ""
+
+
+def test_clean_text_is_idempotent_and_shrinks(spark):
+    from pyspark.sql import functions as F
+
+    from commerce_sessionization_spark.operators.text import clean_text
+    from commerce_sessionization_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("text")
+    once = clean_text(docs)
+    twice = clean_text(once.select(F.col("text_clean").alias("text")))
+    assert once.filter(
+        F.length("text_clean") > F.length("text")
+    ).count() == 0
+    a = [r.text_clean for r in once.orderBy(F.col("text_clean")).collect()]
+    b = [r.text_clean for r in twice.orderBy(F.col("text_clean")).collect()]
+    assert a == b
