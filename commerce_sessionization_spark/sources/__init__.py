@@ -7,6 +7,7 @@ from commerce_sessionization_spark.sources.io import (
     split_corrupt,
     write_bucketed_table,
     read_parquet_evolving,
+    schema_diff,
     write_parquet_with_bloom,
     write_partitioned,
     write_partitioned_parquet,
@@ -30,6 +31,7 @@ __all__ = [
     "split_corrupt",
     "write_bucketed_table",
     "read_parquet_evolving",
+    "schema_diff",
     "write_parquet_with_bloom",
     "write_partitioned",
     "write_partitioned_parquet",

@@ -387,3 +387,28 @@ def read_parquet_evolving(spark, path: str, expected_schema=None):
                     f"{have[f.name]} != expected {f.dataType}"
                 )
     return df
+
+
+def schema_diff(old, new) -> dict:
+    """Structural diff of two schemas (or DataFrames): added / removed /
+    type-changed columns — the data-contract check a publisher runs
+    before replacing a table version (pairs with
+    ``read_parquet_evolving``'s read-side assertions and
+    ``operators.merge.snapshot_diff``'s row-level change feed).
+
+    Returns {"added": [...], "removed": [...], "changed": [(name,
+    old_type, new_type), ...]}; empty lists ⇔ contract unchanged.
+    """
+    o = old.schema if hasattr(old, "schema") else old
+    n = new.schema if hasattr(new, "schema") else new
+    of = {f.name: f.dataType for f in o.fields}
+    nf = {f.name: f.dataType for f in n.fields}
+    return {
+        "added": sorted(set(nf) - set(of)),
+        "removed": sorted(set(of) - set(nf)),
+        "changed": sorted(
+            (c, str(of[c]), str(nf[c]))
+            for c in set(of) & set(nf)
+            if of[c] != nf[c]
+        ),
+    }

@@ -325,3 +325,17 @@ def test_read_parquet_evolving_merges_added_column(spark, tmp_path):
         read_parquet_evolving(
             spark, p, StructType([StructField("tag", LongType())])
         )
+
+
+def test_schema_diff_reports_contract_changes(spark):
+    from commerce_sessionization_spark.sources.io import schema_diff
+
+    old = spark.range(1).selectExpr("id", "CAST(1 AS INT) AS a", "'x' AS b")
+    new = spark.range(1).selectExpr(
+        "id", "CAST(1 AS BIGINT) AS a", "2.0 AS c"
+    )
+    d = schema_diff(old, new)
+    assert d["added"] == ["c"] and d["removed"] == ["b"]
+    assert d["changed"] == [("a", "IntegerType()", "LongType()")]
+    same = schema_diff(new, new)
+    assert same == {"added": [], "removed": [], "changed": []}
