@@ -8739,8 +8739,13 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _profile_sql_block(name: str, expr: str) -> str:
+    # DuckDB types sum(int) as HUGEINT (int128); the driver's value-hash
+    # canonicalization renders that differently from Spark's BIGINT even
+    # when the values match, so every integer aggregate here is pinned to
+    # BIGINT explicitly (this trap cost rounds 1 and 4 — see
+    # tests/test_catalog.py oracle-typing lint, which now forbids it).
     return f"""SELECT '{name}' AS col_name, count(*) AS n_rows,
-       COALESCE(sum(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END), 0) AS n_nulls,
+       CAST(COALESCE(sum(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
        count(DISTINCT {expr}) AS ndv,
        CAST(min({expr}) AS VARCHAR) AS min_value,
        CAST(max({expr}) AS VARCHAR) AS max_value

@@ -130,6 +130,45 @@ def test_extended_catalog_names_disjoint_from_driver_window():
     assert not ({q.name for q in CATALOG} & {q.name for q in EXTENDED_CATALOG})
 
 
+def test_oracle_sql_types_have_no_hugeint():
+    """Execute every oracle SQL in DuckDB and reject HUGEINT/UHUGEINT
+    result columns. DuckDB types sum() over integers as int128, which
+    the driver's value-hash canonicalization renders differently from
+    Spark's BIGINT even when the values are identical — this silently
+    hash-failed a driver row in rounds 1 and 4 (orders_profile). The fix
+    is always an explicit CAST(... AS BIGINT) in the oracle SQL; this
+    lint makes the regression impossible. DuckDB-only (no Spark), so the
+    whole 179-oracle sweep runs in well under a minute at sf0.001.
+    """
+    import os
+
+    import duckdb
+
+    from commerce_sessionization_spark.schemas import ALL_TESTDATA_TABLES
+
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for t in ALL_TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    offenders = []
+    for q in FULL_CATALOG:
+        if q.oracle is None:
+            continue
+        cur = con.execute(q.oracle)
+        cur.fetchall()
+        huge = [
+            (d[0], str(d[1]))
+            for d in cur.description
+            if "HUGEINT" in str(d[1]).upper()
+        ]
+        if huge:
+            offenders.append((q.name, huge))
+    assert not offenders, (
+        "oracle SQL produced int128 columns the driver hash can't "
+        f"canonicalize against Spark BIGINT — add CAST(... AS BIGINT): {offenders}"
+    )
+
+
 def test_catalog_md_is_current():
     """CATALOG.md is generated from the QueryDef list; regenerate with
     `python tools/gen_catalog_md.py` whenever the catalog changes."""
