@@ -104,6 +104,9 @@ HEADLINE = [
     "table_checksums",
     "holt_daily_revenue",
     "part_weighted_distances",
+    # round-5: price the exact multi-distinct Expand vs HLL++ side by
+    # side (orders_profile already above; this is its 100 TB switch)
+    "orders_profile_approx",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

@@ -10,6 +10,10 @@ trivially parseable containers are decoded by hand:
   DEFLATE is in the stdlib (``zlib``), so the full critical-chunk path —
   chunk walk, IDAT inflate, all five scanline filters (None/Sub/Up/
   Average/Paeth), palette expansion — is a real decode, not a stub.
+- **JPEG** (ITU-T T.81 baseline sequential, Huffman): real entropy decode
+  (canonical Huffman + byte unstuffing + restart markers), dequantize,
+  vectorized 8×8 IDCT, 4:4:4/4:2:2/4:2:0 chroma upsampling, JFIF
+  YCbCr→RGB — the dominant crawl-corpus image format, dependency-free.
 - **WAV** (RIFF PCM, 16-bit): sample rate, duration, RMS amplitude.
 
 Encoders for both formats are provided too — they generate test fixtures
@@ -18,8 +22,9 @@ functions run inside Arrow-batched ``mapInPandas`` workers
 (``operators.multimodal``), so per-element Python overhead is bounded by
 the batch count, not the row count.
 
-Formats that genuinely need codec libraries (JPEG/MP3/MP4) raise
-``UnsupportedMediaError`` — the caller decides whether to skip or fail.
+Formats that genuinely need codec libraries (progressive/arithmetic JPEG,
+WebP, MP3, MP4) raise ``UnsupportedMediaError`` — the caller decides
+whether to skip or fail.
 """
 
 from __future__ import annotations
@@ -365,13 +370,15 @@ def png_features(asset_id: int, payload: bytes) -> dict:
 
 
 def image_features(asset_id: int, payload: bytes) -> dict:
-    """Dispatch on magic bytes: BMP or PNG → IMAGE_FEATURES_SCHEMA row."""
+    """Dispatch on magic bytes: BMP, PNG, or JPEG → IMAGE_FEATURES_SCHEMA row."""
     data = payload or b""
     if data[:2] == b"BM":
         return bmp_features(asset_id, data)
     if data[:8] == _PNG_SIG:
         return png_features(asset_id, data)
-    raise UnsupportedMediaError("unrecognized image container (not BMP/PNG)")
+    if data[:2] == b"\xff\xd8":
+        return jpeg_features(asset_id, data)
+    raise UnsupportedMediaError("unrecognized image container (not BMP/PNG/JPEG)")
 
 
 # --------------------------------------------------------------------------
@@ -557,6 +564,522 @@ def encode_gif(frames: list[np.ndarray], delay_cs: int = 10) -> bytes:
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# JPEG (ITU-T T.81 baseline sequential DCT, Huffman-coded)
+# --------------------------------------------------------------------------
+#
+# Real decode, no codec library: marker walk (SOI/APPn/DQT/SOF0/SOF1/DHT/
+# DRI/SOS), canonical-Huffman entropy decode with byte-unstuffing and
+# restart-marker support, dequantize + dezigzag, vectorized 8×8 IDCT (one
+# numpy einsum over every block of a component at once), generic chroma
+# upsampling for the standard 4:4:4 / 4:2:2 / 4:2:0 samplings, and JFIF
+# YCbCr→RGB. Progressive (SOF2), arithmetic-coded (SOF9+), hierarchical,
+# and 12-bit variants raise ``UnsupportedMediaError`` — baseline sequential
+# is the overwhelming majority of crawl-corpus JPEGs.
+#
+# The encoder exists for fixtures and round-trip tests (the same role
+# ``encode_gif`` plays): 4:4:4 or 4:2:0, a flat quantization table
+# (``quant=1`` → near-lossless, so tests can bound per-pixel error), and a
+# deliberately trivial-but-valid Huffman table (every symbol coded in 9
+# bits, symbol 0xFF at 10) — poor compression, spec-conformant output,
+# zero table-recall risk. Optional restart intervals exercise the
+# decoder's RST path.
+
+_ZIGZAG = [
+    (r, c)
+    for s in range(15)
+    for r, c in (
+        [(min(s, 7) - i, s - min(s, 7) + i) for i in range(min(s, 14 - s) + 1)]
+        if s % 2 == 0
+        else [(s - min(s, 7) + i, min(s, 7) - i) for i in range(min(s, 14 - s) + 1)]
+    )
+]
+_ZIG_ROWS = np.array([r for r, _ in _ZIGZAG])
+_ZIG_COLS = np.array([c for _, c in _ZIGZAG])
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8×8 DCT-II basis: F = C·f·Cᵀ, f = Cᵀ·F·C."""
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    c = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    c[0] /= np.sqrt(2.0)
+    return c
+
+
+_DCT_C = _dct_matrix()
+
+
+class _BitReader:
+    """MSB-first bit reader over an already-unstuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = len(data) * 8
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        end = self.pos + n
+        if end > self.nbits:
+            raise UnsupportedMediaError("truncated JPEG entropy data")
+        b0, b1 = self.pos >> 3, (end + 7) >> 3
+        chunk = int.from_bytes(self.data[b0:b1], "big")
+        self.pos = end
+        return (chunk >> (b1 * 8 - end)) & ((1 << n) - 1)
+
+
+def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """DHT (16 length counts + symbols) → {(length, code): symbol}.
+
+    Canonical assignment per T.81 C.2; the prefix property makes the
+    (length, prefix) pair an unambiguous lookup key during decode.
+    """
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bits(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise UnsupportedMediaError("invalid JPEG Huffman code")
+
+
+def _extend(value: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a SIZE-bit magnitude to its signed value."""
+    if size == 0:
+        return 0
+    return value if value >= (1 << (size - 1)) else value - (1 << size) + 1
+
+
+def _split_scan(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from ``pos`` → unstuffed segments split at RSTn.
+
+    Returns (segments, position of the next non-RST marker's 0xFF byte).
+    0xFF00 unstuffs to 0xFF; 0xFFD0–D7 starts a new segment.
+    """
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = int(pos)
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = payload[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # restart marker
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        elif m == 0xFF:  # fill byte
+            i += 1
+        else:  # a real marker ends the scan
+            break
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _idct_blocks(coeffs: np.ndarray) -> np.ndarray:
+    """(N, 8, 8) dequantized coefficients → (N, 8, 8) float samples."""
+    return np.einsum("ij,njk,kl->nil", _DCT_C.T, coeffs, _DCT_C)
+
+
+def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a baseline sequential JPEG → (H×W×3 uint8 RGB, n_channels).
+
+    Supports SOF0/SOF1 (Huffman, 8-bit), 1- or 3-component scans, any
+    sampling whose factors divide the max (covers 4:4:4, 4:2:2, 4:2:0),
+    and restart intervals. Grayscale replicates to RGB with
+    ``n_channels=1``. Progressive/arithmetic/12-bit/hierarchical files
+    raise ``UnsupportedMediaError``.
+    """
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise UnsupportedMediaError("not a JPEG payload")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class, id) -> lookup
+    frame = None  # (H, W, [(cid, h, v, tq), ...])
+    restart_interval = 0
+    pos = 2
+    n = len(payload)
+    scan = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise UnsupportedMediaError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # no-length markers
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                off += 1
+                if pq == 0:
+                    q = np.frombuffer(body, np.uint8, 64, off).astype(np.int32)
+                    off += 64
+                else:
+                    q = np.frombuffer(body, ">u2", 64, off).astype(np.int32)
+                    off += 128
+                qtables[tq] = q
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline-decodable
+            prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise UnsupportedMediaError(f"{prec}-bit JPEG unsupported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02x}: progressive/"
+                "arithmetic/lossless/hierarchical)"
+            )
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nsyms = sum(bits)
+                vals = body[off + 17 : off + 17 + nsyms]
+                htables[(tc, th)] = _build_huffman(bits, vals)
+                off += 17 + nsyms
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                scan.append((cs, tdta >> 4, tdta & 0x0F))
+            segments, pos = _split_scan(payload, pos + seg_len)
+            break
+        pos += seg_len
+    if frame is None or scan is None:
+        raise UnsupportedMediaError("JPEG missing SOF/SOS")
+    height, width, comps = frame
+    if height <= 0 or width <= 0:
+        raise UnsupportedMediaError("degenerate JPEG dimensions")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    order = []  # per scan component: (comp, dc_table, ac_table, coeff grid)
+    coeff_grids: dict[int, np.ndarray] = {}
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise UnsupportedMediaError("JPEG scan references unknown component")
+        cid, ch, cv, tq = by_id[cs]
+        if hmax % ch or vmax % cv:
+            raise UnsupportedMediaError("non-integer JPEG sampling ratio")
+        if (0, td) not in htables or (1, ta) not in htables or tq not in qtables:
+            raise UnsupportedMediaError("JPEG missing Huffman/quant table")
+        grid = np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
+        coeff_grids[cid] = grid
+        order.append((by_id[cs], htables[(0, td)], htables[(1, ta)], grid))
+    if len(order) != len(comps):
+        raise UnsupportedMediaError("multi-scan JPEG unsupported (baseline only)")
+
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    preds = {c[0][0]: 0 for c in order}
+    total_mcus = mcus_x * mcus_y
+    for mcu in range(total_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise UnsupportedMediaError("JPEG missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            preds = {c[0][0]: 0 for c in order}
+        my, mx = divmod(mcu, mcus_x)
+        for (cid, ch, cv, tq), dc_tab, ac_tab, grid in order:
+            quant = qtables[tq]
+            for vy in range(cv):
+                for vx in range(ch):
+                    zz = np.zeros(64, dtype=np.int32)
+                    size = _huff_decode(reader, dc_tab)
+                    if size > 11:
+                        raise UnsupportedMediaError("bad JPEG DC size")
+                    preds[cid] += _extend(reader.read_bits(size), size)
+                    zz[0] = preds[cid]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(reader, ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise UnsupportedMediaError("JPEG AC run overflow")
+                        zz[k] = _extend(reader.read_bits(s), s)
+                        k += 1
+                    grid[my * cv + vy, mx * ch + vx] = zz * quant
+    planes: dict[int, np.ndarray] = {}
+    for (cid, ch, cv, tq), _dc, _ac, grid in order:
+        bh, bw = grid.shape[:2]
+        blocks = np.zeros((bh * bw, 8, 8), dtype=np.float64)
+        blocks[:, _ZIG_ROWS, _ZIG_COLS] = grid.reshape(bh * bw, 64)
+        px = _idct_blocks(blocks) + 128.0
+        plane = (
+            px.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        plane = np.repeat(np.repeat(plane, vmax // cv, 0), hmax // ch, 1)
+        planes[cid] = plane[:height, :width]
+    if len(order) == 1:
+        y = np.clip(np.round(next(iter(planes.values()))), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2)), 1
+    y_id, cb_id, cr_id = (c[0][0] for c in order)
+    y, cb, cr = planes[y_id], planes[cb_id] - 128.0, planes[cr_id] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.ascontiguousarray(
+        np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    ), 3
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nacc += nbits
+        while self.nacc >= 8:
+            byte = (self.acc >> (self.nacc - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nacc -= 8
+            self.acc &= (1 << self.nacc) - 1
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self.nacc:
+            pad = 8 - self.nacc
+            self.write((1 << pad) - 1, pad)
+
+
+#: fixture Huffman table: symbols 0x00–0xFE at 9 bits, 0xFF at 10 — valid
+#: canonical lengths (Kraft sum 255/512 + 1/1024 < 1), no all-ones code.
+_ENC_BITS = [0] * 8 + [255, 1] + [0] * 6
+_ENC_VALS = bytes(range(256))
+
+
+def _enc_code(sym: int) -> tuple[int, int]:
+    return (sym, 9) if sym < 255 else (510, 10)
+
+
+def _dht_segment() -> bytes:
+    body = b""
+    for tc in (0, 1):
+        body += bytes([tc << 4]) + bytes(_ENC_BITS) + _ENC_VALS
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _csize(v: int) -> int:
+    """Bit category of a signed coefficient (T.81 table F.1)."""
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int) -> int:
+    diff = int(zz[0]) - pred
+    s = _csize(diff)
+    c, length = _enc_code(s)
+    w.write(c, length)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    k, run = 1, 0
+    while k <= last_nz:
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+        else:
+            while run >= 16:
+                c, length = _enc_code(0xF0)  # ZRL
+                w.write(c, length)
+                run -= 16
+            s = _csize(v)
+            c, length = _enc_code((run << 4) | s)
+            w.write(c, length)
+            w.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        k += 1
+    if last_nz < 63:
+        c, length = _enc_code(0x00)  # EOB
+        w.write(c, length)
+    return int(zz[0])
+
+
+def _plane_blocks(plane: np.ndarray, quant: int) -> np.ndarray:
+    """Edge-pad a plane to 8-multiples, FDCT+quantize every 8×8 block →
+    (blocks_y, blocks_x, 64) zigzag coefficients."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    f = padded.astype(np.float64) - 128.0
+    blocks = (
+        f.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coeffs = np.einsum("ij,njk,kl->nil", _DCT_C, blocks, _DCT_C.T)
+    q = np.round(coeffs / float(quant)).astype(np.int32)
+    zz = q[:, _ZIG_ROWS, _ZIG_COLS]
+    return zz.reshape(ph // 8, pw // 8, 64)
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quant: int = 1,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode uint8 gray (H×W) or RGB (H×W×3) as baseline JPEG.
+
+    Fixture-grade by design (cf. ``encode_gif``): flat quantization table
+    filled with ``quant`` (1 → near-lossless so round-trip tests can bound
+    per-pixel error), trivial 9-bit Huffman table, 4:4:4 by default or
+    4:2:0 with ``subsample=True`` (2×2-mean chroma), optional restart
+    intervals (in MCUs) to exercise the decoder's RST path.
+    """
+    arr = np.asarray(img, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("expected H×W gray or H×W×3 RGB uint8 array")
+    if not 1 <= quant <= 255:
+        raise ValueError("quant must be in [1, 255]")
+    h, w = arr.shape[:2]
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([quant] * 64)
+    if gray:
+        comps = [(1, 1, 1)]
+        planes = [arr.astype(np.float64)]
+    else:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            def halve(p):
+                p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                return 0.25 * (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
+            comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+            planes = [y, halve(cb), halve(cr)]
+        else:
+            comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+            planes = [y, cb, cr]
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for (cid, ch, cv), _ in zip(comps, planes):
+        sof += bytes([cid, (ch << 4) | cv, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += _dht_segment()
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([len(comps)])
+    for (cid, _, _), _ in zip(comps, planes):
+        sos += bytes([cid, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    grids = []
+    for (cid, ch, cv), plane in zip(comps, planes):
+        grid = _plane_blocks(plane, quant)
+        need_y, need_x = mcus_y * cv, mcus_x * ch
+        gy, gx = grid.shape[:2]
+        if gy < need_y or gx < need_x:  # pad block grid to whole MCUs
+            grid = np.pad(
+                grid, ((0, need_y - gy), (0, need_x - gx), (0, 0)), mode="edge"
+            )
+        grids.append(grid)
+    writer = _BitWriter()
+    preds = [0] * len(comps)
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.flush()
+            out += writer.out
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            writer = _BitWriter()
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, ((cid, ch, cv), grid) in enumerate(zip(comps, grids)):
+            for vy in range(cv):
+                for vx in range(ch):
+                    preds[ci] = _encode_block(
+                        writer, grid[my * cv + vy, mx * ch + vx], preds[ci]
+                    )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_features(asset_id: int, payload: bytes) -> dict:
+    """IMAGE_FEATURES_SCHEMA row from a real baseline-JPEG decode."""
+    rgb, n_channels = decode_jpeg(payload)
+    return {
+        "asset_id": asset_id,
+        "width": rgb.shape[1],
+        "height": rgb.shape[0],
+        "n_channels": n_channels,
+        "mean_luma": round(float(_luma(rgb).mean()), 6),
+        "phash": average_hash(rgb),
+    }
 
 
 def wav_spectral_features(asset_id: int, payload: bytes) -> dict:

@@ -8738,6 +8738,35 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB switch of ``orders_profile``: identical one-scan
+    profile with ``approx_ndv=True`` — HLL++ replaces the 6-column exact
+    ``count(DISTINCT)``, which otherwise plans as a 6× Expand (row fanout
+    before partial aggregation). Benched side by side with the exact
+    variant so the Expand's cost is priced, not asserted (same pattern
+    as the pagerank decimal/double pair). Rows-only oracle: the HLL++
+    estimate is engine-specific so no DuckDB value replay exists;
+    accuracy is pinned within the rsd bound by
+    tests/test_dq.py::test_profile_columns_approx_mode_close_and_expand_free,
+    and every non-ndv column is value-pinned through the exact twin.
+    """
+    from commerce_sessionization_spark.operators.dq import profile_columns
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        o,
+        [
+            ("o_orderkey", F.col("o_orderkey")),
+            ("o_custkey", F.col("o_custkey")),
+            ("o_orderstatus", F.col("o_orderstatus")),
+            ("o_orderpriority", F.col("o_orderpriority")),
+            ("o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")),
+            ("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")),
+        ],
+        approx_ndv=True,
+    )
+
+
 def _profile_sql_block(name: str, expr: str) -> str:
     # DuckDB types sum(int) as HUGEINT (int128); the driver's value-hash
     # canonicalization renders that differently from Spark's BIGINT even
@@ -9324,6 +9353,12 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "step-0 corpus cleaning (control strip, ws collapse, "
              "lowercase) as zero-shuffle RE2-subset expressions, "
              "sha-verified"),
+    # round-5: price the exact-NDV Expand vs the HLL++ scale path as a
+    # benched pair (rows-only: HLL++ estimates are engine-specific;
+    # accuracy pinned by tests/test_dq.py, non-ndv columns by the twin)
+    QueryDef("orders_profile_approx", q_orders_profile_approx, None,
+             "one-scan column profile with approx_ndv=True — HLL++ "
+             "drops the 6× multi-distinct Expand (the 100 TB switch)"),
 ]
 
 FULL_CATALOG: list[QueryDef] = CATALOG + EXTENDED_CATALOG

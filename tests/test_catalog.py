@@ -111,6 +111,11 @@ ROWS_ONLY_ALLOWED = {
     # decimal-exact oracle mode within 1e-9 in tests/test_graph.py
     "pagerank_neardup_fast",
     "pagerank_copurchase_fast",
+    # HLL++ ndv estimates are engine-specific — no DuckDB value replay
+    # exists; accuracy is pinned within the rsd bound by tests/test_dq.py
+    # and every non-ndv column is value-pinned through the exact twin
+    # (orders_profile, driver-graded)
+    "orders_profile_approx",
 }
 
 
