@@ -738,20 +738,26 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
         if marker == 0xD9:  # EOI
             break
         (seg_len,) = struct.unpack_from(">H", payload, pos)
+        if seg_len < 2 or pos + seg_len > n:
+            raise UnsupportedMediaError("truncated JPEG segment")
         body = payload[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0x0F
                 off += 1
+                width_ = 64 if pq == 0 else 128
+                if off + width_ > len(body):
+                    raise UnsupportedMediaError("truncated JPEG DQT")
                 if pq == 0:
                     q = np.frombuffer(body, np.uint8, 64, off).astype(np.int32)
-                    off += 64
                 else:
                     q = np.frombuffer(body, ">u2", 64, off).astype(np.int32)
-                    off += 128
+                off += width_
                 qtables[tq] = q
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline-decodable
+            if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+                raise UnsupportedMediaError("truncated JPEG SOF")
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise UnsupportedMediaError(f"{prec}-bit JPEG unsupported")
@@ -996,7 +1002,10 @@ def encode_jpeg(
         raise ValueError("quant must be in [1, 255]")
     h, w = arr.shape[:2]
     out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x01\x00\x01\x00\x00"
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([quant] * 64)
     if gray:
         comps = [(1, 1, 1)]

@@ -3,11 +3,13 @@
 The Spark-side contract — schema (``schemas.MEDIA_SCHEMA``), Arrow-batched
 ``mapInPandas`` plumbing, partitioning by modality, stable output schemas —
 is real and tested, and so is decode for the formats parseable without
-codec libraries: **BMP and PNG images and PCM WAV audio** run through the
-real dependency-free decoders in ``functions.codecs`` (header parse + numpy
-pixel/sample math; PNG inflates IDAT with stdlib ``zlib`` and unfilters in
-numpy). Formats that need external libs (JPEG/MP3, video)
-raise ``NotImplementedError`` on the real path; ``fake=True`` swaps in a
+codec libraries: **BMP, PNG, and baseline JPEG images and PCM WAV audio**
+run through the real dependency-free decoders in ``functions.codecs``
+(header parse + numpy pixel/sample math; PNG inflates IDAT with stdlib
+``zlib``; JPEG is a full T.81 baseline decode — Huffman entropy decode,
+vectorized IDCT, chroma upsampling). Formats that need external libs
+(progressive/arithmetic JPEG, WebP, MP3, video) raise
+``NotImplementedError`` on the real path; ``fake=True`` swaps in a
 deterministic payload-seeded fake so pipeline shape stays testable for
 those modalities too.
 
@@ -93,12 +95,13 @@ def _fake_image_features(asset_id: int, payload: bytes) -> dict:
 def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + featurize image payloads via Arrow-batched ``mapInPandas``.
 
-    The real path decodes BMP and PNG payloads with the dependency-free
-    parsers in ``functions.codecs`` (width/height/channels, Rec.601 mean
-    luma, 8×8 average-hash; PNG rides stdlib ``zlib`` for IDAT inflate).
-    Other formats raise ``NotImplementedError`` because JPEG/WebP need
-    codec libraries this container lacks. ``fake=True`` routes every
-    payload to the deterministic fake instead.
+    The real path decodes BMP, PNG, and baseline-JPEG payloads with the
+    dependency-free parsers in ``functions.codecs`` (width/height/
+    channels, Rec.601 mean luma, 8×8 average-hash; PNG rides stdlib
+    ``zlib``, JPEG is a full T.81 baseline decode). Other formats raise
+    ``NotImplementedError`` because progressive JPEG/WebP need codec
+    libraries this container lacks. ``fake=True`` routes every payload
+    to the deterministic fake instead.
     """
     from commerce_sessionization_spark.functions.codecs import (
         UnsupportedMediaError,
@@ -116,8 +119,9 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     recs.append(image_features(a, bytes(c or b"")))
                 except UnsupportedMediaError as e:
                     raise NotImplementedError(
-                        f"asset {a}: only BMP/PNG decode without codec libs "
-                        f"({e}); use fake=True for other formats"
+                        f"asset {a}: only BMP/PNG/baseline-JPEG decode "
+                        f"without codec libs ({e}); use fake=True for "
+                        "other formats"
                     ) from e
             yield pd.DataFrame.from_records(
                 recs, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
@@ -378,9 +382,10 @@ def resize_images(df: DataFrame, max_dim: int = 64, fake: bool = False) -> DataF
     Arrow-batched ``mapInPandas`` (the thumbnail/normalize step every
     vision-data pipeline runs before feature extraction).
 
-    Real path: BMP/PNG decode → nearest-neighbor index sampling (pure
-    numpy, no PIL) → re-encode in the SAME container the asset arrived
-    in; images already within bounds pass through byte-identical.
+    Real path: BMP/PNG/baseline-JPEG decode → nearest-neighbor index
+    sampling (pure numpy, no PIL) → re-encode in the SAME container the
+    asset arrived in (JPEG re-encodes near-lossless at ``quant=1``);
+    images already within bounds pass through byte-identical.
     Other formats raise ``NotImplementedError`` (codec libs);
     ``fake=True`` emits a deterministic payload-seeded stand-in with the
     correctly scaled dimensions so pipeline shape stays testable.
@@ -393,8 +398,10 @@ def resize_images(df: DataFrame, max_dim: int = 64, fake: bool = False) -> DataF
     from commerce_sessionization_spark.functions.codecs import (
         UnsupportedMediaError,
         decode_bmp,
+        decode_jpeg,
         decode_png,
         encode_bmp,
+        encode_jpeg,
         encode_png,
     )
 
@@ -421,13 +428,17 @@ def resize_images(df: DataFrame, max_dim: int = 64, fake: bool = False) -> DataF
                     if payload[:8] == b"\x89PNG\r\n\x1a\n":
                         rgb, _bits = decode_png(payload)
                         encode = encode_png
+                    elif payload[:2] == b"\xff\xd8":
+                        rgb, _bits = decode_jpeg(payload)
+                        encode = encode_jpeg
                     else:
                         rgb, _bits = decode_bmp(payload)
                         encode = encode_bmp
                 except UnsupportedMediaError as e:
                     raise NotImplementedError(
-                        f"asset {a}: only BMP/PNG resize without codec libs "
-                        f"({e}); use fake=True for other formats"
+                        f"asset {a}: only BMP/PNG/baseline-JPEG resize "
+                        f"without codec libs ({e}); use fake=True for "
+                        "other formats"
                     ) from e
                 ih, iw = rgb.shape[:2]
                 w, h = scaled(iw, ih)

@@ -115,6 +115,9 @@ def write_partitioned(
 #: per-modality pipelines skip it by partition filter, not by crashing.
 MEDIA_EXTENSIONS: dict[str, tuple[str, str]] = {
     "bmp": ("image", "image/bmp"),
+    "png": ("image", "image/png"),
+    "jpg": ("image", "image/jpeg"),
+    "jpeg": ("image", "image/jpeg"),
     "wav": ("audio", "audio/wav"),
     "gif": ("video", "image/gif"),
 }

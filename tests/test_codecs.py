@@ -270,3 +270,128 @@ class TestPng:
             decode_png(mk(8, 1))
         with pytest.raises(UnsupportedMediaError):
             decode_png(b"not a png at all")
+
+
+class TestJpeg:
+    """T.81 baseline JPEG: fixture round-trips bound per-pixel error
+    (quant=1 is near-lossless, so FDCT/IDCT rounding is the only loss),
+    and a REAL libjpeg-produced file pins the standard-Huffman + 4:2:0 +
+    chroma-upsample decode path against bytes this repo didn't encode."""
+
+    def test_round_trip_444_near_lossless(self):
+        from commerce_sessionization_spark.functions.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = gradient_rgb()
+        rgb, n_channels = decode_jpeg(encode_jpeg(img, quant=1))
+        assert n_channels == 3
+        assert rgb.shape == img.shape
+        assert np.abs(rgb.astype(int) - img.astype(int)).max() <= 3
+
+    def test_round_trip_noise_and_odd_dims(self):
+        from commerce_sessionization_spark.functions.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(7)
+        noise = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+        rgb, _ = decode_jpeg(encode_jpeg(noise, quant=1))
+        assert rgb.shape == noise.shape  # block padding cropped away
+        assert np.abs(rgb.astype(int) - noise.astype(int)).max() <= 3
+
+    def test_round_trip_420_subsampled(self):
+        from commerce_sessionization_spark.functions.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = gradient_rgb(40, 56)  # smooth ramps: 2x2 chroma mean is tame
+        data = encode_jpeg(img, subsample=True)
+        rgb, _ = decode_jpeg(data)
+        assert rgb.shape == img.shape
+        assert np.abs(rgb.astype(int) - img.astype(int)).max() <= 8
+
+    def test_restart_interval_resets_predictors(self):
+        from commerce_sessionization_spark.functions.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = gradient_rgb(32, 48)
+        plain = decode_jpeg(encode_jpeg(img))[0]
+        with_rst = decode_jpeg(encode_jpeg(img, restart_interval=2))[0]
+        np.testing.assert_array_equal(plain, with_rst)
+        both = decode_jpeg(encode_jpeg(img, subsample=True, restart_interval=3))[0]
+        assert np.abs(both.astype(int) - img.astype(int)).max() <= 8
+
+    def test_grayscale_single_component(self):
+        from commerce_sessionization_spark.functions.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        g = np.linspace(0, 255, 24 * 32, dtype=np.uint8).reshape(24, 32)
+        rgb, n_channels = decode_jpeg(encode_jpeg(g))
+        assert n_channels == 1
+        assert rgb.shape == (24, 32, 3)
+        np.testing.assert_array_equal(rgb[:, :, 0], rgb[:, :, 2])
+        assert np.abs(rgb[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+    # 16×16 Python-logo JPEG from CPython's own test data
+    # (Lib/test/imghdrdata/python.jpg, PSF-licensed) — produced by a real
+    # libjpeg encoder: standard Annex-K Huffman tables, 4:2:0 sampling,
+    # optimized DQT. Decoding it proves the decoder handles files this
+    # repo's fixture encoder did not produce.
+    _REAL_JPEG_B64 = (
+        "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUGCQgKCgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgEBAgQCwkLEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wAARCAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QAJBAAAQQBBAICAwAAAAAAAAAAAQIDBAYFBwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAAAAAAAAAABv/EACMRAAECBQMFAAAAAAAAAAAAAAECEQMEBQYhABIxFRZhgeH/2gAMAwEAAhEDEQA/ABSm0mobc8HmExLUlRzzEWPkJWW+ulrsaUVAseUgslSlH9LKuPryIKuWPZdskzXmm3fX5m2nF4GlVxx/HOpx4ks51+MiU/Iaad7UcUo4tILoS4kqcWkezS0hO/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ/rs8AuA8VAe0vdl7VOYn+27flGAUgmITjbhSmCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwetf//Z"
+    )
+
+    def test_real_libjpeg_file_decodes(self):
+        import base64
+
+        from commerce_sessionization_spark.functions.codecs import (
+            decode_jpeg,
+            image_features,
+        )
+
+        data = base64.b64decode(self._REAL_JPEG_B64)
+        rgb, n_channels = decode_jpeg(data)
+        assert (rgb.shape, n_channels) == ((16, 16, 3), 3)
+        # the logo is mid-toned color art: sane pixel statistics
+        assert 60 <= float(rgb.mean()) <= 130
+        feats = image_features(9, data)  # dispatch recognizes JPEG magic
+        assert (feats["width"], feats["height"]) == (16, 16)
+        assert feats["n_channels"] == 3
+
+    def test_progressive_and_truncated_raise(self):
+        from commerce_sessionization_spark.functions.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        data = bytearray(encode_jpeg(gradient_rgb()))
+        sof = data.index(b"\xff\xc0")
+        data[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+        with pytest.raises(UnsupportedMediaError):
+            decode_jpeg(bytes(data))
+        with pytest.raises(UnsupportedMediaError):
+            decode_jpeg(b"\xff\xd8\xff\xe0 jpeg soi")
+        with pytest.raises(UnsupportedMediaError):
+            decode_jpeg(encode_jpeg(gradient_rgb())[:80])  # truncated scan
+        with pytest.raises(UnsupportedMediaError):
+            decode_jpeg(b"not a jpeg")
+
+    def test_dc_prediction_spans_mcus(self):
+        """A constant mid-gray image: every block's DC rides the predictor
+        chain (diff 0 after the first block) and must reconstruct flat."""
+        from commerce_sessionization_spark.functions.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = np.full((24, 40, 3), 200, dtype=np.uint8)
+        rgb, _ = decode_jpeg(encode_jpeg(img))
+        assert int(rgb.min()) >= 199 and int(rgb.max()) <= 201

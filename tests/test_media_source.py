@@ -236,3 +236,50 @@ def test_scene_cuts_static_gif_has_none(spark):
         [Row(asset_id=6, modality="video", content=bytearray(encode_gif([f, f, f])))]
     )
     assert detect_scene_cuts(df).count() == 0
+
+
+@pytest.fixture(scope="module")
+def jpeg_dir(tmp_path_factory):
+    """Separate fixture dir: baseline JPEGs (4:4:4 and 4:2:0) on disk."""
+    from commerce_sessionization_spark.functions.codecs import encode_jpeg
+
+    d = tmp_path_factory.mktemp("media_jpeg")
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:8] = 255  # top half white → known mean luma ≈ 0.5
+    (d / "a.jpg").write_bytes(encode_jpeg(img))
+    (d / "b.jpeg").write_bytes(encode_jpeg(img, subsample=True))
+    return str(d)
+
+
+def test_jpeg_ingest_and_real_decode(spark, jpeg_dir):
+    media = read_media_dir(spark, jpeg_dir)
+    rows = media.collect()
+    assert [r["modality"] for r in rows] == ["image", "image"]
+    assert {r["mime_type"] for r in rows} == {"image/jpeg"}
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 2
+    for f in feats:
+        assert (f["width"], f["height"]) == (16, 16)
+        # near-lossless 4:4:4 and 4:2:0 both hold the half-white luma
+        assert f["mean_luma"] == pytest.approx(0.5, abs=0.02)
+
+
+def test_resize_real_jpeg_keeps_container(spark, jpeg_dir):
+    from commerce_sessionization_spark.operators.multimodal import (
+        extract_image_features,
+        resize_images,
+    )
+
+    media = read_media_dir(spark, jpeg_dir, glob="*.jpg")
+    out = resize_images(media, max_dim=8).collect()[0]
+    assert (out["width"], out["height"]) == (8, 8)
+    payload = bytes(out["content"])
+    assert payload[:2] == b"\xff\xd8"  # still a JPEG container
+    feats = extract_image_features(
+        spark.createDataFrame(
+            [(out["asset_id"], "image", payload, "image/jpeg", {})],
+            media.schema,
+        )
+    ).collect()[0]
+    assert (feats["width"], feats["height"]) == (8, 8)
+    assert abs(feats["mean_luma"] - 0.5) < 0.05
