@@ -8840,16 +8840,29 @@ CATALOG: list[QueryDef] = [
              SQL_CONVERSION_FUNNEL_24H,
              "strict-order 24h conversion funnel (windowFunnel "
              "semantics, earliest-anchor, single user-key exchange)"),
-    QueryDef("customer_order_counts", q_customer_order_counts,
-             SQL_CUSTOMER_ORDER_COUNTS, "left outer join with count"),
+    # round-5 rotation: three families the gate has NEVER graded get
+    # slots (semantic dedup, point-in-time SCD2 join, BFS traversal).
+    # Demoted to EXTENDED, all still oracle-checked there:
+    # customer_order_counts (left-join+count — the outer-join shape is
+    # graded via market_share's double-role dims and the anti/semi mixes
+    # in idle_rich_customers), forecast_revenue (Q6 selective scan+agg —
+    # pushdown shape carried by pricing_summary), shipping_priority (Q3
+    # join+top-k — carried by revenue_by_nation + window_rank_suite).
+    QueryDef("pit_scd2_join", q_pit_scd2_join, SQL_PIT_SCD2_JOIN,
+             "point-in-time fact->SCD2-dimension join (as-of window == "
+             "range-join oracle on contiguous validity intervals)"),
     QueryDef("cdc_merge_apply", q_cdc_merge_apply, SQL_CDC_MERGE_APPLY,
              "MERGE INTO: last-writer-wins CDC batch applied via "
              "one-target-scan anti join (delete/update/insert/keep)"),
     QueryDef("order_cube", q_order_cube, SQL_ORDER_CUBE, "CUBE grouping sets"),
-    QueryDef("forecast_revenue", q_forecast_revenue, SQL_FORECAST_REVENUE,
-             "Q6-shaped selective scan + ungrouped agg (full pushdown)"),
-    QueryDef("shipping_priority", q_shipping_priority, SQL_SHIPPING_PRIORITY,
-             "Q3-shaped 3-way join + decimal-ranked global top-10"),
+    QueryDef("semdedup_prune", q_semdedup_prune, SQL_SEMDEDUP_PRUNE,
+             "SemDeDup: cluster embeddings, greedy min-id prune of "
+             "cosine>tau pairs within each cluster"),
+    QueryDef("part_hop_distances", q_part_hop_distances,
+             SQL_PART_HOP_DISTANCES,
+             "single-source BFS hop distances, frontier-propagated "
+             "(chained-CTE replayed oracle; frontier broadcast while "
+             "dimension-sized)"),
     QueryDef("bm25_search", q_bm25_search, SQL_BM25_SEARCH,
              "full-text BM25 ranking from one token explode "
              "(search-engine scoring family)"),
@@ -9236,12 +9249,14 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("kcore_parts", q_kcore_parts, SQL_KCORE_PARTS,
              "fixed-round k-core peeling of the co-purchase graph "
              "(early-exit Spark loop == full chained-CTE replay)"),
-    QueryDef("semdedup_prune", q_semdedup_prune, SQL_SEMDEDUP_PRUNE,
-             "SemDeDup: cluster embeddings, greedy min-id prune of "
-             "cosine>tau pairs within each cluster"),
-    QueryDef("pit_scd2_join", q_pit_scd2_join, SQL_PIT_SCD2_JOIN,
-             "point-in-time fact->SCD2-dimension join (as-of window == "
-             "range-join oracle on contiguous validity intervals)"),
+    # round-5: demoted from the driver window (near-duplicate shapes,
+    # see the rotation note in CATALOG) — oracle-checked here
+    QueryDef("customer_order_counts", q_customer_order_counts,
+             SQL_CUSTOMER_ORDER_COUNTS, "left outer join with count"),
+    QueryDef("forecast_revenue", q_forecast_revenue, SQL_FORECAST_REVENUE,
+             "Q6-shaped selective scan + ungrouped agg (full pushdown)"),
+    QueryDef("shipping_priority", q_shipping_priority, SQL_SHIPPING_PRIORITY,
+             "Q3-shaped 3-way join + decimal-ranked global top-10"),
     QueryDef("domain_mixture_sample", q_domain_mixture_sample,
              SQL_DOMAIN_MIXTURE_SAMPLE,
              "uniform-mixture domain rebalancing at a 50% budget "
@@ -9291,11 +9306,6 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("rolling_user_activity", q_rolling_user_activity,
              SQL_ROLLING_USER_ACTIVITY,
              "trailing-1h RANGE window per user (time-based frame)"),
-    QueryDef("part_hop_distances", q_part_hop_distances,
-             SQL_PART_HOP_DISTANCES,
-             "single-source BFS hop distances, frontier-propagated "
-             "(chained-CTE replayed oracle; frontier broadcast while "
-             "dimension-sized)"),
     QueryDef("revenue_autocorrelation", q_revenue_autocorrelation,
              SQL_REVENUE_AUTOCORRELATION,
              "ACF lags 1-3 of daily revenue per series: one window "

@@ -84,6 +84,12 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # family keeps window_rank_suite graded and running_revenue +
     # rolling_user_activity oracle-checked in EXTENDED) moves out.
     "orders_profile",             # one-scan column profiling family
+    # round-5 rotation: three families the gate had never graded
+    # (displacing near-duplicates customer_order_counts /
+    # forecast_revenue / shipping_priority — see CATALOG comments)
+    "semdedup_prune",             # embedding semantic dedup (SemDeDup)
+    "pit_scd2_join",              # point-in-time SCD2 warehouse join
+    "part_hop_distances",         # BFS graph traversal
 }
 
 
