@@ -521,6 +521,176 @@ def parse_gif_frames(payload: bytes) -> list[dict]:
     return frames
 
 
+def _lzw_decode(data: bytes, min_code: int) -> list[int]:
+    """GIF-flavor LZW: LSB-first variable-width codes, 12-bit cap,
+    CLEAR/END control codes (GIF89a appendix F). Returns palette indices.
+    """
+    if not 2 <= min_code <= 11:
+        raise UnsupportedMediaError(f"bad GIF LZW min code size {min_code}")
+    clear = 1 << min_code
+    end = clear + 1
+    base = {i: (i,) for i in range(clear)}
+    table = dict(base)
+    code_size = min_code + 1
+    next_code = end + 1
+    acc = nacc = pos = 0
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    n = len(data)
+    while True:
+        while nacc < code_size and pos < n:
+            acc |= data[pos] << nacc
+            nacc += 8
+            pos += 1
+        if nacc < code_size:
+            break  # stream exhausted without END — tolerate (common in wild)
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nacc -= code_size
+        if code == clear:
+            table = dict(base)
+            code_size = min_code + 1
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None or code in table:
+            entry = table.get(code)
+            if entry is None:
+                raise UnsupportedMediaError("corrupt GIF LZW stream")
+        elif code == next_code:
+            entry = prev + (prev[0],)
+        else:
+            raise UnsupportedMediaError("corrupt GIF LZW code sequence")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
+    """Full GIF pixel decode → (list of H×W×3 uint8 RGB frames, delays).
+
+    Real LZW decompression (variable-width LSB-first codes), global and
+    local color tables, Adam-style interlacing, transparency, and frame
+    compositing onto the logical screen: disposal 0/1 leave the frame,
+    2 restores the background rectangle, 3 restores the previous canvas.
+    Every frame returned is the full composited canvas — what a vision
+    model would see — with ``delay_cs`` per frame alongside.
+    """
+    if len(payload) < 13 or payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise UnsupportedMediaError("not a GIF payload")
+    pos = 6
+    sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", payload, pos)
+    pos += 7
+    if sw <= 0 or sh <= 0:
+        raise UnsupportedMediaError("degenerate GIF dimensions")
+    global_pal: np.ndarray | None = None
+    if packed & 0x80:
+        npal = 1 << ((packed & 0x07) + 1)
+        global_pal = np.frombuffer(
+            payload, np.uint8, 3 * npal, pos
+        ).reshape(-1, 3)
+        pos += 3 * npal
+
+    def subblocks(p: int) -> tuple[int, bytes]:
+        chunks = []
+        while True:
+            if p >= len(payload):
+                raise UnsupportedMediaError("truncated GIF sub-blocks")
+            ln = payload[p]
+            p += 1
+            if ln == 0:
+                return p, b"".join(chunks)
+            chunks.append(payload[p : p + ln])
+            p += ln
+
+    if global_pal is not None and bg_idx < len(global_pal):
+        canvas = np.tile(global_pal[bg_idx], (sh, sw, 1)).astype(np.uint8)
+    else:
+        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    delay_cs = 0
+    transparent: int | None = None
+    disposal = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            pos, data = subblocks(pos)
+            if label == 0xF9 and len(data) >= 4:
+                gpacked = data[0]
+                delay_cs = int.from_bytes(data[1:3], "little")
+                disposal = (gpacked >> 2) & 0x07
+                transparent = data[3] if gpacked & 0x01 else None
+        elif block == 0x2C:  # image descriptor
+            x, y, fw, fh, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            pal = global_pal
+            if ipacked & 0x80:
+                npal = 1 << ((ipacked & 0x07) + 1)
+                pal = np.frombuffer(
+                    payload, np.uint8, 3 * npal, pos
+                ).reshape(-1, 3)
+                pos += 3 * npal
+            if pal is None:
+                raise UnsupportedMediaError("GIF frame has no color table")
+            min_code = payload[pos]
+            pos += 1
+            pos, data = subblocks(pos)
+            idx = _lzw_decode(data, min_code)
+            if len(idx) < fw * fh:
+                raise UnsupportedMediaError("GIF frame pixel data short")
+            grid = np.asarray(idx[: fw * fh], dtype=np.uint16).reshape(fh, fw)
+            if ipacked & 0x40:  # interlaced: reorder rows by pass
+                rows = []
+                for start, step in _GIF_INTERLACE_PASSES:
+                    rows.extend(range(start, fh, step))
+                deinter = np.empty_like(grid)
+                deinter[np.asarray(rows)] = grid
+                grid = deinter
+            if int(grid.max(initial=0)) >= len(pal):
+                raise UnsupportedMediaError("GIF palette index out of range")
+            before = canvas.copy() if disposal == 3 else None
+            x2, y2 = min(x + fw, sw), min(y + fh, sh)
+            region = canvas[y:y2, x:x2]
+            vis_grid = grid[: y2 - y, : x2 - x]
+            rgb = pal[vis_grid]
+            if transparent is not None:
+                mask = (vis_grid != transparent)[:, :, None]
+                region[:] = np.where(mask, rgb, region)
+            else:
+                region[:] = rgb
+            frames.append(canvas.copy())
+            delays.append(delay_cs)
+            if disposal == 2:  # restore background in the frame rect
+                if global_pal is not None and bg_idx < len(global_pal):
+                    canvas[y:y2, x:x2] = global_pal[bg_idx]
+                else:
+                    canvas[y:y2, x:x2] = 0
+            elif disposal == 3 and before is not None:
+                canvas = before
+            delay_cs, transparent, disposal = 0, None, 0
+        else:
+            raise UnsupportedMediaError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise UnsupportedMediaError("GIF contains no image frames")
+    return frames, delays
+
+
 def encode_gif(frames: list[np.ndarray], delay_cs: int = 10) -> bytes:
     """Minimal animated-GIF encoder for fixtures: each frame is an H×W
     uint8 palette-index array (values < 128), LZW-compressed with clear

@@ -119,6 +119,7 @@ from commerce_sessionization_spark.operators.multimodal import (
     extract_audio_features,
     extract_audio_spectral,
     extract_image_features,
+    extract_video_frame_features,
     media_metadata_stats,
     resize_images,
     sample_video_frames,
@@ -226,6 +227,7 @@ __all__ = [
     "extract_audio_features",
     "extract_audio_spectral",
     "extract_image_features",
+    "extract_video_frame_features",
     "media_metadata_stats",
     "resize_images",
     "sample_video_frames",

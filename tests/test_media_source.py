@@ -283,3 +283,36 @@ def test_resize_real_jpeg_keeps_container(spark, jpeg_dir):
     ).collect()[0]
     assert (feats["width"], feats["height"]) == (8, 8)
     assert abs(feats["mean_luma"] - 0.5) < 0.05
+
+
+def test_video_frame_pixel_features_real_decode(spark, media_dir):
+    """Full GIF pixel decode on the ingested asset: per-frame luma comes
+    from REAL composited pixels (fixture frames are constant 0/60/100
+    gray), and the phash space matches the image featurizer's."""
+    from commerce_sessionization_spark.operators.multimodal import (
+        extract_video_frame_features,
+    )
+
+    media = read_media_dir(spark, media_dir)
+    rows = sorted(
+        extract_video_frame_features(media, every_n=1, max_frames=8).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    assert all((r["width"], r["height"]) == (8, 8) for r in rows)
+    assert all(r["delay_cs"] == 10 for r in rows)
+    lumas = [r["mean_luma"] for r in rows]
+    assert lumas == pytest.approx([0.0, 60 / 255, 100 / 255], abs=1e-6)
+    # constant frames all share the all-zero-bits phash; the point is the
+    # fingerprint came from pixels, not compressed bytes
+    assert all(len(r["phash"]) == 16 for r in rows)
+
+
+def test_video_frame_sampling_bounds_output(spark, media_dir):
+    from commerce_sessionization_spark.operators.multimodal import (
+        extract_video_frame_features,
+    )
+
+    media = read_media_dir(spark, media_dir)
+    rows = extract_video_frame_features(media, every_n=2, max_frames=1).collect()
+    assert [(r["frame_idx"],) for r in rows] == [(0,)]
