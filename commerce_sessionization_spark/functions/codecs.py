@@ -1261,6 +1261,84 @@ def jpeg_features(asset_id: int, payload: bytes) -> dict:
     }
 
 
+def _mel_filterbank(
+    n_mels: int, n_fft: int, sample_rate: int
+) -> np.ndarray:
+    """Triangular mel filterbank (n_mels, n_fft//2 + 1), HTK mel scale
+    ``mel = 2595·log10(1 + f/700)``, filters spanning 0 Hz → Nyquist."""
+    nyq = sample_rate / 2.0
+    mel_max = 2595.0 * np.log10(1.0 + nyq / 700.0)
+    mel_pts = np.linspace(0.0, mel_max, n_mels + 2)
+    hz_pts = 700.0 * (10.0 ** (mel_pts / 2595.0) - 1.0)
+    bins = np.floor((n_fft + 1) * hz_pts / sample_rate).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(1, n_mels + 1):
+        lo, ctr, hi = bins[m - 1], bins[m], bins[m + 1]
+        if ctr == lo:
+            ctr += 1
+        if hi == ctr:
+            hi += 1
+        fb[m - 1, lo:ctr] = (np.arange(lo, ctr) - lo) / (ctr - lo)
+        fb[m - 1, ctr:hi] = (hi - np.arange(ctr, hi)) / (hi - ctr)
+    return fb
+
+
+def wav_mfcc(
+    payload: bytes,
+    n_mfcc: int = 13,
+    n_mels: int = 26,
+    frame_len: int = 400,
+    hop: int = 160,
+) -> tuple[int, np.ndarray]:
+    """MFCCs of a PCM-WAV payload → (n_frames, (n_frames, n_mfcc) array).
+
+    The standard recipe, all vectorized numpy: pre-emphasis (0.97),
+    Hamming-windowed overlapping frames (default 25 ms / 10 ms at
+    16 kHz), |rfft|² power spectrum, triangular mel filterbank on the
+    HTK scale, log (floored at 1e-10), then an orthonormal DCT-II over
+    the mel axis keeping the first ``n_mfcc`` coefficients. One matmul
+    per payload — no per-frame Python loop.
+    """
+    sample_rate, mono = decode_wav(payload)
+    if len(mono) < frame_len:
+        return 0, np.zeros((0, n_mfcc))
+    emph = np.empty_like(mono)
+    emph[0] = mono[0]
+    emph[1:] = mono[1:] - 0.97 * mono[:-1]
+    n_frames = 1 + (len(emph) - frame_len) // hop
+    idx = np.arange(frame_len)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = emph[idx] * np.hamming(frame_len)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2 / frame_len
+    fb = _mel_filterbank(n_mels, frame_len, sample_rate)
+    logmel = np.log(np.maximum(power @ fb.T, 1e-10))
+    # orthonormal DCT-II basis over the mel axis
+    k = np.arange(n_mfcc)[:, None]
+    m = np.arange(n_mels)[None, :]
+    basis = np.cos(np.pi * k * (2 * m + 1) / (2.0 * n_mels)) * np.sqrt(2.0 / n_mels)
+    basis[0] /= np.sqrt(2.0)
+    return n_frames, logmel @ basis.T
+
+
+def wav_mfcc_features(asset_id: int, payload: bytes, n_mfcc: int = 13) -> dict:
+    """AUDIO_MFCC_SCHEMA row: per-asset mean and std of frame MFCCs —
+    the fixed-size audio fingerprint similarity/dedup ops consume."""
+    n_frames, mfcc = wav_mfcc(payload, n_mfcc=n_mfcc)
+    if n_frames == 0:
+        zero = [0.0] * n_mfcc
+        return {
+            "asset_id": asset_id,
+            "n_frames": 0,
+            "mfcc_mean": zero,
+            "mfcc_std": zero,
+        }
+    return {
+        "asset_id": asset_id,
+        "n_frames": int(n_frames),
+        "mfcc_mean": [round(float(v), 6) for v in mfcc.mean(axis=0)],
+        "mfcc_std": [round(float(v), 6) for v in mfcc.std(axis=0)],
+    }
+
+
 def wav_spectral_features(asset_id: int, payload: bytes) -> dict:
     """Frequency-domain WAV features via one full-signal real FFT.
 

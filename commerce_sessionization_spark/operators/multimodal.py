@@ -288,6 +288,69 @@ def sample_video_frames(
     )
 
 
+AUDIO_MFCC_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("mfcc_mean", ArrayType(DoubleType())),
+        StructField("mfcc_std", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_audio_mfcc(
+    df: DataFrame, n_mfcc: int = 13, fake: bool = False
+) -> DataFrame:
+    """MFCC audio fingerprints via Arrow-batched ``mapInPandas``: the
+    standard speech/audio featurization (pre-emphasis → Hamming frames →
+    power spectrum → mel filterbank → log → DCT-II) reduced to a
+    fixed-size per-asset vector (frame mean + std), computed as one
+    numpy matmul chain per payload. The output ``mfcc_mean`` is an
+    ``array<double>`` — directly consumable by the embedding similarity
+    and dedup operators, so audio near-dup rides the same kNN/SemDeDup
+    paths as text embeddings. Compressed audio (MP3/AAC) raises
+    ``NotImplementedError``; ``fake=True`` emits a deterministic
+    payload-seeded stand-in.
+    """
+    from commerce_sessionization_spark.functions.codecs import (
+        UnsupportedMediaError,
+        wav_mfcc_features,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for a, c in zip(pdf["asset_id"], pdf["content"]):
+                if fake:
+                    h = hashlib.sha256(c or b"").digest()
+                    vec = [round(b / 255.0, 6) for b in h[:n_mfcc]]
+                    recs.append(
+                        {
+                            "asset_id": a,
+                            "n_frames": 1 + h[0] % 100,
+                            "mfcc_mean": vec,
+                            "mfcc_std": vec[::-1],
+                        }
+                    )
+                    continue
+                try:
+                    recs.append(
+                        wav_mfcc_features(a, bytes(c or b""), n_mfcc=n_mfcc)
+                    )
+                except UnsupportedMediaError as e:
+                    raise NotImplementedError(
+                        f"asset {a}: only PCM WAV decodes without codec "
+                        f"libs ({e}); use fake=True for other formats"
+                    ) from e
+            yield pd.DataFrame.from_records(
+                recs, columns=[f.name for f in AUDIO_MFCC_SCHEMA.fields]
+            )
+
+    return df.filter(F.col("modality") == "audio").mapInPandas(
+        batches, schema=AUDIO_MFCC_SCHEMA
+    )
+
+
 FRAME_FEATURES_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),

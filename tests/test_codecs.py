@@ -576,3 +576,50 @@ class TestGifDecode:
             decode_gif(b"not a gif")
         with pytest.raises(UnsupportedMediaError):
             decode_gif(b"GIF89a" + b"\x00" * 4)
+
+
+class TestMfcc:
+    def test_shapes_determinism_and_discrimination(self):
+        from commerce_sessionization_spark.functions.codecs import (
+            encode_wav,
+            wav_mfcc,
+        )
+
+        sr = 16000
+        t = np.arange(sr) / sr
+        tone440 = encode_wav(0.5 * np.sin(2 * np.pi * 440 * t), sr)
+        tone2k = encode_wav(0.5 * np.sin(2 * np.pi * 2000 * t), sr)
+        n1, m1 = wav_mfcc(tone440)
+        assert m1.shape == (n1, 13) and n1 == 1 + (sr - 400) // 160
+        _, m1b = wav_mfcc(tone440)
+        np.testing.assert_array_equal(m1, m1b)  # deterministic
+        _, m2 = wav_mfcc(tone2k)
+        # different pitch → clearly separated fingerprints
+        assert np.linalg.norm(m1.mean(0) - m2.mean(0)) > 1.0
+
+    def test_edge_cases_and_feature_row(self):
+        from commerce_sessionization_spark.functions.codecs import (
+            encode_wav,
+            wav_mfcc_features,
+        )
+
+        # silence stays finite (log floor), short clip yields zero frames
+        silent = wav_mfcc_features(1, encode_wav(np.zeros(8000), 16000))
+        assert silent["n_frames"] > 0
+        assert all(np.isfinite(silent["mfcc_mean"]))
+        short = wav_mfcc_features(2, encode_wav(np.zeros(100), 16000))
+        assert short["n_frames"] == 0
+        assert short["mfcc_mean"] == [0.0] * 13
+
+    def test_mel_filterbank_partition_of_spectrum(self):
+        from commerce_sessionization_spark.functions.codecs import (
+            _mel_filterbank,
+        )
+
+        fb = _mel_filterbank(26, 400, 16000)
+        assert fb.shape == (26, 201)
+        assert float(fb.min()) >= 0.0
+        # every filter has support, and interior bins are covered
+        assert (fb.sum(axis=1) > 0).all()
+        covered = fb.sum(axis=0)
+        assert (covered[5:-5] > 0).all()

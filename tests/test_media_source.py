@@ -316,3 +316,22 @@ def test_video_frame_sampling_bounds_output(spark, media_dir):
     media = read_media_dir(spark, media_dir)
     rows = extract_video_frame_features(media, every_n=2, max_frames=1).collect()
     assert [(r["frame_idx"],) for r in rows] == [(0,)]
+
+
+def test_audio_mfcc_fingerprints_real_decode(spark, media_dir):
+    """MFCC fingerprint on the ingested 440 Hz fixture tone — real WAV
+    decode through the standard mel/DCT recipe, fixed-size output."""
+    from commerce_sessionization_spark.operators.multimodal import (
+        extract_audio_mfcc,
+    )
+
+    media = read_media_dir(spark, media_dir)
+    rows = extract_audio_mfcc(media).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_frames"] == 1 + (1600 - 400) // 160
+    assert len(r["mfcc_mean"]) == 13 and len(r["mfcc_std"]) == 13
+    assert all(np.isfinite(r["mfcc_mean"]))
+    # re-run is byte-deterministic (no randomness anywhere in the path)
+    again = extract_audio_mfcc(media).collect()[0]
+    assert again["mfcc_mean"] == r["mfcc_mean"]
