@@ -147,6 +147,23 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated subset (default: all columns)")
     ck.add_argument("--master", default=None)
 
+    me = sub.add_parser(
+        "media-features",
+        help="ingest a media directory (binaryFile) and write per-modality "
+             "feature parquet: image luma/phash (BMP/PNG/baseline JPEG), "
+             "audio RMS/spectral/MFCC (PCM WAV), video per-frame pixel "
+             "features (GIF)",
+    )
+    me.add_argument("path", help="media directory")
+    me.add_argument("--out", required=True, help="output directory (one "
+                                                 "parquet per modality)")
+    me.add_argument("--modality", default="all",
+                    choices=["all", "image", "audio", "video"])
+    me.add_argument("--glob", default=None, help="filename glob pushdown")
+    me.add_argument("--fake", action="store_true",
+                    help="deterministic stand-in features (no real decode)")
+    me.add_argument("--master", default=None)
+
     ge = sub.add_parser(
         "generate",
         help="write deterministic synthetic events via the "
@@ -307,6 +324,40 @@ def main(argv: list[str] | None = None) -> int:
                 df, [(c, F.col(c)) for c in names], approx_ndv=args.approx
             )
             prof.show(len(names) + 1, truncate=False)
+        elif args.cmd == "media-features":
+            from commerce_sessionization_spark.operators import (
+                extract_audio_features,
+                extract_audio_mfcc,
+                extract_image_features,
+                extract_video_frame_features,
+            )
+            from commerce_sessionization_spark.sources import read_media_dir
+
+            media = read_media_dir(spark, args.path, glob=args.glob)
+            media.persist()
+            try:
+                wrote = []
+                if args.modality in ("all", "image"):
+                    extract_image_features(media, fake=args.fake)\
+                        .write.mode("overwrite")\
+                        .parquet(f"{args.out}/image_features")
+                    wrote.append("image_features")
+                if args.modality in ("all", "audio"):
+                    extract_audio_features(media, fake=args.fake)\
+                        .write.mode("overwrite")\
+                        .parquet(f"{args.out}/audio_features")
+                    extract_audio_mfcc(media, fake=args.fake)\
+                        .write.mode("overwrite")\
+                        .parquet(f"{args.out}/audio_mfcc")
+                    wrote += ["audio_features", "audio_mfcc"]
+                if args.modality in ("all", "video"):
+                    extract_video_frame_features(media, fake=args.fake)\
+                        .write.mode("overwrite")\
+                        .parquet(f"{args.out}/video_frame_features")
+                    wrote.append("video_frame_features")
+            finally:
+                media.unpersist()
+            print(f"wrote {', '.join(wrote)} under {args.out}")
         elif args.cmd == "compact":
             from commerce_sessionization_spark.sources.io import compact_partition
 
