@@ -987,6 +987,11 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
         order.append((by_id[cs], htables[(0, td)], htables[(1, ta)], grid))
     if len(order) != len(comps):
         raise UnsupportedMediaError("multi-scan JPEG unsupported (baseline only)")
+    if len(order) not in (1, 3):
+        raise UnsupportedMediaError(
+            f"{len(order)}-component JPEG unsupported (CMYK/Adobe needs a "
+            "color-management library)"
+        )
 
     seg_idx = 0
     reader = _BitReader(segments[0])
