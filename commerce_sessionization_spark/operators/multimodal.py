@@ -509,6 +509,80 @@ def detect_scene_cuts(df: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
+def phash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs over 64-bit perceptual hashes (the ``phash``
+    the image AND video-frame featurizers emit — one fingerprint space,
+    so image↔image, frame↔frame, and image↔frame near-dups all come out
+    of the same call).
+
+    Scale shape is the SimHash/LSH pattern, not all-pairs: the 16-hex
+    phash splits into 4 × 16-bit bands; by pigeonhole, any pair within
+    Hamming distance ≤ 3 agrees on at least one whole band, so the
+    candidate join is an equi-join on ``(band_idx, band_value)`` and the
+    exact Hamming distance (4 × conv/xor/bit_count — all JVM
+    expressions, no UDF) verifies only candidates. For ``max_hamming >=
+    4`` the band guarantee no longer covers every pair; the operator
+    raises rather than silently losing recall.
+
+    Returns (id_l, id_r, hamming), id_l < id_r, deduped across bands.
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            "banded phash join guarantees recall only for max_hamming <= 3 "
+            "(4 bands); use more bands or exhaustive compare beyond that"
+        )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.substring(F.col(phash_col), 1 + 4 * i, 4).alias("band_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    sides = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(phash_col).alias("_ph"),
+        F.explode(bands).alias("_b"),
+    ).select("_id", "_ph", "_b.band_idx", "_b.band_val")
+    left = sides.alias("l")
+    right = sides.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_l"),
+            F.col("r._id").alias("id_r"),
+            F.col("l._ph").alias("ph_l"),
+            F.col("r._ph").alias("ph_r"),
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(
+            F.conv(F.substring("ph_l", 1 + 4 * i, 4), 16, 10).cast("long")
+            .bitwiseXOR(
+                F.conv(F.substring("ph_r", 1 + 4 * i, 4), 16, 10).cast("long")
+            )
+        )
+        for i in range(4)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_l", "id_r", "hamming")
+    )
+
+
 def media_metadata_stats(df: DataFrame) -> DataFrame:
     """Per-modality rollup over modality + payload size only (no decode)."""
     return df.groupBy("modality").agg(

@@ -335,3 +335,48 @@ def test_audio_mfcc_fingerprints_real_decode(spark, media_dir):
     # re-run is byte-deterministic (no randomness anywhere in the path)
     again = extract_audio_mfcc(media).collect()[0]
     assert again["mfcc_mean"] == r["mfcc_mean"]
+
+
+def test_phash_near_dup_pairs_matches_bruteforce(spark):
+    """Banded phash join == exhaustive Hamming compare (recall proof for
+    max_hamming<=3 via the 4-band pigeonhole), on real decoded images."""
+    from commerce_sessionization_spark.functions.codecs import (
+        average_hash,
+        decode_bmp,
+        encode_bmp,
+    )
+    from commerce_sessionization_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    imgs = [base]
+    for _ in range(4):  # slight perturbations → near-dup phashes
+        im = base.copy()
+        xs, ys = rng.integers(0, 32, 12), rng.integers(0, 32, 12)
+        im[ys, xs] = rng.integers(0, 256, (12, 3))
+        imgs.append(im)
+    imgs.append(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))  # unrelated
+    hashes = [average_hash(decode_bmp(encode_bmp(im))[0]) for im in imgs]
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    expected = sorted(
+        (i, j, ham(hashes[i], hashes[j]))
+        for i in range(len(hashes))
+        for j in range(i + 1, len(hashes))
+        if ham(hashes[i], hashes[j]) <= 3
+    )
+    assert expected, "fixture produced no near-dup pairs — tighten perturbation"
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "asset_id LONG, phash STRING"
+    )
+    got = sorted(
+        (r["id_l"], r["id_r"], r["hamming"])
+        for r in phash_near_dup_pairs(df).collect()
+    )
+    assert got == expected
+    with pytest.raises(ValueError):
+        phash_near_dup_pairs(df, max_hamming=4)
