@@ -162,6 +162,10 @@ def main(argv: list[str] | None = None) -> int:
     me.add_argument("--glob", default=None, help="filename glob pushdown")
     me.add_argument("--fake", action="store_true",
                     help="deterministic stand-in features (no real decode)")
+    me.add_argument("--near-dups", action="store_true",
+                    help="also write near_dup_pairs: banded phash join "
+                         "across image features and video frames")
+    me.add_argument("--max-hamming", type=int, default=3)
     me.add_argument("--master", default=None)
 
     ge = sub.add_parser(
@@ -355,6 +359,40 @@ def main(argv: list[str] | None = None) -> int:
                         .write.mode("overwrite")\
                         .parquet(f"{args.out}/video_frame_features")
                     wrote.append("video_frame_features")
+                if args.near_dups:
+                    from pyspark.sql import functions as F
+
+                    from commerce_sessionization_spark.operators import (
+                        phash_near_dup_pairs,
+                    )
+
+                    hashes = []
+                    if "image_features" in wrote:
+                        hashes.append(
+                            spark.read.parquet(f"{args.out}/image_features")
+                            .select("asset_id", "phash")
+                        )
+                    if "video_frame_features" in wrote:
+                        hashes.append(
+                            spark.read.parquet(
+                                f"{args.out}/video_frame_features"
+                            ).select(
+                                F.xxhash64("asset_id", "frame_idx").alias(
+                                    "asset_id"
+                                ),
+                                "phash",
+                            )
+                        )
+                    if hashes:
+                        allhash = hashes[0]
+                        for h in hashes[1:]:
+                            allhash = allhash.unionByName(h)
+                        phash_near_dup_pairs(
+                            allhash, max_hamming=args.max_hamming
+                        ).write.mode("overwrite").parquet(
+                            f"{args.out}/near_dup_pairs"
+                        )
+                        wrote.append("near_dup_pairs")
             finally:
                 media.unpersist()
             print(f"wrote {', '.join(wrote)} under {args.out}")

@@ -387,3 +387,39 @@ def test_cli_media_features_subcommand(tmp_path):
         f"SELECT count(*) FROM '{out}/video_frame_features/*.parquet'"
     ).fetchone()[0]
     assert frames == 2
+
+
+def test_cli_media_features_near_dups_flag(tmp_path):
+    """--near-dups writes the banded phash pair table: two identical
+    JPEGs pair at hamming 0; the unrelated image stays out."""
+    import subprocess
+    import sys as _sys
+
+    import numpy as np
+
+    from commerce_sessionization_spark.functions.codecs import encode_jpeg
+
+    d = tmp_path / "media"
+    d.mkdir()
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:8] = 255
+    (d / "a.jpg").write_bytes(encode_jpeg(img))
+    (d / "b.jpg").write_bytes(encode_jpeg(img, subsample=True))
+    rng = np.random.default_rng(5)
+    (d / "c.jpg").write_bytes(
+        encode_jpeg(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+    )
+    out = tmp_path / "features"
+    run = subprocess.run(
+        [_sys.executable, "-m", "commerce_sessionization_spark",
+         "media-features", str(d), "--out", str(out),
+         "--modality", "image", "--near-dups", "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert run.returncode == 0, run.stderr[-500:]
+    import duckdb
+
+    pairs = duckdb.connect().execute(
+        f"SELECT hamming FROM '{out}/near_dup_pairs/*.parquet'"
+    ).fetchall()
+    assert pairs == [(0,)]
