@@ -10,10 +10,12 @@ trivially parseable containers are decoded by hand:
   DEFLATE is in the stdlib (``zlib``), so the full critical-chunk path —
   chunk walk, IDAT inflate, all five scanline filters (None/Sub/Up/
   Average/Paeth), palette expansion — is a real decode, not a stub.
-- **JPEG** (ITU-T T.81 baseline sequential, Huffman): real entropy decode
-  (canonical Huffman + byte unstuffing + restart markers), dequantize,
-  vectorized 8×8 IDCT, 4:4:4/4:2:2/4:2:0 chroma upsampling, JFIF
-  YCbCr→RGB — the dominant crawl-corpus image format, dependency-free.
+- **JPEG** (ITU-T T.81, Huffman): baseline sequential AND progressive
+  (SOF2 — spectral selection + successive approximation, EOB runs):
+  real entropy decode (16-bit-prefix LUT + restart markers), dequantize,
+  batched-matmul 8×8 IDCT, 4:4:4/4:2:2/4:2:0 chroma upsampling, JFIF
+  YCbCr→RGB — covers the dominant crawl-corpus image formats,
+  dependency-free.
 - **WAV** (RIFF PCM, 16-bit): sample rate, duration, RMS amplitude.
 
 Encoders for both formats are provided too — they generate test fixtures
@@ -22,7 +24,7 @@ functions run inside Arrow-batched ``mapInPandas`` workers
 (``operators.multimodal``), so per-element Python overhead is bounded by
 the batch count, not the row count.
 
-Formats that genuinely need codec libraries (progressive/arithmetic JPEG,
+Formats that genuinely need codec libraries (arithmetic-coded JPEG,
 WebP, MP3, MP4) raise ``UnsupportedMediaError`` — the caller decides
 whether to skip or fail.
 """
@@ -998,24 +1000,183 @@ def _idct_blocks(coeffs: np.ndarray) -> np.ndarray:
     return (_DCT_C.T @ coeffs) @ _DCT_C
 
 
-def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode a baseline sequential JPEG → (H×W×3 uint8 RGB, n_channels).
+def _prog_dc_scan(
+    segments: list[bytes],
+    scan_comps: list[tuple],
+    geom: dict,
+    grids: dict[int, np.ndarray],
+    htables: dict,
+    Ah: int,
+    Al: int,
+    restart_interval: int,
+) -> None:
+    """Progressive DC scan (T.81 G.1.2.1): first pass (Ah=0) entropy-
+    decodes DC diffs scaled by 2^Al; refinement (Ah>0) appends one raw
+    bit per block. Interleaved (multi-component, MCU order) or
+    non-interleaved (single component, raster block order)."""
+    interleaved = len(scan_comps) > 1
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    preds = {c[0]: 0 for c in scan_comps}
+    if interleaved:
+        units = geom["mcus_x"] * geom["mcus_y"]
+    else:
+        cid, ch, cv, _tq, td, _ta = scan_comps[0]
+        bw, bh = geom["comp_blocks"][cid]
+        units = bw * bh
+    for unit in range(units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise UnsupportedMediaError("JPEG missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            preds = {c[0]: 0 for c in scan_comps}
+        if interleaved:
+            my, mx = divmod(unit, geom["mcus_x"])
+            targets = [
+                (c, grids[c[0]][my * c[2] + vy, mx * c[1] + vx])
+                for c in scan_comps
+                for vy in range(c[2])
+                for vx in range(c[1])
+            ]
+        else:
+            c = scan_comps[0]
+            bw, _bh = geom["comp_blocks"][c[0]]
+            by, bx = divmod(unit, bw)
+            targets = [(c, grids[c[0]][by, bx])]
+        for c, zz in targets:
+            if Ah == 0:
+                dc_lut = htables.get((0, c[4]))
+                if dc_lut is None:
+                    raise UnsupportedMediaError("JPEG missing DC table")
+                size = _huff_decode(reader, dc_lut)
+                if size > 11:
+                    raise UnsupportedMediaError("bad JPEG DC size")
+                preds[c[0]] += _extend(reader.read_bits(size), size)
+                zz[0] = preds[c[0]] << Al
+            else:
+                if reader.read_bits(1):
+                    zz[0] = int(zz[0]) | (1 << Al)
 
-    Supports SOF0/SOF1 (Huffman, 8-bit), 1- or 3-component scans, any
-    sampling whose factors divide the max (covers 4:4:4, 4:2:2, 4:2:0),
-    and restart intervals. Grayscale replicates to RGB with
-    ``n_channels=1``. Progressive/arithmetic/12-bit/hierarchical files
-    raise ``UnsupportedMediaError``.
+
+def _prog_ac_scan(
+    segments: list[bytes],
+    comp: tuple,
+    geom: dict,
+    grid: np.ndarray,
+    ac_lut: tuple,
+    Ss: int,
+    Se: int,
+    Ah: int,
+    Al: int,
+    restart_interval: int,
+) -> None:
+    """Progressive AC scan over one component's spectral band [Ss, Se]
+    (T.81 G.1.2.2–G.1.2.3): first pass places coefficients scaled by
+    2^Al with EOB-run coding; refinement appends one correction bit per
+    already-nonzero coefficient and ±2^Al for newly significant ones.
+    Mirrors the classic libjpeg control flow, which is the de-facto
+    conformance reference."""
+    bw, bh = geom["comp_blocks"][comp[0]]
+    p1, m1 = 1 << Al, -1 << Al
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    eobrun = 0
+    for unit in range(bw * bh):
+        if restart_interval and unit and unit % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise UnsupportedMediaError("JPEG missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            eobrun = 0
+        by, bx = divmod(unit, bw)
+        zz = grid[by, bx]
+        if Ah == 0:  # first pass for this band
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = Ss
+            while k <= Se:
+                rs = _huff_decode(reader, ac_lut)
+                r, s = rs >> 4, rs & 0x0F
+                if s:
+                    k += r
+                    if k > Se:
+                        raise UnsupportedMediaError("JPEG AC run overflow")
+                    zz[k] = _extend(reader.read_bits(s), s) << Al
+                    k += 1
+                else:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += 16
+        else:  # refinement pass
+            k = Ss
+            if eobrun == 0:
+                while k <= Se:
+                    rs = _huff_decode(reader, ac_lut)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        newval = 0  # ZRL: pass over 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            raise UnsupportedMediaError(
+                                "corrupt JPEG AC refinement"
+                            )
+                        newval = p1 if reader.read_bits(1) else m1
+                    while k <= Se:
+                        c = int(zz[k])
+                        if c != 0:
+                            if reader.read_bits(1) and (c & p1) == 0:
+                                zz[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s and k <= Se:
+                        zz[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= Se:
+                    c = int(zz[k])
+                    if c != 0 and reader.read_bits(1) and (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG →
+    (H×W×3 uint8 RGB, n_channels).
+
+    Huffman-coded, 8-bit, 1- or 3-component frames, any sampling whose
+    factors divide the max (covers 4:4:4, 4:2:2, 4:2:0), restart
+    intervals, and the full progressive feature set: spectral selection
+    AND successive approximation (DC/AC first + refinement scans, EOB
+    runs). Grayscale replicates to RGB with ``n_channels=1``.
+    Arithmetic-coded/12-bit/lossless/hierarchical files raise
+    ``UnsupportedMediaError``.
     """
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise UnsupportedMediaError("not a JPEG payload")
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict] = {}  # (class, id) -> lookup
+    htables: dict[tuple[int, int], tuple] = {}  # (class, id) -> LUT
     frame = None  # (H, W, [(cid, h, v, tq), ...])
+    progressive = False
     restart_interval = 0
     pos = 2
     n = len(payload)
-    scan = None
+    geom: dict | None = None
+    grids: dict[int, np.ndarray] = {}
+    scans_done = 0
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise UnsupportedMediaError("JPEG marker desync")
@@ -1046,21 +1207,22 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
                     q = np.frombuffer(body, ">u2", 64, off).astype(np.int32)
                 off += width_
                 qtables[tq] = q
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline-decodable
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if len(body) < 6 or len(body) < 6 + 3 * body[5]:
                 raise UnsupportedMediaError("truncated JPEG SOF")
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise UnsupportedMediaError(f"{prec}-bit JPEG unsupported")
+            progressive = marker == 0xC2
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02x}: progressive/"
+                f"unsupported JPEG coding (SOF marker 0x{marker:02x}: "
                 "arithmetic/lossless/hierarchical)"
             )
         elif marker == 0xC4:  # DHT
@@ -1075,66 +1237,125 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise UnsupportedMediaError("JPEG SOS before SOF")
+            height, width, comps = frame
+            if height <= 0 or width <= 0:
+                raise UnsupportedMediaError("degenerate JPEG dimensions")
+            if geom is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                for cid, ch, cv, tq in comps:
+                    if hmax % ch or vmax % cv:
+                        raise UnsupportedMediaError(
+                            "non-integer JPEG sampling ratio"
+                        )
+                mcus_x = -(-width // (8 * hmax))
+                mcus_y = -(-height // (8 * vmax))
+                # true (non-MCU-padded) block dims per component — the
+                # traversal extent of non-interleaved progressive scans
+                comp_blocks = {}
+                for cid, ch, cv, tq in comps:
+                    cw = -(-width * ch // hmax)   # ceil(width·h/hmax)
+                    chh = -(-height * cv // vmax)
+                    comp_blocks[cid] = (-(-cw // 8), -(-chh // 8))
+                geom = {
+                    "hmax": hmax,
+                    "vmax": vmax,
+                    "mcus_x": mcus_x,
+                    "mcus_y": mcus_y,
+                    "comp_blocks": comp_blocks,
+                }
+                for cid, ch, cv, tq in comps:
+                    grids[cid] = np.zeros(
+                        (mcus_y * cv, mcus_x * ch, 64), dtype=np.int32
+                    )
             ns = body[0]
-            scan = []
+            by_id = {c[0]: c for c in comps}
+            scan_comps = []
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
-                scan.append((cs, tdta >> 4, tdta & 0x0F))
+                if cs not in by_id:
+                    raise UnsupportedMediaError(
+                        "JPEG scan references unknown component"
+                    )
+                cid, ch, cv, tq = by_id[cs]
+                scan_comps.append((cid, ch, cv, tq, tdta >> 4, tdta & 0x0F))
+            Ss, Se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            Ah, Al = a >> 4, a & 0x0F
             segments, pos = _split_scan(payload, pos + seg_len)
-            break
+            if not progressive:
+                if scans_done:
+                    raise UnsupportedMediaError(
+                        "multi-scan baseline JPEG unsupported"
+                    )
+                if len(scan_comps) != len(comps):
+                    raise UnsupportedMediaError(
+                        "baseline scan must cover every component"
+                    )
+                seg_idx = 0
+                reader = _BitReader(segments[0])
+                preds = {c[0]: 0 for c in scan_comps}
+                tabs = {}
+                for c in scan_comps:
+                    if (0, c[4]) not in htables or (1, c[5]) not in htables:
+                        raise UnsupportedMediaError("JPEG missing Huffman table")
+                    tabs[c[0]] = (htables[(0, c[4])], htables[(1, c[5])])
+                for mcu in range(geom["mcus_x"] * geom["mcus_y"]):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        seg_idx += 1
+                        if seg_idx >= len(segments):
+                            raise UnsupportedMediaError(
+                                "JPEG missing restart segment"
+                            )
+                        reader = _BitReader(segments[seg_idx])
+                        preds = {c[0]: 0 for c in scan_comps}
+                    my, mx = divmod(mcu, geom["mcus_x"])
+                    for cid, ch, cv, tq, _td, _ta in scan_comps:
+                        dc_tab, ac_tab = tabs[cid]
+                        grid = grids[cid]
+                        for vy in range(cv):
+                            for vx in range(ch):
+                                zz, preds[cid] = _decode_block(
+                                    reader, dc_tab, ac_tab, preds[cid]
+                                )
+                                grid[my * cv + vy, mx * ch + vx] = zz
+            else:
+                if Ss == 0:
+                    if Se != 0:
+                        raise UnsupportedMediaError("bad progressive DC scan")
+                    _prog_dc_scan(
+                        segments, scan_comps, geom, grids, htables, Ah, Al,
+                        restart_interval,
+                    )
+                else:
+                    if len(scan_comps) != 1 or not 1 <= Ss <= Se <= 63:
+                        raise UnsupportedMediaError("bad progressive AC scan")
+                    c = scan_comps[0]
+                    ac_lut = htables.get((1, c[5]))
+                    if ac_lut is None:
+                        raise UnsupportedMediaError("JPEG missing AC table")
+                    _prog_ac_scan(
+                        segments, c, geom, grids[c[0]], ac_lut,
+                        Ss, Se, Ah, Al, restart_interval,
+                    )
+            scans_done += 1
+            continue  # pos already advanced past the entropy data
         pos += seg_len
-    if frame is None or scan is None:
+    if frame is None or scans_done == 0 or geom is None:
         raise UnsupportedMediaError("JPEG missing SOF/SOS")
     height, width, comps = frame
-    if height <= 0 or width <= 0:
-        raise UnsupportedMediaError("degenerate JPEG dimensions")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-    by_id = {c[0]: c for c in comps}
-    order = []  # per scan component: (comp, dc_table, ac_table, coeff grid)
-    coeff_grids: dict[int, np.ndarray] = {}
-    for cs, td, ta in scan:
-        if cs not in by_id:
-            raise UnsupportedMediaError("JPEG scan references unknown component")
-        cid, ch, cv, tq = by_id[cs]
-        if hmax % ch or vmax % cv:
-            raise UnsupportedMediaError("non-integer JPEG sampling ratio")
-        if (0, td) not in htables or (1, ta) not in htables or tq not in qtables:
-            raise UnsupportedMediaError("JPEG missing Huffman/quant table")
-        grid = np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
-        coeff_grids[cid] = grid
-        order.append((by_id[cs], htables[(0, td)], htables[(1, ta)], grid))
-    if len(order) != len(comps):
-        raise UnsupportedMediaError("multi-scan JPEG unsupported (baseline only)")
-    if len(order) not in (1, 3):
+    if len(comps) not in (1, 3):
         raise UnsupportedMediaError(
-            f"{len(order)}-component JPEG unsupported (CMYK/Adobe needs a "
+            f"{len(comps)}-component JPEG unsupported (CMYK/Adobe needs a "
             "color-management library)"
         )
-
-    seg_idx = 0
-    reader = _BitReader(segments[0])
-    preds = {c[0][0]: 0 for c in order}
-    total_mcus = mcus_x * mcus_y
-    for mcu in range(total_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise UnsupportedMediaError("JPEG missing restart segment")
-            reader = _BitReader(segments[seg_idx])
-            preds = {c[0][0]: 0 for c in order}
-        my, mx = divmod(mcu, mcus_x)
-        for (cid, ch, cv, tq), dc_tab, ac_tab, grid in order:
-            for vy in range(cv):
-                for vx in range(ch):
-                    zz, preds[cid] = _decode_block(
-                        reader, dc_tab, ac_tab, preds[cid]
-                    )
-                    grid[my * cv + vy, mx * ch + vx] = zz
+    hmax, vmax = geom["hmax"], geom["vmax"]
     planes: dict[int, np.ndarray] = {}
-    for (cid, ch, cv, tq), _dc, _ac, grid in order:
+    for cid, ch, cv, tq in comps:
+        if tq not in qtables:
+            raise UnsupportedMediaError("JPEG missing quant table")
+        grid = grids[cid]
         bh, bw = grid.shape[:2]
         blocks = np.zeros((bh * bw, 8, 8), dtype=np.float64)
         # dequantize HERE, once per component over the whole block grid,
@@ -1148,10 +1369,10 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
         )
         plane = np.repeat(np.repeat(plane, vmax // cv, 0), hmax // ch, 1)
         planes[cid] = plane[:height, :width]
-    if len(order) == 1:
+    if len(comps) == 1:
         y = np.clip(np.round(next(iter(planes.values()))), 0, 255).astype(np.uint8)
         return np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2)), 1
-    y_id, cb_id, cr_id = (c[0][0] for c in order)
+    y_id, cb_id, cr_id = (c[0] for c in comps)
     y, cb, cr = planes[y_id], planes[cb_id] - 128.0, planes[cr_id] - 128.0
     rgb = np.stack(
         [

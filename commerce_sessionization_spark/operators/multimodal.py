@@ -3,12 +3,13 @@
 The Spark-side contract — schema (``schemas.MEDIA_SCHEMA``), Arrow-batched
 ``mapInPandas`` plumbing, partitioning by modality, stable output schemas —
 is real and tested, and so is decode for the formats parseable without
-codec libraries: **BMP, PNG, and baseline JPEG images and PCM WAV audio**
+codec libraries: **BMP, PNG, and JPEG (baseline + progressive) images and PCM WAV audio**
 run through the real dependency-free decoders in ``functions.codecs``
 (header parse + numpy pixel/sample math; PNG inflates IDAT with stdlib
-``zlib``; JPEG is a full T.81 baseline decode — Huffman entropy decode,
-vectorized IDCT, chroma upsampling). Formats that need external libs
-(progressive/arithmetic JPEG, WebP, MP3, video) raise
+``zlib``; JPEG is a full T.81 decode, baseline AND progressive — Huffman
+entropy decode, successive approximation, vectorized IDCT, chroma
+upsampling). Formats that need external libs
+(arithmetic JPEG, WebP, MP3, video) raise
 ``NotImplementedError`` on the real path; ``fake=True`` swaps in a
 deterministic payload-seeded fake so pipeline shape stays testable for
 those modalities too.
@@ -95,11 +96,13 @@ def _fake_image_features(asset_id: int, payload: bytes) -> dict:
 def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + featurize image payloads via Arrow-batched ``mapInPandas``.
 
-    The real path decodes BMP, PNG, and baseline-JPEG payloads with the
+    The real path decodes BMP, PNG, and JPEG (baseline + progressive)
+    payloads with the
     dependency-free parsers in ``functions.codecs`` (width/height/
     channels, Rec.601 mean luma, 8×8 average-hash; PNG rides stdlib
-    ``zlib``, JPEG is a full T.81 baseline decode). Other formats raise
-    ``NotImplementedError`` because progressive JPEG/WebP need codec
+    ``zlib``, JPEG is a full T.81 decode incl. progressive). Other
+    formats raise
+    ``NotImplementedError`` because WebP/AVIF need codec
     libraries this container lacks. ``fake=True`` routes every payload
     to the deterministic fake instead.
     """
@@ -119,7 +122,7 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     recs.append(image_features(a, bytes(c or b"")))
                 except UnsupportedMediaError as e:
                     raise NotImplementedError(
-                        f"asset {a}: only BMP/PNG/baseline-JPEG decode "
+                        f"asset {a}: only BMP/PNG/JPEG decode "
                         f"without codec libs ({e}); use fake=True for "
                         "other formats"
                     ) from e
@@ -606,7 +609,7 @@ def resize_images(df: DataFrame, max_dim: int = 64, fake: bool = False) -> DataF
     Arrow-batched ``mapInPandas`` (the thumbnail/normalize step every
     vision-data pipeline runs before feature extraction).
 
-    Real path: BMP/PNG/baseline-JPEG decode → nearest-neighbor index
+    Real path: BMP/PNG/JPEG decode → nearest-neighbor index
     sampling (pure numpy, no PIL) → re-encode in the SAME container the
     asset arrived in (JPEG re-encodes near-lossless at ``quant=1``);
     images already within bounds pass through byte-identical.
@@ -660,7 +663,7 @@ def resize_images(df: DataFrame, max_dim: int = 64, fake: bool = False) -> DataF
                         encode = encode_bmp
                 except UnsupportedMediaError as e:
                     raise NotImplementedError(
-                        f"asset {a}: only BMP/PNG/baseline-JPEG resize "
+                        f"asset {a}: only BMP/PNG/JPEG resize "
                         f"without codec libs ({e}); use fake=True for "
                         "other formats"
                     ) from e

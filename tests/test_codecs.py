@@ -623,3 +623,195 @@ class TestMfcc:
         assert (fb.sum(axis=1) > 0).all()
         covered = fb.sum(axis=0)
         assert (covered[5:-5] > 0).all()
+
+
+class TestJpegProgressive:
+    """Progressive (SOF2) decode. Exact validation: a test-side
+    successive-approximation encoder packages the SAME coefficients the
+    baseline encoder produces into DC-first/AC-first (at Al=1) plus
+    DC/AC refinement scans — the decoder must reconstruct pixels
+    IDENTICAL to the baseline decode of the same image. Real-world
+    progressive files (libjpeg scan scripts) are covered separately in
+    test_media_source via skipif paths."""
+
+    def _build_progressive_gray(self, img, with_sa):
+        import struct as st
+
+        from commerce_sessionization_spark.functions.codecs import (
+            _BitWriter,
+            _csize,
+            _dht_segment,
+            _enc_code,
+            _plane_blocks,
+        )
+
+        h, w = img.shape
+        grid = _plane_blocks(img.astype(np.float64), 1)  # (bh, bw, 64) zigzag
+        bh, bw, _ = grid.shape
+        blocks = grid.reshape(-1, 64)
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + st.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+        sof = st.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+        out += b"\xff\xc2" + st.pack(">H", 2 + len(sof)) + sof  # SOF2
+        out += _dht_segment()
+
+        def sos(ss, se, ah, al):
+            body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+            return b"\xff\xda" + st.pack(">H", 2 + len(body)) + body
+
+        al = 1 if with_sa else 0
+        # --- scan 1: DC first at Al=al ---
+        out += sos(0, 0, 0, al)
+        wtr = _BitWriter()
+        pred = 0
+        for blk in blocks:
+            v = int(blk[0]) >> al  # arithmetic shift, like the decoder ORs back
+            diff = v - pred
+            pred = v
+            s = _csize(diff)
+            c, ln = _enc_code(s)
+            wtr.write(c, ln)
+            if s:
+                wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        wtr.flush()
+        out += wtr.out
+        # --- scan 2: AC first 1..63 at Al=al (per-block EOB, no EOBRUN) ---
+        out += sos(1, 63, 0, al)
+        wtr = _BitWriter()
+        for blk in blocks:
+            hi = [
+                (1 if v > 0 else -1) * (abs(int(v)) >> al) for v in blk
+            ]
+            last = max((k for k in range(1, 64) if hi[k]), default=0)
+            k, run = 1, 0
+            while k <= last:
+                if hi[k] == 0:
+                    run += 1
+                else:
+                    while run >= 16:
+                        c, ln = _enc_code(0xF0)
+                        wtr.write(c, ln)
+                        run -= 16
+                    s = _csize(hi[k])
+                    c, ln = _enc_code((run << 4) | s)
+                    wtr.write(c, ln)
+                    v = hi[k]
+                    wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                k += 1
+            if last < 63:
+                c, ln = _enc_code(0x00)  # EOB (run count 1 → this block)
+                wtr.write(c, ln)
+        wtr.flush()
+        out += wtr.out
+        if with_sa:
+            # --- scan 3: DC refinement Ah=1, Al=0 (raw low bits) ---
+            out += sos(0, 0, 1, 0)
+            wtr = _BitWriter()
+            for blk in blocks:
+                wtr.write(int(blk[0]) & 1, 1)
+            wtr.flush()
+            out += wtr.out
+            # --- scan 4: AC refinement Ah=1, Al=0 ---
+            out += sos(1, 63, 1, 0)
+            wtr = _BitWriter()
+            for blk in blocks:
+                absv = [abs(int(v)) for v in blk]
+                sign = [1 if v >= 0 else -1 for v in blk]
+                hist = [a >> 1 for a in absv]  # what prior scans delivered
+                newsig = [
+                    k for k in range(1, 64) if hist[k] == 0 and absv[k] == 1
+                ]
+                run, pending = 0, []
+                for k in range(1, 64):
+                    if hist[k] != 0:
+                        pending.append(absv[k] & 1)  # correction bit
+                    elif absv[k] == 1:  # newly significant at this level
+                        c, ln = _enc_code((run << 4) | 1)
+                        wtr.write(c, ln)
+                        wtr.write(1 if sign[k] > 0 else 0, 1)
+                        for b in pending:
+                            wtr.write(b, 1)
+                        pending = []
+                        run = 0
+                    else:
+                        run += 1
+                        if run == 16:
+                            # ZRL must flush at the 16th zero: the
+                            # decoder's pass ends there, and correction
+                            # bits after it belong to the next segment
+                            c, ln = _enc_code(0xF0)
+                            wtr.write(c, ln)
+                            for b in pending:
+                                wtr.write(b, 1)
+                            pending = []
+                            run = 0
+                if run > 0 or pending:
+                    c, ln = _enc_code(0x00)  # EOB, count 1
+                    wtr.write(c, ln)
+                    for b in pending:
+                        wtr.write(b, 1)
+            wtr.flush()
+            out += wtr.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    @pytest.mark.parametrize("with_sa", [False, True])
+    @pytest.mark.parametrize("shape", [(16, 16), (17, 23)])
+    def test_progressive_equals_baseline_decode(self, with_sa, shape):
+        from commerce_sessionization_spark.functions.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quant=1))[0]
+        prog_bytes = self._build_progressive_gray(img, with_sa)
+        prog, nch = decode_jpeg(prog_bytes)
+        assert nch == 1
+        np.testing.assert_array_equal(prog, base)
+
+    def test_progressive_smooth_image_sparse_bands(self, ):
+        from commerce_sessionization_spark.functions.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        g = np.linspace(0, 255, 24 * 32, dtype=np.uint8).reshape(24, 32)
+        base = decode_jpeg(encode_jpeg(g, quant=1))[0]
+        for with_sa in (False, True):
+            prog = decode_jpeg(self._build_progressive_gray(g, with_sa))[0]
+            np.testing.assert_array_equal(prog, base)
+
+
+REAL_PROGRESSIVE_FILES = [
+    # Spark's own mllib test data — full successive approximation,
+    # grayscale, libjpeg scan script (DC Al=1 → AC Al=2 → AC refine
+    # Ah=2,Al=1 → DC refine → AC refine Ah=1,Al=0)
+    "/opt/spark/data/mllib/images/origin/multi-channel/grayscale.jpg",
+    # nodejs docs — 3-component progressive with AC successive approx
+    "/usr/share/doc/nodejs/full-white-stripe.jpg",
+    "/usr/share/doc/nodejs/thin-white-stripe.jpg",
+]
+
+
+@pytest.mark.parametrize("path", REAL_PROGRESSIVE_FILES)
+def test_real_progressive_jpegs_decode(path):
+    """In-the-wild progressive files (real libjpeg scan scripts with
+    successive approximation) decode to sane images. Skipped when the
+    host file is absent — the exact-round-trip tests above are the
+    self-contained correctness gate."""
+    import os
+
+    from commerce_sessionization_spark.functions.codecs import decode_jpeg
+
+    if not os.path.exists(path):
+        pytest.skip(f"host fixture {path} not present")
+    rgb, _ = decode_jpeg(open(path, "rb").read())
+    assert rgb.ndim == 3 and rgb.shape[2] == 3
+    # real photos/graphics: nontrivial dynamic range, not noise/garbage
+    assert 20.0 <= float(rgb.mean()) <= 252.0
+    assert float(rgb.std()) > 5.0
+    if "white-stripe" in path:  # mostly-white graphics by construction
+        assert float(rgb.mean()) > 200.0
