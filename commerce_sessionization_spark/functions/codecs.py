@@ -234,16 +234,73 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return recon
 
 
-def decode_png(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode an 8-bit non-interlaced PNG → (H×W×3 uint8 RGB, n_channels).
+#: Adam7 pass geometry: (col0, row0, col_step, row_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA)
-    are supported at bit depth 8; gray replicates to RGB, palette expands
-    through PLTE, and alpha is dropped after decode (featurization reads
-    color planes). ``n_channels`` reports the ORIGINAL channel count
-    (palette counts as 3). Interlaced (Adam7) and 1/2/4/16-bit files raise
-    ``UnsupportedMediaError`` — rare in ML corpora and omitted to keep the
-    unfilter kernel byte-aligned.
+
+def _png_subimage(
+    raw: bytes, off: int, w: int, h: int, samples: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter one (sub-)image → ((h, w, samples) uint8 sample array,
+    bytes consumed). Handles 1/2/4-bit packed rows (single-sample color
+    types only), 8-bit, and 16-bit (downsampled to the high byte — the
+    standard 16→8 reduction)."""
+    if depth == 16:
+        stride, bpp = w * samples * 2, samples * 2
+    elif depth == 8:
+        stride, bpp = w * samples, samples
+    else:  # 1/2/4-bit packed: filtering operates on whole bytes
+        stride, bpp = (w * samples * depth + 7) // 8, 1
+    need = h * (stride + 1)
+    recon = _png_unfilter(raw[off : off + need], h, stride, bpp)
+    if depth == 16:
+        px = recon.reshape(h, w, samples, 2)[:, :, :, 0]
+    elif depth == 8:
+        px = recon.reshape(h, w, samples)
+    else:
+        bits = np.unpackbits(recon, axis=1)[:, : (stride * 8)]
+        groups = bits[:, : (stride * 8 // depth) * depth].reshape(h, -1, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (groups * weights).sum(axis=2).astype(np.uint8)
+        px = vals[:, :w][:, :, None]
+    return np.ascontiguousarray(px), need
+
+
+def _png_pixels(
+    raw: bytes, width: int, height: int, samples: int, depth: int,
+    interlace: int,
+) -> np.ndarray:
+    """Full pixel reconstruction: sequential or Adam7 (seven
+    independently filtered sub-images scattered onto the output grid)."""
+    if interlace == 0:
+        px, _ = _png_subimage(raw, 0, width, height, samples, depth)
+        return px
+    out = np.zeros((height, width, samples), dtype=np.uint8)
+    off = 0
+    for col0, row0, cstep, rstep in _ADAM7:
+        pw = (width - col0 + cstep - 1) // cstep
+        ph = (height - row0 + rstep - 1) // rstep
+        if pw <= 0 or ph <= 0:
+            continue
+        px, used = _png_subimage(raw, off, pw, ph, samples, depth)
+        off += used
+        out[row0::rstep, col0::cstep] = px
+    return out
+
+
+def decode_png(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PNG → (H×W×3 uint8 RGB, n_channels).
+
+    Color types 0 (gray: 1/2/4/8/16-bit), 2 (RGB: 8/16), 3 (palette:
+    1/2/4/8), 4 (gray+alpha: 8/16), 6 (RGBA: 8/16), sequential or Adam7
+    interlaced; 16-bit samples reduce to the high byte, sub-byte grays
+    scale to full range, palette expands through PLTE, and alpha is
+    dropped after decode (featurization reads color planes).
+    ``n_channels`` reports the ORIGINAL channel count (palette counts
+    as 3).
     """
     if len(payload) < 8 or payload[:8] != _PNG_SIG:
         raise UnsupportedMediaError("not a PNG payload")
@@ -256,9 +313,11 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int]:
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if interlace != 0:
-                raise UnsupportedMediaError("interlaced PNG unsupported")
-            if bit_depth != 8 or color_type not in _PNG_SAMPLES:
+            if interlace not in (0, 1):
+                raise UnsupportedMediaError("unknown PNG interlace method")
+            legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                     4: (8, 16), 6: (8, 16)}
+            if color_type not in legal or bit_depth not in legal[color_type]:
                 raise UnsupportedMediaError(
                     f"unsupported PNG depth/color (bits={bit_depth} ct={color_type})"
                 )
@@ -277,9 +336,10 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int]:
     except zlib.error as e:
         raise UnsupportedMediaError(f"corrupt PNG IDAT: {e}") from e
     samples = _PNG_SAMPLES[color_type]
-    recon = _png_unfilter(raw, height, width * samples, samples)
-    px = recon.reshape(height, width, samples)
+    px = _png_pixels(raw, width, height, samples, bit_depth, interlace)
     if color_type == 0:
+        if bit_depth < 8:  # sub-byte gray scales to full range exactly
+            px = px * np.uint8(255 // ((1 << bit_depth) - 1))
         rgb, n_channels = np.repeat(px, 3, axis=2), 1
     elif color_type == 2:
         rgb, n_channels = px, 3

@@ -245,7 +245,7 @@ class TestPng:
         with pytest.raises(UnsupportedMediaError):
             image_features(1, b"\xff\xd8\xff\xe0 jpeg soi")
 
-    def test_rejects_interlaced_and_16bit(self):
+    def test_rejects_bad_depth_and_garbage(self):
         import struct
         import zlib
 
@@ -254,8 +254,8 @@ class TestPng:
             decode_png,
         )
 
-        def mk(bits, interlace):
-            ihdr = struct.pack(">IIBBBBB", 2, 2, bits, 0, 0, 0, interlace)
+        def mk(bits, ct, interlace):
+            ihdr = struct.pack(">IIBBBBB", 2, 2, bits, ct, 0, 0, interlace)
             body = zlib.compress(b"\x00\x01\x02\x00\x03\x04")
             return (
                 b"\x89PNG\r\n\x1a\n"
@@ -265,12 +265,108 @@ class TestPng:
             )
 
         with pytest.raises(UnsupportedMediaError):
-            decode_png(mk(16, 0))
+            decode_png(mk(16, 3, 0))  # 16-bit palette is illegal
         with pytest.raises(UnsupportedMediaError):
-            decode_png(mk(8, 1))
+            decode_png(mk(4, 2, 0))  # 4-bit RGB is illegal
+        with pytest.raises(UnsupportedMediaError):
+            decode_png(mk(8, 2, 7))  # unknown interlace method
         with pytest.raises(UnsupportedMediaError):
             decode_png(b"not a png at all")
 
+    def test_16bit_reduces_to_high_byte(self):
+        import struct
+        import zlib
+
+        from commerce_sessionization_spark.functions.codecs import (
+            _png_chunk,
+            decode_png,
+        )
+
+        # 2x2 16-bit gray: values chosen so high bytes are distinct
+        vals = np.array([[0x1234, 0xFF00], [0x0001, 0x8080]], dtype=">u2")
+        rows = b"".join(b"\x00" + vals[y].tobytes() for y in range(2))
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(rows))
+            + _png_chunk(b"IEND", b"")
+        )
+        rgb, nch = decode_png(png)
+        assert nch == 1
+        np.testing.assert_array_equal(
+            rgb[:, :, 0], [[0x12, 0xFF], [0x00, 0x80]]
+        )
+
+    def test_subbyte_gray_and_palette(self):
+        import struct
+        import zlib
+
+        from commerce_sessionization_spark.functions.codecs import (
+            _png_chunk,
+            decode_png,
+        )
+
+        # 4x1 1-bit gray, pattern 1010 -> bits 1010_0000 = 0xA0
+        ihdr = struct.pack(">IIBBBBB", 4, 1, 1, 0, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00\xa0"))
+            + _png_chunk(b"IEND", b"")
+        )
+        rgb, nch = decode_png(png)
+        assert nch == 1
+        np.testing.assert_array_equal(rgb[0, :, 0], [255, 0, 255, 0])
+        # 4x1 2-bit palette: indices 0,1,2,3 -> bits 00011011 = 0x1b
+        ihdr = struct.pack(">IIBBBBB", 4, 1, 2, 3, 0, 0, 0)
+        plte = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7))
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", plte)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00\x1b"))
+            + _png_chunk(b"IEND", b"")
+        )
+        rgb, nch = decode_png(png)
+        assert nch == 3
+        np.testing.assert_array_equal(
+            rgb[0], [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 7, 7)]
+        )
+
+    def test_adam7_interlaced_round_trip(self):
+        """Hand-built Adam7 file: pack a known 8x8 RGB image into the
+        seven passes (each pass its own filtered sub-image) and assert
+        the decoder reassembles the original exactly."""
+        import struct
+        import zlib
+
+        from commerce_sessionization_spark.functions.codecs import (
+            _ADAM7,
+            _png_chunk,
+            decode_png,
+        )
+
+        rng = np.random.default_rng(23)
+        for h, w in [(8, 8), (9, 13), (3, 5), (1, 1)]:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            raw = bytearray()
+            for col0, row0, cstep, rstep in _ADAM7:
+                sub = img[row0::rstep, col0::cstep]
+                if sub.size == 0:
+                    continue
+                for y in range(sub.shape[0]):
+                    raw += b"\x00" + sub[y].tobytes()  # filter None
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+            png = (
+                b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _png_chunk(b"IEND", b"")
+            )
+            rgb, nch = decode_png(png)
+            assert nch == 3
+            np.testing.assert_array_equal(rgb, img)
 
 class TestJpeg:
     """T.81 baseline JPEG: fixture round-trips bound per-pixel error
