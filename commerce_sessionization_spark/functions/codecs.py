@@ -449,38 +449,84 @@ def image_features(asset_id: int, payload: bytes) -> dict:
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """Decode a 16-bit PCM RIFF/WAVE payload → (sample_rate, mono float64).
+    """Decode a PCM RIFF/WAVE payload → (sample_rate, mono float64).
 
-    Walks the chunk list (so extra chunks like LIST/fact are fine); channels
-    are averaged to mono; samples normalized to [-1, 1).
+    Handles integer PCM at 8 (unsigned), 16, 24, and 32 bits, IEEE-float
+    (format 3, 32/64-bit), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping
+    either. Walks the chunk list (extra chunks like LIST/fact are fine);
+    channels are averaged to mono; samples normalized to [-1, 1).
     """
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise UnsupportedMediaError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data = 12, None, b"", None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (csize,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + csize]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise UnsupportedMediaError("missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _brate, _balign, bits = fmt
-    if audio_format != 1 or bits != 16 or n_channels < 1:
+    if audio_format == 0xFFFE and len(fmt_body) >= 26:
+        # EXTENSIBLE: the real format is the first 2 bytes of the GUID
+        (audio_format,) = struct.unpack_from("<H", fmt_body, 24)
+    if n_channels < 1:
+        raise UnsupportedMediaError("WAV with zero channels")
+    if audio_format == 1:  # integer PCM
+        if bits == 16:
+            arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 8:  # 8-bit PCM is UNSIGNED per spec
+            arr = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        elif bits == 32:
+            arr = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+        elif bits == 24:  # 3-byte little-endian signed
+            usable = len(data) - len(data) % 3
+            b3 = np.frombuffer(data, np.uint8, usable).reshape(-1, 3)
+            v = (
+                b3[:, 0].astype(np.int32)
+                | (b3[:, 1].astype(np.int32) << 8)
+                | (b3[:, 2].astype(np.int32) << 16)
+            )
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            arr = v.astype(np.float64) / float(1 << 23)
+        else:
+            raise UnsupportedMediaError(f"unsupported PCM width (bits={bits})")
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            arr = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            arr = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise UnsupportedMediaError(f"bad float WAV width (bits={bits})")
+    else:
         raise UnsupportedMediaError(
             f"unsupported WAV encoding (fmt={audio_format} bits={bits})"
         )
-    n = len(data) // (2 * n_channels)
-    samples = (
-        np.frombuffer(data, dtype="<i2", count=n * n_channels)
-        .reshape(n, n_channels)
-        .astype(np.float64)
-        / 32768.0
-    )
+    n = len(arr) // n_channels
+    samples = arr[: n * n_channels].reshape(n, n_channels)
     return sample_rate, samples.mean(axis=1)
+
+
+def resample_audio(
+    mono: np.ndarray, src_rate: int, dst_rate: int
+) -> np.ndarray:
+    """Linear-interpolation resample of a mono signal — the cheap,
+    dependency-free standardization step before fixed-rate featurizers
+    (MFCC frames assume a known rate). Identity when rates match."""
+    if src_rate <= 0 or dst_rate <= 0:
+        raise ValueError("rates must be positive")
+    if src_rate == dst_rate or len(mono) == 0:
+        return np.asarray(mono, dtype=np.float64)
+    n_out = max(1, int(round(len(mono) * dst_rate / src_rate)))
+    x_out = np.arange(n_out) * (src_rate / dst_rate)
+    return np.interp(x_out, np.arange(len(mono)), np.asarray(mono, np.float64))
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
@@ -1680,15 +1726,20 @@ def wav_mfcc(
     n_mels: int = 26,
     frame_len: int = 400,
     hop: int = 160,
+    floor_db: float = -60.0,
 ) -> tuple[int, np.ndarray]:
     """MFCCs of a PCM-WAV payload → (n_frames, (n_frames, n_mfcc) array).
 
     The standard recipe, all vectorized numpy: pre-emphasis (0.97),
     Hamming-windowed overlapping frames (default 25 ms / 10 ms at
     16 kHz), |rfft|² power spectrum, triangular mel filterbank on the
-    HTK scale, log (floored at 1e-10), then an orthonormal DCT-II over
-    the mel axis keeping the first ``n_mfcc`` coefficients. One matmul
-    per payload — no per-frame Python loop.
+    HTK scale, log with a ``floor_db`` dynamic-range floor relative to
+    the clip's peak mel energy (librosa's ``top_db`` idea — without it,
+    near-silent bands track the source's quantization-noise floor and
+    an 8-bit and a 16-bit recording of the SAME audio fingerprint far
+    apart), then an orthonormal DCT-II over the mel axis keeping the
+    first ``n_mfcc`` coefficients. One matmul chain per payload — no
+    per-frame Python loop.
     """
     sample_rate, mono = decode_wav(payload)
     if len(mono) < frame_len:
@@ -1701,7 +1752,9 @@ def wav_mfcc(
     frames = emph[idx] * np.hamming(frame_len)[None, :]
     power = np.abs(np.fft.rfft(frames, axis=1)) ** 2 / frame_len
     fb = _mel_filterbank(n_mels, frame_len, sample_rate)
-    logmel = np.log(np.maximum(power @ fb.T, 1e-10))
+    mel = power @ fb.T
+    floor = max(1e-10, float(mel.max(initial=0.0)) * 10.0 ** (floor_db / 10.0))
+    logmel = np.log(np.maximum(mel, floor))
     # orthonormal DCT-II basis over the mel axis
     k = np.arange(n_mfcc)[:, None]
     m = np.arange(n_mels)[None, :]

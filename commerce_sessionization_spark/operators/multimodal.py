@@ -512,6 +512,73 @@ def detect_scene_cuts(df: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
+RESAMPLED_AUDIO_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def standardize_audio(
+    df: DataFrame, target_rate: int = 16000, fake: bool = False
+) -> DataFrame:
+    """Normalize audio payloads to mono 16-bit PCM at ``target_rate``
+    (linear-interpolation resample) — the audio analog of
+    ``resize_images``: every downstream featurizer (MFCC frame sizes,
+    spectral bins) then sees one known rate. Accepts any PCM/float WAV
+    the codec layer decodes (8/16/24/32-bit int, 32/64-bit float,
+    extensible); output ``content`` is a decodable 16-bit WAV, so the
+    step composes with ``extract_audio_mfcc``/``extract_audio_spectral``
+    downstream. Compressed formats raise ``NotImplementedError``.
+    """
+    from commerce_sessionization_spark.functions.codecs import (
+        UnsupportedMediaError,
+        decode_wav,
+        encode_wav,
+        resample_audio,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for a, c in zip(pdf["asset_id"], pdf["content"]):
+                payload = bytes(c or b"")
+                if fake:
+                    h = hashlib.sha256(payload).digest()
+                    n = 100 + h[0]
+                    recs.append(
+                        {"asset_id": a, "sample_rate": target_rate,
+                         "n_samples": n, "content": h * 8}
+                    )
+                    continue
+                try:
+                    rate, mono = decode_wav(payload)
+                except UnsupportedMediaError as e:
+                    raise NotImplementedError(
+                        f"asset {a}: only PCM WAV decodes without codec "
+                        f"libs ({e}); use fake=True for other formats"
+                    ) from e
+                out = resample_audio(mono, rate, target_rate)
+                recs.append(
+                    {
+                        "asset_id": a,
+                        "sample_rate": target_rate,
+                        "n_samples": len(out),
+                        "content": encode_wav(out, target_rate),
+                    }
+                )
+            yield pd.DataFrame.from_records(
+                recs, columns=[f.name for f in RESAMPLED_AUDIO_SCHEMA.fields]
+            )
+
+    return df.filter(F.col("modality") == "audio").mapInPandas(
+        batches, schema=RESAMPLED_AUDIO_SCHEMA
+    )
+
+
 def phash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "asset_id",

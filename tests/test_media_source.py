@@ -380,3 +380,48 @@ def test_phash_near_dup_pairs_matches_bruteforce(spark):
     assert got == expected
     with pytest.raises(ValueError):
         phash_near_dup_pairs(df, max_hamming=4)
+
+
+def test_standardize_audio_resamples_and_composes(spark, tmp_path):
+    """8 kHz and 24-bit sources normalize to 16 kHz 16-bit WAV whose
+    payload composes with the MFCC featurizer downstream."""
+    import struct
+
+    from commerce_sessionization_spark.functions.codecs import encode_wav
+    from commerce_sessionization_spark.operators.multimodal import (
+        extract_audio_mfcc,
+        standardize_audio,
+    )
+
+    d = tmp_path / "audio"
+    d.mkdir()
+    t8 = np.arange(8000) / 8000.0
+    (d / "a8k.wav").write_bytes(
+        encode_wav(0.5 * np.sin(2 * np.pi * 440 * t8), 8000)
+    )
+    # hand-built 24-bit 16 kHz file: 0.25-amplitude 440 Hz tone
+    t16 = np.arange(16000) / 16000.0
+    pcm24 = (0.25 * np.sin(2 * np.pi * 440 * t16) * (1 << 23)).astype(np.int64)
+    data = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in pcm24)
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 48000, 3, 24)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    (d / "b24.wav").write_bytes(
+        b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    )
+    media = read_media_dir(spark, str(d))
+    std = standardize_audio(media, target_rate=16000)
+    rows = std.collect()
+    assert len(rows) == 2
+    assert all(r["sample_rate"] == 16000 for r in rows)
+    assert sorted(r["n_samples"] for r in rows) == [16000, 16000]
+    # re-featurize the standardized payloads: same pitch → close MFCCs
+    refed = spark.createDataFrame(
+        [(r["asset_id"], "audio", bytes(r["content"]), "audio/wav", {})
+         for r in rows],
+        media.schema,
+    )
+    feats = extract_audio_mfcc(refed).collect()
+    assert len(feats) == 2
+    v1, v2 = (np.array(f["mfcc_mean"]) for f in feats)
+    assert float(np.linalg.norm(v1 - v2)) < 20.0  # same 440 Hz pitch
