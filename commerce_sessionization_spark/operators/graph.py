@@ -35,6 +35,11 @@ def _dec(col: F.Column) -> F.Column:
     return col.cast("decimal(38,18)")
 
 
+def _sc_parallelism(df: DataFrame) -> int:
+    """Cluster-wide slot count, used to size checkpoint partitioning."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 def pagerank(
     edges: DataFrame,
     vertices: DataFrame,
@@ -264,6 +269,14 @@ def triangle_counts(
             .alias("e")
         )
         .select("e.u", "e.v")
+        # hash-distribute on u BEFORE pinning: the checkpointed RDD keeps
+        # this partitioning, so (a) the downstream adjacency build
+        # (groupBy u) and the first adjacency join (on u) reuse it
+        # without an exchange, and (b) the wide per-edge intersect stage
+        # parallelizes — without it AQE can hand the checkpoint a single
+        # coalesced partition and the whole credit stage runs one-task
+        # (9.5 s of a 17 s wall at sf0.1, measured).
+        .repartition(int(_sc_parallelism(edges)), "u")
         .localCheckpoint()  # referenced 3x: wedge left, wedge right, closer
     )
     if strategy == "intersect":
@@ -277,20 +290,35 @@ def triangle_counts(
             .select(
                 "u", "v", F.array_intersect("_nu", "_nv").alias("_ws")
             )
-            # pinned: the 3-way per_node union below reads ej three times,
-            # and without this the adjacency joins + array_intersect (the
-            # dominant stage — 19 of 45 task-seconds at sf0.1, measured
-            # with tools/profile_query.py) re-execute per reference
-            .localCheckpoint()
         )
         # each triangle closes at exactly one base edge: +1 to u, v, and
-        # every common out-neighbor w
+        # every common out-neighbor w. All three credit streams unfold
+        # from ONE array per edge (u and v each earn |ws|, each w earns
+        # 1), so the adjacency-join output is consumed exactly once in a
+        # narrow stage — the previous 3-way unionAll re-read it three
+        # times through a checkpoint (one leg single-task; ~8 of 26
+        # task-seconds at sf0.1, measured with tools/profile_query.py).
         per_node = (
-            ej.select(F.col("u").alias("node"), F.size("_ws").alias("_c"))
-            .unionAll(ej.select(F.col("v").alias("node"), F.size("_ws").alias("_c")))
-            .unionAll(
-                ej.select(F.explode("_ws").alias("node"), F.lit(1).alias("_c"))
+            ej.select(
+                F.explode(
+                    F.concat(
+                        F.array(
+                            F.struct(
+                                F.col("u").alias("node"),
+                                F.size("_ws").alias("_c"),
+                            ),
+                            F.struct(
+                                F.col("v").alias("node"),
+                                F.size("_ws").alias("_c"),
+                            ),
+                        ),
+                        F.expr(
+                            "transform(_ws, w -> struct(w as node, 1 as _c))"
+                        ),
+                    )
+                ).alias("_p")
             )
+            .select("_p.node", "_p._c")
             .groupBy("node")
             .agg(F.sum("_c").alias("n_triangles"))
             .filter(F.col("n_triangles") > 0)
