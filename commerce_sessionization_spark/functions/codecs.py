@@ -432,7 +432,8 @@ def png_features(asset_id: int, payload: bytes) -> dict:
 
 
 def image_features(asset_id: int, payload: bytes) -> dict:
-    """Dispatch on magic bytes: BMP, PNG, or JPEG → IMAGE_FEATURES_SCHEMA row."""
+    """Dispatch on magic bytes: BMP, PNG, JPEG, or lossless WebP →
+    IMAGE_FEATURES_SCHEMA row."""
     data = payload or b""
     if data[:2] == b"BM":
         return bmp_features(asset_id, data)
@@ -440,7 +441,14 @@ def image_features(asset_id: int, payload: bytes) -> dict:
         return png_features(asset_id, data)
     if data[:2] == b"\xff\xd8":
         return jpeg_features(asset_id, data)
-    raise UnsupportedMediaError("unrecognized image container (not BMP/PNG/JPEG)")
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        # local import: webp.py builds on this module's primitives
+        from commerce_sessionization_spark.functions.webp import webp_features
+
+        return webp_features(asset_id, data)
+    raise UnsupportedMediaError(
+        "unrecognized image container (not BMP/PNG/JPEG/WebP)"
+    )
 
 
 # --------------------------------------------------------------------------

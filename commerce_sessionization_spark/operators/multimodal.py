@@ -3,13 +3,16 @@
 The Spark-side contract — schema (``schemas.MEDIA_SCHEMA``), Arrow-batched
 ``mapInPandas`` plumbing, partitioning by modality, stable output schemas —
 is real and tested, and so is decode for the formats parseable without
-codec libraries: **BMP, PNG, and JPEG (baseline + progressive) images and PCM WAV audio**
-run through the real dependency-free decoders in ``functions.codecs``
-(header parse + numpy pixel/sample math; PNG inflates IDAT with stdlib
-``zlib``; JPEG is a full T.81 decode, baseline AND progressive — Huffman
-entropy decode, successive approximation, vectorized IDCT, chroma
-upsampling). Formats that need external libs
-(arithmetic JPEG, WebP, MP3, video) raise
+codec libraries: **BMP, PNG, JPEG (baseline + progressive), and lossless
+WebP (VP8L) images and PCM WAV audio**
+run through the real dependency-free decoders in ``functions.codecs`` /
+``functions.webp`` (header parse + numpy pixel/sample math; PNG inflates
+IDAT with stdlib ``zlib``; JPEG is a full T.81 decode, baseline AND
+progressive — Huffman entropy decode, successive approximation,
+vectorized IDCT, chroma upsampling; VP8L covers the full lossless
+bitstream: prefix codes, LZ77 + color cache, all four transforms).
+Formats that need external libs
+(arithmetic JPEG, lossy VP8 WebP, AVIF, MP3, video) raise
 ``NotImplementedError`` on the real path; ``fake=True`` swaps in a
 deterministic payload-seeded fake so pipeline shape stays testable for
 those modalities too.
@@ -96,13 +99,12 @@ def _fake_image_features(asset_id: int, payload: bytes) -> dict:
 def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + featurize image payloads via Arrow-batched ``mapInPandas``.
 
-    The real path decodes BMP, PNG, and JPEG (baseline + progressive)
-    payloads with the
-    dependency-free parsers in ``functions.codecs`` (width/height/
-    channels, Rec.601 mean luma, 8×8 average-hash; PNG rides stdlib
-    ``zlib``, JPEG is a full T.81 decode incl. progressive). Other
-    formats raise
-    ``NotImplementedError`` because WebP/AVIF need codec
+    The real path decodes BMP, PNG, JPEG (baseline + progressive), and
+    lossless-WebP (VP8L) payloads with the dependency-free parsers in
+    ``functions.codecs`` / ``functions.webp`` (width/height/channels,
+    Rec.601 mean luma, 8×8 average-hash; PNG rides stdlib ``zlib``,
+    JPEG is a full T.81 decode incl. progressive). Other formats raise
+    ``NotImplementedError`` because lossy-VP8 WebP / AVIF need codec
     libraries this container lacks. ``fake=True`` routes every payload
     to the deterministic fake instead.
     """
@@ -122,7 +124,7 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     recs.append(image_features(a, bytes(c or b"")))
                 except UnsupportedMediaError as e:
                     raise NotImplementedError(
-                        f"asset {a}: only BMP/PNG/JPEG decode "
+                        f"asset {a}: only BMP/PNG/JPEG/VP8L decode "
                         f"without codec libs ({e}); use fake=True for "
                         "other formats"
                     ) from e

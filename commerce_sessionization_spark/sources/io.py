@@ -118,6 +118,7 @@ MEDIA_EXTENSIONS: dict[str, tuple[str, str]] = {
     "png": ("image", "image/png"),
     "jpg": ("image", "image/jpeg"),
     "jpeg": ("image", "image/jpeg"),
+    "webp": ("image", "image/webp"),
     "wav": ("audio", "audio/wav"),
     "gif": ("video", "image/gif"),
 }
