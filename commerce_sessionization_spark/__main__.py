@@ -329,36 +329,70 @@ def main(argv: list[str] | None = None) -> int:
             )
             prof.show(len(names) + 1, truncate=False)
         elif args.cmd == "media-features":
+            from pyspark.sql import functions as F
+
             from commerce_sessionization_spark.operators import (
                 extract_audio_features,
                 extract_audio_mfcc,
+                extract_container_metadata,
                 extract_image_features,
                 extract_video_frame_features,
+                sample_video_frames,
+            )
+            from commerce_sessionization_spark.operators.multimodal import (
+                DECODABLE_AUDIO_MIMES,
+                DECODABLE_IMAGE_MIMES,
+                DECODABLE_VIDEO_MIMES,
             )
             from commerce_sessionization_spark.sources import read_media_dir
 
             media = read_media_dir(spark, args.path, glob=args.glob)
             media.persist()
+
+            def decodable(mimes):
+                # sample decode is mime-gated; container metadata is not
+                if args.fake:
+                    return media
+                return media.filter(F.col("mime_type").isin(*mimes))
+
             try:
                 wrote = []
+                extract_container_metadata(media, fake=args.fake)\
+                    .write.mode("overwrite")\
+                    .parquet(f"{args.out}/container_metadata")
+                wrote.append("container_metadata")
                 if args.modality in ("all", "image"):
-                    extract_image_features(media, fake=args.fake)\
-                        .write.mode("overwrite")\
+                    extract_image_features(
+                        decodable(DECODABLE_IMAGE_MIMES), fake=args.fake
+                    ).write.mode("overwrite")\
                         .parquet(f"{args.out}/image_features")
                     wrote.append("image_features")
                 if args.modality in ("all", "audio"):
-                    extract_audio_features(media, fake=args.fake)\
-                        .write.mode("overwrite")\
+                    extract_audio_features(
+                        decodable(DECODABLE_AUDIO_MIMES), fake=args.fake
+                    ).write.mode("overwrite")\
                         .parquet(f"{args.out}/audio_features")
-                    extract_audio_mfcc(media, fake=args.fake)\
-                        .write.mode("overwrite")\
+                    extract_audio_mfcc(
+                        decodable(DECODABLE_AUDIO_MIMES), fake=args.fake
+                    ).write.mode("overwrite")\
                         .parquet(f"{args.out}/audio_mfcc")
                     wrote += ["audio_features", "audio_mfcc"]
                 if args.modality in ("all", "video"):
-                    extract_video_frame_features(media, fake=args.fake)\
-                        .write.mode("overwrite")\
+                    extract_video_frame_features(
+                        decodable(DECODABLE_VIDEO_MIMES), fake=args.fake
+                    ).write.mode("overwrite")\
                         .parquet(f"{args.out}/video_frame_features")
-                    wrote.append("video_frame_features")
+                    # fingerprint sampling additionally handles MP4 sync
+                    # samples (stbl index), no pixel decode required
+                    sample_video_frames(
+                        decodable(
+                            DECODABLE_VIDEO_MIMES
+                            | {"video/mp4", "video/quicktime"}
+                        ),
+                        fake=args.fake,
+                    ).write.mode("overwrite")\
+                        .parquet(f"{args.out}/video_frame_samples")
+                    wrote += ["video_frame_features", "video_frame_samples"]
                 if args.near_dups:
                     from pyspark.sql import functions as F
 

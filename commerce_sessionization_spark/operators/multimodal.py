@@ -26,6 +26,7 @@ by ``modality`` so a per-modality pipeline prunes the rest, and size
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -236,16 +237,23 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame sampling for motion payloads via Arrow-batched ``mapInPandas``.
 
-    The real path walks animated GIF containers with the dependency-free
-    parser in ``functions.codecs`` — every ``every_n``-th frame descriptor
-    (up to ``max_frames``) is emitted with a SHA-256 fingerprint of its
-    compressed frame bytes; true video codecs (H.264/VP9) raise
-    ``NotImplementedError`` because they need ffmpeg bindings this
-    container lacks. ``fake=True`` keeps the deterministic stand-in.
+    The real path dispatches on the container: animated GIFs walk the
+    frame descriptors in ``functions.codecs``; MP4s walk the ``stbl``
+    sample tables (``functions.containers.mp4_sample_index``) and emit the
+    SYNC samples — the keyframes, exactly the frames a sampling pipeline
+    wants, located by byte offset without an H.264 decoder. Either way,
+    every ``every_n``-th eligible frame (up to ``max_frames``) is emitted
+    with a SHA-256 fingerprint of its compressed bytes. Other video
+    containers raise ``NotImplementedError`` (they need ffmpeg bindings
+    this container lacks); ``fake=True`` keeps the deterministic stand-in.
     """
     from commerce_sessionization_spark.functions.codecs import (
         UnsupportedMediaError,
         parse_gif_frames,
+    )
+    from commerce_sessionization_spark.functions.containers import (
+        mp4_sample_index,
+        sniff_container,
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -268,12 +276,32 @@ def sample_video_frames(
                             }
                         )
                     continue
+                payload = bytes(c or b"")
+                if sniff_container(payload) == "mp4":
+                    sync = [
+                        s for s in mp4_sample_index(payload) if s["sync"]
+                    ]
+                    for s in sync[:: max(every_n, 1)][:max_frames]:
+                        frame_bytes = payload[
+                            s["offset"] : s["offset"] + s["size"]
+                        ]
+                        recs.append(
+                            {
+                                "asset_id": a,
+                                "frame_idx": s["sample"] - 1,
+                                "frame_phash": hashlib.sha256(
+                                    frame_bytes
+                                ).hexdigest()[:16],
+                            }
+                        )
+                    continue
                 try:
-                    frames = parse_gif_frames(bytes(c or b""))
+                    frames = parse_gif_frames(payload)
                 except UnsupportedMediaError as e:
                     raise NotImplementedError(
-                        f"asset {a}: only GIF containers parse without "
-                        f"ffmpeg ({e}); use fake=True for other formats"
+                        f"asset {a}: only GIF and MP4 containers parse "
+                        f"without ffmpeg ({e}); use fake=True for other "
+                        f"formats"
                     ) from e
                 for fr in frames[:: max(every_n, 1)][:max_frames]:
                     recs.append(
@@ -661,6 +689,86 @@ def media_metadata_stats(df: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_assets"),
         F.round(F.avg(F.length("content")), 2).alias("avg_bytes"),
     )
+
+
+#: mime types whose *sample decode* (pixels/PCM) is dependency-free here.
+#: Container *metadata* covers far more — see extract_container_metadata.
+DECODABLE_IMAGE_MIMES = frozenset(
+    {"image/bmp", "image/png", "image/jpeg", "image/webp"}
+)
+DECODABLE_AUDIO_MIMES = frozenset({"audio/wav"})
+DECODABLE_VIDEO_MIMES = frozenset({"image/gif"})
+
+
+CONTAINER_META_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("container", StringType()),
+        StructField("codec", StringType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bitrate_kbps", DoubleType()),
+        StructField("n_streams", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("n_keyframes", LongType()),
+    ]
+)
+
+
+def extract_container_metadata(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Container-level triage for every media payload — no codec work.
+
+    The step a 100 TB crawl pipeline runs FIRST: demux the container
+    structure (``functions.containers``: MP4/ISO-BMFF sample tables, MP3
+    frame-header walk + Xing, Ogg pages with RFC 3533 CRC + Opus/Vorbis/
+    Theora ident headers, FLAC STREAMINFO, plus WAV/GIF via
+    ``functions.codecs``) into one fixed-schema row per asset: container,
+    codec, duration, dimensions, rates, stream/sample/keyframe counts.
+    Decisions like "sample this video", "skip sub-second clips", "budget
+    decode by duration" all read this table — which is thousands of times
+    smaller than the payload column — and never touch payload bytes again.
+
+    Best-effort by design: a payload matching no known magic yields a row
+    with ``container = 'unknown'`` rather than failing the triage pass
+    (crawl data always contains garbage). Runs on ALL modalities.
+    """
+    from commerce_sessionization_spark.functions.codecs import (
+        UnsupportedMediaError,
+    )
+    from commerce_sessionization_spark.functions.containers import (
+        container_metadata,
+    )
+
+    cols = [f.name for f in CONTAINER_META_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for a, c in zip(pdf["asset_id"], pdf["content"]):
+                if fake:
+                    h = hashlib.sha256(c or b"").digest()
+                    recs.append(
+                        {
+                            "asset_id": a,
+                            "container": "fake",
+                            "codec": "fake",
+                            "duration_sec": round(h[0] / 16.0, 6),
+                            "sample_rate": 16000,
+                            "channels": 1 + h[1] % 2,
+                            "n_streams": 1,
+                        }
+                    )
+                    continue
+                try:
+                    recs.append(container_metadata(a, bytes(c or b"")))
+                except (UnsupportedMediaError, ValueError, struct.error):
+                    recs.append({"asset_id": a, "container": "unknown"})
+            yield pd.DataFrame.from_records(recs, columns=cols)
+
+    return df.mapInPandas(batches, schema=CONTAINER_META_SCHEMA)
 
 
 RESIZED_IMAGE_SCHEMA = StructType(

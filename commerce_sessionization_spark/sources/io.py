@@ -109,10 +109,14 @@ def write_partitioned(
     writer.format(fmt).save(path)
 
 
-#: extension → (modality, mime) for the media-directory source. Only
-#: formats with a real dependency-free decode path (functions.codecs) map
-#: to a modality; anything else lands as modality "other" so downstream
-#: per-modality pipelines skip it by partition filter, not by crashing.
+#: extension → (modality, mime) for the media-directory source. Formats
+#: with a dependency-free *sample* decode (functions.codecs) AND formats
+#: with container-level demux only (functions.containers — duration/codec/
+#: stream metadata without decoding) both map to their modality; whether a
+#: payload's samples decode here is a mime_type question (see
+#: operators.multimodal.DECODABLE_*_MIMES). Anything else lands as
+#: modality "other" so downstream per-modality pipelines skip it by
+#: partition filter, not by crashing.
 MEDIA_EXTENSIONS: dict[str, tuple[str, str]] = {
     "bmp": ("image", "image/bmp"),
     "png": ("image", "image/png"),
@@ -120,7 +124,15 @@ MEDIA_EXTENSIONS: dict[str, tuple[str, str]] = {
     "jpeg": ("image", "image/jpeg"),
     "webp": ("image", "image/webp"),
     "wav": ("audio", "audio/wav"),
+    "mp3": ("audio", "audio/mpeg"),
+    "ogg": ("audio", "audio/ogg"),
+    "opus": ("audio", "audio/ogg"),
+    "flac": ("audio", "audio/flac"),
+    "m4a": ("audio", "audio/mp4"),
     "gif": ("video", "image/gif"),
+    "mp4": ("video", "video/mp4"),
+    "m4v": ("video", "video/mp4"),
+    "mov": ("video", "video/quicktime"),
 }
 
 
