@@ -336,6 +336,7 @@ def main(argv: list[str] | None = None) -> int:
                 extract_audio_mfcc,
                 extract_container_metadata,
                 extract_image_features,
+                extract_image_metadata,
                 extract_video_frame_features,
                 sample_video_frames,
             )
@@ -366,7 +367,10 @@ def main(argv: list[str] | None = None) -> int:
                         decodable(DECODABLE_IMAGE_MIMES), fake=args.fake
                     ).write.mode("overwrite")\
                         .parquet(f"{args.out}/image_features")
-                    wrote.append("image_features")
+                    extract_image_metadata(media, fake=args.fake)\
+                        .write.mode("overwrite")\
+                        .parquet(f"{args.out}/image_metadata")
+                    wrote += ["image_features", "image_metadata"]
                 if args.modality in ("all", "audio"):
                     extract_audio_features(
                         decodable(DECODABLE_AUDIO_MIMES), fake=args.fake

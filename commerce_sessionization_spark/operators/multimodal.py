@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -769,6 +770,104 @@ def extract_container_metadata(df: DataFrame, fake: bool = False) -> DataFrame:
             yield pd.DataFrame.from_records(recs, columns=cols)
 
     return df.mapInPandas(batches, schema=CONTAINER_META_SCHEMA)
+
+
+IMAGE_METADATA_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("orientation", IntegerType()),
+        StructField("make", StringType()),
+        StructField("model", StringType()),
+        StructField("datetime_original", StringType()),
+        StructField("has_gps", BooleanType()),
+        StructField("dpi", DoubleType()),
+        StructField("software", StringType()),
+    ]
+)
+
+
+def extract_image_metadata(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Embedded image metadata (EXIF / PNG chunks) — header-prefix parse only.
+
+    The filter columns a vision corpus pipeline needs before any pixel
+    work: EXIF orientation (is the stored width/height swapped? does
+    ingestion need a rotate?), camera make/model and DateTimeOriginal
+    (provenance, recency), a GPS-IFD flag (PII — feed it to the privacy
+    scrub), PNG DPI and Software/text chunks (toolchain provenance, and
+    where generative-model provenance strings live). JPEG dimensions come
+    from the SOF marker and PNG's from IHDR, so no payload is ever
+    entropy-decoded; formats without embedded metadata (BMP/WebP/GIF)
+    yield a format + null-fields row rather than failing the pass.
+    """
+    from commerce_sessionization_spark.functions.codecs import (
+        UnsupportedMediaError,
+    )
+    from commerce_sessionization_spark.functions.containers import (
+        sniff_container,
+    )
+    from commerce_sessionization_spark.functions.metadata import (
+        jpeg_dimensions,
+        parse_jpeg_exif,
+        parse_png_metadata,
+    )
+
+    cols = [f.name for f in IMAGE_METADATA_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for a, c in zip(pdf["asset_id"], pdf["content"]):
+                if fake:
+                    h = hashlib.sha256(c or b"").digest()
+                    recs.append(
+                        {
+                            "asset_id": a,
+                            "format": "fake",
+                            "width": 1 + h[0],
+                            "height": 1 + h[1],
+                            "orientation": 1,
+                            "has_gps": False,
+                        }
+                    )
+                    continue
+                payload = bytes(c or b"")
+                kind = sniff_container(payload)
+                rec = {"asset_id": a, "format": kind or "unknown"}
+                try:
+                    if kind == "jpeg":
+                        exif = parse_jpeg_exif(payload)
+                        w, h = jpeg_dimensions(payload)
+                        rec.update(
+                            width=w,
+                            height=h,
+                            orientation=exif["orientation"],
+                            make=exif["make"],
+                            model=exif["model"],
+                            datetime_original=exif["datetime_original"]
+                            or exif["datetime"],
+                            has_gps=exif["has_gps"],
+                        )
+                    elif kind == "png":
+                        m = parse_png_metadata(payload)
+                        rec.update(
+                            width=m["width"],
+                            height=m["height"],
+                            dpi=m["dpi"],
+                            software=m["text"].get("Software"),
+                            datetime_original=m["modified"],
+                            has_gps=False,
+                        )
+                except (UnsupportedMediaError, ValueError, struct.error):
+                    pass  # keep the format-only row; triage never fails
+                recs.append(rec)
+            yield pd.DataFrame.from_records(recs, columns=cols)
+
+    return df.filter(F.col("modality") == "image").mapInPandas(
+        batches, schema=IMAGE_METADATA_SCHEMA
+    )
 
 
 RESIZED_IMAGE_SCHEMA = StructType(
