@@ -202,6 +202,7 @@ def _parse_track(buf: bytes, b: int, e: int) -> dict | None:
         "duration_sec": (duration / timescale) if timescale else None,
         "avg_bitrate_kbps": None,
         "_stbl": None,
+        "_timescale": timescale,
     }
 
     minf = _find_box(buf, *mdia, b"minf")
@@ -277,12 +278,36 @@ def parse_mp4(payload: bytes) -> dict:
         if t == b"trak":
             tr = _parse_track(buf, b, e)
             if tr is not None:
-                tr.pop("_stbl", None)
                 tracks.append(tr)
+    fragmented = _find_box(buf, 0, len(buf), b"moof") is not None
+    if fragmented:
+        trex = _trex_defaults(buf, moov)
+        for tr in tracks:
+            if tr["n_samples"] == 0:
+                try:
+                    frags = mp4_fragment_index(buf, track_id=tr["track_id"])
+                except UnsupportedMediaError:
+                    continue
+                tr["n_samples"] = len(frags)
+                if tr["handler"] == "vide":
+                    tr["n_keyframes"] = sum(1 for s in frags if s["sync"])
+                # empty mvhd/mdhd durations are the norm for live/DASH
+                # recordings; estimate from the trex default tick length
+                default_dur = trex.get(tr["track_id"], {}).get("duration", 0)
+                if not tr["duration_sec"] and default_dur and tr["_timescale"]:
+                    tr["duration_sec"] = (
+                        len(frags) * default_dur / tr["_timescale"]
+                    )
+                    if not duration_sec:
+                        duration_sec = tr["duration_sec"]
+    for tr in tracks:
+        tr.pop("_stbl", None)
+        tr.pop("_timescale", None)
     return {
         "container": "mp4",
         "major_brand": major_brand,
         "duration_sec": duration_sec,
+        "fragmented": fragmented,
         "n_tracks": len(tracks),
         "tracks": tracks,
     }
@@ -325,6 +350,9 @@ def mp4_sample_index(payload: bytes, track_id: int | None = None) -> list[dict]:
     if stsz is None or stsc is None or (stco is None and co64 is None):
         raise UnsupportedMediaError("mp4: incomplete sample tables")
     sizes = _parse_stsz(buf, *stsz)
+    if not sizes and _find_box(buf, 0, len(buf), b"moof") is not None:
+        # fragmented file: stbl is an empty shell; samples live in moof/trun
+        return mp4_fragment_index(buf, track_id=chosen["track_id"])
     runs = _parse_stsc(buf, *stsc)
     offsets = (
         _parse_stco(buf, *stco, wide=False)
@@ -356,6 +384,133 @@ def mp4_sample_index(payload: bytes, track_id: int | None = None) -> list[dict]:
             )
             off += sizes[sample - 1]
             sample += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fragmented MP4 (DASH / CMAF): moof/tfhd/trun sample runs
+
+_TFHD_BASE_DATA_OFFSET = 0x000001
+_TFHD_SAMPLE_DESC = 0x000002
+_TFHD_DEFAULT_DURATION = 0x000008
+_TFHD_DEFAULT_SIZE = 0x000010
+_TFHD_DEFAULT_FLAGS = 0x000020
+_TFHD_DEFAULT_BASE_IS_MOOF = 0x020000
+
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_FLAGS = 0x000004
+_TRUN_SAMPLE_DURATION = 0x000100
+_TRUN_SAMPLE_SIZE = 0x000200
+_TRUN_SAMPLE_FLAGS = 0x000400
+_TRUN_SAMPLE_CTS = 0x000800
+
+
+def _trex_defaults(buf: bytes, moov) -> dict[int, dict]:
+    """Per-track defaults from moov/mvex/trex (fragmented files)."""
+    out: dict[int, dict] = {}
+    mvex = _find_box(buf, *moov, b"mvex")
+    if mvex is None:
+        return out
+    for t, b, e in _iter_boxes(buf, *mvex):
+        if t == b"trex":
+            _, p = _fullbox(buf, b)
+            track_id, _desc, dur, size, flags = struct.unpack_from(">5I", buf, p)
+            out[track_id] = {"duration": dur, "size": size, "flags": flags}
+    return out
+
+
+def mp4_fragment_index(payload: bytes, track_id: int | None = None) -> list[dict]:
+    """Sample index for a FRAGMENTED MP4 (moof/traf/trun instead of stbl).
+
+    DASH/CMAF segments and live recordings keep ``stbl`` empty and carry
+    sample runs in per-fragment ``trun`` boxes; offsets are relative to
+    each ``moof`` (default-base-is-moof) or an explicit base offset, and
+    sync samples come from per-sample flags (bit 16 of the flags word =
+    sample_is_non_sync). Returns the same shape as ``mp4_sample_index``.
+    """
+    buf = bytes(payload or b"")
+    moov = _find_box(buf, 0, len(buf), b"moov")
+    defaults = _trex_defaults(buf, moov) if moov else {}
+    out: list[dict] = []
+    sample_no = 1
+    for t, b, e in _iter_boxes(buf, 0, len(buf)):
+        if t != b"moof":
+            continue
+        moof_start = b - 8
+        for tt, tb, te in _iter_boxes(buf, b, e):
+            if tt != b"traf":
+                continue
+            tfhd = _find_box(buf, tb, te, b"tfhd")
+            if tfhd is None:
+                continue
+            flags = int.from_bytes(buf[tfhd[0] + 1 : tfhd[0] + 4], "big")
+            p = tfhd[0] + 4
+            (tid,) = struct.unpack_from(">I", buf, p)
+            p += 4
+            if track_id is not None and tid != track_id:
+                continue
+            base = moof_start if flags & _TFHD_DEFAULT_BASE_IS_MOOF else None
+            if flags & _TFHD_BASE_DATA_OFFSET:
+                (base,) = struct.unpack_from(">Q", buf, p)
+                p += 8
+            if flags & _TFHD_SAMPLE_DESC:
+                p += 4
+            if flags & _TFHD_DEFAULT_DURATION:
+                p += 4
+            default_size = defaults.get(tid, {}).get("size", 0)
+            if flags & _TFHD_DEFAULT_SIZE:
+                (default_size,) = struct.unpack_from(">I", buf, p)
+                p += 4
+            default_flags = defaults.get(tid, {}).get("flags", 0)
+            if flags & _TFHD_DEFAULT_FLAGS:
+                (default_flags,) = struct.unpack_from(">I", buf, p)
+                p += 4
+            if base is None:
+                base = moof_start  # de-facto default in real muxers
+            for ut, ub, ue in _iter_boxes(buf, tb, te):
+                if ut != b"trun":
+                    continue
+                tflags = int.from_bytes(buf[ub + 1 : ub + 4], "big")
+                q = ub + 4
+                (n,) = struct.unpack_from(">I", buf, q)
+                q += 4
+                offset = base
+                if tflags & _TRUN_DATA_OFFSET:
+                    (doff,) = struct.unpack_from(">i", buf, q)
+                    q += 4
+                    offset = base + doff
+                first_flags = None
+                if tflags & _TRUN_FIRST_FLAGS:
+                    (first_flags,) = struct.unpack_from(">I", buf, q)
+                    q += 4
+                for i in range(n):
+                    if tflags & _TRUN_SAMPLE_DURATION:
+                        q += 4
+                    size = default_size
+                    if tflags & _TRUN_SAMPLE_SIZE:
+                        (size,) = struct.unpack_from(">I", buf, q)
+                        q += 4
+                    if tflags & _TRUN_SAMPLE_FLAGS:
+                        (sflags,) = struct.unpack_from(">I", buf, q)
+                        q += 4
+                    elif i == 0 and first_flags is not None:
+                        sflags = first_flags
+                    else:
+                        sflags = default_flags
+                    if tflags & _TRUN_SAMPLE_CTS:
+                        q += 4
+                    out.append(
+                        {
+                            "sample": sample_no,
+                            "offset": offset,
+                            "size": size,
+                            "sync": not (sflags & 0x00010000),
+                        }
+                    )
+                    offset += size
+                    sample_no += 1
+    if not out:
+        raise UnsupportedMediaError("mp4: no moof fragments found")
     return out
 
 
@@ -467,6 +622,23 @@ def parse_mp3(payload: bytes) -> dict:
     """
     buf = bytes(payload or b"")
     id3, p0 = _id3v2(buf)
+    if not id3 and len(buf) >= 128 and buf[-128:-125] == b"TAG":
+        # ID3v1 fallback: fixed-width fields in the trailing 128 bytes,
+        # normalized to the v2 frame ids for one uniform tag surface
+        t = buf[-128:]
+
+        def field(a: int, b: int) -> str:
+            return t[a:b].split(b"\x00")[0].decode("latin1").strip()
+
+        id3 = {
+            k: v
+            for k, v in (
+                ("TIT2", field(3, 33)),
+                ("TPE1", field(33, 63)),
+                ("TALB", field(63, 93)),
+            )
+            if v
+        }
     # resync: scan for the first parseable header
     first = None
     pos = p0
@@ -577,6 +749,27 @@ def _iter_ogg_pages(buf: bytes, verify_crc: bool = True):
         pos = body_start + body_len
 
 
+def _vorbis_comments(data: bytes) -> dict[str, str]:
+    """Decode a Vorbis comment structure (Xiph's shared tag format)."""
+    tags: dict[str, str] = {}
+    try:
+        (vlen,) = struct.unpack_from("<I", data, 0)
+        p = 4 + vlen
+        (n,) = struct.unpack_from("<I", data, p)
+        p += 4
+        for _ in range(n):
+            (clen,) = struct.unpack_from("<I", data, p)
+            p += 4
+            item = data[p : p + clen].decode("utf-8", "replace")
+            p += clen
+            key, sep, val = item.partition("=")
+            if sep:
+                tags[key.upper()] = val
+    except struct.error:
+        pass
+    return tags
+
+
 def _ogg_first_packet(page: dict) -> bytes:
     """First packet on a page (possibly truncated if it spans pages)."""
     out = bytearray()
@@ -627,6 +820,14 @@ def parse_ogg(payload: bytes) -> dict:
                 pich = int.from_bytes(pkt[17:20], "big")
                 meta["width"] = picw or fmbw * 16
                 meta["height"] = pich or fmbh * 16
+        elif page["serial"] == first_serial and not meta.get("tags"):
+            # the header page(s) right after BOS carry the Xiph comment
+            # packet: OpusTags, or Vorbis packet type 3
+            pkt = _ogg_first_packet(page)
+            if pkt.startswith(b"OpusTags"):
+                meta["tags"] = _vorbis_comments(pkt[8:])
+            elif pkt.startswith(b"\x03vorbis"):
+                meta["tags"] = _vorbis_comments(pkt[7:])
         if page["serial"] == first_serial and page["granule"] >= 0:
             last_granule = page["granule"]
     if n_pages == 0:
@@ -651,10 +852,17 @@ def parse_ogg(payload: bytes) -> dict:
 
 
 def parse_flac(payload: bytes) -> dict:
-    """Read FLAC's mandatory STREAMINFO block: rate/channels/bits/length."""
+    """Read FLAC's STREAMINFO (rate/channels/bits/length) + Xiph tags.
+
+    Walks the metadata block chain: STREAMINFO (type 0, mandatory first)
+    and VORBIS_COMMENT (type 4 — FLAC reuses the same comment structure
+    as Ogg Vorbis/Opus, so ARTIST/TITLE/ALBUM parse identically).
+    """
     buf = bytes(payload or b"")
     if buf[:4] != b"fLaC":
         raise UnsupportedMediaError("flac: bad magic")
+    info = None
+    tags: dict[str, str] = {}
     p = 4
     while p + 4 <= len(buf):
         header = buf[p]
@@ -667,7 +875,7 @@ def parse_flac(payload: bytes) -> dict:
             channels = ((bits >> 41) & 0x7) + 1
             bps = ((bits >> 36) & 0x1F) + 1
             total = bits & ((1 << 36) - 1)
-            return {
+            info = {
                 "container": "flac",
                 "codec": "flac",
                 "sample_rate": sample_rate,
@@ -678,10 +886,15 @@ def parse_flac(payload: bytes) -> dict:
                 "min_block": struct.unpack_from(">H", body, 0)[0],
                 "max_block": struct.unpack_from(">H", body, 2)[0],
             }
+        elif btype == 4:
+            tags = _vorbis_comments(body)
         if header & 0x80:
             break
         p += 4 + length
-    raise UnsupportedMediaError("flac: no STREAMINFO block")
+    if info is None:
+        raise UnsupportedMediaError("flac: no STREAMINFO block")
+    info["tags"] = tags
+    return info
 
 
 # ---------------------------------------------------------------------------
@@ -840,6 +1053,132 @@ def build_mp4(
     return ftyp + mdat + moov
 
 
+def build_fmp4(
+    fragments: list[list[bytes]],
+    sync_first_only: bool = True,
+    track_id: int = 1,
+    codec: bytes = b"avc1",
+    width: int = 320,
+    height: int = 240,
+    timescale: int = 1000,
+) -> bytes:
+    """Assemble a fragmented MP4 (DASH-segment shape) for parser tests.
+
+    ``fragments`` is a list of fragments, each a list of sample payloads.
+    The moov carries an empty stbl shell + mvex/trex defaults (exactly how
+    CMAF init segments look); each fragment is moof(mfhd+traf(tfhd+trun))
+    + mdat with default-base-is-moof addressing and per-sample sizes. With
+    ``sync_first_only`` each fragment's first sample is a sync sample and
+    the rest are marked non-sync via trun per-sample flags.
+    """
+    tkhd = _full(
+        b"tkhd",
+        0,
+        7,
+        struct.pack(">III", 0, 0, track_id)
+        + struct.pack(">II", 0, 0)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _full(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, 0) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _full(
+        b"hdlr",
+        0,
+        0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"demux\x00",
+    )
+    entry_body = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0)
+        + struct.pack(">III", 0, 0, 0)
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = _full(
+        b"stsd",
+        0,
+        0,
+        struct.pack(">I", 1)
+        + struct.pack(">I", 8 + len(entry_body))
+        + codec
+        + entry_body,
+    )
+    empty32 = struct.pack(">I", 0)
+    stbl = _box(
+        b"stbl",
+        stsd
+        + _full(b"stts", 0, 0, empty32)
+        + _full(b"stsc", 0, 0, empty32)
+        + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + _full(b"stco", 0, 0, empty32),
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+    trak = _box(b"trak", tkhd + mdia)
+    trex = _full(
+        b"trex", 0, 0, struct.pack(">5I", track_id, 1, 40, 0, 0x00010000)
+    )
+    mvhd = _full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, 0)
+        + struct.pack(">I", 0x00010000)
+        + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", track_id + 1),
+    )
+    moov = _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+    out = bytearray(_box(b"ftyp", b"iso5" + struct.pack(">I", 0) + b"cmfc"))
+    out += moov
+    for seq, samples in enumerate(fragments, start=1):
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        tfhd = _full(
+            b"tfhd",
+            0,
+            _TFHD_DEFAULT_BASE_IS_MOOF,
+            struct.pack(">I", track_id),
+        )
+        # trun: data-offset + per-sample size + per-sample flags
+        tflags = _TRUN_DATA_OFFSET | _TRUN_SAMPLE_SIZE | _TRUN_SAMPLE_FLAGS
+        rows = b""
+        for i, s in enumerate(samples):
+            sflags = (
+                0x02000000  # depends-on-others clear, sync
+                if (i == 0 or not sync_first_only)
+                else 0x00010000  # sample_is_non_sync
+            )
+            rows += struct.pack(">II", len(s), sflags)
+        trun_body_len = 4 + 4 + 4 + len(rows)  # ver/flags + count + doff + rows
+        # moof = header + mfhd + traf(header + tfhd + trun(header + body))
+        moof_len = 8 + len(mfhd) + 8 + len(tfhd) + (8 + trun_body_len)
+        doff = moof_len + 8  # into the mdat payload that follows
+        trun = _full(
+            b"trun",
+            0,
+            tflags,
+            struct.pack(">Ii", len(samples), doff) + rows,
+        )
+        traf = _box(b"traf", tfhd + trun)
+        moof = _box(b"moof", mfhd + traf)
+        assert len(moof) == moof_len, (len(moof), moof_len)
+        out += moof + _box(b"mdat", b"".join(samples))
+    return bytes(out)
+
+
 def build_mp3(
     n_frames: int = 32,
     bitrate_kbps: int | list[int] = 128,
@@ -847,8 +1186,13 @@ def build_mp3(
     mono: bool = False,
     id3: dict | None = None,
     xing_frames: int | None = None,
+    id3v1: tuple[str, str, str] | None = None,
 ) -> bytes:
-    """Assemble spec-valid MPEG-1 Layer III frames (silent payloads)."""
+    """Assemble spec-valid MPEG-1 Layer III frames (silent payloads).
+
+    ``id3`` writes a leading ID3v2.4 tag; ``id3v1`` (title, artist, album)
+    appends the legacy trailing 128-byte TAG block instead.
+    """
     rates = _MP3_RATES["1"]
     sr_idx = rates.index(sample_rate)
     out = bytearray()
@@ -885,6 +1229,17 @@ def build_mp3(
             at = 4 + side
             frame[at : at + 12] = b"Xing" + struct.pack(">II", 1, xing_frames)
         out += frame
+    if id3v1 is not None:
+        title, artist, album = id3v1
+        out += (
+            b"TAG"
+            + title.encode("latin1")[:30].ljust(30, b"\x00")
+            + artist.encode("latin1")[:30].ljust(30, b"\x00")
+            + album.encode("latin1")[:30].ljust(30, b"\x00")
+            + b"2019".ljust(4)
+            + b"\x00" * 30
+            + b"\xff"
+        )
     return bytes(out)
 
 
@@ -907,8 +1262,20 @@ def _ogg_page(
     return page[:22] + struct.pack("<I", crc) + page[26:]
 
 
+def _comment_block(tags: dict[str, str] | None) -> bytes:
+    vendor = b"demux-tests"
+    items = [f"{k}={v}".encode() for k, v in (tags or {}).items()]
+    out = struct.pack("<I", len(vendor)) + vendor + struct.pack("<I", len(items))
+    for item in items:
+        out += struct.pack("<I", len(item)) + item
+    return out
+
+
 def build_ogg_opus(
-    duration_sec: float = 2.0, channels: int = 2, pre_skip: int = 312
+    duration_sec: float = 2.0,
+    channels: int = 2,
+    pre_skip: int = 312,
+    tags: dict[str, str] | None = None,
 ) -> bytes:
     """Assemble a CRC-valid Ogg Opus stream (ident + tags + one data page)."""
     head = (
@@ -919,17 +1286,21 @@ def build_ogg_opus(
         + struct.pack("<h", 0)
         + bytes([0])
     )
-    tags = b"OpusTags" + struct.pack("<I", 4) + b"demo" + struct.pack("<I", 0)
+    tags_pkt = b"OpusTags" + _comment_block(tags)
     granule = int(duration_sec * 48000) + pre_skip
     return (
         _ogg_page(0x1234, 0, 0, [head], htype=0x02)
-        + _ogg_page(0x1234, 1, 0, [tags])
+        + _ogg_page(0x1234, 1, 0, [tags_pkt])
         + _ogg_page(0x1234, 2, granule, [b"\xfc\xff\xfe"], htype=0x04)
     )
 
 
-def build_ogg_vorbis(duration_sec: float = 2.0, sample_rate: int = 44100,
-                     channels: int = 2) -> bytes:
+def build_ogg_vorbis(
+    duration_sec: float = 2.0,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    tags: dict[str, str] | None = None,
+) -> bytes:
     ident = (
         b"\x01vorbis"
         + struct.pack("<I", 0)
@@ -938,10 +1309,12 @@ def build_ogg_vorbis(duration_sec: float = 2.0, sample_rate: int = 44100,
         + struct.pack("<iii", -1, 128000, -1)
         + bytes([0xB8, 0x01])
     )
+    comment = b"\x03vorbis" + _comment_block(tags) + b"\x01"
     granule = int(duration_sec * sample_rate)
     return (
         _ogg_page(0x42, 0, 0, [ident], htype=0x02)
-        + _ogg_page(0x42, 1, granule, [b"\x00data"], htype=0x04)
+        + _ogg_page(0x42, 1, 0, [comment])
+        + _ogg_page(0x42, 2, granule, [b"\x00data"], htype=0x04)
     )
 
 
@@ -950,6 +1323,7 @@ def build_flac(
     sample_rate: int = 44100,
     channels: int = 2,
     bits_per_sample: int = 16,
+    tags: dict[str, str] | None = None,
 ) -> bytes:
     packed = (
         (sample_rate << 44)
@@ -963,8 +1337,18 @@ def build_flac(
         + packed.to_bytes(8, "big")
         + b"\x00" * 16
     )
-    header = bytes([0x80]) + len(streaminfo).to_bytes(3, "big")
-    return b"fLaC" + header + streaminfo
+    blocks = []
+    if tags is not None:
+        comment = _comment_block(tags)
+        blocks.append(bytes([0x04]) + len(comment).to_bytes(3, "big") + comment)
+    out = b"fLaC"
+    last_flag = 0x00 if blocks else 0x80
+    out += bytes([last_flag]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    for i, blk in enumerate(blocks):
+        if i == len(blocks) - 1:
+            blk = bytes([blk[0] | 0x80]) + blk[1:]
+        out += blk
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -994,6 +1378,7 @@ def container_metadata(asset_id: int, payload: bytes) -> dict:
         "n_streams": None,
         "n_samples": None,
         "n_keyframes": None,
+        "tags": None,
     }
     if kind == "mp4":
         info = parse_mp4(payload)
@@ -1025,6 +1410,7 @@ def container_metadata(asset_id: int, payload: bytes) -> dict:
         rec["bitrate_kbps"] = float(info["bitrate_kbps"])
         rec["n_streams"] = 1
         rec["n_samples"] = info["n_frames"]
+        rec["tags"] = info["id3"] or None
     elif kind == "ogg":
         info = parse_ogg(payload)
         rec["codec"] = info["codec"]
@@ -1034,6 +1420,7 @@ def container_metadata(asset_id: int, payload: bytes) -> dict:
         rec["width"] = info.get("width")
         rec["height"] = info.get("height")
         rec["n_streams"] = 1
+        rec["tags"] = info.get("tags") or None
         if info.get("bitrate_nominal"):
             rec["bitrate_kbps"] = info["bitrate_nominal"] / 1000.0
     elif kind == "flac":
@@ -1044,6 +1431,7 @@ def container_metadata(asset_id: int, payload: bytes) -> dict:
         rec["channels"] = info["channels"]
         rec["n_streams"] = 1
         rec["n_samples"] = info["n_samples"]
+        rec["tags"] = info.get("tags") or None
     elif kind == "wav":
         from commerce_sessionization_spark.functions.codecs import decode_wav
 

@@ -40,6 +40,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -715,6 +716,7 @@ CONTAINER_META_SCHEMA = StructType(
         StructField("n_streams", IntegerType()),
         StructField("n_samples", LongType()),
         StructField("n_keyframes", LongType()),
+        StructField("tags", MapType(StringType(), StringType())),
     ]
 )
 
@@ -760,13 +762,19 @@ def extract_container_metadata(df: DataFrame, fake: bool = False) -> DataFrame:
                             "sample_rate": 16000,
                             "channels": 1 + h[1] % 2,
                             "n_streams": 1,
+                            "tags": None,
                         }
                     )
                     continue
                 try:
                     recs.append(container_metadata(a, bytes(c or b"")))
                 except (UnsupportedMediaError, ValueError, struct.error):
-                    recs.append({"asset_id": a, "container": "unknown"})
+                    # tags must be an explicit None: pandas fills missing
+                    # record keys with NaN, which Arrow's map converter
+                    # rejects
+                    recs.append(
+                        {"asset_id": a, "container": "unknown", "tags": None}
+                    )
             yield pd.DataFrame.from_records(recs, columns=cols)
 
     return df.mapInPandas(batches, schema=CONTAINER_META_SCHEMA)

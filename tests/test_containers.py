@@ -240,6 +240,48 @@ def test_mp4_rejects_non_isobmff():
         parse_mp4(struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x00\x00")
 
 
+def test_fragmented_mp4_sample_index():
+    # DASH/CMAF shape: empty stbl shell, samples in per-fragment trun runs
+    from commerce_sessionization_spark.functions.containers import build_fmp4
+
+    frags = [[bytes([f * 16 + i]) * (20 + i) for i in range(5)] for f in range(3)]
+    payload = build_fmp4(frags)
+    info = parse_mp4(payload)
+    assert info["fragmented"]
+    assert info["tracks"][0]["n_samples"] == 15
+    assert info["tracks"][0]["n_keyframes"] == 3  # first sample per fragment
+    # duration estimated from trex default tick length (mvhd is empty)
+    assert info["duration_sec"] == pytest.approx(15 * 40 / 1000)
+    idx = mp4_sample_index(payload)  # falls back to the fragment walk
+    flat = [s for fr in frags for s in fr]
+    assert len(idx) == 15
+    for i, rec in enumerate(idx):
+        assert payload[rec["offset"] : rec["offset"] + rec["size"]] == flat[i]
+    assert [r["sample"] for r in idx if r["sync"]] == [1, 6, 11]
+
+
+def test_xiph_tags_opus_vorbis_flac():
+    # one comment structure, three carriers
+    p = build_ogg_opus(tags={"ARTIST": "Someone", "TITLE": "A Song"})
+    assert parse_ogg(p)["tags"] == {"ARTIST": "Someone", "TITLE": "A Song"}
+    p = build_ogg_vorbis(tags={"artist": "Low Case"})
+    assert parse_ogg(p)["tags"] == {"ARTIST": "Low Case"}  # keys normalize
+    p = build_flac(tags={"ALBUM": "Tests"})
+    assert parse_flac(p)["tags"] == {"ALBUM": "Tests"}
+    assert parse_flac(build_flac())["tags"] == {}
+
+
+def test_mp3_id3v1_trailing_tag_fallback():
+    p = build_mp3(n_frames=4, id3v1=("Old Title", "Old Artist", "Old Album"))
+    info = parse_mp3(p)
+    assert info["id3"] == {
+        "TIT2": "Old Title",
+        "TPE1": "Old Artist",
+        "TALB": "Old Album",
+    }
+    assert info["n_frames"] == 4  # the trailing TAG block isn't a frame
+
+
 # ---------------------------------------------------------------------------
 # sniffing + unified triage record
 
@@ -317,6 +359,37 @@ def test_extract_container_metadata_operator(spark, media_corpus):
     # garbage triages to an 'unknown' row instead of failing the pass
     assert out[7]["container"] == "unknown"
     assert out[7]["codec"] is None
+
+
+def test_extract_container_metadata_tags_column(spark):
+    from commerce_sessionization_spark.operators import (
+        extract_container_metadata,
+    )
+    from commerce_sessionization_spark.schemas import MEDIA_SCHEMA
+
+    rows = [
+        (
+            1,
+            "audio",
+            bytearray(build_mp3(n_frames=3, id3={"TIT2": "Song"})),
+            "audio/mpeg",
+            {},
+        ),
+        (
+            2,
+            "audio",
+            bytearray(build_ogg_opus(tags={"ARTIST": "Someone"})),
+            "audio/ogg",
+            {},
+        ),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r["asset_id"]: r.asDict()
+        for r in extract_container_metadata(df).collect()
+    }
+    assert out[1]["tags"] == {"TIT2": "Song"}
+    assert out[2]["tags"] == {"ARTIST": "Someone"}
 
 
 def test_sample_video_frames_mp4_sync_samples(spark, media_corpus):
