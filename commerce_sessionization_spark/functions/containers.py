@@ -45,13 +45,19 @@ from commerce_sessionization_spark.functions.codecs import UnsupportedMediaError
 def sniff_container(payload: bytes) -> str | None:
     """Best-effort magic-number detection for the formats this repo parses.
 
-    Returns one of ``mp4 mp3 ogg flac wav gif png jpeg webp bmp`` or None.
-    MP3 is sniffed last (an 0xFFEx sync word is weak evidence); an ID3v2
-    tag is treated as MP3, matching what crawls actually contain.
+    Returns one of ``mp4 avif mp3 ogg flac wav gif png jpeg webp bmp
+    tiff`` or None. MP3 is sniffed last (an 0xFFEx sync word is weak
+    evidence); an ID3v2 tag is treated as MP3, matching what crawls
+    actually contain. AVIF/HEIF share ISO-BMFF framing with MP4 — the
+    ftyp major brand decides.
     """
     p = payload or b""
     if len(p) >= 12 and p[4:8] == b"ftyp":
+        if p[8:12] in (b"avif", b"avis", b"heic", b"heix", b"mif1", b"msf1"):
+            return "avif"
         return "mp4"
+    if p[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if p[:4] == b"OggS":
         return "ogg"
     if p[:4] == b"fLaC":
@@ -385,6 +391,160 @@ def mp4_sample_index(payload: bytes, track_id: int | None = None) -> list[dict]:
             off += sizes[sample - 1]
             sample += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# AVIF / HEIF still images (ISO-BMFF 'meta' item structure, no AV1 decode)
+
+
+def parse_avif(payload: bytes) -> dict:
+    """Read an AVIF/HEIF image's item structure: codec, dimensions, extras.
+
+    AVIF (AV1) and HEIC (HEVC) are ISO-BMFF files whose image lives as an
+    *item* under ``meta``: ``pitm`` names the primary item, ``iinf/infe``
+    gives each item's type (av01/hvc1/Exif), ``iprp/ipco`` holds the
+    property boxes (``ispe`` = spatial extents), and ``ipma`` associates
+    items with properties. This walks exactly those tables — the payload
+    (AV1/HEVC bitstream) is never touched, which is the point: a crawl
+    pipeline gets dimensions, codec, and an EXIF/alpha flag for free.
+    """
+    buf = bytes(payload or b"")
+    if sniff_container(buf) != "avif":
+        raise UnsupportedMediaError("not an AVIF/HEIF payload")
+    brand = buf[8:12].decode("latin1")
+    meta = _find_box(buf, 0, len(buf), b"meta")
+    if meta is None:
+        raise UnsupportedMediaError("avif: no meta box")
+    # meta is a FullBox: children start after the version/flags word
+    mb, me = meta[0] + 4, meta[1]
+
+    primary_id = None
+    pitm = _find_box(buf, mb, me, b"pitm")
+    if pitm:
+        ver, p = _fullbox(buf, pitm[0])
+        primary_id = (
+            struct.unpack_from(">I", buf, p)[0]
+            if ver
+            else struct.unpack_from(">H", buf, p)[0]
+        )
+
+    item_types: dict[int, str] = {}
+    iinf = _find_box(buf, mb, me, b"iinf")
+    if iinf:
+        ver, p = _fullbox(buf, iinf[0])
+        p += 4 if ver else 2
+        for t, b, e in _iter_boxes(buf, p, iinf[1]):
+            if t != b"infe":
+                continue
+            iver, q = _fullbox(buf, b)
+            if iver >= 3:
+                (item_id,) = struct.unpack_from(">I", buf, q)
+                q += 4
+            else:
+                (item_id,) = struct.unpack_from(">H", buf, q)
+                q += 2
+            q += 2  # item_protection_index
+            item_types[item_id] = buf[q : q + 4].decode("latin1")
+
+    # ipco: ordered property list (1-based); ipma: item -> property indices
+    props: list[tuple[bytes, int, int]] = []
+    assoc: dict[int, list[int]] = {}
+    iprp = _find_box(buf, mb, me, b"iprp")
+    if iprp:
+        ipco = _find_box(buf, *iprp, b"ipco")
+        if ipco:
+            props = list(_iter_boxes(buf, *ipco))
+        ipma = _find_box(buf, *iprp, b"ipma")
+        if ipma:
+            ver, p = _fullbox(buf, ipma[0])
+            flags = int.from_bytes(buf[ipma[0] + 1 : ipma[0] + 4], "big")
+            (n,) = struct.unpack_from(">I", buf, p)
+            p += 4
+            for _ in range(n):
+                if ver:
+                    (item_id,) = struct.unpack_from(">I", buf, p)
+                    p += 4
+                else:
+                    (item_id,) = struct.unpack_from(">H", buf, p)
+                    p += 2
+                cnt = buf[p]
+                p += 1
+                idxs = []
+                for _ in range(cnt):
+                    if flags & 1:
+                        (word,) = struct.unpack_from(">H", buf, p)
+                        p += 2
+                        idxs.append(word & 0x7FFF)
+                    else:
+                        idxs.append(buf[p] & 0x7F)
+                        p += 1
+                assoc[item_id] = idxs
+
+    def ispe_for(item_id: int | None) -> tuple[int | None, int | None]:
+        candidates = (
+            [props[i - 1] for i in assoc.get(item_id, []) if 0 < i <= len(props)]
+            if item_id is not None and assoc
+            else props
+        )
+        for t, b, e in candidates:
+            if t == b"ispe":
+                w, h = struct.unpack_from(">II", buf, b + 4)
+                return w, h
+        # fall back to any ispe (some muxers skip ipma for the primary)
+        for t, b, e in props:
+            if t == b"ispe":
+                w, h = struct.unpack_from(">II", buf, b + 4)
+                return w, h
+        return None, None
+
+    width, height = ispe_for(primary_id)
+    codec = item_types.get(primary_id) or next(
+        (v for v in item_types.values() if v in ("av01", "hvc1", "hev1")), None
+    )
+    return {
+        "container": "avif",
+        "brand": brand,
+        "codec": codec,
+        "width": width,
+        "height": height,
+        "n_items": len(item_types),
+        "has_exif": "Exif" in item_types.values(),
+    }
+
+
+def build_avif(
+    width: int = 640,
+    height: int = 480,
+    codec: bytes = b"av01",
+    brand: bytes = b"avif",
+    with_exif: bool = False,
+) -> bytes:
+    """Assemble a minimal spec-valid AVIF/HEIF 'meta' tree for tests."""
+    pitm = _full(b"pitm", 0, 0, struct.pack(">H", 1))
+    infes = [
+        _full(
+            b"infe", 2, 0, struct.pack(">HH", 1, 0) + codec + b"img\x00"
+        )
+    ]
+    if with_exif:
+        infes.append(
+            _full(b"infe", 2, 0, struct.pack(">HH", 2, 0) + b"Exif" + b"\x00")
+        )
+    iinf = _full(b"iinf", 0, 0, struct.pack(">H", len(infes)) + b"".join(infes))
+    ispe = _full(b"ispe", 0, 0, struct.pack(">II", width, height))
+    pixi = _full(b"pixi", 0, 0, bytes([3, 8, 8, 8]))
+    ipco = _box(b"ipco", ispe + pixi)
+    # associate item 1 -> properties 1 (ispe) and 2 (pixi)
+    ipma = _full(
+        b"ipma", 0, 0, struct.pack(">I", 1) + struct.pack(">H", 1) + bytes([2, 1, 2])
+    )
+    iprp = _box(b"iprp", ipco + ipma)
+    hdlr = _full(
+        b"hdlr", 0, 0, struct.pack(">I", 0) + b"pict" + b"\x00" * 12 + b"\x00"
+    )
+    meta = _full(b"meta", 0, 0, hdlr + pitm + iinf + iprp)
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1")
+    return ftyp + meta + _box(b"mdat", b"\x00" * 16)
 
 
 # ---------------------------------------------------------------------------
@@ -1380,7 +1540,13 @@ def container_metadata(asset_id: int, payload: bytes) -> dict:
         "n_keyframes": None,
         "tags": None,
     }
-    if kind == "mp4":
+    if kind == "avif":
+        info = parse_avif(payload)
+        rec["codec"] = info["codec"]
+        rec["width"], rec["height"] = info["width"], info["height"]
+        rec["n_streams"] = 1
+        rec["n_samples"] = 1
+    elif kind == "mp4":
         info = parse_mp4(payload)
         rec["duration_sec"] = info["duration_sec"]
         rec["n_streams"] = info["n_tracks"]

@@ -23,6 +23,8 @@ import struct
 from commerce_sessionization_spark.functions.codecs import UnsupportedMediaError
 
 # TIFF/EXIF tag ids (TIFF 6.0 + EXIF 2.3)
+_TAG_IMAGE_WIDTH = 0x0100
+_TAG_IMAGE_HEIGHT = 0x0101
 _TAG_MAKE = 0x010F
 _TAG_MODEL = 0x0110
 _TAG_ORIENTATION = 0x0112
@@ -73,6 +75,8 @@ def parse_tiff_exif(tiff: bytes) -> dict:
         raise UnsupportedMediaError("exif: bad TIFF magic")
     ifd0 = _read_ifd(tiff, 0, ifd0_off, endian)
     meta = {
+        "width": ifd0.get(_TAG_IMAGE_WIDTH),  # set for standalone TIFFs
+        "height": ifd0.get(_TAG_IMAGE_HEIGHT),
         "orientation": ifd0.get(_TAG_ORIENTATION),
         "make": ifd0.get(_TAG_MAKE),
         "model": ifd0.get(_TAG_MODEL),
@@ -99,6 +103,8 @@ def parse_jpeg_exif(payload: bytes) -> dict:
     (plenty of real JPEGs carry none; that's data, not an error).
     """
     empty = {
+        "width": None,
+        "height": None,
         "orientation": None,
         "make": None,
         "model": None,
@@ -206,6 +212,57 @@ def build_jpeg_with_exif(
     if jpeg[:3] != b"\xff\xd8\xff":
         raise UnsupportedMediaError("fixture base is not a JPEG")
     return jpeg[:2] + app1 + jpeg[2:]
+
+
+def build_tiff(
+    width: int = 64,
+    height: int = 48,
+    orientation: int = 1,
+    make: str = "TestCam",
+    model: str = "T1000",
+    big_endian: bool = False,
+) -> bytes:
+    """Assemble a minimal standalone TIFF header for triage tests.
+
+    Fixture builder (no TIFF writer ships in this environment): IFD0 with
+    ImageWidth/ImageLength (LONG), Orientation (SHORT), and Make/Model
+    (ASCII, offset form) — the exact tags ``parse_tiff_exif`` reads when
+    the payload is a bare ``II*\\0`` / ``MM\\0*`` file rather than an EXIF
+    APP1 stream. No strip/pixel data: triage is metadata-prefix-only.
+    """
+    endian = ">" if big_endian else "<"
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        head = struct.pack(endian + "HHI", tag, typ, count)
+        if typ == 3:
+            return head + struct.pack(endian + "H", value) + b"\x00\x00"
+        return head + struct.pack(endian + "I", value)
+
+    def ascii_field(s: str) -> bytes:
+        raw = s.encode() + b"\x00"
+        return raw + b"\x00" * max(0, 5 - len(raw))
+
+    make_b, model_b = ascii_field(make), ascii_field(model)
+    n0 = 5
+    ifd0_off = 8
+    after_ifd0 = ifd0_off + 2 + n0 * 12 + 4
+    make_off = after_ifd0
+    model_off = make_off + len(make_b)
+
+    ifd0 = struct.pack(endian + "H", n0)
+    ifd0 += entry(_TAG_IMAGE_WIDTH, 4, 1, width)
+    ifd0 += entry(_TAG_IMAGE_HEIGHT, 4, 1, height)
+    ifd0 += entry(_TAG_MAKE, 2, len(make_b), make_off)
+    ifd0 += entry(_TAG_MODEL, 2, len(model_b), model_off)
+    ifd0 += entry(_TAG_ORIENTATION, 3, 1, orientation)
+    ifd0 += struct.pack(endian + "I", 0)
+    return (
+        (b"MM" if big_endian else b"II")
+        + struct.pack(endian + "HI", 42, ifd0_off)
+        + ifd0
+        + make_b
+        + model_b
+    )
 
 
 def jpeg_dimensions(payload: bytes) -> tuple[int, int]:

@@ -868,6 +868,33 @@ def extract_image_metadata(df: DataFrame, fake: bool = False) -> DataFrame:
                             datetime_original=m["modified"],
                             has_gps=False,
                         )
+                    elif kind == "avif":
+                        from commerce_sessionization_spark.functions.containers import (  # noqa: E501
+                            parse_avif,
+                        )
+
+                        m = parse_avif(payload)
+                        rec.update(
+                            width=m["width"],
+                            height=m["height"],
+                            has_gps=False,
+                        )
+                    elif kind == "tiff":
+                        from commerce_sessionization_spark.functions.metadata import (  # noqa: E501
+                            parse_tiff_exif,
+                        )
+
+                        m = parse_tiff_exif(payload)
+                        rec.update(
+                            width=m["width"],
+                            height=m["height"],
+                            orientation=m["orientation"],
+                            make=m["make"],
+                            model=m["model"],
+                            datetime_original=m["datetime_original"]
+                            or m["datetime"],
+                            has_gps=m["has_gps"],
+                        )
                 except (UnsupportedMediaError, ValueError, struct.error):
                     pass  # keep the format-only row; triage never fails
                 recs.append(rec)

@@ -123,6 +123,10 @@ MEDIA_EXTENSIONS: dict[str, tuple[str, str]] = {
     "jpg": ("image", "image/jpeg"),
     "jpeg": ("image", "image/jpeg"),
     "webp": ("image", "image/webp"),
+    "avif": ("image", "image/avif"),
+    "heic": ("image", "image/heic"),
+    "tif": ("image", "image/tiff"),
+    "tiff": ("image", "image/tiff"),
     "wav": ("audio", "audio/wav"),
     "mp3": ("audio", "audio/mpeg"),
     "ogg": ("audio", "audio/ogg"),

@@ -405,3 +405,78 @@ def test_sample_video_frames_mp4_sync_samples(spark, media_corpus):
     assert got == {
         i - 1: hashlib.sha256(vid[i - 1]).hexdigest()[:16] for i in (1, 5, 9)
     }
+
+
+# ---------------------------------------------------------------------------
+# AVIF / HEIF (ISO-BMFF image items — structure parse, no AV1/HEVC decode)
+
+
+def test_avif_item_structure_roundtrip():
+    from commerce_sessionization_spark.functions.containers import (
+        build_avif,
+        parse_avif,
+    )
+
+    info = parse_avif(build_avif(1920, 1080))
+    assert info["container"] == "avif"
+    assert info["brand"] == "avif"
+    assert info["codec"] == "av01"
+    assert (info["width"], info["height"]) == (1920, 1080)
+    assert info["n_items"] == 1
+    assert info["has_exif"] is False
+
+
+def test_avif_exif_item_flagged():
+    from commerce_sessionization_spark.functions.containers import (
+        build_avif,
+        parse_avif,
+    )
+
+    info = parse_avif(build_avif(320, 240, with_exif=True))
+    assert info["has_exif"] is True
+    assert info["n_items"] == 2
+    # the Exif item must not shadow the primary's codec
+    assert info["codec"] == "av01"
+
+
+def test_heic_brand_and_codec():
+    from commerce_sessionization_spark.functions.containers import (
+        build_avif,
+        parse_avif,
+    )
+
+    payload = build_avif(640, 480, codec=b"hvc1", brand=b"heic")
+    assert sniff_container(payload) == "avif"
+    info = parse_avif(payload)
+    assert info["brand"] == "heic"
+    assert info["codec"] == "hvc1"
+
+
+def test_avif_rejects_non_isobmff_and_plain_mp4():
+    from commerce_sessionization_spark.functions.containers import parse_avif
+
+    with pytest.raises(UnsupportedMediaError):
+        parse_avif(b"not a container at all")
+    with pytest.raises(UnsupportedMediaError):
+        parse_avif(_demo_mp4()[0])  # isom brand sniffs as mp4, not avif
+
+
+def test_sniff_avif_and_tiff():
+    from commerce_sessionization_spark.functions.containers import build_avif
+
+    assert sniff_container(build_avif()) == "avif"
+    for brand in (b"avis", b"heix", b"mif1", b"msf1"):
+        assert sniff_container(build_avif(brand=brand)) == "avif"
+    assert sniff_container(b"II*\x00" + b"\x00" * 16) == "tiff"
+    assert sniff_container(b"MM\x00*" + b"\x00" * 16) == "tiff"
+
+
+def test_container_metadata_avif_record():
+    from commerce_sessionization_spark.functions.containers import build_avif
+
+    rec = container_metadata(11, build_avif(800, 600))
+    assert rec["container"] == "avif"
+    assert rec["codec"] == "av01"
+    assert (rec["width"], rec["height"]) == (800, 600)
+    assert rec["n_streams"] == 1
+    assert rec["duration_sec"] is None  # still image: no timeline

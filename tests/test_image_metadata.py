@@ -139,3 +139,59 @@ def test_extract_image_metadata_operator(spark):
     assert out[3]["format"] == "bmp"  # no embedded metadata: format-only row
     assert out[3]["orientation"] is None
     assert out[4]["format"] == "unknown"  # garbage triages, never fails
+
+
+@pytest.mark.parametrize("big_endian", [False, True], ids=["II", "MM"])
+def test_standalone_tiff_roundtrip(big_endian):
+    from commerce_sessionization_spark.functions.metadata import (
+        build_tiff,
+        parse_tiff_exif,
+    )
+
+    m = parse_tiff_exif(
+        build_tiff(
+            width=4000,
+            height=3000,
+            orientation=3,
+            make="SCANCO",
+            model="S2",
+            big_endian=big_endian,
+        )
+    )
+    assert (m["width"], m["height"]) == (4000, 3000)
+    assert m["orientation"] == 3
+    assert (m["make"], m["model"]) == ("SCANCO", "S2")
+    assert m["has_gps"] is False
+
+
+def test_extract_image_metadata_avif_and_tiff(spark):
+    from commerce_sessionization_spark.functions.containers import build_avif
+    from commerce_sessionization_spark.functions.metadata import build_tiff
+    from commerce_sessionization_spark.operators import extract_image_metadata
+    from commerce_sessionization_spark.schemas import MEDIA_SCHEMA
+
+    rows = [
+        (1, "image", bytearray(build_avif(1280, 720)), "image/avif", {}),
+        (
+            2,
+            "image",
+            bytearray(build_tiff(64, 48, orientation=6, make="KODAK")),
+            "image/tiff",
+            {},
+        ),
+        # truncated AVIF: ftyp sniffs but meta walk fails → format-only row
+        (3, "image", bytearray(build_avif()[:24]), "image/avif", {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r["asset_id"]: r.asDict()
+        for r in extract_image_metadata(df).collect()
+    }
+    assert out[1]["format"] == "avif"
+    assert (out[1]["width"], out[1]["height"]) == (1280, 720)
+    assert out[2]["format"] == "tiff"
+    assert (out[2]["width"], out[2]["height"]) == (64, 48)
+    assert out[2]["orientation"] == 6
+    assert out[2]["make"] == "KODAK"
+    assert out[3]["format"] == "avif"
+    assert out[3]["width"] is None  # triage never fails on truncation
