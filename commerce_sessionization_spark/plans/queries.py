@@ -8794,6 +8794,180 @@ SQL_ORDERS_PROFILE = "\nUNION ALL\n".join(
 )
 
 
+# --------------------------------------------------------------------------
+# HTML → text extraction (web-crawl preprocessing, operators.text)
+# --------------------------------------------------------------------------
+
+def q_html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``strip_html`` + ``html_features`` over the corpus: each document
+    is wrapped in a deterministic page template (comment, style, script,
+    headings, entities, two anchors) and the extractor must recover the
+    visible text exactly — sha-pinned — plus the boilerplate signals
+    (tag/script counts, anchor-text length, link density). The template
+    exercises every removal class the operator implements; the oracle
+    replays the identical wrap-then-extract in DuckDB, so any drift in
+    regex semantics or entity order is a hash mismatch.
+
+    Scale shape: scan → project, zero shuffles; all expressions are
+    JVM-side regex/replace in whole-stage codegen (a 100 TB crawl pass
+    is embarrassingly parallel and IO-bound, which is the right bound).
+    """
+    from commerce_sessionization_spark.operators.text import html_features
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    page = F.concat(
+        F.lit("<html><!-- doc "), F.col("doc_id").cast("string"),
+        F.lit(" --><head><style>p{margin:0}</style><title>"),
+        F.col("source"), F.lit("</title></head><body><script>var l=\""),
+        F.col("lang"), F.lit("\";</script><h1>"), F.col("source"),
+        F.lit(" &amp; "), F.col("lang"), F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><a href=\"/doc/"), F.col("doc_id").cast("string"),
+        F.lit("\">next &gt;</a> <a>home</a></body></html>"),
+    )
+    out = html_features(docs.withColumn("html", page), "html")
+    from commerce_sessionization_spark.operators.text import strip_html
+
+    out = strip_html(out, "html", "extracted")
+    return out.select(
+        "doc_id",
+        F.length("extracted").alias("text_len"),
+        F.sha2(F.col("extracted"), 256).alias("text_sha"),
+        F.col("tag_count").cast("bigint").alias("tag_count"),
+        F.col("script_count").cast("bigint").alias("script_count"),
+        "link_text_len",
+        _quant(F.col("link_density"), 9).alias("link_density_q"),
+    )
+
+
+SQL_HTML_EXTRACT_DOCS = """
+WITH pages AS (
+  SELECT doc_id,
+         '<html><!-- doc ' || doc_id || ' --><head><style>p{margin:0}</style><title>'
+         || source || '</title></head><body><script>var l="' || lang
+         || '";</script><h1>' || source || ' &amp; ' || lang || '</h1><p>'
+         || text || '</p><a href="/doc/' || doc_id
+         || '">next &gt;</a> <a>home</a></body></html>' AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+                   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS extracted
+  FROM pages
+), feats AS (
+  SELECT doc_id, extracted,
+         CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS tag_count,
+         CAST(len(regexp_extract_all(html, '(?i)<script')) AS BIGINT)
+           AS script_count,
+         CAST(COALESCE(list_sum(list_transform(
+           regexp_extract_all(html, '(?is)<a[^>]*>(.*?)</a>', 1),
+           t -> length(trim(t)))), 0) AS BIGINT) AS link_text_len
+  FROM stripped
+)
+SELECT doc_id, length(extracted) AS text_len, sha256(extracted) AS text_sha,
+       tag_count, script_count, link_text_len,
+       CAST(floor(CASE WHEN length(extracted) > 0
+                       THEN link_text_len / length(extracted)
+                       ELSE 0.0 END * 1000000000.0) AS BIGINT)
+         AS link_density_q
+FROM feats
+"""
+
+
+# --------------------------------------------------------------------------
+# Market-basket association rules (operators.basket)
+# --------------------------------------------------------------------------
+
+def q_brand_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-Priori association rules over order baskets of part BRANDS
+    (``operators.basket.association_rules``): lineitem joined to the
+    part dim (broadcast) gives each order a brand set; pass 1 prunes to
+    brands in >= 1% of orders before the within-order self-join, so the
+    quadratic stage never sees the long tail — the 100 TB shape. The
+    oracle replays both passes; confidence/lift are floor-quantized at
+    1e-9 (both engines divide the same int64 operands in the same order,
+    so the doubles are bit-identical before quantization).
+    """
+    from commerce_sessionization_spark.operators.basket import (
+        association_rules,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rules = association_rules(
+        baskets, "l_orderkey", "p_brand", min_support=0.01, min_confidence=0.1
+    )
+    return rules.select(
+        "antecedent",
+        "consequent",
+        "pair_count",
+        "antecedent_count",
+        "consequent_count",
+        _quant(F.col("confidence"), 9).alias("confidence_q"),
+        _quant(F.col("lift"), 9).alias("lift_q"),
+    )
+
+
+SQL_BRAND_BASKET_RULES = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n AS (
+  SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM items
+), counts AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS item_count
+  FROM items GROUP BY item
+  HAVING COUNT(*) >= (SELECT CAST(floor(0.01 * n_baskets + 0.5) AS BIGINT)
+                      FROM n)
+), pruned AS (
+  SELECT i.basket, i.item, c.item_count
+  FROM items i JOIN counts c USING (item)
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         a.item_count AS count_a, b.item_count AS count_b,
+         CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM pruned a JOIN pruned b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) >= (SELECT CAST(floor(0.01 * n_baskets + 0.5) AS BIGINT)
+                      FROM n)
+), rules AS (
+  SELECT item_a AS antecedent, item_b AS consequent, pair_count,
+         count_a AS antecedent_count, count_b AS consequent_count
+  FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, pair_count, count_b, count_a FROM pairs
+), scored AS (
+  SELECT antecedent, consequent, pair_count, antecedent_count,
+         consequent_count,
+         CAST(pair_count AS DOUBLE) / antecedent_count AS confidence,
+         CAST(pair_count AS DOUBLE) / antecedent_count
+           * (SELECT CAST(n_baskets AS DOUBLE) FROM n) / consequent_count
+           AS lift
+  FROM rules
+)
+SELECT antecedent, consequent, pair_count, antecedent_count,
+       consequent_count,
+       CAST(floor(confidence * 1000000000.0) AS BIGINT) AS confidence_q,
+       CAST(floor(lift * 1000000000.0) AS BIGINT) AS lift_q
+FROM scored WHERE confidence >= 0.1
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -9366,6 +9540,15 @@ EXTENDED_CATALOG: list[QueryDef] = [
     # round-5: price the exact-NDV Expand vs the HLL++ scale path as a
     # benched pair (rows-only: HLL++ estimates are engine-specific;
     # accuracy pinned by tests/test_dq.py, non-ndv columns by the twin)
+    QueryDef("brand_basket_rules", q_brand_basket_rules,
+             SQL_BRAND_BASKET_RULES,
+             "A-Priori association rules over order baskets of part "
+             "brands: support-pruned self-join, confidence + lift, "
+             "quantized doubles oracle-matched"),
+    QueryDef("html_extract_docs", q_html_extract_docs, SQL_HTML_EXTRACT_DOCS,
+             "HTML -> visible-text extraction + boilerplate signals "
+             "(tag/script counts, link density) — sha-pinned against a "
+             "DuckDB replay of the identical wrap-then-strip"),
     QueryDef("orders_profile_approx", q_orders_profile_approx, None,
              "one-scan column profile with approx_ndv=True — HLL++ "
              "drops the 6× multi-distinct Expand (the 100 TB switch)"),

@@ -303,3 +303,66 @@ def test_clean_text_is_idempotent_and_shrinks(spark):
     a = [r.text_clean for r in once.orderBy(F.col("text_clean")).collect()]
     b = [r.text_clean for r in twice.orderBy(F.col("text_clean")).collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction
+
+
+def test_strip_html_all_removal_classes(spark):
+    from commerce_sessionization_spark.operators.text import strip_html
+
+    html = (
+        '<html><!-- hidden comment --><head><style>p { margin: 0 }</style>'
+        '<title>T1</title></head><body><script type="x">var a = "<p>leak";'
+        "</script><h1>Hello &amp; welcome</h1><p>line one</p>"
+        "<p>l&lt;2&gt; &quot;q&#39;s&nbsp;end</p>"
+        '<a href="/x">Next</a>tail</body></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "plain no markup"), (3, "")], ["doc_id", "html"]
+    )
+    out = {r["doc_id"]: r["text"] for r in strip_html(df).collect()}
+    # comment/script/style content is GONE (no "leak"), tags become word
+    # boundaries, entities decode, whitespace collapses
+    assert out[1] == "T1 Hello & welcome line one l<2> \"q's end Next tail"
+    assert out[2] == "plain no markup"  # non-HTML passes through
+    assert out[3] == ""
+
+
+def test_strip_html_amp_decoded_last(spark):
+    from commerce_sessionization_spark.operators.text import strip_html
+
+    # double-encoded &amp;lt; must yield the literal "&lt;", not "<"
+    df = spark.createDataFrame([(1, "a &amp;lt; b")], ["doc_id", "html"])
+    assert strip_html(df).first()["text"] == "a &lt; b"
+
+
+def test_html_features_link_density(spark):
+    from commerce_sessionization_spark.operators.text import html_features
+
+    nav = '<a href="/1">one</a> <a href="/2">two</a> <a href="/3">three</a>'
+    article = "<p>" + "word " * 50 + '</p><a href="/next">next</a>'
+    df = spark.createDataFrame(
+        [(1, nav), (2, article)], ["doc_id", "html"]
+    )
+    out = {r["doc_id"]: r.asDict() for r in html_features(df).collect()}
+    # anchor text is 11 of 13 visible chars (separator spaces are not
+    # link text): unmistakably navigation chrome
+    assert out[1]["link_density"] > 0.8
+    assert out[2]["link_density"] < 0.1  # article body dominates
+    assert out[1]["tag_count"] == 6 and out[1]["script_count"] == 0
+    assert out[2]["link_text_len"] == len("next")
+
+
+def test_strip_html_stays_jvm_side(spark):
+    from commerce_sessionization_spark.operators.text import (
+        html_features,
+        strip_html,
+    )
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], ["doc_id", "html"])
+    for plan_df in (strip_html(df), html_features(df)):
+        plan = plan_df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
