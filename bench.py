@@ -107,6 +107,10 @@ HEADLINE = [
     # round-5: price the exact multi-distinct Expand vs HLL++ side by
     # side (orders_profile already above; this is its 100 TB switch)
     "orders_profile_approx",
+    # round-5 late: web-crawl HTML extraction (regex-heavy codegen scan)
+    # and A-Priori basket rules (support-pruned self-join)
+    "html_extract_docs",
+    "brand_basket_rules",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

@@ -366,3 +366,62 @@ def test_strip_html_stays_jvm_side(spark):
         plan = plan_df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Encoding quality + readability
+
+
+def test_encoding_quality_counts_each_artifact_class(spark):
+    from commerce_sessionization_spark.operators.text import encoding_quality
+
+    mangled = (
+        "Cl\u00c3\u00a9ment said \u00e2\u20ac\u0153hello"
+        "\u00e2\u20ac\u00a6 and left\ufffd now\x01"
+    )
+    df = spark.createDataFrame(
+        [(1, "The cat sat. Clean text."), (2, mangled), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in encoding_quality(df).collect()}
+    assert out[1]["encoding_ok"] is True
+    assert out[2]["mojibake_count"] == 3  # \u00c3\u00a9 + 2 smart-quote mangles
+    assert out[2]["replacement_count"] == 1
+    assert out[2]["control_count"] == 1
+    assert out[2]["encoding_ok"] is False
+    assert out[3]["encoding_ok"] is True  # empty is clean, not an error
+
+
+def test_readability_flesch_known_values(spark):
+    from commerce_sessionization_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. It ran! Done?"),
+            (2, "no punctuation here at all"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in readability(df).collect()}
+    # 6 words, 3 sentences, 7 vowel groups
+    assert out[1]["word_count_rd"] == 6
+    assert out[1]["sentence_count"] == 3
+    assert out[1]["syllable_count"] == 7
+    expected = 206.835 - 1.015 * (6 / 3) - 84.6 * (7 / 6)
+    assert out[1]["flesch"] == pytest.approx(expected)
+    assert out[2]["sentence_count"] == 1  # implicit sentence, never /0
+    assert out[3]["flesch"] == 0.0  # empty doc defined as 0
+
+
+def test_encoding_readability_stay_jvm_side(spark):
+    from commerce_sessionization_spark.operators.text import (
+        encoding_quality,
+        readability,
+    )
+
+    df = spark.createDataFrame([(1, "x. y")], ["doc_id", "text"])
+    for plan_df in (encoding_quality(df), readability(df)):
+        plan = plan_df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
