@@ -9196,8 +9196,12 @@ CATALOG: list[QueryDef] = [
     # --- events: functions, windows, shapes ---
     QueryDef("event_props_extract", q_event_props_extract, SQL_EVENT_PROPS_EXTRACT,
              "JSON path extraction"),
-    QueryDef("event_type_pivot", q_event_type_pivot, SQL_EVENT_TYPE_PIVOT,
-             "pivot: per-user event-type count matrix"),
+    # round-5 second rotation: three families the gate has never graded
+    # (displacements keep each shape graded elsewhere — see test_catalog)
+    QueryDef("html_extract_docs", q_html_extract_docs, SQL_HTML_EXTRACT_DOCS,
+             "HTML -> visible-text extraction + boilerplate signals "
+             "(tag/script counts, link density) — sha-pinned against a "
+             "DuckDB replay of the identical wrap-then-strip"),
     QueryDef("orders_profile", q_orders_profile, SQL_ORDERS_PROFILE,
              "ANALYZE-style one-scan column profile: rows/nulls/ndv/"
              "min/max per column, long form (approx_ndv flag = HLL++ "
@@ -9308,12 +9312,16 @@ CATALOG: list[QueryDef] = [
     QueryDef("pq_adc_topk", q_pq_adc_topk, SQL_PQ_ADC_TOPK,
              "product-quantization ANN: seeded codebook, fold-expression "
              "encode, literal-LUT ADC top-10 (64x compression path)"),
-    QueryDef("lang_centroids", q_lang_centroids, SQL_LANG_CENTROIDS,
-             "cross-modal join: per-language embedding centroid"),
+    QueryDef("canonical_urls", q_canonical_urls, SQL_CANONICAL_URLS,
+             "URL canonicalization (case, default ports, tracking "
+             "params, param sort, fragments, trailing slash) + "
+             "scheme/host/domain/path parts — rule-for-rule oracle"),
     # --- sketches & sampling ---
-    QueryDef("kmv_distinct_users", q_kmv_distinct_users,
-             SQL_KMV_DISTINCT_USERS,
-             "KMV distinct sketch per event_type (sketch oracle-exact)"),
+    QueryDef("brand_basket_rules", q_brand_basket_rules,
+             SQL_BRAND_BASKET_RULES,
+             "A-Priori association rules over order baskets of part "
+             "brands: support-pruned self-join, confidence + lift, "
+             "quantized doubles oracle-matched"),
     QueryDef("triangle_counts", q_triangle_counts, SQL_TRIANGLE_COUNTS,
              "degree-ordered triangle counting + clustering coefficient "
              "over the part co-occurrence graph (skew-safe wedge join)"),
@@ -9340,6 +9348,22 @@ CATALOG: list[QueryDef] = [
 #: continuously oracle-checked locally, excluded from the driver's 50-query
 #: window so every driver slot carries an independent operator family.
 EXTENDED_CATALOG: list[QueryDef] = [
+    # round-5 second rotation: displaced near-duplicates (pivot CASE-agg
+    # shape stays graded via conversion_funnel_24h/pricing_summary; NDV
+    # estimation via orders_profile + three other graded sketches;
+    # embedding-centroid shape via semdedup_prune/knn_cosine)
+    QueryDef("event_type_pivot", q_event_type_pivot, SQL_EVENT_TYPE_PIVOT,
+             "pivot: per-user event-type count matrix"),
+    QueryDef("lang_centroids", q_lang_centroids, SQL_LANG_CENTROIDS,
+             "cross-modal join: per-language embedding centroid"),
+    QueryDef("kmv_distinct_users", q_kmv_distinct_users,
+             SQL_KMV_DISTINCT_USERS,
+             "KMV distinct sketch per event_type (sketch oracle-exact)"),
+    QueryDef("doc_encoding_readability", q_doc_encoding_readability,
+             SQL_DOC_ENCODING_READABILITY,
+             "mojibake/U+FFFD/control counts + Flesch readability over "
+             "deterministically damaged docs — encoding triage before "
+             "GPU-hours, quantized-double oracle-matched"),
     QueryDef("sessionize_events_bucketed", q_sessionize_events_bucketed,
              SQL_SESSIONIZE_EVENTS,
              "skew-proof bucketed sessionize == plain (byte-identical)"),
@@ -9746,24 +9770,6 @@ EXTENDED_CATALOG: list[QueryDef] = [
     # round-5: price the exact-NDV Expand vs the HLL++ scale path as a
     # benched pair (rows-only: HLL++ estimates are engine-specific;
     # accuracy pinned by tests/test_dq.py, non-ndv columns by the twin)
-    QueryDef("canonical_urls", q_canonical_urls, SQL_CANONICAL_URLS,
-             "URL canonicalization (case, default ports, tracking "
-             "params, param sort, fragments, trailing slash) + "
-             "scheme/host/domain/path parts — rule-for-rule oracle"),
-    QueryDef("doc_encoding_readability", q_doc_encoding_readability,
-             SQL_DOC_ENCODING_READABILITY,
-             "mojibake/U+FFFD/control counts + Flesch readability over "
-             "deterministically damaged docs — encoding triage before "
-             "GPU-hours, quantized-double oracle-matched"),
-    QueryDef("brand_basket_rules", q_brand_basket_rules,
-             SQL_BRAND_BASKET_RULES,
-             "A-Priori association rules over order baskets of part "
-             "brands: support-pruned self-join, confidence + lift, "
-             "quantized doubles oracle-matched"),
-    QueryDef("html_extract_docs", q_html_extract_docs, SQL_HTML_EXTRACT_DOCS,
-             "HTML -> visible-text extraction + boilerplate signals "
-             "(tag/script counts, link density) — sha-pinned against a "
-             "DuckDB replay of the identical wrap-then-strip"),
     QueryDef("orders_profile_approx", q_orders_profile_approx, None,
              "one-scan column profile with approx_ndv=True — HLL++ "
              "drops the 6× multi-distinct Expand (the 100 TB switch)"),

@@ -35,8 +35,6 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "dedup_components",           # connected components
     "segment_dedup_docs",         # boilerplate removal
     "knn_cosine",                 # brute-force ANN
-    "lang_centroids",             # cross-modal join
-    "kmv_distinct_users",         # KMV sketch
     "cms_heavy_hitters",          # count-min sketch
     "bloom_membership",           # bloom filter
     "histogram_quantile_sketch",  # histogram quantiles
@@ -90,6 +88,14 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "semdedup_prune",             # embedding semantic dedup (SemDeDup)
     "pit_scd2_join",              # point-in-time SCD2 warehouse join
     "part_hop_distances",         # BFS graph traversal
+    # round-5 second rotation: web-crawl preprocessing + basket mining in;
+    # event_type_pivot (CASE-agg shape graded via conversion_funnel_24h),
+    # lang_centroids (embedding shape graded via semdedup_prune/knn), and
+    # kmv_distinct_users (NDV family graded via orders_profile + 3 other
+    # sketches) move to EXTENDED, still oracle-checked.
+    "html_extract_docs",          # HTML -> text extraction (crawl step 0)
+    "canonical_urls",             # URL canonicalization / dedup key
+    "brand_basket_rules",         # market-basket association rules
 }
 
 
