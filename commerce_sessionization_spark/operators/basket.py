@@ -66,20 +66,35 @@ def association_rules(
     # prune to frequent items BEFORE the quadratic stage
     frequent = items.join(F.broadcast(item_counts), "item")
 
-    a = frequent.select(
-        "basket",
-        F.col("item").alias("item_a"),
-        F.col("item_count").alias("count_a"),
+    # pass 2 as within-basket array combinations rather than a self-join:
+    # a self-join would derive the (scan -> distinct -> count-join)
+    # subtree TWICE (and Spark re-reads the source for each), while one
+    # groupBy(basket) + combination-explode touches the fact table once.
+    # Fanout is C(k,2) on the pruned basket size k — bounded by real
+    # basket cardinality, never by catalog size.
+    per_basket = frequent.groupBy("basket").agg(
+        F.array_sort(
+            F.collect_list(F.struct("item", "item_count"))
+        ).alias("ia")
     )
-    b = frequent.select(
-        "basket",
-        F.col("item").alias("item_b"),
-        F.col("item_count").alias("count_b"),
+    ia = F.col("ia")
+    combos = F.flatten(
+        F.transform(
+            ia,
+            lambda x, i: F.transform(
+                F.slice(ia, i + F.lit(2), F.size(ia)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     pairs = (
-        a.join(b, "basket")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b", "count_a", "count_b")
+        per_basket.select(F.explode(combos).alias("p"))
+        .groupBy(
+            F.col("p.a.item").alias("item_a"),
+            F.col("p.b.item").alias("item_b"),
+            F.col("p.a.item_count").alias("count_a"),
+            F.col("p.b.item_count").alias("count_b"),
+        )
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= min_count)
     )
