@@ -166,3 +166,79 @@ def pack_sequences(
         )
 
     return slim.groupBy("bucket").applyInPandas(pack, schema=out_schema)
+
+
+#: Sentence segmentation without lookbehind (RE2-replayable): a run of
+#: non-terminators ending in one-or-more terminators plus a boundary, or
+#: a trailing unterminated run. Leftmost behavior is identical in Java
+#: and RE2 for this pattern (no alternation-preference divergence: at
+#: any start position at most one alternative can match).
+SENTENCE_PATTERN = r"[^.!?]*[.!?]+(\s|$)|[^.!?]+$"
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 200,
+) -> DataFrame:
+    """Sentence-preserving chunking: offset-bucketed, not greedy-packed.
+
+    RAG and long-context pipelines want chunk boundaries on sentence
+    ends, not mid-token. TRUE greedy packing ("add sentences until full")
+    is a sequential fold; this uses the distributed-friendly equivalent:
+    a sentence belongs to chunk ``floor(start_offset / max_chars)`` where
+    ``start_offset`` is the cumulative length of its predecessors. No
+    sequential dependency — offsets are one window cumsum — chunks never
+    split a sentence, and overshoot is bounded by one sentence length.
+
+    One shuffle (per-document window + regroup on a uniform key); the
+    segmentation regex is shared with the DuckDB oracle verbatim.
+    Returns (id, chunk_id, chunk_text, n_sentences, chunk_chars).
+    """
+    from pyspark.sql import Window
+
+    sents = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    F.regexp_extract_all(
+                        F.col(text_col), F.lit(SENTENCE_PATTERN), F.lit(0)
+                    ),
+                    # NOT bare F.trim: transform would call it with
+                    # (element, index) and trim(str, trimStr) would treat
+                    # the index as the character set to strip
+                    lambda s: F.trim(s),
+                ),
+                lambda s: F.length(s) > 0,
+            )
+        ).alias("ord", "sentence"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sents = sents.withColumn(
+        "start_off",
+        F.coalesce(F.sum(F.length("sentence") + 1).over(w), F.lit(0)),
+    ).withColumn(
+        "chunk_id", F.floor(F.col("start_off") / F.lit(max_chars))
+    )
+    return (
+        sents.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ord", "sentence"))
+                    ),
+                    lambda x: x["sentence"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).alias("n_sentences"),
+        )
+        .withColumn("chunk_chars", F.length("chunk_text").cast("bigint"))
+    )

@@ -182,3 +182,50 @@ def test_chunk_then_pack_never_overflows(spark):
     for r in packed:
         fills[(r.bucket, r.bin_idx)] = fills.get((r.bucket, r.bin_idx), 0) + r.item_tokens
     assert fills and all(v <= 128 for v in fills.values())
+
+
+# ---------------------------------------------------------------------------
+# Sentence-preserving chunking
+
+
+def test_sentence_chunks_never_split_sentences(spark):
+    from commerce_sessionization_spark.operators.chunking import (
+        chunk_by_sentences,
+    )
+
+    text = (
+        "First sentence here. Second one follows! Third is a question? "
+        * 4
+        + "Trailing unterminated bit"
+    )
+    df = spark.createDataFrame(
+        [(1, text), (2, "Tiny."), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_by_sentences(df, max_chars=80).orderBy(
+        "doc_id", "chunk_id"
+    ).collect()
+    one = [r for r in out if r["doc_id"] == 1]
+    # every chunk ends on a sentence boundary or is the trailing bit
+    for r in one:
+        assert r["chunk_text"][-1] in ".!?" or "Trailing" in r["chunk_text"]
+    # overshoot bounded by one sentence length
+    assert all(r["chunk_chars"] < 80 + 65 for r in one)
+    # chunk ids contiguous from 0 and the full text is covered in order
+    assert [r["chunk_id"] for r in one] == list(range(len(one)))
+    reassembled = " ".join(r["chunk_text"] for r in one)
+    assert reassembled.split() == text.split()
+    assert [r for r in out if r["doc_id"] == 3] == []  # empty doc: no rows
+    assert [r for r in out if r["doc_id"] == 2][0]["chunk_text"] == "Tiny."
+
+
+def test_sentence_chunks_single_long_sentence_is_one_chunk(spark):
+    from commerce_sessionization_spark.operators.chunking import (
+        chunk_by_sentences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "word " * 100 + "end.")], ["doc_id", "text"]
+    )
+    out = chunk_by_sentences(df, max_chars=50).collect()
+    assert len(out) == 1  # a sentence is never split, however long
+    assert out[0]["n_sentences"] == 1
