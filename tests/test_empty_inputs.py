@@ -40,6 +40,14 @@ PINNED = [
     "orders_profile",
     "event_transition_matrix",
     "conversion_funnel_24h",
+    # round-5 second-rotation families: the n_baskets count on an empty
+    # fact table must not divide-by-zero, the regex scans must pass
+    # empties through
+    "brand_basket_rules",
+    "html_extract_docs",
+    "canonical_urls",
+    "doc_encoding_readability",
+    "sentence_chunks",
 ]
 
 
