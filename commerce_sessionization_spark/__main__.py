@@ -168,6 +168,20 @@ def main(argv: list[str] | None = None) -> int:
     me.add_argument("--max-hamming", type=int, default=3)
     me.add_argument("--master", default=None)
 
+    cr = sub.add_parser(
+        "crawl",
+        help="ingest a directory of WARC files (plain or CommonCrawl "
+             "per-record gzip) and write a documents-shaped corpus "
+             "parquet: canonical URL key, extracted visible text, "
+             "link-density/tag boilerplate signals",
+    )
+    cr.add_argument("path", help="WARC directory")
+    cr.add_argument("--out", required=True, help="output parquet path")
+    cr.add_argument("--glob", default="*.warc*")
+    cr.add_argument("--min-chars", type=int, default=1)
+    cr.add_argument("--max-link-density", type=float, default=None)
+    cr.add_argument("--master", default=None)
+
     ge = sub.add_parser(
         "generate",
         help="write deterministic synthetic events via the "
@@ -259,6 +273,20 @@ def main(argv: list[str] | None = None) -> int:
                 df.write.mode("overwrite").parquet(args.out)
             else:
                 df.show(args.limit, truncate=False)
+        elif args.cmd == "crawl":
+            from commerce_sessionization_spark.operators.crawl import (
+                crawl_to_corpus,
+            )
+            from commerce_sessionization_spark.sources.io import read_warc_dir
+
+            docs = crawl_to_corpus(
+                read_warc_dir(spark, args.path, glob=args.glob),
+                min_text_chars=args.min_chars,
+                max_link_density=args.max_link_density,
+            )
+            docs.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(f"wrote {n} documents to {args.out}")
         elif args.cmd == "generate":
             from commerce_sessionization_spark.sources.generator import (
                 register as register_generator,

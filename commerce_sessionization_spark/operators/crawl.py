@@ -1,0 +1,64 @@
+"""Crawl-to-corpus: WARC records → a documents-shaped training table.
+
+The end-to-end composition the rest of the repo's corpus surface
+assumes as its input: ``sources.io.read_warc_dir`` rows in, one clean
+text document per successful HTML response out — everything downstream
+(dedup, quality, language-ID, chunking, decontamination) operates on
+this table's shape.
+
+Each step is an existing audited operator; this module only composes:
+
+1. keep ``response`` records with HTTP 200 and an HTML content type,
+2. decode payload bytes as UTF-8 (invalid sequences → U+FFFD, which
+   ``encoding_quality`` downstream then scores — lossage is data),
+3. ``strip_html`` + ``html_features`` (visible text, link density),
+4. ``canonical_url`` as the stable document key (crawls see the same
+   page under many URL spellings; the canonical form is the dedup key),
+5. stable doc_id = xxhash64(canonical_url).
+
+Zero Python in this module's own hot path — the only non-codegen stage
+in the whole chain is the WARC record framing upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from commerce_sessionization_spark.operators.text import (
+    html_features,
+    strip_html,
+)
+from commerce_sessionization_spark.operators.urls import canonical_url
+
+
+def crawl_to_corpus(
+    warc_records: DataFrame,
+    min_text_chars: int = 1,
+    max_link_density: float | None = None,
+) -> DataFrame:
+    """WARC record rows → (doc_id, url, fetched_at, text, link_density,
+    tag_count, n_chars). See module docstring for the rule pipeline."""
+    pages = warc_records.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+    ).select(
+        canonical_url(F.col("target_uri")).alias("url"),
+        F.col("warc_date").alias("fetched_at"),
+        F.decode(F.col("payload"), "UTF-8").alias("html"),
+    )
+    out = html_features(pages, "html")
+    out = strip_html(out, "html", "text")
+    out = out.select(
+        F.xxhash64("url").alias("doc_id"),
+        "url",
+        "fetched_at",
+        "text",
+        "link_density",
+        "tag_count",
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).filter(F.length("text") >= min_text_chars)
+    if max_link_density is not None:
+        out = out.filter(F.col("link_density") <= max_link_density)
+    return out

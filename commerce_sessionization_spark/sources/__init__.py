@@ -1,6 +1,7 @@
 from commerce_sessionization_spark.sources.io import (
     read_behaviors_csv,
     read_media_dir,
+    read_warc_dir,
     read_parquet,
     read_source,
     read_source_permissive,
@@ -25,6 +26,7 @@ __all__ = [
     "register_generator",
     "read_behaviors_csv",
     "read_media_dir",
+    "read_warc_dir",
     "read_parquet",
     "read_source",
     "read_source_permissive",

@@ -432,3 +432,75 @@ def schema_diff(old, new) -> dict:
             if of[c] != nf[c]
         ),
     }
+
+
+WARC_SCHEMA_DDL = (
+    "warc_file string, record_idx int, warc_type string, "
+    "target_uri string, warc_date string, record_id string, "
+    "http_status int, http_content_type string, payload binary"
+)
+
+
+def read_warc_dir(
+    spark: SparkSession, path: str, glob: str = "*.warc*"
+) -> DataFrame:
+    """Ingest a directory of WARC files (plain or per-record-gzipped —
+    the CommonCrawl layout) into one row per record.
+
+    ``binaryFile`` scan → Arrow-batched ``mapInPandas`` running the
+    dependency-free ISO 28500 parser (``functions.warc.parse_warc``):
+    each task holds exactly one WARC file, so memory is bounded by the
+    largest file, and the parallelism unit is the file count — the same
+    contract CommonCrawl's own tooling assumes (crawls ship as ~1 GB
+    segment files precisely so per-file parallelism saturates a
+    cluster). Truncated/damaged files yield their salvageable prefix of
+    records rather than failing the job; downstream passes project the
+    metadata columns without touching ``payload`` (columnar pruning).
+    """
+    import pandas as pd
+
+    from commerce_sessionization_spark.functions.codecs import (
+        UnsupportedMediaError,
+    )
+    from commerce_sessionization_spark.functions.warc import parse_warc
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    recs = parse_warc(bytes(content))
+                except UnsupportedMediaError:
+                    continue  # not a WARC: skip the file, not the job
+                for i, r in enumerate(recs):
+                    rows.append(
+                        {
+                            "warc_file": p,
+                            "record_idx": i,
+                            "warc_type": r["warc_type"],
+                            "target_uri": r["target_uri"],
+                            "warc_date": r["warc_date"],
+                            "record_id": r["record_id"],
+                            "http_status": r["http_status"],
+                            "http_content_type": r["http_content_type"],
+                            "payload": r["payload"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "warc_file", "record_idx", "warc_type", "target_uri",
+                    "warc_date", "record_id", "http_status",
+                    "http_content_type", "payload",
+                ],
+            )
+
+    return raw.mapInPandas(batches, WARC_SCHEMA_DDL)
