@@ -62,3 +62,62 @@ def crawl_to_corpus(
     if max_link_density is not None:
         out = out.filter(F.col("link_density") <= max_link_density)
     return out
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+) -> DataFrame:
+    """Outlink edges from HTML — the web-graph builder.
+
+    Extracts every ``href="..."`` / ``href='...'`` and resolves it
+    against the page URL: absolute links pass through,
+    ``//host/path`` inherits the scheme, ``/rooted`` paths replace the
+    base path, fragments drop, and bare relative paths append to the
+    base directory (``..`` segments are NOT collapsed — dot-segment
+    normalization needs a loop; at corpus scale the un-collapsed form
+    is still a consistent join key, and ``canonical_url`` downstream
+    handles the rest). Output is one (src, dst) row per DISTINCT href
+    (array_union dedupes — a nav repeated per page emits one edge);
+    feed it straight to ``operators.graph.pagerank`` and friends.
+
+    All column expressions (regexp_extract_all + explode + when-chain):
+    the web graph falls out of the crawl table with zero Python.
+    """
+    base = F.col(base_col)
+    scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    origin = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    # base directory: everything through the last '/' of the path
+    basedir = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^?#]*/)", 1)
+    basedir = F.when(basedir == "", F.concat(origin, F.lit("/"))).otherwise(
+        basedir
+    )
+    hrefs = F.array_union(
+        F.regexp_extract_all(
+            F.col(html_col), F.lit(r'(?i)href="([^"]*)"'), F.lit(1)
+        ),
+        F.regexp_extract_all(
+            F.col(html_col), F.lit(r"(?i)href='([^']*)'"), F.lit(1)
+        ),
+    )
+    out = df.select(
+        F.col(base_col).alias("src"),
+        scheme.alias("_scheme"),
+        origin.alias("_origin"),
+        basedir.alias("_basedir"),
+        F.explode(hrefs).alias("href"),
+    )
+    href = F.col("href")
+    resolved = (
+        F.when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+        .when(href.startswith("//"), F.concat(F.col("_scheme"), F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(F.col("_origin"), href))
+        .when(href.startswith("#") | (href == ""), F.lit(None))
+        .otherwise(F.concat(F.col("_basedir"), href))
+    )
+    return (
+        out.withColumn("dst", resolved)
+        .filter(F.col("dst").isNotNull())
+        .select("src", "href", "dst")
+    )

@@ -9239,6 +9239,72 @@ GROUP BY doc_id, floor(start_off / 300.0)
 """
 
 
+# --------------------------------------------------------------------------
+# Outlink extraction (operators.crawl)
+# --------------------------------------------------------------------------
+
+def q_doc_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``extract_links`` over deterministic per-doc HTML: each document
+    gets an absolute link, a root-relative link, a directory-relative
+    link, and a fragment (which must drop) — every resolution rule
+    fires and the oracle replays extraction + resolution rule-for-rule.
+    This is the web-graph builder: its (src, dst) output is what the
+    graph family (pagerank/CC/BFS) consumes from a real crawl.
+    """
+    from commerce_sessionization_spark.operators.crawl import extract_links
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = F.concat(
+        F.lit("https://corpus.net/dir/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/page.html"),
+    )
+    html = F.concat(
+        F.lit('<a href="https://corpus.net/doc/'),
+        ((F.col("doc_id") + 1) % 1000).cast("string"),
+        F.lit('">next</a> <a href=\'/doc/'),
+        ((F.col("doc_id") * 7) % 1000).cast("string"),
+        F.lit("'>rooted</a> <a href=\"rel/"),
+        F.col("lang"),
+        F.lit('.html">rel</a> <a href="#top">top</a>'),
+    )
+    pages = docs.select(base.alias("url"), html.alias("html"))
+    return extract_links(pages, "html", "url")
+
+
+SQL_DOC_OUTLINKS = """
+WITH pages AS (
+  SELECT 'https://corpus.net/dir/' || doc_id || '/page.html' AS url,
+         '<a href="https://corpus.net/doc/' || ((doc_id + 1) % 1000)
+         || '">next</a> <a href=''/doc/' || ((doc_id * 7) % 1000)
+         || '''>rooted</a> <a href="rel/' || lang
+         || '.html">rel</a> <a href="#top">top</a>' AS html
+  FROM documents
+), hrefs AS (
+  SELECT url AS src,
+         regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+         regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
+           AS origin,
+         regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^?#]*/)', 1)
+           AS basedir,
+         unnest(list_distinct(list_concat(
+           regexp_extract_all(html, '(?i)href="([^"]*)"', 1),
+           regexp_extract_all(html, '(?i)href=''([^'']*)''', 1))))
+           AS href
+  FROM pages
+)
+SELECT src, href,
+       CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
+              THEN href
+            WHEN href LIKE '//%' THEN scheme || ':' || href
+            WHEN href LIKE '/%' THEN origin || href
+            ELSE (CASE WHEN basedir = '' THEN origin || '/' ELSE basedir END)
+                 || href END AS dst
+FROM hrefs
+WHERE NOT (href LIKE '#%' OR href = '')
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -9429,6 +9495,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "mojibake/U+FFFD/control counts + Flesch readability over "
              "deterministically damaged docs — encoding triage before "
              "GPU-hours, quantized-double oracle-matched"),
+    QueryDef("doc_outlinks", q_doc_outlinks, SQL_DOC_OUTLINKS,
+             "href extraction + relative-URL resolution (the web-graph "
+             "edge builder) — every resolution rule oracle-replayed"),
     QueryDef("sentence_chunks", q_sentence_chunks, SQL_SENTENCE_CHUNKS,
              "sentence-preserving offset-bucketed chunking (RAG chunker):"
              " RE2-safe segmentation, window cumsum, ordered re-assembly"

@@ -137,3 +137,86 @@ def test_crawl_to_corpus_link_density_gate(spark, warc_dir):
         read_warc_dir(spark, warc_dir), max_link_density=0.05
     ).collect()
     assert {r["url"] for r in docs} == {"https://example.com/two"}
+
+
+# ---------------------------------------------------------------------------
+# Outlink extraction (web-graph builder)
+
+
+def test_extract_links_resolution_rules(spark):
+    from commerce_sessionization_spark.operators.crawl import extract_links
+
+    html = (
+        '<a href="https://other.com/abs">a</a> <a href="//cdn.com/x">b</a>'
+        " <a href='/rooted/p'>c</a> <a href=\"rel/q\">d</a>"
+        " <a href='#frag'>e</a> <a href=\"\">f</a> <A HREF=\"UP.html\">g</A>"
+    )
+    df = spark.createDataFrame(
+        [("https://example.com/dir/page.html", html)], ["url", "html"]
+    )
+    rows = {r["href"]: r["dst"] for r in extract_links(df).collect()}
+    assert rows["https://other.com/abs"] == "https://other.com/abs"
+    assert rows["//cdn.com/x"] == "https://cdn.com/x"  # scheme inherited
+    assert rows["/rooted/p"] == "https://example.com/rooted/p"
+    assert rows["rel/q"] == "https://example.com/dir/rel/q"
+    assert rows["UP.html"] == "https://example.com/dir/UP.html"  # case-blind
+    assert "#frag" not in rows and "" not in rows  # dropped, not resolved
+
+
+def test_extract_links_dedupes_repeated_hrefs(spark):
+    from commerce_sessionization_spark.operators.crawl import extract_links
+
+    df = spark.createDataFrame(
+        [("https://a.com/p", '<a href="/x">1</a><a href="/x">2</a>')],
+        ["url", "html"],
+    )
+    assert extract_links(df).count() == 1  # one edge per distinct href
+
+
+def test_crawl_links_pagerank_composition(spark):
+    """The full web-graph path: WARC bytes -> corpus -> edges -> PageRank.
+    A 3-page cycle plus one page everyone links to; the hub must rank
+    highest."""
+    from commerce_sessionization_spark.functions.warc import (
+        build_http_response,
+        build_warc,
+        build_warc_record,
+    )
+    from commerce_sessionization_spark.operators.crawl import extract_links
+    from commerce_sessionization_spark.operators.graph import pagerank
+    from pyspark.sql import functions as F
+
+    def page(i):
+        nxt = (i + 1) % 3
+        body = (
+            f'<html><body><a href="/p{nxt}">next</a>'
+            f'<a href="/hub">hub</a></body></html>'
+        ).encode()
+        return build_warc_record(
+            "response",
+            build_http_response(body),
+            target_uri=f"https://site.test/p{i}",
+        )
+
+    hub = build_warc_record(
+        "response",
+        build_http_response(b"<html><body>no links</body></html>"),
+        target_uri="https://site.test/hub",
+    )
+    records = [page(i) for i in range(3)] + [hub]
+    from commerce_sessionization_spark.functions.warc import parse_warc
+
+    rows = [
+        (r["target_uri"], r["payload"].decode())
+        for r in parse_warc(build_warc(records))
+    ]
+    pages = spark.createDataFrame(rows, ["url", "html"])
+    edges = extract_links(pages).select("src", "dst")
+    vertices = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    ranks = pagerank(edges, vertices, iterations=10)
+    top = ranks.orderBy(F.desc("rank")).first()
+    assert top["node"] == "https://site.test/hub"
