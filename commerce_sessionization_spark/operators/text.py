@@ -611,3 +611,107 @@ def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
             - F.lit(84.6) * (syllables.cast("double") / words),
         ).otherwise(F.lit(0.0)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-block boilerplate removal (jusText/readability-style)
+
+#: Block-level boundaries: the tags that end one text block and start
+#: the next. Inline markup (<a>, <b>, <span>...) stays inside a block.
+BLOCK_TAG_PATTERN = (
+    r"(?i)</?(?:p|div|td|th|li|h[1-6]|article|section|header|footer|nav|"
+    r"aside|ul|ol|table|tr|blockquote|br)[^>]*>"
+)
+
+#: Function words for the stopword-density signal (content prose is
+#: dense in them; link lists and cookie banners are not).
+_BOILER_STOPWORDS = (
+    "the|and|of|to|in|is|a|for|with|that|on|as|are|was|it|this|by|an|be"
+)
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "content",
+    min_chars: int = 30,
+    max_link_density: float = 0.4,
+    min_stopword_density: float = 0.05,
+) -> DataFrame:
+    """Keep CONTENT blocks, drop navigation/footer/banner chrome — the
+    per-block classification jusText and readability established:
+    whole-page ``strip_html`` keeps nav text ("Home | About | Login"),
+    which then poisons dedup and quality scoring; classifying each
+    block-level segment first is the standard fix.
+
+    Per block (split on ``BLOCK_TAG_PATTERN``), three signals decide:
+    visible length >= ``min_chars``, anchor-text share of the block
+    <= ``max_link_density``, and stopword density (function words per
+    word) >= ``min_stopword_density``. Survivor blocks re-join in
+    document order.
+
+    The whole pass is array-land higher-order functions (split →
+    transform → filter → array_join): no explode, no shuffle, one
+    codegen projection per page — and every rule replays in the DuckDB
+    oracle. Thresholds are the jusText defaults scaled to these three
+    signals; tune per corpus.
+    """
+    raw = F.col(html_col)
+    # comments/script/style removed page-wide first: their content must
+    # not count toward any block's text
+    cleaned = F.regexp_replace(raw, r"(?s)<!--.*?-->", " ")
+    cleaned = F.regexp_replace(cleaned, r"(?is)<script[^>]*>.*?</script>", " ")
+    cleaned = F.regexp_replace(cleaned, r"(?is)<style[^>]*>.*?</style>", " ")
+    blocks = F.split(cleaned, BLOCK_TAG_PATTERN)
+
+    def visible(seg: Column) -> Column:
+        t = F.regexp_replace(seg, r"<[^>]*>", " ")
+        for ent, rep in HTML_ENTITIES:
+            t = F.replace(t, F.lit(ent), F.lit(rep))
+        return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+    def link_len(seg: Column) -> Column:
+        return F.aggregate(
+            F.regexp_extract_all(
+                seg, F.lit(r"(?is)<a[^>]*>(.*?)</a>"), F.lit(1)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, a: acc + F.length(F.trim(a)),
+        )
+
+    scored = F.transform(
+        blocks,
+        lambda seg: F.struct(
+            visible(seg).alias("text"),
+            link_len(seg).alias("link_len"),
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda b: (F.length(b["text"]) >= min_chars)
+        & (
+            b["link_len"] / F.length(b["text"])
+            <= F.lit(float(max_link_density))
+        )
+        & (
+            F.regexp_count(
+                b["text"],
+                F.lit(r"(?i)\b(?:" + _BOILER_STOPWORDS + r")\b"),
+            )
+            / F.greatest(
+                F.regexp_count(b["text"], F.lit(r"[A-Za-z0-9]+")), F.lit(1)
+            )
+            >= F.lit(float(min_stopword_density))
+        ),
+    )
+    return df.withColumn(
+        out_col,
+        F.array_join(F.transform(kept, lambda b: b["text"]), " "),
+    ).withColumn(
+        "n_blocks_kept", F.size(kept).cast("bigint")
+    ).withColumn(
+        "n_blocks_total",
+        F.size(F.filter(scored, lambda b: F.length(b["text"]) > 0)).cast(
+            "bigint"
+        ),
+    )

@@ -9305,6 +9305,105 @@ WHERE NOT (href LIKE '#%' OR href = '')
 """
 
 
+# --------------------------------------------------------------------------
+# Per-block boilerplate removal (operators.text)
+# --------------------------------------------------------------------------
+
+def q_boilerplate_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``remove_boilerplate`` over documents wrapped in realistic page
+    chrome — a link-only nav, the doc text as the article block, a short
+    cookie banner, a link-heavy footer. The classifier must keep content
+    and drop chrome per the three signals (length, link density,
+    stopword density); because the synthetic corpus varies in stopword
+    density, some articles legitimately fail the prose test too — the
+    oracle replays every rule, so the exact keep/drop pattern is what's
+    hash-matched, not a fixed answer.
+    """
+    from commerce_sessionization_spark.operators.text import (
+        remove_boilerplate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit(
+            '<html><body><nav><a href="/">Home</a> | <a href="/a">About'
+            '</a> | <a href="/l">Login</a></nav><p>'
+        ),
+        F.col("text"),
+        F.lit(
+            "</p><div>Cookie notice accept decline</div><footer>"
+            '<a href="/t">Terms</a> <a href="/p">Privacy</a></footer>'
+            "</body></html>"
+        ),
+    )
+    out = remove_boilerplate(docs.withColumn("html", html))
+    return out.select(
+        "doc_id",
+        F.length("content").alias("content_len"),
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+        "n_blocks_kept",
+        "n_blocks_total",
+    )
+
+
+SQL_BOILERPLATE_EXTRACT_DOCS = """
+WITH pages AS (
+  SELECT doc_id,
+         '<html><body><nav><a href="/">Home</a> | <a href="/a">About</a>'
+         || ' | <a href="/l">Login</a></nav><p>' || text
+         || '</p><div>Cookie notice accept decline</div><footer>'
+         || '<a href="/t">Terms</a> <a href="/p">Privacy</a></footer>'
+         || '</body></html>' AS html
+  FROM documents
+), cleaned AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(html,
+           '(?s)<!--.*?-->', ' ', 'g'),
+           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h
+  FROM pages
+), scored AS (
+  SELECT doc_id,
+         list_transform(
+           string_split_regex(h,
+             '(?i)</?(?:p|div|td|th|li|h[1-6]|article|section|header|'
+             || 'footer|nav|aside|ul|ol|table|tr|blockquote|br)[^>]*>'),
+           s -> struct_pack(
+             text := trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(s, '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                 '&amp;', '&'),
+               '\\s+', ' ', 'g')),
+             link_len := CAST(COALESCE(list_sum(list_transform(
+               regexp_extract_all(s, '(?is)<a[^>]*>(.*?)</a>', 1),
+               a -> length(trim(a)))), 0) AS BIGINT))) AS sb
+  FROM cleaned
+), kept AS (
+  SELECT doc_id, sb,
+         list_filter(sb, b ->
+           length(b.text) >= 30
+           AND b.link_len / length(b.text) <= 0.4
+           AND len(regexp_extract_all(b.text,
+                 '(?i)\\b(?:the|and|of|to|in|is|a|for|with|that|on|as|'
+                 || 'are|was|it|this|by|an|be)\\b'))
+               / GREATEST(len(regexp_extract_all(b.text,
+                 '[A-Za-z0-9]+')), 1) >= 0.05) AS kb
+  FROM scored
+)
+SELECT doc_id,
+       length(COALESCE(array_to_string(list_transform(kb, b -> b.text),
+                                       ' '), '')) AS content_len,
+       sha256(COALESCE(array_to_string(list_transform(kb, b -> b.text),
+                                       ' '), '')) AS content_sha,
+       CAST(len(kb) AS BIGINT) AS n_blocks_kept,
+       CAST(len(list_filter(sb, b -> length(b.text) > 0)) AS BIGINT)
+         AS n_blocks_total
+FROM kept
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -9495,6 +9594,11 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "mojibake/U+FFFD/control counts + Flesch readability over "
              "deterministically damaged docs — encoding triage before "
              "GPU-hours, quantized-double oracle-matched"),
+    QueryDef("boilerplate_extract_docs", q_boilerplate_extract_docs,
+             SQL_BOILERPLATE_EXTRACT_DOCS,
+             "jusText-style per-block boilerplate removal (length + "
+             "link-density + stopword-density signals), array-land "
+             "zero-shuffle, keep/drop pattern hash-matched"),
     QueryDef("doc_outlinks", q_doc_outlinks, SQL_DOC_OUTLINKS,
              "href extraction + relative-URL resolution (the web-graph "
              "edge builder) — every resolution rule oracle-replayed"),

@@ -425,3 +425,78 @@ def test_encoding_readability_stay_jvm_side(spark):
         plan = plan_df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Per-block boilerplate removal
+
+
+def test_boilerplate_keeps_article_drops_chrome(spark):
+    from commerce_sessionization_spark.operators.text import (
+        remove_boilerplate,
+    )
+
+    article = (
+        "This is the actual article content of the page and it talks "
+        "about a subject at length with many common words in the text."
+    )
+    html = (
+        '<html><body><nav><a href="/">Home</a> | <a href="/a">About</a>'
+        ' | <a href="/l">Login</a></nav>'
+        f"<p>{article}</p>"
+        "<div>Cookie notice accept decline</div>"
+        '<footer><a href="/t">Terms</a> <a href="/p">Privacy</a></footer>'
+        "</body></html>"
+    )
+    r = remove_boilerplate(
+        spark.createDataFrame([(1, html)], ["doc_id", "html"])
+    ).first()
+    assert r["content"] == article
+    assert r["n_blocks_kept"] == 1
+    assert r["n_blocks_total"] == 4  # nav, article, banner, footer
+
+
+def test_boilerplate_script_content_never_counts(spark):
+    from commerce_sessionization_spark.operators.text import (
+        remove_boilerplate,
+    )
+
+    # a long script with prose-like density must NOT survive as a block
+    script = "var the = 1; " * 20
+    html = f"<p><script>{script}</script></p>"
+    r = remove_boilerplate(
+        spark.createDataFrame([(1, html)], ["doc_id", "html"])
+    ).first()
+    assert r["content"] == "" and r["n_blocks_kept"] == 0
+
+
+def test_boilerplate_link_density_threshold(spark):
+    from commerce_sessionization_spark.operators.text import (
+        remove_boilerplate,
+    )
+
+    # a long block that is mostly anchor text is chrome even when wordy
+    links = " ".join(
+        f'<a href="/{i}">the product category number {i} is here</a>'
+        for i in range(5)
+    )
+    r = remove_boilerplate(
+        spark.createDataFrame([(1, f"<div>{links}</div>")], ["d", "html"]),
+    ).first()
+    assert r["n_blocks_kept"] == 0
+
+
+def test_boilerplate_stays_jvm_side_and_shuffle_free(spark):
+    from commerce_sessionization_spark.operators.text import (
+        remove_boilerplate,
+    )
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], ["doc_id", "html"])
+    plan = (
+        remove_boilerplate(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # pure scan -> project
