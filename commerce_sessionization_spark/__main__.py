@@ -180,6 +180,9 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--glob", default="*.warc*")
     cr.add_argument("--min-chars", type=int, default=1)
     cr.add_argument("--max-link-density", type=float, default=None)
+    cr.add_argument("--boilerplate", action="store_true",
+                    help="per-block content classification instead of "
+                         "whole-page tag stripping")
     cr.add_argument("--master", default=None)
 
     ge = sub.add_parser(
@@ -283,6 +286,7 @@ def main(argv: list[str] | None = None) -> int:
                 read_warc_dir(spark, args.path, glob=args.glob),
                 min_text_chars=args.min_chars,
                 max_link_density=args.max_link_density,
+                boilerplate=args.boilerplate,
             )
             docs.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()

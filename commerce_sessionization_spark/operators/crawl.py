@@ -36,9 +36,16 @@ def crawl_to_corpus(
     warc_records: DataFrame,
     min_text_chars: int = 1,
     max_link_density: float | None = None,
+    boilerplate: bool = False,
 ) -> DataFrame:
     """WARC record rows → (doc_id, url, fetched_at, text, link_density,
-    tag_count, n_chars). See module docstring for the rule pipeline."""
+    tag_count, n_chars). See module docstring for the rule pipeline.
+
+    ``boilerplate=True`` swaps step 3's whole-page ``strip_html`` for
+    the per-block classifier (``text.remove_boilerplate``): text is then
+    only the content blocks — nav/footer/banner chrome is gone before
+    dedup ever sees it. The page-level ``link_density``/``tag_count``
+    signals stay computed on the full markup either way."""
     pages = warc_records.filter(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
@@ -49,7 +56,16 @@ def crawl_to_corpus(
         F.decode(F.col("payload"), "UTF-8").alias("html"),
     )
     out = html_features(pages, "html")
-    out = strip_html(out, "html", "text")
+    if boilerplate:
+        from commerce_sessionization_spark.operators.text import (
+            remove_boilerplate,
+        )
+
+        out = remove_boilerplate(out, "html", "text").drop(
+            "n_blocks_kept", "n_blocks_total"
+        )
+    else:
+        out = strip_html(out, "html", "text")
     out = out.select(
         F.xxhash64("url").alias("doc_id"),
         "url",

@@ -220,3 +220,24 @@ def test_crawl_links_pagerank_composition(spark):
     ranks = pagerank(edges, vertices, iterations=10)
     top = ranks.orderBy(F.desc("rank")).first()
     assert top["node"] == "https://site.test/hub"
+
+
+def test_crawl_to_corpus_boilerplate_mode(spark, warc_dir):
+    from commerce_sessionization_spark.operators.crawl import crawl_to_corpus
+    from commerce_sessionization_spark.sources.io import read_warc_dir
+
+    plain = {
+        r["url"]: r["text"]
+        for r in crawl_to_corpus(read_warc_dir(spark, warc_dir)).collect()
+    }
+    boiler = {
+        r["url"]: r["text"]
+        for r in crawl_to_corpus(
+            read_warc_dir(spark, warc_dir), min_text_chars=0, boilerplate=True
+        ).collect()
+    }
+    url = "https://example.com/Page?a=1&b=2"
+    # the fixture page's blocks are all short/link-heavy: boilerplate
+    # mode strips everything, plain mode keeps the visible text
+    assert plain[url] != ""
+    assert boiler[url] == ""
