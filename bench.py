@@ -108,9 +108,12 @@ HEADLINE = [
     # side (orders_profile already above; this is its 100 TB switch)
     "orders_profile_approx",
     # round-5 late: web-crawl HTML extraction (regex-heavy codegen scan)
-    # and A-Priori basket rules (support-pruned self-join)
+    # and A-Priori basket rules (support-pruned within-basket explode)
     "html_extract_docs",
     "brand_basket_rules",
+    # round-5 crawl family: per-block boilerplate classification, the
+    # heaviest regex shape in the catalog
+    "boilerplate_extract_docs",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off
