@@ -62,12 +62,11 @@ def canonical_url(url: Column) -> Column:
         & ~p.rlike(TRACKING_PARAM_PATTERN.rstrip("=") + "$"),
     )
     query_norm = F.array_join(F.array_sort(params), "&")
-    # 6. trailing slash on non-root paths; empty path -> "/"
+    # 6. trailing slashes on non-root paths (ALL of them — stripping one
+    # per pass broke idempotence on "///", caught by the hypothesis
+    # property); empty result -> "/"
+    path = F.regexp_replace(path, "/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    path = F.when(
-        (F.length(path) > 1) & path.endswith("/"),
-        F.substring(path, 1, F.length(path) - 1),
-    ).otherwise(path)
     return F.when(
         scheme == "", u  # not an absolute URL: leave untouched
     ).otherwise(

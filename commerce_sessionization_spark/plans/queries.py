@@ -9147,9 +9147,8 @@ WITH urls AS (
   FROM split2
 ), canon AS (
   SELECT doc_id, url, scheme, hostport2, query_norm,
-         CASE WHEN length(path1) > 1 AND path1 LIKE '%/'
-              THEN substr(path1, 1, length(path1) - 1)
-              ELSE path1 END AS path2
+         CASE WHEN regexp_replace(path1, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(path1, '/+$', '') END AS path2
   FROM split3
 ), parts AS (
   SELECT doc_id,

@@ -305,3 +305,87 @@ def test_global_rank_matches_window_property(spark, values, parts):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization: idempotence over generated URL-ish strings
+
+
+_url_strategy = st.builds(
+    lambda scheme, host, port, path, params, frag: (
+        scheme
+        + "://"
+        + host
+        + port
+        + path
+        + ("?" + "&".join(params) if params else "")
+        + frag
+    ),
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]),
+    host=st.from_regex(r"[A-Za-z][A-Za-z0-9.-]{0,20}\.[a-z]{2,4}", fullmatch=True),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.from_regex(r"(/[A-Za-z0-9._~-]{0,10}){0,4}/?", fullmatch=True),
+    params=st.lists(
+        st.from_regex(
+            r"(utm_[a-z]{1,6}|gclid|ref|[a-z]{1,5})(=[A-Za-z0-9]{0,6})?",
+            fullmatch=True,
+        ),
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "#top", "#a-b"]),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(urls=st.lists(_url_strategy, min_size=1, max_size=25, unique=True))
+def test_canonical_url_idempotent_property(spark, urls):
+    """canonical(canonical(u)) == canonical(u) for arbitrary URL shapes —
+    the property that makes the canonical form usable as a dedup key
+    across repeated normalization passes."""
+    from pyspark.sql import functions as F
+
+    from commerce_sessionization_spark.operators.urls import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select(canonical_url(F.col("url")).alias("c"))
+    twice = once.select(canonical_url(F.col("c")).alias("c"))
+    assert sorted(r["c"] for r in once.collect()) == sorted(
+        r["c"] for r in twice.collect()
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    sentences=st.lists(
+        st.from_regex(r"[A-Za-z][A-Za-z ]{0,40}[.!?]", fullmatch=True),
+        min_size=1,
+        max_size=20,
+    ),
+    max_chars=st.sampled_from([40, 120, 400]),
+)
+def test_sentence_chunks_cover_everything_in_order_property(
+    spark, sentences, max_chars
+):
+    """Every word of the document appears exactly once, in order, across
+    the chunks — chunking must never drop, duplicate, or reorder text,
+    at any budget."""
+    from commerce_sessionization_spark.operators.chunking import (
+        chunk_by_sentences,
+    )
+
+    text = " ".join(sentences)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = chunk_by_sentences(df, max_chars=max_chars).orderBy("chunk_id")
+    chunks = [r["chunk_text"] for r in out.collect()]
+    assert " ".join(chunks).split() == text.split()
+    # ids are contiguous from zero (downstream packers index by them)
+    ids = [r["chunk_id"] for r in out.collect()]
+    assert ids == list(range(len(ids)))
