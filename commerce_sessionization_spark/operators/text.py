@@ -637,6 +637,7 @@ def remove_boilerplate(
     min_chars: int = 30,
     max_link_density: float = 0.4,
     min_stopword_density: float = 0.05,
+    stopword_pattern: str = _BOILER_STOPWORDS,
 ) -> DataFrame:
     """Keep CONTENT blocks, drop navigation/footer/banner chrome — the
     per-block classification jusText and readability established:
@@ -696,7 +697,7 @@ def remove_boilerplate(
         & (
             F.regexp_count(
                 b["text"],
-                F.lit(r"(?i)\b(?:" + _BOILER_STOPWORDS + r")\b"),
+                F.lit(r"(?i)\b(?:" + stopword_pattern + r")\b"),
             )
             / F.greatest(
                 F.regexp_count(b["text"], F.lit(r"[A-Za-z0-9]+")), F.lit(1)
