@@ -180,6 +180,9 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--glob", default="*.warc*")
     cr.add_argument("--min-chars", type=int, default=1)
     cr.add_argument("--max-link-density", type=float, default=None)
+    cr.add_argument("--wet-out", default=None,
+                    help="also write the extracted text as WET "
+                         "(WARC conversion records) to this directory")
     cr.add_argument("--boilerplate", action="store_true",
                     help="per-block content classification instead of "
                          "whole-page tag stripping")
@@ -291,6 +294,18 @@ def main(argv: list[str] | None = None) -> int:
             docs.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
             print(f"wrote {n} documents to {args.out}")
+            if args.wet_out:
+                from commerce_sessionization_spark.sources.io import (
+                    write_wet,
+                )
+
+                m = write_wet(
+                    spark.read.parquet(args.out), args.wet_out
+                ).collect()
+                print(
+                    f"wrote {sum(r['n_records'] for r in m)} WET records "
+                    f"in {len(m)} files to {args.wet_out}"
+                )
         elif args.cmd == "generate":
             from commerce_sessionization_spark.sources.generator import (
                 register as register_generator,

@@ -2,6 +2,7 @@ from commerce_sessionization_spark.sources.io import (
     read_behaviors_csv,
     read_media_dir,
     read_warc_dir,
+    write_wet,
     read_parquet,
     read_source,
     read_source_permissive,
@@ -27,6 +28,7 @@ __all__ = [
     "read_behaviors_csv",
     "read_media_dir",
     "read_warc_dir",
+    "write_wet",
     "read_parquet",
     "read_source",
     "read_source_permissive",

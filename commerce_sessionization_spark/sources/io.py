@@ -504,3 +504,102 @@ def read_warc_dir(
             )
 
     return raw.mapInPandas(batches, WARC_SCHEMA_DDL)
+
+
+def write_wet(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    date_col: str | None = "fetched_at",
+    gzip_per_record: bool = True,
+) -> DataFrame:
+    """Write extracted text as WET (WARC ``conversion`` records) — the
+    format CommonCrawl publishes its text extracts in, so downstream
+    consumers that already speak WET can read this engine's output.
+
+    One ``part-<pid>.warc.gz`` per partition, each opening with a
+    ``warcinfo`` record then one ``conversion`` record per document
+    (UTF-8 text payload, ``WARC-Target-URI`` = the document URL).
+    Executes as ``mapInPandas`` doing direct file writes — one file per
+    task, the same non-splittable contract as reading; returns the
+    manifest (file, n_records, bytes) AFTER materializing it, so the
+    write has happened when this function returns. Paths are local-FS
+    here; an object-store deployment swaps the ``open()`` for its FS
+    client, the framing bytes are identical.
+
+    Round-trip contract: ``read_warc_dir`` parses WET files back
+    (conversion records carry no HTTP block, so ``http_status`` is NULL
+    and ``payload`` is the text bytes) — pinned by test.
+    """
+    import os
+
+    import pandas as pd
+
+    from commerce_sessionization_spark.functions.warc import (
+        build_warc,
+        build_warc_record,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [url_col, text_col] + ([date_col] if date_col else [])
+    slim = df.select(*cols)
+
+    def batches(it):
+        first = None
+        records = []
+        n = 0
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                url = getattr(row, url_col)
+                text = getattr(row, text_col) or ""
+                date = (
+                    getattr(row, date_col)
+                    if date_col
+                    else "2024-01-01T00:00:00Z"
+                ) or "2024-01-01T00:00:00Z"
+                if first is None:
+                    first = url
+                    records.append(
+                        build_warc_record(
+                            "warcinfo",
+                            b"software: commerce-sessionization-spark\r\n"
+                            b"format: WARC File Format 1.0\r\n",
+                            content_type="application/warc-fields",
+                        )
+                    )
+                records.append(
+                    build_warc_record(
+                        "conversion",
+                        text.encode("utf-8"),
+                        target_uri=url,
+                        date=str(date),
+                        content_type="text/plain",
+                        record_id=f"<urn:uuid:{n:032x}>",
+                    )
+                )
+                n += 1
+        if not records:
+            yield pd.DataFrame(
+                [], columns=["file", "n_records", "n_bytes"]
+            ).astype({"n_records": "int64", "n_bytes": "int64"})
+            return
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        ext = ".warc.gz" if gzip_per_record else ".warc"
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        data = build_warc(records, gzip_per_record=gzip_per_record)
+        with open(path, "wb") as f:
+            f.write(data)
+        yield pd.DataFrame(
+            [{"file": path, "n_records": n, "n_bytes": len(data)}]
+        )
+
+    manifest = slim.mapInPandas(
+        batches, "file string, n_records long, n_bytes long"
+    )
+    rows = manifest.collect()  # materialize => files exist on return
+    return df.sparkSession.createDataFrame(
+        rows or [], "file string, n_records long, n_bytes long"
+    )

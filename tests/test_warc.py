@@ -241,3 +241,38 @@ def test_crawl_to_corpus_boilerplate_mode(spark, warc_dir):
     # mode strips everything, plain mode keeps the visible text
     assert plain[url] != ""
     assert boiler[url] == ""
+
+
+def test_write_wet_roundtrip(spark, warc_dir, tmp_path):
+    """Corpus -> WET files -> read back: the full crawl IO loop. WET is
+    WARC with `conversion` records, so read_warc_dir parses our own
+    output; text must survive byte-for-byte."""
+    from commerce_sessionization_spark.operators.crawl import crawl_to_corpus
+    from commerce_sessionization_spark.sources.io import (
+        read_warc_dir,
+        write_wet,
+    )
+
+    corpus = crawl_to_corpus(read_warc_dir(spark, warc_dir))
+    out = str(tmp_path / "wet")
+    manifest = write_wet(corpus, out).collect()
+    assert sum(m["n_records"] for m in manifest) == corpus.count()
+
+    back = read_warc_dir(spark, out).filter("warc_type = 'conversion'")
+    got = {
+        r["target_uri"]: bytes(r["payload"]).decode("utf-8")
+        for r in back.collect()
+    }
+    want = {r["url"]: r["text"] for r in corpus.collect()}
+    assert got == want
+    # conversion records carry no HTTP block
+    assert all(r["http_status"] is None for r in back.collect())
+
+
+def test_write_wet_empty_partitions_yield_no_files(spark, tmp_path):
+    from commerce_sessionization_spark.sources.io import write_wet
+
+    df = spark.createDataFrame([], "url string, text string").repartition(4)
+    out = str(tmp_path / "wet_empty")
+    manifest = write_wet(df, out, date_col=None).collect()
+    assert manifest == []
