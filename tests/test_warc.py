@@ -276,3 +276,58 @@ def test_write_wet_empty_partitions_yield_no_files(spark, tmp_path):
     out = str(tmp_path / "wet_empty")
     manifest = write_wet(df, out, date_col=None).collect()
     assert manifest == []
+
+
+def test_crawl_feeds_dedup_family(spark, tmp_path):
+    """Crawl output is documents-shaped, so the dedup family runs on it
+    unchanged: two near-identical pages (one word differs) must pair in
+    MinHash-LSH; the unrelated page must not."""
+    from commerce_sessionization_spark.functions.warc import (
+        build_http_response,
+        build_warc,
+        build_warc_record,
+    )
+    from commerce_sessionization_spark.operators.crawl import crawl_to_corpus
+    from commerce_sessionization_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+    )
+    from commerce_sessionization_spark.sources.io import read_warc_dir
+    from pyspark.sql import functions as F
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away to the market where it buys a basket of fresh bread today"
+    )
+    texts = {
+        "a": base,
+        "b": base.replace("bread", "fruit"),  # near-dup of a
+        "c": "completely different words live here with nothing shared "
+        "at all between documents of this corpus whatsoever really",
+    }
+    recs = [
+        build_warc_record(
+            "response",
+            build_http_response(f"<p>{t}</p>".encode()),
+            target_uri=f"https://site.test/{k}",
+        )
+        for k, t in texts.items()
+    ]
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "s.warc").write_bytes(build_warc(recs))
+
+    docs = crawl_to_corpus(read_warc_dir(spark, str(d))).select(
+        F.col("doc_id"), F.col("text")
+    )
+    pairs = minhash_lsh_dedup_pairs(docs, threshold=0.5)
+    ids = {
+        r["url"].rsplit("/", 1)[-1]: r["doc_id"]
+        for r in crawl_to_corpus(read_warc_dir(spark, str(d)))
+        .select("url", "doc_id")
+        .collect()
+    }
+    got = {
+        tuple(sorted((r[0], r[1]))) for r in pairs.select("a", "b").collect()
+    }
+    assert tuple(sorted((ids["a"], ids["b"]))) in got
+    assert all(ids["c"] not in p for p in got)
