@@ -9403,6 +9403,91 @@ FROM kept
 """
 
 
+# --------------------------------------------------------------------------
+# robots.txt decision logic (operators.robots.filter_by_robots)
+# --------------------------------------------------------------------------
+
+def q_robots_filtered_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``filter_by_robots`` with deterministically synthesized rules —
+    the RFC 9309 DECISION (regex match per host, longest pattern wins,
+    allow on tie, unmatched and rule-less hosts kept) replayed
+    rule-for-rule by the oracle. The robots.txt PARSER is pytest-pinned
+    (`tests/test_robots.py`); this grades the distributed filter. Hosts
+    0-14 get a Disallow for their doc directory plus a longer Allow for
+    its /pub subtree; hosts 15-19 have no rules at all.
+    """
+    from commerce_sessionization_spark.operators.robots import (
+        filter_by_robots,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = (F.col("doc_id") % 20).cast("string")
+    url = F.concat(
+        F.lit("https://src"), h, F.lit(".net/d/"), h,
+        F.when((F.col("doc_id") % 3) == 0, F.lit("/pub/x")).otherwise(
+            F.lit("/x")
+        ),
+    )
+    corpus = docs.select("doc_id", url.alias("url"))
+    hosts = spark.range(0, 15).select(
+        F.concat(F.lit("src"), F.col("id").cast("string"), F.lit(".net"))
+        .alias("host"),
+        F.col("id").cast("string").alias("h"),
+    )
+    dis = hosts.select(
+        "host",
+        F.lit(False).alias("allow"),
+        F.concat(F.lit("^/d/"), F.col("h"), F.lit("/.*")).alias("regex"),
+        (F.length(F.col("h")) + 5).cast("long").alias("specificity"),
+    )
+    alw = hosts.select(
+        "host",
+        F.lit(True).alias("allow"),
+        F.concat(F.lit("^/d/"), F.col("h"), F.lit("/pub.*")).alias("regex"),
+        (F.length(F.col("h")) + 9).cast("long").alias("specificity"),
+    )
+    rules = dis.unionByName(alw)
+    return filter_by_robots(corpus, rules).select("doc_id", "url")
+
+
+SQL_ROBOTS_FILTERED_URLS = """
+WITH corpus AS (
+  SELECT doc_id,
+         'https://src' || (doc_id % 20) || '.net/d/' || (doc_id % 20)
+         || CASE WHEN doc_id % 3 = 0 THEN '/pub/x' ELSE '/x' END AS url
+  FROM documents
+), hosts AS (
+  SELECT 'src' || r || '.net' AS host, CAST(r AS VARCHAR) AS h
+  FROM range(0, 15) t(r)
+), rules AS (
+  SELECT host, FALSE AS allow, '^/d/' || h || '/.*' AS regex,
+         CAST(length(h) + 5 AS BIGINT) AS specificity
+  FROM hosts
+  UNION ALL
+  SELECT host, TRUE, '^/d/' || h || '/pub.*',
+         CAST(length(h) + 9 AS BIGINT)
+  FROM hosts
+), keyed AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS uhost,
+         regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS upath
+  FROM corpus
+), matched AS (
+  SELECT k.doc_id, k.url, r.allow, r.specificity,
+         row_number() OVER (
+           PARTITION BY k.doc_id
+           ORDER BY r.specificity DESC, r.allow DESC) AS rn
+  FROM keyed k
+  LEFT JOIN rules r
+    ON k.uhost = r.host AND regexp_matches(k.upath, r.regex)
+)
+SELECT doc_id, url FROM matched
+WHERE rn = 1 AND COALESCE(allow, TRUE)
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -9593,6 +9678,11 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "mojibake/U+FFFD/control counts + Flesch readability over "
              "deterministically damaged docs — encoding triage before "
              "GPU-hours, quantized-double oracle-matched"),
+    QueryDef("robots_filtered_urls", q_robots_filtered_urls,
+             SQL_ROBOTS_FILTERED_URLS,
+             "RFC 9309 robots decision over synthesized rules: per-host "
+             "regex match, longest pattern wins, allow on tie, "
+             "unmatched kept — oracle-replayed"),
     QueryDef("boilerplate_extract_docs", q_boilerplate_extract_docs,
              SQL_BOILERPLATE_EXTRACT_DOCS,
              "jusText-style per-block boilerplate removal (length + "
