@@ -446,8 +446,12 @@ def image_features(asset_id: int, payload: bytes) -> dict:
         from commerce_sessionization_spark.functions.webp import webp_features
 
         return webp_features(asset_id, data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from commerce_sessionization_spark.functions.tiff import tiff_features
+
+        return tiff_features(asset_id, data)
     raise UnsupportedMediaError(
-        "unrecognized image container (not BMP/PNG/JPEG/WebP)"
+        "unrecognized image container (not BMP/PNG/JPEG/WebP/TIFF)"
     )
 
 

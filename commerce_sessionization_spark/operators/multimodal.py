@@ -102,13 +102,14 @@ def _fake_image_features(asset_id: int, payload: bytes) -> dict:
 def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + featurize image payloads via Arrow-batched ``mapInPandas``.
 
-    The real path decodes BMP, PNG, JPEG (baseline + progressive), and
-    lossless-WebP (VP8L) payloads with the dependency-free parsers in
+    The real path decodes BMP, PNG, JPEG (baseline + progressive),
+    lossless-WebP (VP8L), and baseline TIFF (none/LZW/PackBits strips)
+    payloads with the dependency-free parsers in
     ``functions.codecs`` / ``functions.webp`` (width/height/channels,
     Rec.601 mean luma, 8×8 average-hash; PNG rides stdlib ``zlib``,
-    JPEG is a full T.81 decode incl. progressive). Other formats raise
-    ``NotImplementedError`` because lossy-VP8 WebP / AVIF need codec
-    libraries this container lacks. ``fake=True`` routes every payload
+    JPEG is a full T.81 decode incl. progressive; TIFF implements the
+    TIFF-variant LZW with EarlyChange). Other formats raise because
+    lossy-VP8 WebP / AVIF need codec libraries this container lacks. ``fake=True`` routes every payload
     to the deterministic fake instead.
     """
     from commerce_sessionization_spark.functions.codecs import (

@@ -1,0 +1,88 @@
+"""Baseline TIFF pixel decode: primitive round-trips (TIFF-LZW with its
+MSB-first/EarlyChange quirks, PackBits), full-image round-trips across
+compression × byte order × strip layout, contract errors, and the Spark
+feature path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from commerce_sessionization_spark.functions.codecs import UnsupportedMediaError
+from commerce_sessionization_spark.functions.tiff import (
+    decode_tiff,
+    encode_tiff,
+    packbits_decode,
+    packbits_encode,
+    tiff_lzw_decode,
+    tiff_lzw_encode,
+)
+
+RNG = np.random.default_rng(5)
+GRAY = RNG.integers(0, 256, (37, 53), dtype=np.uint8)
+RGB = RNG.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"",
+        b"a",
+        b"aaaaabbbccc" * 50,
+        bytes(RNG.integers(0, 256, 5000, dtype=np.uint8)),
+        # low-entropy long stream: forces several code-width bumps and a
+        # mid-stream Clear, the EarlyChange corner the decoder must track
+        bytes(RNG.integers(0, 4, 30000, dtype=np.uint8)),
+    ],
+    ids=["empty", "one", "runs", "random", "low-entropy-long"],
+)
+def test_tiff_lzw_and_packbits_roundtrip(data):
+    assert tiff_lzw_decode(tiff_lzw_encode(data)) == data
+    assert packbits_decode(packbits_encode(data)) == data
+
+
+@pytest.mark.parametrize("comp", [1, 5, 32773], ids=["none", "lzw", "packbits"])
+@pytest.mark.parametrize("big_endian", [False, True], ids=["II", "MM"])
+@pytest.mark.parametrize("rps", [None, 7], ids=["one-strip", "strips"])
+def test_tiff_image_roundtrip(comp, big_endian, rps):
+    for img, spp in [(GRAY, 1), (RGB, 3)]:
+        out, ch = decode_tiff(encode_tiff(img, comp, big_endian, rps))
+        ref = np.repeat(img[:, :, None], 3, axis=2) if spp == 1 else img
+        assert ch == spp
+        assert np.array_equal(out, ref)
+
+
+def test_tiff_white_is_zero_inverts():
+    out, _ = decode_tiff(encode_tiff(GRAY, photometric=0))
+    assert np.array_equal(out[:, :, 0], 255 - GRAY)
+
+
+def test_tiff_large_lzw_image_survives_width_bumps():
+    big = RNG.integers(0, 256, (200, 300, 3), dtype=np.uint8)
+    out, _ = decode_tiff(encode_tiff(big, 5, rows_per_strip=64))
+    assert np.array_equal(out, big)
+
+
+def test_tiff_contract_errors():
+    with pytest.raises(UnsupportedMediaError):
+        decode_tiff(b"not tiff")
+    # truncated pixel data fails loudly, not with garbage pixels
+    good = encode_tiff(GRAY)
+    with pytest.raises(UnsupportedMediaError):
+        decode_tiff(good[:-40])
+
+
+def test_image_features_dispatches_tiff(spark):
+    from commerce_sessionization_spark.operators import extract_image_features
+    from commerce_sessionization_spark.schemas import MEDIA_SCHEMA
+
+    rows = [
+        (1, "image", bytearray(encode_tiff(RGB, 5)), "image/tiff", {}),
+        (2, "image", bytearray(encode_tiff(GRAY, 32773)), "image/tiff", {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["asset_id"]: r.asDict() for r in extract_image_features(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["n_channels"]) == (31, 24, 3)
+    assert (out[2]["width"], out[2]["height"], out[2]["n_channels"]) == (53, 37, 1)
+    assert 0 <= out[1]["mean_luma"] <= 255 and len(out[1]["phash"]) == 16
