@@ -86,3 +86,25 @@ def test_image_features_dispatches_tiff(spark):
     assert (out[1]["width"], out[1]["height"], out[1]["n_channels"]) == (31, 24, 3)
     assert (out[2]["width"], out[2]["height"], out[2]["n_channels"]) == (53, 37, 1)
     assert 0 <= out[1]["mean_luma"] <= 255 and len(out[1]["phash"]) == 16
+
+
+def test_real_host_tiff_decodes():
+    """Real TIFF from the Python test suite on this host (not our own
+    fixture writer): dimensions must agree between the pixel decode and
+    the IFD metadata walk."""
+    import glob
+
+    from commerce_sessionization_spark.functions.metadata import (
+        parse_tiff_exif,
+    )
+
+    paths = glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/test_email/data/python.tiff"
+    )
+    if not paths:
+        pytest.skip("no host TIFF fixture present")
+    data = open(paths[0], "rb").read()
+    rgb, ch = decode_tiff(data)
+    meta = parse_tiff_exif(data)
+    assert (rgb.shape[1], rgb.shape[0]) == (meta["width"], meta["height"])
+    assert rgb.dtype == np.uint8 and ch in (1, 3)
