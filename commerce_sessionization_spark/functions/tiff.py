@@ -12,9 +12,11 @@ baseline compressions:
       both different from GIF's LZW),
 - 32773 (PackBits run-length).
 
-Out of scope (raise ``UnsupportedMediaError`` loudly, same contract as
-the other codecs): tiles, planar configuration 2, bit depths other than
-8, JPEG-in-TIFF (compression 6/7), CCITT fax codings, predictors.
+Predictor 2 (horizontal differencing, LZW's common companion) is
+supported — undone with a per-row cumsum. Out of scope (raise
+``UnsupportedMediaError`` loudly, same contract as the other codecs):
+tiles, planar configuration 2, bit depths other than 8, JPEG-in-TIFF
+(compression 6/7), CCITT fax codings, the floating-point predictor.
 Encoders for all three compressions ship as spec-literal fixture
 writers so round-trip tests need no external library.
 
@@ -235,8 +237,9 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, int]:
         raise UnsupportedMediaError("tiff: only 8-bit samples supported")
     if one(_TAG_PLANAR, 1) != 1:
         raise UnsupportedMediaError("tiff: planar configuration 2 unsupported")
-    if one(_TAG_PREDICTOR, 1) != 1:
-        raise UnsupportedMediaError("tiff: LZW predictor unsupported")
+    predictor = one(_TAG_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise UnsupportedMediaError(f"tiff: predictor {predictor} unsupported")
     comp = one(_TAG_COMPRESSION, 1)
     photometric = one(_TAG_PHOTOMETRIC, 1)
     if photometric not in (0, 1, 2):
@@ -266,6 +269,8 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, int]:
     arr = np.frombuffer(bytes(raw[:need]), dtype=np.uint8).reshape(
         height, width, spp
     )
+    if predictor == 2:  # horizontal differencing: undo with a row cumsum
+        arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
     if photometric == 0:  # WhiteIsZero: invert
         arr = 255 - arr
     if spp == 1:
@@ -282,6 +287,7 @@ def encode_tiff(
     big_endian: bool = False,
     rows_per_strip: int | None = None,
     photometric: int | None = None,
+    predictor: int = 1,
 ) -> bytes:
     """Spec-literal baseline TIFF writer for tests (gray or RGB, strips)."""
     endian = ">" if big_endian else "<"
@@ -290,6 +296,11 @@ def encode_tiff(
     h, w, spp = img.shape
     rows_per_strip = rows_per_strip or h
     photometric = photometric if photometric is not None else (2 if spp == 3 else 1)
+    if predictor == 2:  # horizontal differencing (mod 256 per sample)
+        img = np.concatenate(
+            [img[:, :1], (img[:, 1:].astype(np.int16) - img[:, :-1]) % 256],
+            axis=1,
+        ).astype(np.uint8)
 
     strips = []
     for y0 in range(0, h, rows_per_strip):
@@ -310,8 +321,8 @@ def encode_tiff(
             return head + struct.pack(endian + "H", value) + b"\x00\x00"
         return head + struct.pack(endian + "I", value)
 
-    entries = []  # assembled after offsets are known; always 9 tags
-    n_entries = 9
+    entries = []  # assembled after offsets are known
+    n_entries = 9 + (1 if predictor == 2 else 0)
     ifd_off = 8
     after_ifd = ifd_off + 2 + n_entries * 12 + 4
     extra = bytearray()
@@ -362,6 +373,8 @@ def encode_tiff(
     entries.append(entry(_TAG_SPP, 3, 1, spp))
     entries.append(entry(_TAG_ROWS_PER_STRIP, 4, 1, rows_per_strip))
     entries.append(entry(_TAG_STRIP_COUNTS, 4, n_strips, cnt_value))
+    if predictor == 2:
+        entries.append(entry(_TAG_PREDICTOR, 3, 1, 2))
     entries.sort(key=lambda e: struct.unpack_from(endian + "H", e)[0])
     assert len(entries) == n_entries
 

@@ -108,3 +108,15 @@ def test_real_host_tiff_decodes():
     meta = parse_tiff_exif(data)
     assert (rgb.shape[1], rgb.shape[0]) == (meta["width"], meta["height"])
     assert rgb.dtype == np.uint8 and ch in (1, 3)
+
+
+@pytest.mark.parametrize("comp", [1, 5], ids=["none", "lzw"])
+def test_tiff_predictor2_horizontal_differencing(comp):
+    """Predictor 2 (the common companion to LZW in real scanner files):
+    per-row differencing undone by a cumsum — round-trips exactly for
+    gray and RGB at any strip layout."""
+    for img in (GRAY, RGB):
+        data = encode_tiff(img, comp, rows_per_strip=5, predictor=2)
+        out, ch = decode_tiff(data)
+        ref = np.repeat(img[:, :, None], 3, axis=2) if img.ndim == 2 else img
+        assert np.array_equal(out, ref)
