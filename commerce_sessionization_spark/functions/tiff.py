@@ -47,8 +47,11 @@ _TAG_PREDICTOR = 0x013D
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
 
-def _read_ifd_arrays(buf: bytes, off: int, endian: str) -> dict[int, list[int]]:
-    """IFD entries → {tag: [values]} for BYTE/SHORT/LONG (any count)."""
+def _read_ifd_arrays(
+    buf: bytes, off: int, endian: str
+) -> tuple[dict[int, list[int]], int]:
+    """IFD entries → ({tag: [values]}, next-IFD offset) for
+    BYTE/SHORT/LONG of any count. Offset 0 = last page."""
     out: dict[int, list[int]] = {}
     (count,) = struct.unpack_from(endian + "H", buf, off)
     pos = off + 2
@@ -65,7 +68,34 @@ def _read_ifd_arrays(buf: bytes, off: int, endian: str) -> dict[int, list[int]]:
         elif typ == 1:
             out[tag] = list(buf[at : at + n])
         pos += 12
-    return out
+    (nxt,) = struct.unpack_from(endian + "I", buf, pos)
+    return out, nxt
+
+
+def _ifd_chain(buf: bytes, first: int, endian: str) -> list[int]:
+    """Offsets of every IFD (one per page), cycle-guarded."""
+    offs, seen, off = [], set(), first
+    while off and off not in seen and off + 2 <= len(buf):
+        offs.append(off)
+        seen.add(off)
+        (count,) = struct.unpack_from(endian + "H", buf, off)
+        nxt_at = off + 2 + count * 12
+        if nxt_at + 4 > len(buf):
+            break
+        (off,) = struct.unpack_from(endian + "I", buf, nxt_at)
+    return offs
+
+
+def tiff_page_count(payload: bytes) -> int:
+    """Number of pages (IFDs) in a TIFF — scanned docs are multi-page."""
+    buf = bytes(payload or b"")
+    if len(buf) < 8 or buf[:2] not in (b"II", b"MM"):
+        raise UnsupportedMediaError("not a TIFF payload")
+    endian = "<" if buf[:2] == b"II" else ">"
+    magic, ifd0 = struct.unpack_from(endian + "HI", buf, 2)
+    if magic != 42:
+        raise UnsupportedMediaError("tiff: bad magic")
+    return len(_ifd_chain(buf, ifd0, endian))
 
 
 # ---------------------------------------------------------------------------
@@ -212,8 +242,12 @@ def packbits_encode(data: bytes) -> bytes:
 # decode / encode
 
 
-def decode_tiff(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode a baseline TIFF → (HxWx3 uint8 RGB, source channels)."""
+def decode_tiff(payload: bytes, page: int = 0) -> tuple[np.ndarray, int]:
+    """Decode a baseline TIFF page → (HxWx3 uint8 RGB, source channels).
+
+    ``page`` walks the IFD chain (multi-page scans); IndexError past the
+    last page, so callers can iterate with ``tiff_page_count``.
+    """
     buf = bytes(payload or b"")
     if len(buf) < 8 or buf[:2] not in (b"II", b"MM"):
         raise UnsupportedMediaError("not a TIFF payload")
@@ -221,7 +255,10 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, int]:
     magic, ifd0 = struct.unpack_from(endian + "HI", buf, 2)
     if magic != 42:
         raise UnsupportedMediaError("tiff: bad magic")
-    tags = _read_ifd_arrays(buf, ifd0, endian)
+    chain = _ifd_chain(buf, ifd0, endian)
+    if page >= len(chain):
+        raise IndexError(f"tiff: page {page} of {len(chain)}")
+    tags, _ = _read_ifd_arrays(buf, chain[page], endian)
 
     def one(tag: int, default: int | None = None) -> int:
         if tag in tags:
@@ -281,6 +318,27 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, int]:
     raise UnsupportedMediaError(f"tiff: {spp} samples/pixel unsupported")
 
 
+def encode_tiff_pages(imgs: list, **kwargs) -> bytes:
+    """Multi-page fixture writer: one IFD per page, chained via the
+    next-IFD pointer. Two passes — body sizes don't depend on their file
+    position, so pass 1 measures and pass 2 writes with real origins."""
+    assert imgs
+    big_endian = kwargs.get("big_endian", False)
+    endian = ">" if big_endian else "<"
+    sizes = [len(_encode_page(im, 0, 0, **kwargs)) for im in imgs]
+    origins = []
+    pos = 8
+    for sz in sizes:
+        origins.append(pos)
+        pos += sz
+    out = bytearray((b"MM" if big_endian else b"II"))
+    out += struct.pack(endian + "HI", 42, origins[0])
+    for i, im in enumerate(imgs):
+        nxt = origins[i + 1] if i + 1 < len(imgs) else 0
+        out += _encode_page(im, origins[i], nxt, **kwargs)
+    return bytes(out)
+
+
 def encode_tiff(
     img: np.ndarray,
     compression: int = 1,
@@ -290,6 +348,26 @@ def encode_tiff(
     predictor: int = 1,
 ) -> bytes:
     """Spec-literal baseline TIFF writer for tests (gray or RGB, strips)."""
+    endian = ">" if big_endian else "<"
+    header = (b"MM" if big_endian else b"II") + struct.pack(endian + "HI", 42, 8)
+    return header + _encode_page(
+        img, 8, 0, compression, big_endian, rows_per_strip, photometric,
+        predictor,
+    )
+
+
+def _encode_page(
+    img: np.ndarray,
+    origin: int,
+    next_ifd: int,
+    compression: int = 1,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+    photometric: int | None = None,
+    predictor: int = 1,
+) -> bytes:
+    """One page body (IFD + pointed-to data + strips), laid out to sit
+    at absolute file offset ``origin``."""
     endian = ">" if big_endian else "<"
     if img.ndim == 2:
         img = img[:, :, None]
@@ -323,8 +401,7 @@ def encode_tiff(
 
     entries = []  # assembled after offsets are known
     n_entries = 9 + (1 if predictor == 2 else 0)
-    ifd_off = 8
-    after_ifd = ifd_off + 2 + n_entries * 12 + 4
+    after_ifd = origin + 2 + n_entries * 12 + 4
     extra = bytearray()
     extra_off = after_ifd
 
@@ -379,11 +456,8 @@ def encode_tiff(
     assert len(entries) == n_entries
 
     ifd = struct.pack(endian + "H", n_entries) + b"".join(entries)
-    ifd += struct.pack(endian + "I", 0)
-    header = (b"MM" if big_endian else b"II") + struct.pack(
-        endian + "HI", 42, ifd_off
-    )
-    return header + ifd + bytes(extra) + b"".join(strips)
+    ifd += struct.pack(endian + "I", next_ifd)
+    return ifd + bytes(extra) + b"".join(strips)
 
 
 def tiff_features(asset_id: int, payload: bytes) -> dict:

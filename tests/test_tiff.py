@@ -120,3 +120,27 @@ def test_tiff_predictor2_horizontal_differencing(comp):
         out, ch = decode_tiff(data)
         ref = np.repeat(img[:, :, None], 3, axis=2) if img.ndim == 2 else img
         assert np.array_equal(out, ref)
+
+
+def test_multi_page_tiff_chain():
+    """Scanned-document shape: 4 pages of different heights, LZW, big
+    endian — every page decodes independently; page index errors are
+    IndexError (iterable with tiff_page_count), not garbage."""
+    from commerce_sessionization_spark.functions.tiff import (
+        encode_tiff_pages,
+        tiff_page_count,
+    )
+
+    pages = [
+        RNG.integers(0, 256, (10 + i, 20, 3), dtype=np.uint8)
+        for i in range(4)
+    ]
+    blob = encode_tiff_pages(pages, compression=5, big_endian=True)
+    assert tiff_page_count(blob) == 4
+    for i, pg in enumerate(pages):
+        out, _ = decode_tiff(blob, page=i)
+        assert np.array_equal(out, pg)
+    with pytest.raises(IndexError):
+        decode_tiff(blob, page=4)
+    # single-page files report 1
+    assert tiff_page_count(encode_tiff(GRAY)) == 1
