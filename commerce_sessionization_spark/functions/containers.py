@@ -1546,6 +1546,19 @@ def container_metadata(asset_id: int, payload: bytes) -> dict:
         rec["width"], rec["height"] = info["width"], info["height"]
         rec["n_streams"] = 1
         rec["n_samples"] = 1
+    elif kind == "tiff":
+        from commerce_sessionization_spark.functions.metadata import (
+            parse_tiff_exif,
+        )
+        from commerce_sessionization_spark.functions.tiff import (
+            tiff_page_count,
+        )
+
+        meta = parse_tiff_exif(payload)
+        rec["codec"] = "tiff"
+        rec["width"], rec["height"] = meta["width"], meta["height"]
+        rec["n_streams"] = 1
+        rec["n_samples"] = tiff_page_count(payload)  # pages of the scan
     elif kind == "mp4":
         info = parse_mp4(payload)
         rec["duration_sec"] = info["duration_sec"]

@@ -144,3 +144,18 @@ def test_multi_page_tiff_chain():
         decode_tiff(blob, page=4)
     # single-page files report 1
     assert tiff_page_count(encode_tiff(GRAY)) == 1
+
+
+def test_container_metadata_tiff_reports_pages():
+    from commerce_sessionization_spark.functions.containers import (
+        container_metadata,
+    )
+    from commerce_sessionization_spark.functions.tiff import (
+        encode_tiff_pages,
+    )
+
+    blob = encode_tiff_pages([GRAY, GRAY, GRAY])
+    rec = container_metadata(1, blob)
+    assert rec["container"] == "tiff"
+    assert rec["n_samples"] == 3  # page count of the scan
+    assert (rec["width"], rec["height"]) == (53, 37)
