@@ -997,3 +997,70 @@ def resize_images(df: DataFrame, max_dim: int = 64, fake: bool = False) -> DataF
     return df.filter(F.col("modality") == "image").mapInPandas(
         batches, schema=RESIZED_IMAGE_SCHEMA
     )
+
+
+DOCUMENT_TEXT_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_pages", IntegerType()),
+        StructField("text", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("title", StringType()),
+        StructField("producer", StringType()),
+        StructField("has_cid_fonts", BooleanType()),
+    ]
+)
+
+
+def extract_document_text(df: DataFrame) -> DataFrame:
+    """Text + metadata from document payloads (PDF) — the document leg
+    of the corpus pipeline, same Arrow-batched shape as the image/audio
+    extractors. Per asset: page count, concatenated page text (pages
+    joined by form-feed, so the sentence chunker can re-split), Info
+    metadata (Title/Producer — generative-tool provenance lives there),
+    and the ``has_cid_fonts`` flag (CJK embedded fonts decode wrong in
+    the dependency-free path — route those to a real PDF stack).
+    Encrypted or non-PDF payloads yield a format-only row; extraction
+    never fails the pass. The output is documents-shaped enough to feed
+    ``quality_score`` / dedup directly via ``text``.
+    """
+    from commerce_sessionization_spark.functions.codecs import (
+        UnsupportedMediaError,
+    )
+    from commerce_sessionization_spark.functions.pdf import (
+        extract_pdf_text,
+        parse_pdf,
+    )
+
+    cols = [f.name for f in DOCUMENT_TEXT_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in it:
+            recs = []
+            for a, c in zip(pdf_batch["asset_id"], pdf_batch["content"]):
+                payload = bytes(c or b"")
+                rec = {"asset_id": a, "format": "unknown"}
+                try:
+                    meta = parse_pdf(payload)
+                    pages = extract_pdf_text(payload)
+                    text = "\f".join(pages)
+                    rec.update(
+                        format="pdf",
+                        n_pages=meta["n_pages"],
+                        text=text,
+                        n_chars=len(text),
+                        title=meta["title"],
+                        producer=meta["producer"],
+                        has_cid_fonts=meta["has_cid_fonts"],
+                    )
+                except (UnsupportedMediaError, ValueError):
+                    pass
+                recs.append(rec)
+            yield pd.DataFrame(recs, columns=cols)
+
+    docs = df.filter(
+        (F.col("modality") == "document")
+        | (F.col("mime_type") == "application/pdf")
+    ).select("asset_id", "content")
+    return docs.mapInPandas(batches, DOCUMENT_TEXT_SCHEMA)

@@ -127,6 +127,7 @@ MEDIA_EXTENSIONS: dict[str, tuple[str, str]] = {
     "heic": ("image", "image/heic"),
     "tif": ("image", "image/tiff"),
     "tiff": ("image", "image/tiff"),
+    "pdf": ("document", "application/pdf"),
     "wav": ("audio", "audio/wav"),
     "mp3": ("audio", "audio/mpeg"),
     "ogg": ("audio", "audio/ogg"),
