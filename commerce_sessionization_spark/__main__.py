@@ -158,7 +158,7 @@ def main(argv: list[str] | None = None) -> int:
     me.add_argument("--out", required=True, help="output directory (one "
                                                  "parquet per modality)")
     me.add_argument("--modality", default="all",
-                    choices=["all", "image", "audio", "video"])
+                    choices=["all", "image", "audio", "video", "document"])
     me.add_argument("--glob", default=None, help="filename glob pushdown")
     me.add_argument("--fake", action="store_true",
                     help="deterministic stand-in features (no real decode)")
@@ -444,6 +444,15 @@ def main(argv: list[str] | None = None) -> int:
                     ).write.mode("overwrite")\
                         .parquet(f"{args.out}/video_frame_samples")
                     wrote += ["video_frame_features", "video_frame_samples"]
+                if args.modality in ("all", "document") and not args.fake:
+                    from commerce_sessionization_spark.operators import (
+                        extract_document_text,
+                    )
+
+                    extract_document_text(media)\
+                        .write.mode("overwrite")\
+                        .parquet(f"{args.out}/document_text")
+                    wrote.append("document_text")
                 if args.near_dups:
                     from pyspark.sql import functions as F
 
