@@ -1028,6 +1028,10 @@ def extract_document_text(df: DataFrame) -> DataFrame:
     from commerce_sessionization_spark.functions.codecs import (
         UnsupportedMediaError,
     )
+    from commerce_sessionization_spark.functions.docx import (
+        extract_docx_text,
+        parse_docx,
+    )
     from commerce_sessionization_spark.functions.pdf import (
         extract_pdf_text,
         parse_pdf,
@@ -1042,18 +1046,30 @@ def extract_document_text(df: DataFrame) -> DataFrame:
                 payload = bytes(c or b"")
                 rec = {"asset_id": a, "format": "unknown"}
                 try:
-                    meta = parse_pdf(payload)
-                    pages = extract_pdf_text(payload)
-                    text = "\f".join(pages)
-                    rec.update(
-                        format="pdf",
-                        n_pages=meta["n_pages"],
-                        text=text,
-                        n_chars=len(text),
-                        title=meta["title"],
-                        producer=meta["producer"],
-                        has_cid_fonts=meta["has_cid_fonts"],
-                    )
+                    if payload[:5] == b"%PDF-":
+                        meta = parse_pdf(payload)
+                        text = "\f".join(extract_pdf_text(payload))
+                        rec.update(
+                            format="pdf",
+                            n_pages=meta["n_pages"],
+                            text=text,
+                            n_chars=len(text),
+                            title=meta["title"],
+                            producer=meta["producer"],
+                            has_cid_fonts=meta["has_cid_fonts"],
+                        )
+                    elif payload[:4] == b"PK\x03\x04":
+                        meta = parse_docx(payload)
+                        text = "\n".join(extract_docx_text(payload))
+                        rec.update(
+                            format="docx",
+                            n_pages=meta["n_paragraphs"],  # best unit it has
+                            text=text,
+                            n_chars=len(text),
+                            title=meta["title"],
+                            producer=meta["producer"],
+                            has_cid_fonts=False,
+                        )
                 except (UnsupportedMediaError, ValueError):
                     pass
                 recs.append(rec)

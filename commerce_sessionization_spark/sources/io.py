@@ -128,6 +128,8 @@ MEDIA_EXTENSIONS: dict[str, tuple[str, str]] = {
     "tif": ("image", "image/tiff"),
     "tiff": ("image", "image/tiff"),
     "pdf": ("document", "application/pdf"),
+    "docx": ("document", "application/vnd.openxmlformats-officedocument"
+             ".wordprocessingml.document"),
     "wav": ("audio", "audio/wav"),
     "mp3": ("audio", "audio/mpeg"),
     "ogg": ("audio", "audio/ogg"),

@@ -107,3 +107,63 @@ def test_extract_document_text_operator(spark, tmp_path):
     assert good["n_chars"] == len(good["text"])
     bad = out[None]
     assert bad["format"] == "unknown" and bad["text"] is None
+
+
+
+# ---------------------------------------------------------------------------
+# DOCX
+
+
+def test_docx_roundtrip_and_props():
+    from commerce_sessionization_spark.functions.docx import (
+        build_docx,
+        extract_docx_text,
+        parse_docx,
+    )
+
+    paras = ["First para with <angle> & amp.", "Second one.", ""]
+    d = build_docx(paras, title="Doc T", author="au")
+    meta = parse_docx(d)
+    assert meta["n_paragraphs"] == 3
+    assert meta["title"] == "Doc T" and meta["author"] == "au"
+    assert meta["producer"] == "fixture-writer"
+    assert extract_docx_text(d) == paras
+
+
+def test_docx_contract_errors():
+    from commerce_sessionization_spark.functions.docx import parse_docx
+
+    with pytest.raises(UnsupportedMediaError):
+        parse_docx(b"plain bytes")
+    import io as _io
+    import zipfile
+
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("other.txt", "not a docx")
+    with pytest.raises(UnsupportedMediaError):
+        parse_docx(buf.getvalue())
+
+
+def test_extract_document_text_handles_docx(spark):
+    from commerce_sessionization_spark.functions.docx import build_docx
+    from commerce_sessionization_spark.operators import extract_document_text
+    from commerce_sessionization_spark.schemas import MEDIA_SCHEMA
+
+    rows = [
+        (
+            1,
+            "document",
+            bytearray(build_docx(["Para one.", "Para two."], title="W")),
+            "application/vnd.openxmlformats-officedocument"
+            ".wordprocessingml.document",
+            {},
+        ),
+        (2, "document", bytearray(build_pdf(["pdf text"])), "application/pdf", {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["format"]: r.asDict() for r in extract_document_text(df).collect()}
+    assert out["docx"]["text"] == "Para one.\nPara two."
+    assert out["docx"]["n_pages"] == 2  # paragraph count for docx
+    assert out["docx"]["title"] == "W"
+    assert out["pdf"]["text"] == "pdf text"
