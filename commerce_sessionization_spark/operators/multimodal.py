@@ -1013,6 +1013,20 @@ DOCUMENT_TEXT_SCHEMA = StructType(
 )
 
 
+def _decode_text_bytes(payload: bytes) -> str:
+    """BOM-aware text decode: UTF-8/UTF-16 BOMs honored, then strict
+    UTF-8, then Latin-1 (which never fails) — the standard ingest
+    ladder for legacy text exports."""
+    if payload[:3] == b"\xef\xbb\xbf":
+        return payload[3:].decode("utf-8", "replace")
+    if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return payload.decode("utf-16")
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return payload.decode("latin1")
+
+
 def extract_document_text(df: DataFrame) -> DataFrame:
     """Text + metadata from document payloads (PDF) — the document leg
     of the corpus pipeline, same Arrow-batched shape as the image/audio
@@ -1042,11 +1056,27 @@ def extract_document_text(df: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in it:
             recs = []
-            for a, c in zip(pdf_batch["asset_id"], pdf_batch["content"]):
+            for a, c, mt in zip(
+                pdf_batch["asset_id"],
+                pdf_batch["content"],
+                pdf_batch["mime_type"],
+            ):
                 payload = bytes(c or b"")
                 rec = {"asset_id": a, "format": "unknown"}
                 try:
-                    if payload[:5] == b"%PDF-":
+                    if str(mt).startswith("text/"):
+                        # plain text / markdown: decode is the parse.
+                        # BOM-aware (UTF-8/16) with Latin-1 fallback so
+                        # legacy exports never crash the pass.
+                        text = _decode_text_bytes(payload)
+                        rec.update(
+                            format=str(mt).split("/", 1)[1],
+                            n_pages=1,
+                            text=text,
+                            n_chars=len(text),
+                            has_cid_fonts=False,
+                        )
+                    elif payload[:5] == b"%PDF-":
                         meta = parse_pdf(payload)
                         text = "\f".join(extract_pdf_text(payload))
                         rec.update(
@@ -1078,5 +1108,5 @@ def extract_document_text(df: DataFrame) -> DataFrame:
     docs = df.filter(
         (F.col("modality") == "document")
         | (F.col("mime_type") == "application/pdf")
-    ).select("asset_id", "content")
+    ).select("asset_id", "content", "mime_type")
     return docs.mapInPandas(batches, DOCUMENT_TEXT_SCHEMA)

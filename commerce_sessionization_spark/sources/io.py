@@ -130,6 +130,8 @@ MEDIA_EXTENSIONS: dict[str, tuple[str, str]] = {
     "pdf": ("document", "application/pdf"),
     "docx": ("document", "application/vnd.openxmlformats-officedocument"
              ".wordprocessingml.document"),
+    "txt": ("document", "text/plain"),
+    "md": ("document", "text/markdown"),
     "wav": ("audio", "audio/wav"),
     "mp3": ("audio", "audio/mpeg"),
     "ogg": ("audio", "audio/ogg"),

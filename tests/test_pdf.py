@@ -167,3 +167,21 @@ def test_extract_document_text_handles_docx(spark):
     assert out["docx"]["n_pages"] == 2  # paragraph count for docx
     assert out["docx"]["title"] == "W"
     assert out["pdf"]["text"] == "pdf text"
+
+
+def test_extract_document_text_plain_and_markdown(spark):
+    from commerce_sessionization_spark.operators import extract_document_text
+    from commerce_sessionization_spark.schemas import MEDIA_SCHEMA
+
+    rows = [
+        (1, "document", bytearray("utf8 text é".encode()), "text/plain", {}),
+        (2, "document", bytearray(b"\xef\xbb\xbfbom text"), "text/markdown", {}),
+        (3, "document", bytearray(b"caf\xe9 legacy"), "text/plain", {}),
+        (4, "document", bytearray("utf16".encode("utf-16")), "text/plain", {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["asset_id"]: r.asDict() for r in extract_document_text(df).collect()}
+    assert out[1]["text"] == "utf8 text é" and out[1]["format"] == "plain"
+    assert out[2]["text"] == "bom text" and out[2]["format"] == "markdown"
+    assert out[3]["text"] == "café legacy"  # Latin-1 ladder, never crashes
+    assert out[4]["text"] == "utf16"  # UTF-16 BOM honored
