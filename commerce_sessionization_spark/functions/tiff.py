@@ -256,6 +256,10 @@ def decode_tiff(payload: bytes, page: int = 0) -> tuple[np.ndarray, int]:
     if magic != 42:
         raise UnsupportedMediaError("tiff: bad magic")
     chain = _ifd_chain(buf, ifd0, endian)
+    if not chain:
+        # fuzz-found: a valid header whose IFD pointer leads nowhere is
+        # damaged media, not a caller error — must be the triage class
+        raise UnsupportedMediaError("tiff: no readable IFDs")
     if page >= len(chain):
         raise IndexError(f"tiff: page {page} of {len(chain)}")
     tags, _ = _read_ifd_arrays(buf, chain[page], endian)

@@ -1,0 +1,126 @@
+"""Parser fuzz: arbitrary bytes into every dependency-free parser must
+either parse or raise ``UnsupportedMediaError`` — never a stray
+``struct.error``/``IndexError``/``MemoryError``. This is the crawl
+contract: triage operators catch ``UnsupportedMediaError`` (plus
+ValueError/struct.error defensively), so any OTHER escape class would
+crash a 100 TB pass on one garbage payload.
+
+Two generators: pure random bytes, and "near-miss" payloads that start
+with a real magic number followed by junk — the adversarial case real
+crawls produce constantly (truncated uploads, mislabeled files).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from commerce_sessionization_spark.functions.codecs import UnsupportedMediaError
+
+#: Exception classes the triage operators catch — anything else escaping
+#: a parser is a bug (see operators/multimodal.py except clauses).
+ALLOWED = (UnsupportedMediaError, ValueError, struct.error)
+
+MAGICS = [
+    b"BM",
+    b"\x89PNG\r\n\x1a\n",
+    b"\xff\xd8\xff\xe0",
+    b"RIFF\x20\x00\x00\x00WEBP",
+    b"RIFF\x20\x00\x00\x00WAVE",
+    b"GIF89a",
+    b"II*\x00",
+    b"MM\x00*",
+    b"OggS",
+    b"fLaC",
+    b"ID3\x04\x00\x00",
+    b"\x00\x00\x00\x20ftypisom",
+    b"\x00\x00\x00\x20ftypavif",
+    b"%PDF-1.4\n",
+    b"PK\x03\x04",
+    b"WARC/1.0\r\n",
+]
+
+
+def _parsers():
+    from commerce_sessionization_spark.functions.codecs import (
+        decode_bmp,
+        decode_gif,
+        decode_jpeg,
+        decode_png,
+        decode_wav,
+        image_features,
+    )
+    from commerce_sessionization_spark.functions.containers import (
+        container_metadata,
+        parse_avif,
+        parse_flac,
+        parse_mp3,
+        parse_mp4,
+        parse_ogg,
+        sniff_container,
+    )
+    from commerce_sessionization_spark.functions.docx import (
+        extract_docx_text,
+        parse_docx,
+    )
+    from commerce_sessionization_spark.functions.metadata import (
+        parse_jpeg_exif,
+        parse_png_metadata,
+        parse_tiff_exif,
+    )
+    from commerce_sessionization_spark.functions.pdf import (
+        extract_pdf_text,
+        parse_pdf,
+    )
+    from commerce_sessionization_spark.functions.tiff import (
+        decode_tiff,
+        tiff_page_count,
+    )
+    from commerce_sessionization_spark.functions.warc import parse_warc
+
+    return [
+        decode_bmp, decode_gif, decode_jpeg, decode_png, decode_wav,
+        lambda b: image_features(1, b),
+        lambda b: container_metadata(1, b),
+        parse_avif, parse_flac, parse_mp3, parse_mp4, parse_ogg,
+        sniff_container,
+        parse_docx, extract_docx_text,
+        parse_jpeg_exif, parse_png_metadata, parse_tiff_exif,
+        parse_pdf, extract_pdf_text,
+        decode_tiff, tiff_page_count,
+        parse_warc,
+    ]
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(payload=st.binary(max_size=400))
+def test_random_bytes_never_escape_the_contract(payload):
+    for fn in _parsers():
+        try:
+            fn(payload)
+        except ALLOWED:
+            pass
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    magic=st.sampled_from(MAGICS),
+    junk=st.binary(max_size=300),
+)
+def test_magic_plus_junk_never_escapes(magic, junk):
+    payload = magic + junk
+    for fn in _parsers():
+        try:
+            fn(payload)
+        except ALLOWED:
+            pass
