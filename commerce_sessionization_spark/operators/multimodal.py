@@ -99,7 +99,9 @@ def _fake_image_features(asset_id: int, payload: bytes) -> dict:
     }
 
 
-def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
+def extract_image_features(
+    df: DataFrame, fake: bool = False, on_error: str = "raise"
+) -> DataFrame:
     """Decode + featurize image payloads via Arrow-batched ``mapInPandas``.
 
     The real path decodes BMP, PNG, JPEG (baseline + progressive),
@@ -127,10 +129,12 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 try:
                     recs.append(image_features(a, bytes(c or b"")))
                 except UnsupportedMediaError as e:
+                    if on_error == "skip":
+                        continue  # crawl mode: garbage drops, pass lives
                     raise NotImplementedError(
-                        f"asset {a}: only BMP/PNG/JPEG/VP8L decode "
-                        f"without codec libs ({e}); use fake=True for "
-                        "other formats"
+                        f"asset {a}: only BMP/PNG/JPEG/VP8L/TIFF decode "
+                        f"without codec libs ({e}); use fake=True or "
+                        "on_error='skip' for other formats"
                     ) from e
             yield pd.DataFrame.from_records(
                 recs, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
@@ -141,7 +145,9 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
-def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+def extract_audio_features(
+    df: DataFrame, fake: bool = False, on_error: str = "raise"
+) -> DataFrame:
     """Decode + featurize audio payloads via Arrow-batched ``mapInPandas``.
 
     The real path decodes 16-bit PCM RIFF/WAVE with ``functions.codecs``
@@ -172,9 +178,12 @@ def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 try:
                     recs.append(wav_features(a, bytes(c or b"")))
                 except UnsupportedMediaError as e:
+                    if on_error == "skip":
+                        continue  # crawl mode: garbage drops, pass lives
                     raise NotImplementedError(
                         f"asset {a}: only PCM WAV decodes without codec libs "
-                        f"({e}); use fake=True for other formats"
+                        f"({e}); use fake=True or on_error='skip' for "
+                        "other formats"
                     ) from e
             yield pd.DataFrame.from_records(
                 recs, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]

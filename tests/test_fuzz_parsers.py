@@ -124,3 +124,24 @@ def test_magic_plus_junk_never_escapes(magic, junk):
             fn(payload)
         except ALLOWED:
             pass
+
+
+def test_extract_image_features_skip_mode(spark):
+    """on_error='skip' — the crawl contract: one garbage payload must
+    drop its row, not kill the whole 100 TB pass."""
+    import numpy as np
+
+    from commerce_sessionization_spark.functions.codecs import encode_bmp
+    from commerce_sessionization_spark.operators import extract_image_features
+    from commerce_sessionization_spark.schemas import MEDIA_SCHEMA
+
+    img = np.zeros((4, 6, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_bmp(img)), "image/bmp", {}),
+        (2, "image", bytearray(b"II*\x00\x00\x00\x00\x00"), "image/tiff", {}),
+        (3, "image", bytearray(b"total garbage"), "image/jpeg", {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_image_features(df, on_error="skip").collect()
+    assert [r["asset_id"] for r in out] == [1]
+    assert (out[0]["width"], out[0]["height"]) == (6, 4)

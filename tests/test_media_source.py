@@ -38,16 +38,20 @@ def media_dir(tmp_path_factory):
     # palette-index frames (H×W, values < 128) per the fixture encoder
     frames = [np.full((8, 8), v, dtype=np.uint8) for v in (0, 60, 100)]
     (d / "c.gif").write_bytes(encode_gif(frames))
-    (d / "notes.txt").write_bytes(b"not media")
+    (d / "notes.txt").write_bytes(b"plain text doc")
+    (d / "blob.xyz").write_bytes(b"unknown extension")
     return str(d)
 
 
 def test_ingest_assigns_modalities_and_stable_ids(spark, media_dir):
     df = read_media_dir(spark, media_dir)
     rows = {r["modality"]: r for r in df.collect()}
-    assert set(rows) == {"image", "audio", "video", "other"}
+    assert set(rows) == {"image", "audio", "video", "document", "other"}
     assert rows["image"]["mime_type"] == "image/bmp"
-    assert rows["other"]["metadata"]["source_path"].endswith("notes.txt")
+    # .txt is DOCUMENT modality (round-5 document leg); unknown
+    # extensions still land in "other"
+    assert rows["document"]["metadata"]["source_path"].endswith("notes.txt")
+    assert rows["other"]["metadata"]["source_path"].endswith("blob.xyz")
     # ids are path-hashes: re-reading yields identical ids
     again = {r["modality"]: r["asset_id"] for r in read_media_dir(spark, media_dir).collect()}
     assert all(again[m] == rows[m]["asset_id"] for m in rows)
