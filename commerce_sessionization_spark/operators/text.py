@@ -716,3 +716,71 @@ def remove_boilerplate(
             "bigint"
         ),
     )
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher paper's repetition-free quality gates (Rae et al. 2021,
+    public — the rule set most corpus pipelines start from), as pure
+    column expressions:
+
+    - 50 <= word_count <= 100k,
+    - 3 <= mean word length <= 10,
+    - '#' symbol ratio <= 0.1 and '...' ellipsis ratio <= 0.3 (per word),
+    - >= 80% of words contain at least one alphabetic character,
+    - >= 2 distinct common stopwords present (the "is this prose" test),
+    - < 90% of lines start with a bullet character.
+
+    Emits one boolean per rule plus ``gopher_pass`` (AND of all) so a
+    pipeline can both filter and AUDIT which rule rejected what — the
+    rejection histogram is how these thresholds get tuned per corpus.
+    Zero shuffles; every expression replays in the DuckDB oracle.
+    (Repetition gates live separately in ``repetition_scores``.)
+    """
+    t = F.col(text_col)
+    words = F.regexp_count(t, F.lit(r"\S+"))
+    alpha_words = F.regexp_count(t, F.lit(r"(?:^|\s)[^\s]*[A-Za-z]"))
+    letters = F.regexp_count(t, F.lit("[A-Za-z]"))
+    hashes = F.regexp_count(t, F.lit("#"))
+    ellipses = F.regexp_count(t, F.lit(r"\.\.\."))
+    lines = F.greatest(F.regexp_count(t, F.lit("\n")) + 1, F.lit(1))
+    bullet_lines = F.regexp_count(t, F.lit(r"(?m)^\s*[-*•]"))
+    stopword_hits = F.size(
+        F.array_distinct(
+            F.regexp_extract_all(
+                F.lower(t),
+                F.lit(r"\b(the|be|to|of|and|that|have|with)\b"),
+                F.lit(1),
+            )
+        )
+    )
+    w = F.greatest(words, F.lit(1))
+    out = df.withColumn("word_count_g", words.cast("bigint"))
+    out = out.withColumn(
+        "ok_word_count", (words >= 50) & (words <= 100_000)
+    )
+    out = out.withColumn(
+        "ok_mean_word_len",
+        ((letters.cast("double") / w) >= 3.0)
+        & ((letters.cast("double") / w) <= 10.0),
+    )
+    out = out.withColumn(
+        "ok_symbol_ratio",
+        ((hashes.cast("double") / w) <= 0.1)
+        & ((ellipses.cast("double") / w) <= 0.3),
+    )
+    out = out.withColumn(
+        "ok_alpha_words", (alpha_words.cast("double") / w) >= 0.8
+    )
+    out = out.withColumn("ok_stopwords", stopword_hits >= 2)
+    out = out.withColumn(
+        "ok_bullets", (bullet_lines.cast("double") / lines) < 0.9
+    )
+    return out.withColumn(
+        "gopher_pass",
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_alpha_words")
+        & F.col("ok_stopwords")
+        & F.col("ok_bullets"),
+    )

@@ -9488,6 +9488,68 @@ WHERE rn = 1 AND COALESCE(allow, TRUE)
 """
 
 
+# --------------------------------------------------------------------------
+# Gopher quality gates (operators.text.gopher_quality_flags)
+# --------------------------------------------------------------------------
+
+def q_gopher_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule set over the corpus — per-rule booleans plus the
+    AND, so the oracle pins not just who passes but WHY each failure
+    fails (the rejection audit these thresholds get tuned with)."""
+    from commerce_sessionization_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality_flags(docs).select(
+        "doc_id", "word_count_g", "ok_word_count", "ok_mean_word_len",
+        "ok_symbol_ratio", "ok_alpha_words", "ok_stopwords", "ok_bullets",
+        "gopher_pass",
+    )
+
+
+SQL_GOPHER_DOC_FLAGS = """
+WITH counted AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS words,
+         CAST(len(regexp_extract_all(text, '(^|\\s)[^\\s]*[A-Za-z]'))
+           AS BIGINT) AS alpha_words,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
+           AS letters,
+         CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS hashes,
+         CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+           AS ellipses,
+         GREATEST(CAST(len(regexp_extract_all(text, '\\n')) AS BIGINT) + 1,
+                  1) AS lines,
+         CAST(len(regexp_extract_all(text, '(?m)^\\s*[-*•]')) AS BIGINT)
+           AS bullet_lines,
+         CAST(len(list_distinct(regexp_extract_all(lower(text),
+           '\\b(the|be|to|of|and|that|have|with)\\b', 1))) AS BIGINT)
+           AS stopword_hits
+  FROM documents
+), flags AS (
+  SELECT doc_id, words AS word_count_g,
+         GREATEST(words, 1) AS w,
+         words BETWEEN 50 AND 100000 AS ok_word_count,
+         (CAST(letters AS DOUBLE) / GREATEST(words, 1)) BETWEEN 3.0 AND 10.0
+           AS ok_mean_word_len,
+         (CAST(hashes AS DOUBLE) / GREATEST(words, 1)) <= 0.1
+           AND (CAST(ellipses AS DOUBLE) / GREATEST(words, 1)) <= 0.3
+           AS ok_symbol_ratio,
+         (CAST(alpha_words AS DOUBLE) / GREATEST(words, 1)) >= 0.8
+           AS ok_alpha_words,
+         stopword_hits >= 2 AS ok_stopwords,
+         (CAST(bullet_lines AS DOUBLE) / lines) < 0.9 AS ok_bullets
+  FROM counted
+)
+SELECT doc_id, word_count_g, ok_word_count, ok_mean_word_len,
+       ok_symbol_ratio, ok_alpha_words, ok_stopwords, ok_bullets,
+       (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+        AND ok_alpha_words AND ok_stopwords AND ok_bullets) AS gopher_pass
+FROM flags
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -9678,6 +9740,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "mojibake/U+FFFD/control counts + Flesch readability over "
              "deterministically damaged docs — encoding triage before "
              "GPU-hours, quantized-double oracle-matched"),
+    QueryDef("gopher_doc_flags", q_gopher_doc_flags, SQL_GOPHER_DOC_FLAGS,
+             "the Gopher quality gates as per-rule booleans + AND — the "
+             "rejection-audit shape, every rule oracle-replayed"),
     QueryDef("robots_filtered_urls", q_robots_filtered_urls,
              SQL_ROBOTS_FILTERED_URLS,
              "RFC 9309 robots decision over synthesized rules: per-host "

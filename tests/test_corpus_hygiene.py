@@ -500,3 +500,50 @@ def test_boilerplate_stays_jvm_side_and_shuffle_free(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # pure scan -> project
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality gates
+
+
+def test_gopher_rules_fire_individually(spark):
+    from commerce_sessionization_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    prose = (
+        "The project is one of the larger efforts and we have worked "
+        "with the team to deliver that outcome for everyone involved. "
+    ) * 5
+    rows = [
+        (1, prose),  # passes everything
+        (2, "short text"),  # word count + stopwords fail
+        (3, "\n".join("- item" for _ in range(10))),  # bullets fail
+        (4, "#### " * 60 + prose),  # symbol ratio fails
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_flags(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["ok_word_count"] is False
+    assert out[2]["gopher_pass"] is False
+    assert out[3]["ok_bullets"] is False
+    assert out[4]["ok_symbol_ratio"] is False
+    # the audit shape: a failing doc still reports which rules it passed
+    assert out[4]["ok_word_count"] is True
+
+
+def test_gopher_flags_stay_jvm_side(spark):
+    from commerce_sessionization_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    plan = (
+        gopher_quality_flags(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
