@@ -784,3 +784,49 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         & F.col("ok_stopwords")
         & F.col("ok_bullets"),
     )
+
+
+def c4_line_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_c4",
+    min_line_words: int = 5,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, public): line-level
+    filtering then page-level gates —
+
+    - keep only lines that end in terminal punctuation (. ! ? ")
+      and have >= ``min_line_words`` words,
+    - drop the whole page if it mentions "lorem ipsum" or contains a
+      curly brace (code, not prose), via ``c4_keep``,
+    - report ``n_lines_kept`` / ``n_lines_total`` so the line filter is
+      auditable like the Gopher gates.
+
+    Implemented as split → filter → array_join over the line array —
+    zero shuffles, every rule RE2-replayable. (C4's three-sentence span
+    dedup lives in ``cross_doc_span_stats``/``duplicated_spans``.)
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike(r'[.!?"]$')
+        & (
+            F.size(F.split(F.trim(ln), r"\s+"))
+            >= F.lit(int(min_line_words))
+        ),
+    )
+    out = df.withColumn(out_col, F.array_join(kept, "\n"))
+    out = out.withColumn("n_lines_kept", F.size(kept).cast("bigint"))
+    out = out.withColumn(
+        "n_lines_total",
+        F.size(F.filter(lines, lambda ln: F.length(F.trim(ln)) > 0)).cast(
+            "bigint"
+        ),
+    )
+    return out.withColumn(
+        "c4_keep",
+        ~F.lower(t).contains("lorem ipsum")
+        & ~t.contains("{")
+        & (F.col("n_lines_kept") > 0),
+    )

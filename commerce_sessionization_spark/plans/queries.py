@@ -9550,6 +9550,60 @@ FROM flags
 """
 
 
+# --------------------------------------------------------------------------
+# C4 line filters (operators.text.c4_line_filters)
+# --------------------------------------------------------------------------
+
+def q_c4_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``c4_line_filters`` over documents given deterministic line
+    structure (sentence-terminated lines injected so both keep and drop
+    branches fire) — kept text sha-pinned, counts + the page gate
+    replayed by the oracle."""
+    from commerce_sessionization_spark.operators.text import c4_line_filters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.col("text")
+    t = F.replace(t, F.lit(" merge "), F.lit(".\nMerge "))
+    t = F.replace(t, F.lit(" batch "), F.lit("!\nbatch "))
+    t = F.replace(t, F.lit(" window "), F.lit(" {window} "))
+    prepped = docs.withColumn("text", t)
+    out = c4_line_filters(prepped)
+    return out.select(
+        "doc_id",
+        F.sha2(F.col("text_c4"), 256).alias("kept_sha"),
+        "n_lines_kept",
+        "n_lines_total",
+        "c4_keep",
+    )
+
+
+SQL_C4_FILTERED_DOCS = """
+WITH prepped AS (
+  SELECT doc_id,
+         replace(replace(replace(text,
+           ' merge ', '.' || chr(10) || 'Merge '),
+           ' batch ', '!' || chr(10) || 'batch '),
+           ' window ', ' {window} ') AS text
+  FROM documents
+), filtered AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), ln ->
+           regexp_matches(trim(ln), '[.!?"]$')
+           AND len(string_split_regex(trim(ln), '\\s+')) >= 5) AS kept,
+         list_filter(string_split(text, chr(10)), ln ->
+           length(trim(ln)) > 0) AS nonempty
+  FROM prepped
+)
+SELECT doc_id,
+       sha256(COALESCE(array_to_string(kept, chr(10)), '')) AS kept_sha,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       CAST(len(nonempty) AS BIGINT) AS n_lines_total,
+       (NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{') AND len(kept) > 0) AS c4_keep
+FROM filtered
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -9740,6 +9794,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "mojibake/U+FFFD/control counts + Flesch readability over "
              "deterministically damaged docs — encoding triage before "
              "GPU-hours, quantized-double oracle-matched"),
+    QueryDef("c4_filtered_docs", q_c4_filtered_docs, SQL_C4_FILTERED_DOCS,
+             "C4 line-level cleaning (terminal punctuation + min words, "
+             "lorem-ipsum/brace page gates) — kept text sha-pinned"),
     QueryDef("gopher_doc_flags", q_gopher_doc_flags, SQL_GOPHER_DOC_FLAGS,
              "the Gopher quality gates as per-rule booleans + AND — the "
              "rejection-audit shape, every rule oracle-replayed"),

@@ -547,3 +547,44 @@ def test_gopher_flags_stay_jvm_side(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_c4_line_filters_semantics(spark):
+    from commerce_sessionization_spark.operators.text import c4_line_filters
+
+    page = (
+        "This is a proper sentence that ends well.\n"
+        "menu home about\n"
+        "Another good line with enough words here!\n"
+        "short one."
+    )
+    rows = [
+        (1, page),
+        (2, "Lorem Ipsum dolor sit amet something here."),
+        (3, "var x = { a: 1 } plus some prose after it."),
+        (4, ""),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in c4_line_filters(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1]["text_c4"] == (
+        "This is a proper sentence that ends well.\n"
+        "Another good line with enough words here!"
+    )
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_total"]) == (2, 4)
+    assert out[1]["c4_keep"] is True
+    assert out[2]["c4_keep"] is False  # lorem ipsum page gate
+    assert out[3]["c4_keep"] is False  # curly brace page gate
+    assert out[4]["c4_keep"] is False  # nothing survives -> drop page
+
+
+def test_c4_filters_stay_jvm_side(spark):
+    from commerce_sessionization_spark.operators.text import c4_line_filters
+
+    df = spark.createDataFrame([(1, "x.")], ["doc_id", "text"])
+    plan = c4_line_filters(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
