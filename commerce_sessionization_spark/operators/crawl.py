@@ -53,7 +53,12 @@ def crawl_to_corpus(
     ).select(
         canonical_url(F.col("target_uri")).alias("url"),
         F.col("warc_date").alias("fetched_at"),
-        F.decode(F.col("payload"), "UTF-8").alias("html"),
+        # NOT F.decode(..., 'UTF-8'): Spark 4's decode is STRICT and one
+        # malformed page would kill the whole pass (fuzz-era find). The
+        # binary->string cast wraps bytes unvalidated; make_valid_utf8
+        # then substitutes U+FFFD, which encoding_quality downstream
+        # scores — lossage is data, not an error.
+        F.make_valid_utf8(F.col("payload").cast("string")).alias("html"),
     )
     out = html_features(pages, "html")
     if boilerplate:

@@ -331,3 +331,29 @@ def test_crawl_feeds_dedup_family(spark, tmp_path):
     }
     assert tuple(sorted((ids["a"], ids["b"]))) in got
     assert all(ids["c"] not in p for p in got)
+
+
+def test_crawl_to_corpus_survives_malformed_utf8(spark, tmp_path):
+    """Real crawls contain pages whose declared charset lies: malformed
+    UTF-8 must become U+FFFD text (for encoding_quality to score), not
+    a MALFORMED_CHARACTER_CODING job failure."""
+    from commerce_sessionization_spark.functions.warc import (
+        build_http_response,
+        build_warc,
+        build_warc_record,
+    )
+    from commerce_sessionization_spark.operators.crawl import crawl_to_corpus
+    from commerce_sessionization_spark.sources.io import read_warc_dir
+
+    body = b"<p>ok \xff\xfe broken bytes</p>"
+    rec = build_warc_record(
+        "response",
+        build_http_response(body),
+        target_uri="https://site.test/bad",
+    )
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "s.warc").write_bytes(build_warc([rec]))
+    docs = crawl_to_corpus(read_warc_dir(spark, str(d))).collect()
+    assert len(docs) == 1
+    assert "ok �� broken bytes" == docs[0]["text"]
