@@ -132,6 +132,10 @@ def tiff_lzw_decode(data: bytes) -> bytes:
             if code == EOI:
                 return bytes(out)
             if prev is None:
+                if code >= len(table):
+                    raise UnsupportedMediaError(
+                        "tiff lzw: first code out of range"
+                    )
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
@@ -207,6 +211,8 @@ def packbits_decode(data: bytes) -> bytes:
             out += data[i : i + n + 1]
             i += n + 1
         elif n > 128:
+            if i >= len(data):
+                break  # truncated replicate packet: salvage the prefix
             out += bytes([data[i]]) * (257 - n)
             i += 1
         # n == 128: no-op

@@ -78,9 +78,23 @@ def _parsers():
         decode_tiff,
         tiff_page_count,
     )
-    from commerce_sessionization_spark.functions.warc import parse_warc
+    from commerce_sessionization_spark.functions.containers import (
+        mp4_fragment_index,
+        mp4_sample_index,
+    )
+    from commerce_sessionization_spark.functions.tiff import (
+        packbits_decode,
+        tiff_lzw_decode,
+    )
+    from commerce_sessionization_spark.functions.warc import (
+        parse_http_response,
+        parse_warc,
+    )
 
     return [
+        mp4_sample_index, mp4_fragment_index,
+        packbits_decode, tiff_lzw_decode,
+        parse_http_response,
         decode_bmp, decode_gif, decode_jpeg, decode_png, decode_wav,
         lambda b: image_features(1, b),
         lambda b: container_metadata(1, b),
