@@ -706,7 +706,7 @@ def media_metadata_stats(df: DataFrame) -> DataFrame:
 #: mime types whose *sample decode* (pixels/PCM) is dependency-free here.
 #: Container *metadata* covers far more — see extract_container_metadata.
 DECODABLE_IMAGE_MIMES = frozenset(
-    {"image/bmp", "image/png", "image/jpeg", "image/webp"}
+    {"image/bmp", "image/png", "image/jpeg", "image/webp", "image/tiff"}
 )
 DECODABLE_AUDIO_MIMES = frozenset({"audio/wav"})
 DECODABLE_VIDEO_MIMES = frozenset({"image/gif"})
