@@ -121,6 +121,12 @@ def parse_jpeg_exif(payload: bytes) -> dict:
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             break
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them, or the walk misreads segment lengths.
+        while pos + 2 <= len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(buf):
+            break
         marker = buf[pos + 1]
         if marker == 0xDA:  # SOS: entropy data follows
             break
@@ -273,6 +279,10 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
     pos = 2
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
+            break
+        while pos + 2 <= len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2 fill bytes before the marker code
+        if pos + 4 > len(buf):
             break
         marker = buf[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

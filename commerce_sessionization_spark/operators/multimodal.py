@@ -128,9 +128,15 @@ def extract_image_features(
                     continue
                 try:
                     recs.append(image_features(a, bytes(c or b"")))
-                except UnsupportedMediaError as e:
+                except (UnsupportedMediaError, ValueError, struct.error) as e:
+                    # skip mode must survive everything the fuzz contract
+                    # lets a decoder raise on garbage (ValueError /
+                    # struct.error included), not just the triage error —
+                    # otherwise one corrupt payload kills the whole pass.
                     if on_error == "skip":
                         continue  # crawl mode: garbage drops, pass lives
+                    if not isinstance(e, UnsupportedMediaError):
+                        raise
                     raise NotImplementedError(
                         f"asset {a}: only BMP/PNG/JPEG/VP8L/TIFF decode "
                         f"without codec libs ({e}); use fake=True or "
@@ -177,9 +183,11 @@ def extract_audio_features(
                     continue
                 try:
                     recs.append(wav_features(a, bytes(c or b"")))
-                except UnsupportedMediaError as e:
+                except (UnsupportedMediaError, ValueError, struct.error) as e:
                     if on_error == "skip":
                         continue  # crawl mode: garbage drops, pass lives
+                    if not isinstance(e, UnsupportedMediaError):
+                        raise
                     raise NotImplementedError(
                         f"asset {a}: only PCM WAV decodes without codec libs "
                         f"({e}); use fake=True or on_error='skip' for "
@@ -245,7 +253,11 @@ def extract_audio_spectral(df: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def sample_video_frames(
-    df: DataFrame, every_n: int = 10, max_frames: int = 8, fake: bool = False
+    df: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 8,
+    fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Frame sampling for motion payloads via Arrow-batched ``mapInPandas``.
 
@@ -290,9 +302,27 @@ def sample_video_frames(
                     continue
                 payload = bytes(c or b"")
                 if sniff_container(payload) == "mp4":
-                    sync = [
-                        s for s in mp4_sample_index(payload) if s["sync"]
-                    ]
+                    # ftyp sniffs as mp4 but moov may be absent/corrupt:
+                    # route those through the same contract as the GIF
+                    # branch instead of letting the parse kill the task.
+                    try:
+                        sync = [
+                            s for s in mp4_sample_index(payload) if s["sync"]
+                        ]
+                    except (
+                        UnsupportedMediaError,
+                        ValueError,
+                        struct.error,
+                    ) as e:
+                        if on_error == "skip":
+                            continue
+                        if not isinstance(e, UnsupportedMediaError):
+                            raise
+                        raise NotImplementedError(
+                            f"asset {a}: MP4 container unparsable without "
+                            f"ffmpeg fallback ({e}); use fake=True or "
+                            "on_error='skip'"
+                        ) from e
                     for s in sync[:: max(every_n, 1)][:max_frames]:
                         frame_bytes = payload[
                             s["offset"] : s["offset"] + s["size"]
@@ -309,11 +339,15 @@ def sample_video_frames(
                     continue
                 try:
                     frames = parse_gif_frames(payload)
-                except UnsupportedMediaError as e:
+                except (UnsupportedMediaError, ValueError, struct.error) as e:
+                    if on_error == "skip":
+                        continue
+                    if not isinstance(e, UnsupportedMediaError):
+                        raise
                     raise NotImplementedError(
                         f"asset {a}: only GIF and MP4 containers parse "
-                        f"without ffmpeg ({e}); use fake=True for other "
-                        f"formats"
+                        f"without ffmpeg ({e}); use fake=True or "
+                        f"on_error='skip' for other formats"
                     ) from e
                 for fr in frames[:: max(every_n, 1)][:max_frames]:
                     recs.append(
@@ -1109,7 +1143,16 @@ def extract_document_text(df: DataFrame) -> DataFrame:
                             producer=meta["producer"],
                             has_cid_fonts=False,
                         )
-                except (UnsupportedMediaError, ValueError):
+                except (
+                    UnsupportedMediaError,
+                    ValueError,
+                    # zipfile raises RuntimeError for encrypted members
+                    # and NotImplementedError for unsupported compression
+                    # — "extraction never fails the pass" must hold for
+                    # those PK-prefixed payloads too.
+                    RuntimeError,
+                    NotImplementedError,
+                ):
                     pass
                 recs.append(rec)
             yield pd.DataFrame(recs, columns=cols)

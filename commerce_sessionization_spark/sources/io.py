@@ -551,6 +551,12 @@ def write_wet(
     slim = df.select(*cols)
 
     def batches(it):
+        from pyspark import TaskContext
+
+        # Record IDs must be globally unique (ISO 28500 §5.2): fold the
+        # partition id into the high 64 bits so a per-partition counter
+        # cannot collide across output files.
+        pid = TaskContext.get().partitionId()
         first = None
         records = []
         n = 0
@@ -571,6 +577,9 @@ def write_wet(
                             b"software: commerce-sessionization-spark\r\n"
                             b"format: WARC File Format 1.0\r\n",
                             content_type="application/warc-fields",
+                            record_id=(
+                                f"<urn:uuid:{pid:016x}{(1 << 63):016x}>"
+                            ),
                         )
                     )
                 records.append(
@@ -580,7 +589,7 @@ def write_wet(
                         target_uri=url,
                         date=str(date),
                         content_type="text/plain",
-                        record_id=f"<urn:uuid:{n:032x}>",
+                        record_id=f"<urn:uuid:{pid:016x}{n:016x}>",
                     )
                 )
                 n += 1
@@ -589,9 +598,6 @@ def write_wet(
                 [], columns=["file", "n_records", "n_bytes"]
             ).astype({"n_records": "int64", "n_bytes": "int64"})
             return
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
         ext = ".warc.gz" if gzip_per_record else ".warc"
         path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
         data = build_warc(records, gzip_per_record=gzip_per_record)

@@ -159,3 +159,73 @@ def test_extract_image_features_skip_mode(spark):
     out = extract_image_features(df, on_error="skip").collect()
     assert [r["asset_id"] for r in out] == [1]
     assert (out[0]["width"], out[0]["height"]) == (6, 4)
+
+
+def test_image_features_skip_mode_survives_struct_error(spark):
+    """The fuzz contract lets decoders raise ValueError/struct.error on
+    garbage; on_error='skip' must catch those too (a TIFF whose IFD value
+    pointer is out of bounds raises struct.error), or one payload kills
+    the pass skip mode exists to protect."""
+    import numpy as np
+
+    from commerce_sessionization_spark.functions.codecs import encode_bmp
+    from commerce_sessionization_spark.operators import extract_image_features
+    from commerce_sessionization_spark.schemas import MEDIA_SCHEMA
+
+    bad_tiff = (
+        b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1)
+        + struct.pack("<HHI", 0x0111, 4, 2) + struct.pack("<I", 0xFFFF)
+        + struct.pack("<I", 0)
+    )  # StripOffsets value pointer far out of bounds -> struct.error
+    img = np.zeros((4, 6, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_bmp(img)), "image/bmp", {}),
+        (2, "image", bytearray(bad_tiff), "image/tiff", {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_image_features(df, on_error="skip").collect()
+    assert [r["asset_id"] for r in out] == [1]
+
+
+def test_sample_video_frames_moovless_mp4_contract(spark):
+    """ftyp sniffs as mp4 but moov is absent: raise mode must surface the
+    documented NotImplementedError (not a raw UnsupportedMediaError
+    through the task) and skip mode must drop the row, like the GIF
+    branch."""
+    import pytest
+
+    from commerce_sessionization_spark.operators import sample_video_frames
+    from commerce_sessionization_spark.schemas import MEDIA_SCHEMA
+
+    moovless = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    rows = [(7, "video", bytearray(moovless), "video/mp4", {})]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with pytest.raises(Exception) as ei:
+        sample_video_frames(df).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+    assert sample_video_frames(df, on_error="skip").collect() == []
+
+
+def test_extract_document_text_encrypted_zip_never_fails_pass(spark):
+    """zipfile raises RuntimeError for encrypted members; the documented
+    contract is 'extraction never fails the pass' — the row must come
+    back with format='unknown', not crash the job."""
+    import io
+    import zipfile
+
+    from commerce_sessionization_spark.operators import extract_document_text
+    from commerce_sessionization_spark.schemas import MEDIA_SCHEMA
+
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w") as z:
+        z.writestr("word/document.xml", "<w:document/>")
+    data = bytearray(bio.getvalue())
+    data[data.find(b"PK\x03\x04") + 6] |= 1  # local header: encrypted bit
+    data[data.find(b"PK\x01\x02") + 8] |= 1  # central dir: encrypted bit
+    rows = [(9, "document", data, "application/docx", {})]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_document_text(df).collect()
+    assert len(out) == 1
+    assert out[0]["format"] == "unknown"

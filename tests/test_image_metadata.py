@@ -195,3 +195,17 @@ def test_extract_image_metadata_avif_and_tiff(spark):
     assert out[2]["make"] == "KODAK"
     assert out[3]["format"] == "avif"
     assert out[3]["width"] is None  # triage never fails on truncation
+
+
+def test_jpeg_marker_walk_skips_fill_bytes():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad the space
+    before a marker code. A fill-padded JPEG must yield the same EXIF
+    and dimensions as the unpadded one — not silently misparse."""
+    j = build_jpeg_with_exif(encode_jpeg(IMG), make="FillCam", orientation=6)
+    # splice two fill bytes between SOI and the APP1 marker: FF D8 FF FF FF E1
+    padded = j[:2] + b"\xff\xff" + j[2:]
+    assert padded[2:5] == b"\xff\xff\xff"
+    m = parse_jpeg_exif(padded)
+    assert m["make"] == "FillCam"
+    assert m["orientation"] == 6
+    assert jpeg_dimensions(padded) == jpeg_dimensions(j) == (48, 32)

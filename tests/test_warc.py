@@ -357,3 +357,26 @@ def test_crawl_to_corpus_survives_malformed_utf8(spark, tmp_path):
     docs = crawl_to_corpus(read_warc_dir(spark, str(d))).collect()
     assert len(docs) == 1
     assert "ok �� broken bytes" == docs[0]["text"]
+
+
+def test_write_wet_record_ids_globally_unique(spark, tmp_path):
+    """ISO 28500 §5.2: WARC-Record-ID must be globally unique. A
+    per-partition counter alone collides across output files — the
+    partition id is folded into the ID, so a multi-partition write must
+    produce all-distinct IDs (warcinfo records included)."""
+    from commerce_sessionization_spark.sources.io import (
+        read_warc_dir,
+        write_wet,
+    )
+
+    df = spark.createDataFrame(
+        [(f"https://h{i % 4}.net/p{i}", f"text {i}") for i in range(40)],
+        "url string, text string",
+    ).repartition(4)
+    out = str(tmp_path / "wet_ids")
+    manifest = write_wet(df, out, date_col=None).collect()
+    assert len(manifest) == 4  # multi-file write, or the test proves nothing
+    back = read_warc_dir(spark, out)
+    ids = [r["record_id"] for r in back.select("record_id").collect()]
+    assert None not in ids
+    assert len(ids) == len(set(ids)) == 40 + 4  # conversions + warcinfos
