@@ -10,9 +10,9 @@ rows via an Arrow-batched parser (robots files are tiny and one-per-host
 — the Python stage is bounded by host count, not corpus size), compiling
 each rule's path pattern to an RE2-safe regex (RFC 9309 semantics:
 prefix match, ``*`` wildcard, ``$`` end anchor). ``filter_by_robots``
-then broadcasts the rules against the corpus and applies the
-longest-match-wins / allow-on-tie decision — all JVM-side (rlike with a
-column pattern + one window argmax).
+then broadcasts a per-host rules ARRAY against the corpus and resolves
+the longest-match-wins / allow-on-tie decision per row with
+higher-order functions — all JVM-side, zero corpus-side shuffle.
 """
 
 from __future__ import annotations
@@ -140,12 +140,19 @@ def filter_by_robots(
     RFC 9309 decision: among rules whose pattern matches the URL path,
     the most specific (longest pattern) wins; on a tie, allow wins.
     URLs on hosts with no rules — or matching no rule — are allowed
-    (``keep_unmatched``). The rules side is broadcast (host count ≪
-    corpus count); the match is ``rlike`` against the rule's compiled
-    regex column, JVM-side.
-    """
-    from pyspark.sql import Window
+    (``keep_unmatched``).
 
+    Scale shape: the decision is purely per-row, so the corpus must not
+    shuffle for it. Rules collapse host-side to one
+    ``host → array<struct<regex, allow, specificity>>`` row (the only
+    Exchange, bounded by host count, then broadcast); each corpus row
+    resolves its own argmax in array-land — ``filter`` keeps the rules
+    whose regex matches the path, ``array_max`` over
+    ``struct(specificity, allow)`` is exactly longest-wins/allow-on-tie
+    (struct ordering compares fields left to right, ``true > false``).
+    Zero corpus-side Exchange, zero Window — plan-asserted in
+    ``tests/test_plans.py``.
+    """
     host = F.lower(
         F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)
     )
@@ -153,33 +160,29 @@ def filter_by_robots(
         F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
     )
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    keyed = (
-        corpus.withColumn("_rid", F.monotonically_increasing_id())
-        .withColumn("_host", host)
-        .withColumn("_path", path)
-    )
+    keyed = corpus.withColumn("_host", host).withColumn("_path", path)
 
-    r = rules.select(
-        F.col("host").alias("_rhost"),
-        "allow",
-        "regex",
-        "specificity",
+    per_host = rules.groupBy(F.col("host").alias("_rhost")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("regex"), F.col("allow"), F.col("specificity")
+            )
+        ).alias("_rules")
     )
     joined = keyed.join(
-        F.broadcast(r),
-        (F.col("_host") == F.col("_rhost"))
-        & F.regexp_like(F.col("_path"), F.col("regex")),
-        "left",
+        F.broadcast(per_host), F.col("_host") == F.col("_rhost"), "left"
     )
-    w = Window.partitionBy("_rid").orderBy(
-        F.desc("specificity"), F.desc("allow")
-    )
-    decided = (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .withColumn(
-            "_allowed",
-            F.coalesce(F.col("allow"), F.lit(bool(keep_unmatched))),
+    best = F.array_max(
+        F.transform(
+            F.filter(
+                F.col("_rules"),
+                lambda r: F.regexp_like(F.col("_path"), r["regex"]),
+            ),
+            lambda r: F.struct(
+                r["specificity"].alias("specificity"),
+                r["allow"].alias("allow"),
+            ),
         )
     )
-    return decided.filter(F.col("_allowed")).select(*corpus.columns)
+    allowed = F.coalesce(best["allow"], F.lit(bool(keep_unmatched)))
+    return joined.filter(allowed).select(*corpus.columns)

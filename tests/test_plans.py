@@ -338,3 +338,20 @@ def test_hopping_window_expands_before_partial_agg(spark, queries):
     # partial + final aggregate pair around the single exchange
     assert node_count(plan, "HashAggregate") == 2, plan
     assert "Join" not in plan and "Union" not in plan, plan
+
+
+def test_filter_by_robots_no_corpus_shuffle(spark, queries):
+    """The robots decision is per-row: the corpus side must not shuffle
+    and must not sort. The ONLY Exchange allowed is the host-bounded
+    rules aggregation (then broadcast); the per-row argmax is array-land
+    higher-order functions, so zero Window nodes. This pins the round-6
+    rewrite away from the Window.partitionBy(monotonically_increasing_id)
+    shape, which exchanged the full corpus once per decision."""
+    plan = plan_of(queries["robots_filtered_urls"](spark, SF_DIR))
+    assert node_count(plan, "Window") == 0, plan
+    assert node_count(plan, "BroadcastHashJoin") == 1, plan
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\n[^\n]*\nArguments: ([^\n]*)", plan
+    )
+    assert len(exchanges) == 1, plan  # rules groupBy(host) only
+    assert "host" in exchanges[0] and "doc_id" not in exchanges[0], plan
