@@ -9613,8 +9613,6 @@ CATALOG: list[QueryDef] = [
     # --- sessionization core (reference parity) ---
     QueryDef("sessionize_events", q_sessionize_events, SQL_SESSIONIZE_EVENTS,
              "per-event 30-min-gap session assignment (flagship)"),
-    QueryDef("session_stats", q_session_stats, SQL_SESSION_STATS,
-             "per-session rollup: bounds, duration, value sum"),
     QueryDef("prev_active_sessions", q_prev_active_sessions, SQL_PREV_ACTIVE_SESSIONS,
              "carry-in selection: latest row per still-active session"),
     QueryDef("user_event_sequence", q_user_event_sequence,
@@ -9638,8 +9636,6 @@ CATALOG: list[QueryDef] = [
              "at scale)"),
     QueryDef("window_rank_suite", q_window_rank_suite, SQL_WINDOW_RANK_SUITE,
              "rank/dense_rank/lead/ntile/cume_dist over one spec"),
-    QueryDef("value_percentiles", q_value_percentiles, SQL_VALUE_PERCENTILES,
-             "exact interpolated percentiles per group"),
     QueryDef("asof_purchase_last_view", q_asof_purchase_last_view,
              SQL_ASOF_PURCHASE_LAST_VIEW,
              "backward as-of join via union+window (one shuffle)"),
@@ -9680,14 +9676,32 @@ CATALOG: list[QueryDef] = [
     QueryDef("bm25_search", q_bm25_search, SQL_BM25_SEARCH,
              "full-text BM25 ranking from one token explode "
              "(search-engine scoring family)"),
-    QueryDef("idle_rich_customers", q_idle_rich_customers,
-             SQL_IDLE_RICH_CUSTOMERS,
-             "Q22-shaped scalar-subquery threshold + anti join"),
     QueryDef("market_share", q_market_share, SQL_MARKET_SHARE,
              "Q8-shaped 7-table snowflake with double-role nation join"),
-    # --- text analysis ---
-    QueryDef("quality_scores", q_quality_scores, SQL_QUALITY_SCORES,
-             "heuristic quality scoring"),
+    # --- text analysis / crawl quality ---
+    # round-6 rotation: the round-5 crawl/quality families had never been
+    # driver-graded; five slots rotate to them. Displaced near-duplicates
+    # (all still oracle-checked in EXTENDED): quality_scores (the quality
+    # family's richer reps are gopher_doc_flags + c4_filtered_docs),
+    # session_stats (session agg graded via sessionize_events +
+    # conversion_funnel_24h; sql_session_stats twin in EXTENDED),
+    # value_percentiles (quantile family graded via
+    # histogram_quantile_sketch; exact percentiles stay in EXTENDED),
+    # idle_rich_customers (anti-join + scalar-anchor shapes graded via
+    # ngram_decontaminate's semi/anti mix and cdc_merge_apply's anti),
+    # bloom_membership (sketch family keeps cms + histogram graded;
+    # bloom also drives bloom_pruned_order_revenue in EXTENDED).
+    QueryDef("gopher_doc_flags", q_gopher_doc_flags, SQL_GOPHER_DOC_FLAGS,
+             "the Gopher quality gates as per-rule booleans + AND — the "
+             "rejection-audit shape, every rule oracle-replayed"),
+    QueryDef("c4_filtered_docs", q_c4_filtered_docs, SQL_C4_FILTERED_DOCS,
+             "C4 line-level cleaning (terminal punctuation + min words, "
+             "lorem-ipsum/brace page gates) — kept text sha-pinned"),
+    QueryDef("boilerplate_extract_docs", q_boilerplate_extract_docs,
+             SQL_BOILERPLATE_EXTRACT_DOCS,
+             "jusText-style per-block boilerplate removal (length + "
+             "link-density + stopword-density signals), array-land "
+             "zero-shuffle, keep/drop pattern hash-matched"),
     QueryDef("language_id", q_language_id, SQL_LANGUAGE_ID,
              "stopword-profile language guess"),
     QueryDef("pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES,
@@ -9746,6 +9760,14 @@ CATALOG: list[QueryDef] = [
              "URL canonicalization (case, default ports, tracking "
              "params, param sort, fragments, trailing slash) + "
              "scheme/host/domain/path parts — rule-for-rule oracle"),
+    QueryDef("robots_filtered_urls", q_robots_filtered_urls,
+             SQL_ROBOTS_FILTERED_URLS,
+             "RFC 9309 robots decision over synthesized rules: per-host "
+             "regex match, longest pattern wins, allow on tie, "
+             "unmatched kept — oracle-replayed, zero corpus shuffle"),
+    QueryDef("doc_outlinks", q_doc_outlinks, SQL_DOC_OUTLINKS,
+             "href extraction + relative-URL resolution (the web-graph "
+             "edge builder) — every resolution rule oracle-replayed"),
     # --- sketches & sampling ---
     QueryDef("brand_basket_rules", q_brand_basket_rules,
              SQL_BRAND_BASKET_RULES,
@@ -9755,8 +9777,6 @@ CATALOG: list[QueryDef] = [
     QueryDef("triangle_counts", q_triangle_counts, SQL_TRIANGLE_COUNTS,
              "degree-ordered triangle counting + clustering coefficient "
              "over the part co-occurrence graph (skew-safe wedge join)"),
-    QueryDef("bloom_membership", q_bloom_membership, SQL_BLOOM_MEMBERSHIP,
-             "bloom-filter join pruning probe vs ground truth"),
     QueryDef("stratified_sample_docs", q_stratified_sample_docs,
              SQL_STRATIFIED_SAMPLE_DOCS,
              "deterministic fixed-size-per-stratum sample"),
@@ -9778,6 +9798,19 @@ CATALOG: list[QueryDef] = [
 #: continuously oracle-checked locally, excluded from the driver's 50-query
 #: window so every driver slot carries an independent operator family.
 EXTENDED_CATALOG: list[QueryDef] = [
+    # round-6 rotation: displaced near-duplicates (see the CATALOG note
+    # beside gopher_doc_flags for where each shape stays graded)
+    QueryDef("session_stats", q_session_stats, SQL_SESSION_STATS,
+             "per-session rollup: bounds, duration, value sum"),
+    QueryDef("value_percentiles", q_value_percentiles, SQL_VALUE_PERCENTILES,
+             "exact interpolated percentiles per group"),
+    QueryDef("idle_rich_customers", q_idle_rich_customers,
+             SQL_IDLE_RICH_CUSTOMERS,
+             "Q22-shaped scalar-subquery threshold + anti join"),
+    QueryDef("quality_scores", q_quality_scores, SQL_QUALITY_SCORES,
+             "heuristic quality scoring"),
+    QueryDef("bloom_membership", q_bloom_membership, SQL_BLOOM_MEMBERSHIP,
+             "bloom-filter join pruning probe vs ground truth"),
     # round-5 second rotation: displaced near-duplicates (pivot CASE-agg
     # shape stays graded via conversion_funnel_24h/pricing_summary; NDV
     # estimation via orders_profile + three other graded sketches;
@@ -9794,25 +9827,6 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "mojibake/U+FFFD/control counts + Flesch readability over "
              "deterministically damaged docs — encoding triage before "
              "GPU-hours, quantized-double oracle-matched"),
-    QueryDef("c4_filtered_docs", q_c4_filtered_docs, SQL_C4_FILTERED_DOCS,
-             "C4 line-level cleaning (terminal punctuation + min words, "
-             "lorem-ipsum/brace page gates) — kept text sha-pinned"),
-    QueryDef("gopher_doc_flags", q_gopher_doc_flags, SQL_GOPHER_DOC_FLAGS,
-             "the Gopher quality gates as per-rule booleans + AND — the "
-             "rejection-audit shape, every rule oracle-replayed"),
-    QueryDef("robots_filtered_urls", q_robots_filtered_urls,
-             SQL_ROBOTS_FILTERED_URLS,
-             "RFC 9309 robots decision over synthesized rules: per-host "
-             "regex match, longest pattern wins, allow on tie, "
-             "unmatched kept — oracle-replayed"),
-    QueryDef("boilerplate_extract_docs", q_boilerplate_extract_docs,
-             SQL_BOILERPLATE_EXTRACT_DOCS,
-             "jusText-style per-block boilerplate removal (length + "
-             "link-density + stopword-density signals), array-land "
-             "zero-shuffle, keep/drop pattern hash-matched"),
-    QueryDef("doc_outlinks", q_doc_outlinks, SQL_DOC_OUTLINKS,
-             "href extraction + relative-URL resolution (the web-graph "
-             "edge builder) — every resolution rule oracle-replayed"),
     QueryDef("sentence_chunks", q_sentence_chunks, SQL_SENTENCE_CHUNKS,
              "sentence-preserving offset-bucketed chunking (RAG chunker):"
              " RE2-safe segmentation, window cumsum, ordered re-assembly"

@@ -22,7 +22,6 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "revenue_by_nation",          # star join
     "order_cube",                 # grouping sets
     "window_rank_suite",          # window functions
-    "quality_scores",             # text quality
     "language_id",                # language ID
     "tf_idf",                     # tokens
     "bigram_pmi",                 # PMI
@@ -36,9 +35,19 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "segment_dedup_docs",         # boilerplate removal
     "knn_cosine",                 # brute-force ANN
     "cms_heavy_hitters",          # count-min sketch
-    "bloom_membership",           # bloom filter
     "histogram_quantile_sketch",  # histogram quantiles
     "stratified_sample_docs",     # sampling
+    # round-6 rotation: the round-5 crawl/quality families rotate into
+    # the graded window (displaced near-duplicates — quality_scores,
+    # session_stats, value_percentiles, idle_rich_customers,
+    # bloom_membership — stay oracle-checked in EXTENDED; the CATALOG
+    # comment beside gopher_doc_flags maps each shape to where it
+    # remains graded)
+    "gopher_doc_flags",           # Gopher quality gates (text quality)
+    "c4_filtered_docs",           # C4 line-level cleaning
+    "boilerplate_extract_docs",   # jusText boilerplate removal
+    "robots_filtered_urls",       # RFC 9309 robots decision
+    "doc_outlinks",               # web-graph edge builder
     # round-3 rotation: families that had no driver-graded representative
     # (their near-duplicate predecessors moved to EXTENDED_CATALOG:
     # sql_session_stats ~ session_stats, lang_distribution ~ language_id,
