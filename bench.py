@@ -118,8 +118,12 @@ HEADLINE = [
 
 #: Per-query repeat count; the reported figure is the median, so one-off
 #: JIT/codegen warmup (first run) and stray GC pauses don't skew the
-#: round-over-round regression signal. Override with SPARK_GRAFT_REPEATS.
-REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+#: round-over-round regression signal. Five timed runs (plus a discarded
+#: compile run) keep the median stable enough that the reported spread —
+#: (max-min)/median per query — is a usable noise floor for the
+#: regression gate in tools/compare_bench.py. Override with
+#: SPARK_GRAFT_REPEATS.
+REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "5"))
 
 
 def sf_label(path: str) -> float:
@@ -141,6 +145,7 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
         # REPEATS+1 runs, first discarded: each query's first execution
@@ -155,13 +160,19 @@ def main() -> None:
             ).save()
             if i > 0:
                 runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 3)
+        med = statistics.median(runs)
+        timings[name] = round(med, 3)
+        # relative run-to-run dispersion: the noise floor a regression
+        # must clear before it counts as a plan change, not contention
+        spreads[name] = round((max(runs) - min(runs)) / max(med, 1e-9), 3)
 
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
+        "repeats": REPEATS,
         "sf": sf_label(SF_DIR),
     }
     print(json.dumps(out))
