@@ -186,6 +186,13 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--boilerplate", action="store_true",
                     help="per-block content classification instead of "
                          "whole-page tag stripping")
+    cr.add_argument("--robots", default=None,
+                    help="directory of robots.txt bodies, one file per "
+                         "host named <host>.txt; documents whose URL the "
+                         "host disallows (RFC 9309, longest match wins) "
+                         "are dropped from the corpus")
+    cr.add_argument("--user-agent", default="*",
+                    help="product token for robots group selection")
     cr.add_argument("--master", default=None)
 
     ge = sub.add_parser(
@@ -291,6 +298,34 @@ def main(argv: list[str] | None = None) -> int:
                 max_link_density=args.max_link_density,
                 boilerplate=args.boilerplate,
             )
+            if args.robots:
+                from pyspark.sql import functions as F
+
+                from commerce_sessionization_spark.operators.robots import (
+                    filter_by_robots,
+                    parse_robots_df,
+                )
+
+                bodies = (
+                    spark.read.format("binaryFile")
+                    .load(args.robots)
+                    .select(
+                        F.lower(
+                            F.regexp_replace(
+                                F.element_at(
+                                    F.split(F.col("path"), "/"), -1
+                                ),
+                                r"\.txt$",
+                                "",
+                            )
+                        ).alias("host"),
+                        F.col("content"),
+                    )
+                )
+                rules = parse_robots_df(
+                    bodies, user_agent=args.user_agent
+                )
+                docs = filter_by_robots(docs, rules)
             docs.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
             print(f"wrote {n} documents to {args.out}")

