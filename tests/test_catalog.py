@@ -48,6 +48,10 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "boilerplate_extract_docs",   # jusText boilerplate removal
     "robots_filtered_urls",       # RFC 9309 robots decision
     "doc_outlinks",               # web-graph edge builder
+    # round-6 second swap: the WARC/WET IO loop graded by value
+    # (event_props_extract to EXTENDED; JSON shape stays oracle-checked
+    # via props_variant_stats)
+    "warc_roundtrip_checksums",   # crawl IO round trip
     # round-3 rotation: families that had no driver-graded representative
     # (their near-duplicate predecessors moved to EXTENDED_CATALOG:
     # sql_session_stats ~ session_stats, lang_distribution ~ language_id,
