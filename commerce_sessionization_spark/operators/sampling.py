@@ -89,3 +89,102 @@ def weighted_sample(
         .limit(k)
         .drop("_priority")
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style hashed-bigram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+
+    Scores every ``raw`` document by how much its hashed-bigram profile
+    looks like the ``target`` corpus: weight =
+    Σ_b k_b · ln( (ct_b+1)(Nr+B) / (cr_b+1)(Nt+B) ), where k_b is the
+    doc's gram count in bucket b, ct/cr the target/raw corpus bucket
+    counts (add-one smoothed), Nt/Nr the corpus gram totals. Downstream
+    selection = ``weighted_sample`` over ``exp(weight)`` or a plain
+    top-k; this operator stops at the weights so the heavy passes stay
+    deterministic and oracle-checkable.
+
+    Scale shape: two corpus-stat aggregations collapse to ``n_buckets``
+    rows each (map-side combinable, then broadcast); the per-doc pass is
+    explode → groupBy(doc, bucket) — also combinable, bounded by
+    ``n_buckets`` rows per doc — then one broadcast join against the
+    bucket ratio table and a final per-doc sum. No window, no self-join;
+    both shuffles key on (doc, bucket) / doc, uniform by construction.
+    The per-bucket log ratio is computed ONCE in the 256-row table
+    (each factor cast to double before multiplying, one division, one
+    ln) so engine float parity holds to the quantization margin.
+    """
+    from commerce_sessionization_spark.operators.text import TOKEN_PATTERN
+
+    B = int(n_buckets)
+
+    def gram_buckets(df: DataFrame) -> DataFrame:
+        toks = F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), F.lit(0)
+        )
+        with_toks = df.select(F.col(id_col), toks.alias("_toks"))
+        grams = F.expr(
+            "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)),"
+            " (x, i) -> concat(x, ' ', _toks[i + 1]))"
+        )
+        return with_toks.select(
+            id_col, F.explode(grams).alias("gram")
+        ).select(
+            id_col,
+            F.pmod(
+                hex_to_long(F.sha2(F.col("gram"), 256), 8), F.lit(B)
+            ).alias("bucket"),
+        )
+
+    raw_gb = gram_buckets(raw)
+    tgt_gb = gram_buckets(target)
+
+    ct = tgt_gb.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    cr = raw_gb.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    nt = ct.agg(F.sum("ct").alias("nt"))
+    nr = cr.agg(F.sum("cr").alias("nr"))
+
+    spark = raw.sparkSession
+    buckets = spark.range(B).select(F.col("id").alias("bucket"))
+    ratio = (
+        buckets.join(F.broadcast(ct), "bucket", "left")
+        .join(F.broadcast(cr), "bucket", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            F.log(
+                (
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    * (F.col("nr") + B).cast("double")
+                )
+                / (
+                    (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+                    * (F.col("nt") + B).cast("double")
+                )
+            ).alias("rb"),
+        )
+    )
+
+    k = raw_gb.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        k.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("n_grams"),
+            F.sum(F.col("k") * F.col("rb")).alias("_w"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            (F.floor(F.col("_w") * F.lit(1_000_000.0)))
+            .cast("long")
+            .alias("dsir_w_q6"),
+        )
+    )

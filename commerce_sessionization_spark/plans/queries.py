@@ -9669,6 +9669,60 @@ WHERE text IS NOT NULL
 """
 
 
+# --------------------------------------------------------------------------
+# DSIR importance resampling weights (operators.sampling.dsir_weights)
+# --------------------------------------------------------------------------
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bigram importance weights of every document against the
+    English subcorpus as the DSIR target — the data-selection pass that
+    precedes importance resampling. Every count is exact; the only
+    doubles are the 256 per-bucket log ratios (single cast-multiply-
+    divide-ln, engine-identical to the q6 quantization margin).
+    """
+    from commerce_sessionization_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+_DSIR_BUCKET = _hex2int_sql("sha256(gram)", 8)
+
+SQL_DSIR_WEIGHTS = f"""
+WITH tok AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '{_TOKEN_RE}') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, lang,
+         unnest([t[_i] || ' ' || t[_i + 1] for _i in range(1, len(t))])
+           AS gram
+  FROM tok
+), gb AS (
+  SELECT doc_id, lang, ({_DSIR_BUCKET}) % 256 AS bucket FROM g
+), ct AS (SELECT bucket, count(*) AS ct FROM gb WHERE lang = 'en'
+          GROUP BY 1),
+cr AS (SELECT bucket, count(*) AS cr FROM gb GROUP BY 1),
+nt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM ct),
+nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM cr),
+r AS (
+  SELECT b.range AS bucket,
+         ln( ((COALESCE(ct, 0) + 1)::DOUBLE * (nr + 256)::DOUBLE)
+             / ((COALESCE(cr, 0) + 1)::DOUBLE * (nt + 256)::DOUBLE) )
+           AS rb
+  FROM range(0, 256) b
+  LEFT JOIN ct ON ct.bucket = b.range
+  LEFT JOIN cr ON cr.bucket = b.range, nt, nr
+),
+k AS (SELECT doc_id, bucket, count(*) AS k FROM gb GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_grams,
+       CAST(floor(sum(k * rb) * 1000000.0) AS BIGINT) AS dsir_w_q6
+FROM k JOIN r USING (bucket)
+GROUP BY doc_id
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -9871,6 +9925,12 @@ CATALOG: list[QueryDef] = [
 #: continuously oracle-checked locally, excluded from the driver's 50-query
 #: window so every driver slot carries an independent operator family.
 EXTENDED_CATALOG: list[QueryDef] = [
+    # round-6 new family: DSIR data selection (candidate for a future
+    # graded slot — the window was already rotated 6 deep this round)
+    QueryDef("dsir_weights", q_dsir_weights, SQL_DSIR_WEIGHTS,
+             "DSIR hashed-bigram importance weights vs the English "
+             "target subcorpus (Xie et al. 2023) — exact integer "
+             "counts, 256-bucket broadcast log-ratio table, q6"),
     # round-6 rotation: displaced near-duplicates (see the CATALOG note
     # beside gopher_doc_flags for where each shape stays graded)
     QueryDef("session_stats", q_session_stats, SQL_SESSION_STATS,

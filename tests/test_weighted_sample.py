@@ -40,3 +40,29 @@ def test_weighted_sample_plans_take_ordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     # the top-k must not plan a full sort-shuffle of the corpus
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR (Xie et al. 2023): a raw document sharing the target
+    corpus's hashed-bigram profile must score above one that shares
+    nothing, and weights must be finite for every doc with >= 1 bigram
+    (add-one smoothing covers unseen buckets)."""
+    from commerce_sessionization_spark.operators.sampling import dsir_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "quantum flux capacitor alignment theory") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "quantum flux capacitor alignment"),      # target-like
+            (2, "cheap pills casino jackpot winner now"), # off-target
+            (3, "quantum flux"),                          # 1 shared bigram
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dsir_weights(raw, target).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_grams"] == 3
+    assert rows[1]["dsir_w_q6"] > rows[3]["dsir_w_q6"] > rows[2]["dsir_w_q6"]
+    assert rows[2]["dsir_w_q6"] < 0  # off-target profile is penalized
