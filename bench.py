@@ -114,6 +114,14 @@ HEADLINE = [
     # round-5 crawl family: per-block boilerplate classification, the
     # heaviest regex shape in the catalog
     "boilerplate_extract_docs",
+    # round-6: the rewritten zero-shuffle robots decision, the two
+    # quality-gate families newly in the graded window, the web-graph
+    # edge builder, and the new DSIR data-selection family
+    "robots_filtered_urls",
+    "gopher_doc_flags",
+    "c4_filtered_docs",
+    "doc_outlinks",
+    "dsir_weights",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

@@ -102,3 +102,33 @@ def test_urls_stay_jvm_side(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_skew_probe_hot_host_stays_balanced():
+    """dedup_by_canonical_url shuffles on the canonical URL; the plan's
+    scale assumption is that HOST skew (one domain owning ~99% of
+    pages) does not become SHUFFLE-KEY skew, because URLs are unique
+    within the hot host. Ground truth via tools/url_skew_probe.py: the
+    reduce stage's shuffle-read BYTES must stay uniform (max/median
+    ~1.0; asserted < 1.5 — a true hot key would put ~99% of bytes in
+    one task, ratio ~16 at 16 partitions). Bytes, not task millis:
+    sub-200ms task durations are scheduler noise on a loaded box."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    probe = (
+        _Path(__file__).resolve().parent.parent / "tools" / "url_skew_probe.py"
+    )
+    out = subprocess.run(
+        [_sys.executable, str(probe), "400000", "0.99", "4"],
+        capture_output=True, text=True, timeout=540,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["reduce_stage_tasks"] > 1, stats
+    assert stats["max_over_median_bytes"] is not None, stats
+    assert stats["max_over_median_bytes"] < 1.5, stats
+    # dedup really ran: the planted 2% duplicate band collapsed
+    assert stats["rows_out"] < stats["rows"], stats

@@ -35,10 +35,15 @@ from commerce_sessionization_spark.operators.urls import (
 from commerce_sessionization_spark.session import get_spark
 
 
-def _task_ms_per_group(log_dir: str) -> dict[str, list[float]]:
-    """Replay Spark event logs: job group -> all task durations (ms)."""
+def _stage_tasks_for_group(
+    log_dir: str, want_group: str
+) -> dict[int, list[float]]:
+    """Replay Spark event logs: stage id -> task durations (ms), for
+    stages belonging to ``want_group``. Per-stage (not flat) because a
+    job mixes the wide dedup stage with 1-task result aggregations —
+    a flat max/median compares apples to the driver's oranges."""
     stage_group: dict[int, str] = {}
-    out: dict[str, list[float]] = {}
+    out: dict[int, list[float]] = {}
     for log in sorted(p for p in Path(log_dir).rglob("*") if p.is_file()):
         for line in log.open(errors="replace"):
             try:
@@ -53,10 +58,23 @@ def _task_ms_per_group(log_dir: str) -> dict[str, list[float]]:
                         stage_group[sid] = group
             elif kind == "SparkListenerTaskEnd":
                 info = ev.get("Task Info") or {}
-                group = stage_group.get(ev.get("Stage ID"))
-                if group and info.get("Finish Time") and info.get("Launch Time"):
-                    out.setdefault(group, []).append(
-                        info["Finish Time"] - info["Launch Time"]
+                sid = ev.get("Stage ID")
+                if (
+                    stage_group.get(sid) == want_group
+                    and info.get("Finish Time")
+                    and info.get("Launch Time")
+                ):
+                    sr = (
+                        (ev.get("Task Metrics") or {}).get(
+                            "Shuffle Read Metrics"
+                        )
+                        or {}
+                    )
+                    read = (sr.get("Local Bytes Read") or 0) + (
+                        sr.get("Remote Bytes Read") or 0
+                    )
+                    out.setdefault(sid, []).append(
+                        (info["Finish Time"] - info["Launch Time"], read)
                     )
     return out
 
@@ -130,10 +148,17 @@ def main() -> None:
     wall = time.time() - t0
 
     spark.stop()  # flushes the event log
-    tasks = _task_ms_per_group(log_dir).get("dedup", [])
-    tasks.sort()
-    med = tasks[len(tasks) // 2] if tasks else float("nan")
-    mx = max(tasks) if tasks else float("nan")
+    stages = _stage_tasks_for_group(log_dir, "dedup")
+    # key skew shows up on the REDUCE side: the stage whose tasks read
+    # the (canonical-url-partitioned) shuffle. Pick it by shuffle-read
+    # bytes, and report both duration and bytes balance there.
+    sid, recs = max(
+        stages.items(), key=lambda kv: sum(r[1] for r in kv[1])
+    )
+    durs = sorted(r[0] for r in recs)
+    reads = sorted(r[1] for r in recs)
+    med, mx = durs[len(durs) // 2], durs[-1]
+    med_b, mx_b = reads[len(reads) // 2], reads[-1]
     print(
         json.dumps(
             {
@@ -141,10 +166,15 @@ def main() -> None:
                 "rows_out": n_out,
                 "host_skew": host_skew,
                 "cores": cores,
-                "n_tasks": len(tasks),
+                "reduce_stage_tasks": len(durs),
                 "median_task_ms": med,
                 "max_task_ms": mx,
                 "max_over_median": round(mx / med, 2) if med else None,
+                "median_shuffle_read_b": med_b,
+                "max_shuffle_read_b": mx_b,
+                "max_over_median_bytes": (
+                    round(mx_b / med_b, 2) if med_b else None
+                ),
                 "wall_sec": round(wall, 2),
             }
         )
