@@ -9688,6 +9688,39 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs, docs.filter(F.col("lang") == "en"))
 
 
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DSIR pipeline: importance weights → Gumbel-top-k
+    importance resample (top-k of w + Gumbel(u) samples ∝ exp(w)
+    without replacement — Vieira 2014 — with u hash-derived, so the
+    sample is deterministic and engine-replayable; no exp(), so no
+    overflow for any weight range). The weight entering the key is the
+    QUANTIZED q6 integer divided back to double, making the dominant
+    term bit-identical in both engines; selection flips would need the
+    k-th and k+1-th Gumbel keys within one ulp.
+    """
+    from commerce_sessionization_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    h = hex_to_long(
+        F.sha2(
+            F.concat(F.lit("dsir:"), F.col("doc_id").cast("string")), 256
+        )
+    )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    key = F.col("dsir_w_q6").cast("double") / F.lit(1_000_000.0) - F.log(
+        -F.log(u)
+    )
+    return (
+        w.withColumn("_gumbel_key", key)
+        .orderBy(F.desc("_gumbel_key"))
+        .limit(100)
+        .select("doc_id", "n_grams", "dsir_w_q6")
+    )
+
+
 _DSIR_BUCKET = _hex2int_sql("sha256(gram)", 8)
 
 SQL_DSIR_WEIGHTS = f"""
@@ -9720,6 +9753,23 @@ SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_grams,
        CAST(floor(sum(k * rb) * 1000000.0) AS BIGINT) AS dsir_w_q6
 FROM k JOIN r USING (bucket)
 GROUP BY doc_id
+"""
+
+_DSIR_U = (
+    "(("
+    + _hex2int_sql("sha256('dsir:' || CAST(doc_id AS VARCHAR))", 15)
+    + ")::DOUBLE + 1.0) / 1152921504606846976.0"
+)
+
+SQL_DSIR_RESAMPLE = f"""
+WITH w AS ({SQL_DSIR_WEIGHTS}),
+keyed AS (
+  SELECT doc_id, n_grams, dsir_w_q6,
+         dsir_w_q6::DOUBLE / 1000000.0 - ln(-ln({_DSIR_U})) AS gk
+  FROM w
+)
+SELECT doc_id, n_grams, dsir_w_q6
+FROM keyed ORDER BY gk DESC LIMIT 100
 """
 
 
@@ -9931,6 +9981,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "DSIR hashed-bigram importance weights vs the English "
              "target subcorpus (Xie et al. 2023) — exact integer "
              "counts, 256-bucket broadcast log-ratio table, q6"),
+    QueryDef("dsir_resample", q_dsir_resample, SQL_DSIR_RESAMPLE,
+             "DSIR end-to-end: Gumbel-top-k importance resample over "
+             "the quantized weights (samples prop. to exp(w) without "
+             "replacement, hash-derived noise, exp-free)"),
     # round-6 rotation: displaced near-duplicates (see the CATALOG note
     # beside gopher_doc_flags for where each shape stays graded)
     QueryDef("session_stats", q_session_stats, SQL_SESSION_STATS,
