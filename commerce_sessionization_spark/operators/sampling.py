@@ -118,7 +118,12 @@ def dsir_weights(
     both shuffles key on (doc, bucket) / doc, uniform by construction.
     The per-bucket log ratio is computed ONCE in the 256-row table
     (each factor cast to double before multiplying, one division, one
-    ln) so engine float parity holds to the quantization margin.
+    ln) so engine float parity holds to the quantization margin; the
+    per-doc sum then left-folds the ≤256 k·rb terms in BUCKET ORDER
+    (array_sort on the unique bucket key, then ``F.aggregate``) rather
+    than a commutative ``sum()``, so the float total is bit-identical
+    across engines and partitionings — a plain sum is order-dependent
+    and can flip the q6 quantization on a 1e-6 boundary.
     """
     from commerce_sessionization_spark.operators.text import TOKEN_PATTERN
 
@@ -178,12 +183,26 @@ def dsir_weights(
         .groupBy(id_col)
         .agg(
             F.sum("k").alias("n_grams"),
-            F.sum(F.col("k") * F.col("rb")).alias("_w"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("bucket"),
+                        (F.col("k").cast("double") * F.col("rb")).alias("t"),
+                    )
+                )
+            ).alias("_terms"),
         )
         .select(
             id_col,
             "n_grams",
-            (F.floor(F.col("_w") * F.lit(1_000_000.0)))
+            F.floor(
+                F.aggregate(
+                    "_terms",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["t"],
+                )
+                * F.lit(1_000_000.0)
+            )
             .cast("long")
             .alias("dsir_w_q6"),
         )

@@ -9678,7 +9678,9 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     English subcorpus as the DSIR target — the data-selection pass that
     precedes importance resampling. Every count is exact; the only
     doubles are the 256 per-bucket log ratios (single cast-multiply-
-    divide-ln, engine-identical to the q6 quantization margin).
+    divide-ln, engine-identical) and the per-doc total, which both
+    engines compute as a bucket-ordered left fold so the q6 integer is
+    bit-identical, not merely within a quantization margin.
     """
     from commerce_sessionization_spark.operators.sampling import (
         dsir_weights,
@@ -9750,7 +9752,12 @@ r AS (
 ),
 k AS (SELECT doc_id, bucket, count(*) AS k FROM gb GROUP BY 1, 2)
 SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_grams,
-       CAST(floor(sum(k * rb) * 1000000.0) AS BIGINT) AS dsir_w_q6
+       -- bucket-ordered left fold (matches Spark's array_sort +
+       -- aggregate): a commutative float sum() is order-dependent
+       -- across engines and can flip the q6 quantization
+       CAST(floor(list_reduce(list(k::DOUBLE * rb ORDER BY bucket),
+                              (acc, x) -> acc + x) * 1000000.0)
+            AS BIGINT) AS dsir_w_q6
 FROM k JOIN r USING (bucket)
 GROUP BY doc_id
 """

@@ -228,6 +228,8 @@ _INTENDED_LOOP_JOINS = {
     "bloom_pruned_order_revenue",  # 1-row bloom bitmap broadcast probe
     "cms_join_size",           # 1-row exact-size scalar rides along
     "priority_price_quantiles",  # percentile literals x per-group totals
+    "dsir_weights",            # 1-row Nt / Nr corpus-total anchors
+    "dsir_resample",           # same weights pass feeds the top-k
 }
 
 
