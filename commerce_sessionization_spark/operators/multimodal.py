@@ -1070,17 +1070,16 @@ def _decode_text_bytes(payload: bytes) -> str:
         return payload.decode("latin1")
 
 
-def extract_document_text(df: DataFrame) -> DataFrame:
-    """Text + metadata from document payloads (PDF) — the document leg
-    of the corpus pipeline, same Arrow-batched shape as the image/audio
-    extractors. Per asset: page count, concatenated page text (pages
-    joined by form-feed, so the sentence chunker can re-split), Info
-    metadata (Title/Producer — generative-tool provenance lives there),
-    and the ``has_cid_fonts`` flag (CJK embedded fonts decode wrong in
-    the dependency-free path — route those to a real PDF stack).
-    Encrypted or non-PDF payloads yield a format-only row; extraction
-    never fails the pass. The output is documents-shaped enough to feed
-    ``quality_score`` / dedup directly via ``text``.
+def _extract_document_rec(asset_id, payload: bytes, mime: str) -> dict:
+    """One asset's extraction record. Degrades to ``format='unknown'``
+    on unparseable payloads (UnsupportedMediaError/ValueError from the
+    decoders; RuntimeError/NotImplementedError from zipfile for
+    encrypted members / unsupported compression — PK-prefixed payloads
+    ONLY). Any other escape is a decoder bug and propagates: masking it
+    as 'unknown' would silently drop real documents from the corpus.
+
+    Module-level (not a closure) so the swallow-vs-raise contract is
+    unit-testable without a Spark round-trip.
     """
     from commerce_sessionization_spark.functions.codecs import (
         UnsupportedMediaError,
@@ -1094,67 +1093,76 @@ def extract_document_text(df: DataFrame) -> DataFrame:
         parse_pdf,
     )
 
+    rec = {"asset_id": asset_id, "format": "unknown"}
+    try:
+        if str(mime).startswith("text/"):
+            # plain text / markdown: decode is the parse.
+            # BOM-aware (UTF-8/16) with Latin-1 fallback so
+            # legacy exports never crash the pass.
+            text = _decode_text_bytes(payload)
+            rec.update(
+                format=str(mime).split("/", 1)[1],
+                n_pages=1,
+                text=text,
+                n_chars=len(text),
+                has_cid_fonts=False,
+            )
+        elif payload[:5] == b"%PDF-":
+            meta = parse_pdf(payload)
+            text = "\f".join(extract_pdf_text(payload))
+            rec.update(
+                format="pdf",
+                n_pages=meta["n_pages"],
+                text=text,
+                n_chars=len(text),
+                title=meta["title"],
+                producer=meta["producer"],
+                has_cid_fonts=meta["has_cid_fonts"],
+            )
+        elif payload[:4] == b"PK\x03\x04":
+            meta = parse_docx(payload)
+            text = "\n".join(extract_docx_text(payload))
+            rec.update(
+                format="docx",
+                n_pages=meta["n_paragraphs"],  # best unit it has
+                text=text,
+                n_chars=len(text),
+                title=meta["title"],
+                producer=meta["producer"],
+                has_cid_fonts=False,
+            )
+    except (UnsupportedMediaError, ValueError):
+        pass
+    except (RuntimeError, NotImplementedError):
+        if payload[:4] != b"PK\x03\x04":
+            raise
+    return rec
+
+
+def extract_document_text(df: DataFrame) -> DataFrame:
+    """Text + metadata from document payloads (PDF) — the document leg
+    of the corpus pipeline, same Arrow-batched shape as the image/audio
+    extractors. Per asset: page count, concatenated page text (pages
+    joined by form-feed, so the sentence chunker can re-split), Info
+    metadata (Title/Producer — generative-tool provenance lives there),
+    and the ``has_cid_fonts`` flag (CJK embedded fonts decode wrong in
+    the dependency-free path — route those to a real PDF stack).
+    Encrypted or non-PDF payloads yield a format-only row; extraction
+    never fails the pass. The output is documents-shaped enough to feed
+    ``quality_score`` / dedup directly via ``text``.
+    """
     cols = [f.name for f in DOCUMENT_TEXT_SCHEMA.fields]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in it:
-            recs = []
-            for a, c, mt in zip(
-                pdf_batch["asset_id"],
-                pdf_batch["content"],
-                pdf_batch["mime_type"],
-            ):
-                payload = bytes(c or b"")
-                rec = {"asset_id": a, "format": "unknown"}
-                try:
-                    if str(mt).startswith("text/"):
-                        # plain text / markdown: decode is the parse.
-                        # BOM-aware (UTF-8/16) with Latin-1 fallback so
-                        # legacy exports never crash the pass.
-                        text = _decode_text_bytes(payload)
-                        rec.update(
-                            format=str(mt).split("/", 1)[1],
-                            n_pages=1,
-                            text=text,
-                            n_chars=len(text),
-                            has_cid_fonts=False,
-                        )
-                    elif payload[:5] == b"%PDF-":
-                        meta = parse_pdf(payload)
-                        text = "\f".join(extract_pdf_text(payload))
-                        rec.update(
-                            format="pdf",
-                            n_pages=meta["n_pages"],
-                            text=text,
-                            n_chars=len(text),
-                            title=meta["title"],
-                            producer=meta["producer"],
-                            has_cid_fonts=meta["has_cid_fonts"],
-                        )
-                    elif payload[:4] == b"PK\x03\x04":
-                        meta = parse_docx(payload)
-                        text = "\n".join(extract_docx_text(payload))
-                        rec.update(
-                            format="docx",
-                            n_pages=meta["n_paragraphs"],  # best unit it has
-                            text=text,
-                            n_chars=len(text),
-                            title=meta["title"],
-                            producer=meta["producer"],
-                            has_cid_fonts=False,
-                        )
-                except (
-                    UnsupportedMediaError,
-                    ValueError,
-                    # zipfile raises RuntimeError for encrypted members
-                    # and NotImplementedError for unsupported compression
-                    # — "extraction never fails the pass" must hold for
-                    # those PK-prefixed payloads too.
-                    RuntimeError,
-                    NotImplementedError,
-                ):
-                    pass
-                recs.append(rec)
+            recs = [
+                _extract_document_rec(a, bytes(c or b""), mt)
+                for a, c, mt in zip(
+                    pdf_batch["asset_id"],
+                    pdf_batch["content"],
+                    pdf_batch["mime_type"],
+                )
+            ]
             yield pd.DataFrame(recs, columns=cols)
 
     docs = df.filter(

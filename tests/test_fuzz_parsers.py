@@ -229,3 +229,32 @@ def test_extract_document_text_encrypted_zip_never_fails_pass(spark):
     out = extract_document_text(df).collect()
     assert len(out) == 1
     assert out[0]["format"] == "unknown"
+
+
+def test_document_extraction_zip_errors_swallowed_only_for_pk(monkeypatch):
+    """The RuntimeError/NotImplementedError swallow exists for zipfile's
+    encrypted-member / unsupported-compression signals, which only arise
+    on PK-prefixed payloads. The same exception escaping a PDF decoder
+    is a bug and must PROPAGATE — masking it as format='unknown' would
+    silently drop real documents from the corpus."""
+    import pytest
+
+    from commerce_sessionization_spark.operators import multimodal
+
+    def boom(_payload):
+        raise RuntimeError("decoder bug")
+
+    monkeypatch.setattr(multimodal, "_decode_text_bytes", boom)
+    with pytest.raises(RuntimeError, match="decoder bug"):
+        multimodal._extract_document_rec(1, b"hello", "text/plain")
+
+    # PK-prefixed payloads keep the documented degradation: zipfile's
+    # RuntimeError (here via a stubbed parse_docx) -> format='unknown'.
+    import commerce_sessionization_spark.functions.docx as docx_mod
+
+    def zip_boom(_payload):
+        raise RuntimeError("File <x> is encrypted, password required")
+
+    monkeypatch.setattr(docx_mod, "parse_docx", zip_boom)
+    rec = multimodal._extract_document_rec(2, b"PK\x03\x04junk", "application/docx")
+    assert rec["format"] == "unknown"
