@@ -9818,8 +9818,6 @@ CATALOG: list[QueryDef] = [
              "ANALYZE-style one-scan column profile: rows/nulls/ndv/"
              "min/max per column, long form (approx_ndv flag = HLL++ "
              "at scale)"),
-    QueryDef("window_rank_suite", q_window_rank_suite, SQL_WINDOW_RANK_SUITE,
-             "rank/dense_rank/lead/ntile/cume_dist over one spec"),
     QueryDef("asof_purchase_last_view", q_asof_purchase_last_view,
              SQL_ASOF_PURCHASE_LAST_VIEW,
              "backward as-of join via union+window (one shuffle)"),
@@ -9919,8 +9917,6 @@ CATALOG: list[QueryDef] = [
              "MinHash+LSH near-dup (verified) — must equal exhaustive"),
     QueryDef("dedup_components", q_dedup_components, SQL_DEDUP_COMPONENTS,
              "connected components over the near-dup pair graph"),
-    QueryDef("simhash_pairs", q_simhash_pairs, SQL_SIMHASH_PAIRS,
-             "SimHash banded near-dup candidates"),
     # --- iterative graph ---
     QueryDef("pagerank_neardup", q_pagerank_neardup, SQL_PAGERANK_NEARDUP,
              "5-iteration PageRank over the near-dup graph "
@@ -9966,9 +9962,6 @@ CATALOG: list[QueryDef] = [
              "deterministic fixed-size-per-stratum sample"),
     QueryDef("cms_heavy_hitters", q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS,
              "count-min sketch point queries vs exact counts"),
-    QueryDef("histogram_quantile_sketch", q_histogram_quantile_sketch,
-             SQL_HISTOGRAM_QUANTILE_SKETCH,
-             "mergeable equi-width histogram quantile estimates"),
     # --- warehouse maintenance (round-3 driver-window promotions) ---
     QueryDef("hourly_rollup_merge", q_hourly_rollup_merge,
              SQL_HOURLY_ROLLUP_MERGE,
@@ -9976,14 +9969,14 @@ CATALOG: list[QueryDef] = [
              "direct recompute (exact merge law)"),
     QueryDef("scd2_user_state", q_scd2_user_state, SQL_SCD2_USER_STATE,
              "SCD Type-2 versioned history with change collapse"),
-]
-
-#: Secondary variants and near-duplicate shapes — full QueryDef contract,
-#: continuously oracle-checked locally, excluded from the driver's 50-query
-#: window so every driver slot carries an independent operator family.
-EXTENDED_CATALOG: list[QueryDef] = [
-    # round-6 new family: DSIR data selection (candidate for a future
-    # graded slot — the window was already rotated 6 deep this round)
+    # --- round-7 rotation: the three oracle-paired families the gate
+    # had never graded. Displaced near-duplicates (all still
+    # oracle-checked in EXTENDED): window_rank_suite (the window-function
+    # shape stays graded via conversion_funnel_24h / asof / scd2 windows),
+    # simhash_pairs (banded near-dup pair shape graded via
+    # minhash_lsh_pairs; simhash_fingerprints stays in EXTENDED),
+    # histogram_quantile_sketch (mergeable-sketch family graded via
+    # cms_heavy_hitters + orders_profile).
     QueryDef("dsir_weights", q_dsir_weights, SQL_DSIR_WEIGHTS,
              "DSIR hashed-bigram importance weights vs the English "
              "target subcorpus (Xie et al. 2023) — exact integer "
@@ -9992,6 +9985,25 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "DSIR end-to-end: Gumbel-top-k importance resample over "
              "the quantized weights (samples prop. to exp(w) without "
              "replacement, hash-derived noise, exp-free)"),
+    QueryDef("sentence_chunks", q_sentence_chunks, SQL_SENTENCE_CHUNKS,
+             "sentence-preserving offset-bucketed chunking (RAG chunker):"
+             " RE2-safe segmentation, window cumsum, ordered re-assembly"
+             " — full chunk text hash-matched"),
+]
+
+#: Secondary variants and near-duplicate shapes — full QueryDef contract,
+#: continuously oracle-checked locally, excluded from the driver's 50-query
+#: window so every driver slot carries an independent operator family.
+EXTENDED_CATALOG: list[QueryDef] = [
+    # round-7 rotation: displaced near-duplicates (see the CATALOG note
+    # beside dsir_weights for where each shape stays graded)
+    QueryDef("window_rank_suite", q_window_rank_suite, SQL_WINDOW_RANK_SUITE,
+             "rank/dense_rank/lead/ntile/cume_dist over one spec"),
+    QueryDef("simhash_pairs", q_simhash_pairs, SQL_SIMHASH_PAIRS,
+             "SimHash banded near-dup candidates"),
+    QueryDef("histogram_quantile_sketch", q_histogram_quantile_sketch,
+             SQL_HISTOGRAM_QUANTILE_SKETCH,
+             "mergeable equi-width histogram quantile estimates"),
     # round-6 rotation: displaced near-duplicates (see the CATALOG note
     # beside gopher_doc_flags for where each shape stays graded)
     QueryDef("session_stats", q_session_stats, SQL_SESSION_STATS,
@@ -10024,10 +10036,6 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "mojibake/U+FFFD/control counts + Flesch readability over "
              "deterministically damaged docs — encoding triage before "
              "GPU-hours, quantized-double oracle-matched"),
-    QueryDef("sentence_chunks", q_sentence_chunks, SQL_SENTENCE_CHUNKS,
-             "sentence-preserving offset-bucketed chunking (RAG chunker):"
-             " RE2-safe segmentation, window cumsum, ordered re-assembly"
-             " — full chunk text hash-matched"),
     QueryDef("sessionize_events_bucketed", q_sessionize_events_bucketed,
              SQL_SESSIONIZE_EVENTS,
              "skew-proof bucketed sessionize == plain (byte-identical)"),

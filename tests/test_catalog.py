@@ -21,7 +21,6 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "pricing_summary",            # TPC-H scan+agg
     "revenue_by_nation",          # star join
     "order_cube",                 # grouping sets
-    "window_rank_suite",          # window functions
     "language_id",                # language ID
     "tf_idf",                     # tokens
     "bigram_pmi",                 # PMI
@@ -30,12 +29,10 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "ngram_decontaminate",        # decontamination
     "exact_dedup_docs",           # exact dedup
     "minhash_lsh_pairs",          # MinHash LSH
-    "simhash_pairs",              # SimHash
     "dedup_components",           # connected components
     "segment_dedup_docs",         # boilerplate removal
     "knn_cosine",                 # brute-force ANN
     "cms_heavy_hitters",          # count-min sketch
-    "histogram_quantile_sketch",  # histogram quantiles
     "stratified_sample_docs",     # sampling
     # round-6 rotation: the round-5 crawl/quality families rotate into
     # the graded window (displaced near-duplicates — quality_scores,
@@ -109,6 +106,16 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "html_extract_docs",          # HTML -> text extraction (crawl step 0)
     "canonical_urls",             # URL canonicalization / dedup key
     "brand_basket_rules",         # market-basket association rules
+    # round-7 rotation: the last three oracle-paired families the gate
+    # had never graded. Displaced near-duplicates — window_rank_suite
+    # (window shape graded via conversion_funnel_24h / asof / scd2),
+    # simhash_pairs (banded-pair shape via minhash_lsh_pairs),
+    # histogram_quantile_sketch (mergeable-sketch family via
+    # cms_heavy_hitters + orders_profile) — stay oracle-checked in
+    # EXTENDED_CATALOG.
+    "dsir_weights",               # DSIR importance weights (data selection)
+    "dsir_resample",              # Gumbel-top-k importance resample
+    "sentence_chunks",            # sentence-preserving RAG chunker
 }
 
 
