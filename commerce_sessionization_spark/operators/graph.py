@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _dec(col: F.Column) -> F.Column:
@@ -111,8 +112,15 @@ def pagerank(
     # pin the edge list ONCE: it is referenced every iteration, and without
     # this its entire upstream lineage (often an expensive pair-generation
     # subtree, e.g. the Jaccard self-join feeding the near-dup graph) would
-    # re-execute per round — measured 36.7 s → ~8 s at sf0.1 for 5 rounds
-    edges = edges.localCheckpoint()
+    # re-execute per round — measured 36.7 s → ~8 s at sf0.1 for 5 rounds.
+    # persist (compressed columnar batches, unrolled incrementally, spills
+    # per batch) rather than localCheckpoint (deserialized row blocks,
+    # unrolled per partition): on a 10M-node/700M-edge graph squeezed
+    # into one local-mode JVM the row blocks OOM an 8 GiB heap, while
+    # the columnar pin fits — and on a cluster the same level just means
+    # less aggregate cache memory. The plan stays loop-invariant, so the
+    # O(1)-lineage argument for a checkpoint doesn't apply.
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     vertices = vertices.localCheckpoint()
     # count AFTER the checkpoint: it reads the materialized partitions
     # instead of executing the vertex subtree a second time
@@ -154,8 +162,8 @@ def pagerank(
         # shuffle regime (billion-node graphs, or partition_invariants
         # off): the rank⋈edges join and the groupBy(dst) each need their
         # own key layout, so one shuffle per round is inherent (the
-        # standard Pregel cost); pin lineage only.
-        wedges = wedges.localCheckpoint()
+        # standard Pregel cost); pin as compressed columnar (cf. edges).
+        wedges = wedges.persist(StorageLevel.MEMORY_AND_DISK)
     dang_nodes = vertices.join(out_deg, id_col, "left_anti").localCheckpoint()
 
     ranks = vertices.select(
@@ -247,8 +255,11 @@ def triangle_counts(
         # pinned: the edge list (often an expensive pair-generation
         # subtree) is referenced by the degree count, the ranked
         # direction, and both sides of the wedge join — without this
-        # the upstream re-executes per reference (cf. pagerank)
-        .localCheckpoint()
+        # the upstream re-executes per reference (cf. pagerank).
+        # Compressed-columnar persist, not localCheckpoint: deserialized
+        # row blocks OOM the single local-mode JVM at the sf10 edge
+        # count (see pagerank's edge pin for the full rationale).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         und.select(F.explode(F.array(F.col("a"), F.col("b"))).alias("node"))
@@ -269,15 +280,19 @@ def triangle_counts(
             .alias("e")
         )
         .select("e.u", "e.v")
-        # hash-distribute on u BEFORE pinning: the checkpointed RDD keeps
+        # hash-distribute on u BEFORE pinning: the pinned relation keeps
         # this partitioning, so (a) the downstream adjacency build
         # (groupBy u) and the first adjacency join (on u) reuse it
         # without an exchange, and (b) the wide per-edge intersect stage
-        # parallelizes — without it AQE can hand the checkpoint a single
+        # parallelizes — without it AQE can hand the pin a single
         # coalesced partition and the whole credit stage runs one-task
-        # (9.5 s of a 17 s wall at sf0.1, measured).
+        # (9.5 s of a 17 s wall at sf0.1, measured). Columnar persist
+        # (InMemoryRelation keeps outputPartitioning, unlike a
+        # checkpoint's LogicalRDD) instead of localCheckpoint — the
+        # deserialized row blocks OOM the local JVM at sf10 edge counts.
         .repartition(int(_sc_parallelism(edges)), "u")
-        .localCheckpoint()  # referenced 3x: wedge left, wedge right, closer
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        # referenced 3x: wedge left, wedge right, closer
     )
     if strategy == "intersect":
         adj = ranked.groupBy("u").agg(F.collect_list("v").alias("_nbrs"))
