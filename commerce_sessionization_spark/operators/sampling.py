@@ -91,6 +91,38 @@ def weighted_sample(
     )
 
 
+def gumbel_top_k(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "dsir_w_q6",
+    seed: str = "dsir",
+) -> DataFrame:
+    """Gumbel-top-k importance resample (Vieira 2014): the k largest
+    ``w + Gumbel(u)`` keys are a sample ∝ exp(w) WITHOUT replacement.
+
+    ``weight_col`` is a q6-quantized integer log-weight (see
+    ``dsir_weights``); dividing it back to double makes the dominant
+    key term bit-identical across engines, and the Gumbel noise
+    ``-ln(-ln(u))`` uses hash-derived u ∈ (0, 1], so the selection is
+    deterministic, engine-replayable, and exp()-free (no overflow for
+    any weight range). Global top-k = TakeOrdered, no full sort.
+    """
+    h = hex_to_long(
+        F.sha2(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")), 256)
+    )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    key = F.col(weight_col).cast("double") / F.lit(1_000_000.0) - F.log(
+        -F.log(u)
+    )
+    return (
+        weights.withColumn("_gumbel_key", key)
+        .orderBy(F.desc("_gumbel_key"))
+        .limit(k)
+        .drop("_gumbel_key")
+    )
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,

@@ -27,6 +27,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from commerce_sessionization_spark.functions.hashing import hex_to_long
 from commerce_sessionization_spark.functions.vectors import cosine_similarity, l2_norm
@@ -3986,8 +3987,11 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
         # pinned: edges AND verts derive from cp, and pagerank
         # checkpoints each input separately — unpinned, the join+distinct
         # executed twice (profiler: the two ~10 MiB-shuffle pair-gen jobs
-        # back to back at the head of every pagerank run)
-        .localCheckpoint()
+        # back to back at the head of every pagerank run). Compressed
+        # columnar persist, not localCheckpoint: at sf10 the ~50M-row
+        # pair set OOMs an 8 GiB local JVM as deserialized row blocks
+        # (cf. operators/graph.py edge pins).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     edges = cp.select(F.col("c").alias("src"), F.col("p").alias("dst")).unionByName(
         cp.select(F.col("p").alias("src"), F.col("c").alias("dst"))
@@ -9702,33 +9706,25 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from commerce_sessionization_spark.operators.sampling import (
         dsir_weights,
+        gumbel_top_k,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     w = dsir_weights(docs, docs.filter(F.col("lang") == "en"))
-    h = hex_to_long(
-        F.sha2(
-            F.concat(F.lit("dsir:"), F.col("doc_id").cast("string")), 256
-        )
-    )
-    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
-    key = F.col("dsir_w_q6").cast("double") / F.lit(1_000_000.0) - F.log(
-        -F.log(u)
-    )
-    return (
-        w.withColumn("_gumbel_key", key)
-        .orderBy(F.desc("_gumbel_key"))
-        .limit(100)
-        .select("doc_id", "n_grams", "dsir_w_q6")
-    )
+    return gumbel_top_k(w, 100).select("doc_id", "n_grams", "dsir_w_q6")
 
 
 _DSIR_BUCKET = _hex2int_sql("sha256(gram)", 8)
 
-SQL_DSIR_WEIGHTS = f"""
+
+def _dsir_weights_sql(source: str) -> str:
+    """The DSIR weight computation over any (doc_id, text, lang)
+    relation — parametrized so the composed corpus pipeline can run it
+    over its dedup survivors, not just the raw documents table."""
+    return f"""
 WITH tok AS (
   SELECT doc_id, lang, regexp_extract_all(lower(text), '{_TOKEN_RE}') AS t
-  FROM documents
+  FROM {source}
 ), g AS (
   SELECT doc_id, lang,
          unnest([t[_i] || ' ' || t[_i + 1] for _i in range(1, len(t))])
@@ -9762,6 +9758,9 @@ FROM k JOIN r USING (bucket)
 GROUP BY doc_id
 """
 
+
+SQL_DSIR_WEIGHTS = _dsir_weights_sql("documents")
+
 _DSIR_U = (
     "(("
     + _hex2int_sql("sha256('dsir:' || CAST(doc_id AS VARCHAR))", 15)
@@ -9777,6 +9776,98 @@ keyed AS (
 )
 SELECT doc_id, n_grams, dsir_w_q6
 FROM keyed ORDER BY gk DESC LIMIT 100
+"""
+
+
+def q_llm_corpus_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus pipeline with DSIR selection composed in — the order
+    practitioners actually run the passes: quality gate → exact dedup →
+    near-dup prune → DSIR importance resample toward the English target
+    → split labels. Extends ``llm_corpus_pipeline`` (which stops at the
+    split) with the data-selection stage between pruning and splitting;
+    one oracle checks the whole chain end-to-end.
+    """
+    from commerce_sessionization_spark.operators.sampling import (
+        dsir_weights,
+        gumbel_top_k,
+        hash_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        quality_score(docs)
+        .where(F.col("quality_score") >= 0.5)
+        .select(*docs.columns)
+    )
+    uniq = exact_dedup(kept).localCheckpoint()
+    pairs = ngram_jaccard_pairs(uniq, n=3, threshold=0.8)
+    # pinned: dsir_weights reads the survivor set TWICE (raw corpus +
+    # English target) and its upstream is the expensive Jaccard pair
+    # generation — the same stage-materialization argument as `uniq`
+    survivors = uniq.join(
+        pairs.select(F.col("b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    ).localCheckpoint()
+    w = dsir_weights(survivors, survivors.filter(F.col("lang") == "en"))
+    sel = gumbel_top_k(w, 100)
+    return hash_split(sel, "doc_id").select(
+        "doc_id", "n_grams", "dsir_w_q6", "split"
+    )
+
+
+SQL_LLM_CORPUS_DSIR = f"""
+WITH scored AS (
+  SELECT doc_id,
+         0.5 * least(length(text) / 500.0, 1.0)
+       + 0.3 * least((len([w for w in {_LWORDS_SQL} if w IN ('the','and','of','to','in','is','a')])
+                      / len({_LWORDS_SQL})) * 5.0, 1.0)
+       + 0.2 * (1.0 - least((len(regexp_extract_all(text, '[^\\w\\s]'))
+                             / length(text)) * 5.0, 1.0)) AS score
+  FROM documents
+), keptq AS (
+  SELECT d.doc_id, d.text, d.lang
+  FROM documents d JOIN scored USING (doc_id)
+  WHERE score >= 0.5
+), uniq AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT doc_id, text, lang,
+           row_number() OVER (
+             PARTITION BY sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM keptq)
+  WHERE rn = 1
+), docsw AS (
+  SELECT doc_id, {_LWORDS_SQL} AS words FROM uniq
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(words[i+1:i+3], ' ') for i in range(0, greatest(len(words)-2, 0))]
+         )) AS shingle
+  FROM docsw
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), dropb AS (
+  SELECT DISTINCT b
+  FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+  WHERE i / (sa.n + sb.n - i) >= 0.8
+), surv AS (
+  SELECT doc_id, text, lang FROM uniq
+  WHERE doc_id NOT IN (SELECT b FROM dropb)
+), w AS ({_dsir_weights_sql("surv")}),
+keyed AS (
+  SELECT doc_id, n_grams, dsir_w_q6,
+         dsir_w_q6::DOUBLE / 1000000.0 - ln(-ln({_DSIR_U})) AS gk
+  FROM w
+), sel AS (
+  SELECT doc_id, n_grams, dsir_w_q6 FROM keyed ORDER BY gk DESC LIMIT 100
+)
+SELECT doc_id, n_grams, dsir_w_q6, {_SPLIT_CASE_SQL} AS split
+FROM (SELECT doc_id, n_grams, dsir_w_q6, ({_SPLIT_HASH_SQL}) % 10000 AS h
+      FROM sel)
 """
 
 
@@ -9995,6 +10086,12 @@ CATALOG: list[QueryDef] = [
 #: continuously oracle-checked locally, excluded from the driver's 50-query
 #: window so every driver slot carries an independent operator family.
 EXTENDED_CATALOG: list[QueryDef] = [
+    # round-7: DSIR composed into the corpus pipeline end-to-end
+    QueryDef("llm_corpus_dsir_pipeline", q_llm_corpus_dsir_pipeline,
+             SQL_LLM_CORPUS_DSIR,
+             "full training-corpus pipeline with data selection: "
+             "quality gate -> exact dedup -> near-dup prune -> DSIR "
+             "Gumbel-top-k resample -> split labels, one oracle"),
     # round-7 rotation: displaced near-duplicates (see the CATALOG note
     # beside dsir_weights for where each shape stays graded)
     QueryDef("window_rank_suite", q_window_rank_suite, SQL_WINDOW_RANK_SUITE,

@@ -230,6 +230,7 @@ _INTENDED_LOOP_JOINS = {
     "priority_price_quantiles",  # percentile literals x per-group totals
     "dsir_weights",            # 1-row Nt / Nr corpus-total anchors
     "dsir_resample",           # same weights pass feeds the top-k
+    "llm_corpus_dsir_pipeline",  # composes dsir_weights' scalar anchors
 }
 
 
