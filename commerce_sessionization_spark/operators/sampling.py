@@ -123,6 +123,124 @@ def gumbel_top_k(
     )
 
 
+def gram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """One row per bigram occurrence: (id, bucket[, extra...]), with
+    bucket = sha256(gram) mod ``n_buckets``. The shared tokenizer step
+    of the DSIR batch operator and its streaming maintainer — both MUST
+    hash grams identically or the maintained stats drift from the batch
+    law."""
+    from commerce_sessionization_spark.operators.text import TOKEN_PATTERN
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), F.lit(0)
+    )
+    with_toks = df.select(F.col(id_col), *extra_cols, toks.alias("_toks"))
+    grams = F.expr(
+        "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', _toks[i + 1]))"
+    )
+    keep = [id_col] + [c for c in with_toks.columns if c not in (id_col, "_toks")]
+    return with_toks.select(
+        *keep, F.explode(grams).alias("gram")
+    ).select(
+        *keep,
+        F.pmod(
+            hex_to_long(F.sha2(F.col("gram"), 256), 8), F.lit(int(n_buckets))
+        ).alias("bucket"),
+    )
+
+
+def dsir_log_ratios(counts: DataFrame, n_buckets: int = 256) -> DataFrame:
+    """The ``n_buckets``-row (bucket, rb) log-ratio table from a
+    (bucket, ct, cr) count table (ct = target-corpus gram count,
+    cr = raw-corpus gram count; missing buckets may be absent or null).
+
+    rb = ln((ct+1)(Nr+B) / ((cr+1)(Nt+B))) with every factor cast to
+    double before multiplying — ONE division, ONE ln per bucket, so the
+    table is bit-identical across engines. This is the only piece of
+    DSIR state a maintainer needs to persist: it is derived from two
+    mergeable count vectors, so importance weights can refresh as a
+    crawl lands (see streaming.rollup_stream.make_dsir_writer).
+    """
+    B = int(n_buckets)
+    spark = counts.sparkSession
+    nt = counts.agg(F.sum("ct").alias("nt"))
+    nr = counts.agg(F.sum("cr").alias("nr"))
+    buckets = spark.range(B).select(F.col("id").alias("bucket"))
+    return (
+        buckets.join(F.broadcast(counts), "bucket", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            F.log(
+                (
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    * (F.col("nr") + B).cast("double")
+                )
+                / (
+                    (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+                    * (F.col("nt") + B).cast("double")
+                )
+            ).alias("rb"),
+        )
+    )
+
+
+def dsir_score(
+    raw: DataFrame,
+    ratios: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Score documents against a prebuilt (bucket, rb) log-ratio table —
+    the serving half of DSIR, decoupled from the corpus-statistics half
+    so a streaming maintainer's state can stand in for the batch pass.
+    Output: (id, n_grams, dsir_w_q6). See ``dsir_weights`` for the
+    determinism contract (bucket-ordered left fold)."""
+    k = (
+        gram_buckets(raw, text_col, id_col, n_buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return (
+        k.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("n_grams"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("bucket"),
+                        (F.col("k").cast("double") * F.col("rb")).alias("t"),
+                    )
+                )
+            ).alias("_terms"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.floor(
+                F.aggregate(
+                    "_terms",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["t"],
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("dsir_w_q6"),
+        )
+    )
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -157,85 +275,18 @@ def dsir_weights(
     across engines and partitionings — a plain sum is order-dependent
     and can flip the q6 quantization on a 1e-6 boundary.
     """
-    from commerce_sessionization_spark.operators.text import TOKEN_PATTERN
-
     B = int(n_buckets)
-
-    def gram_buckets(df: DataFrame) -> DataFrame:
-        toks = F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), F.lit(0)
-        )
-        with_toks = df.select(F.col(id_col), toks.alias("_toks"))
-        grams = F.expr(
-            "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)),"
-            " (x, i) -> concat(x, ' ', _toks[i + 1]))"
-        )
-        return with_toks.select(
-            id_col, F.explode(grams).alias("gram")
-        ).select(
-            id_col,
-            F.pmod(
-                hex_to_long(F.sha2(F.col("gram"), 256), 8), F.lit(B)
-            ).alias("bucket"),
-        )
-
-    raw_gb = gram_buckets(raw)
-    tgt_gb = gram_buckets(target)
-
-    ct = tgt_gb.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
-    cr = raw_gb.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    nt = ct.agg(F.sum("ct").alias("nt"))
-    nr = cr.agg(F.sum("cr").alias("nr"))
-
-    spark = raw.sparkSession
-    buckets = spark.range(B).select(F.col("id").alias("bucket"))
-    ratio = (
-        buckets.join(F.broadcast(ct), "bucket", "left")
-        .join(F.broadcast(cr), "bucket", "left")
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(nr))
-        .select(
-            "bucket",
-            F.log(
-                (
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-                    * (F.col("nr") + B).cast("double")
-                )
-                / (
-                    (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
-                    * (F.col("nt") + B).cast("double")
-                )
-            ).alias("rb"),
-        )
+    ct = (
+        gram_buckets(target, text_col, id_col, B)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
     )
-
-    k = raw_gb.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("k"))
-    return (
-        k.join(F.broadcast(ratio), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.sum("k").alias("n_grams"),
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("bucket"),
-                        (F.col("k").cast("double") * F.col("rb")).alias("t"),
-                    )
-                )
-            ).alias("_terms"),
-        )
-        .select(
-            id_col,
-            "n_grams",
-            F.floor(
-                F.aggregate(
-                    "_terms",
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["t"],
-                )
-                * F.lit(1_000_000.0)
-            )
-            .cast("long")
-            .alias("dsir_w_q6"),
-        )
+    cr = (
+        gram_buckets(raw, text_col, id_col, B)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    counts = ct.join(cr, "bucket", "full")
+    return dsir_score(
+        raw, dsir_log_ratios(counts, B), text_col, id_col, B
     )

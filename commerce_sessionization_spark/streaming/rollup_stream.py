@@ -218,6 +218,65 @@ def make_bottomk_writer(
                                    keep_versions=keep_versions)
 
 
+def make_dsir_writer(
+    spark: SparkSession,
+    out_path: str,
+    target_col: str = "lang",
+    target_value: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    keep_versions: int = 3,
+):
+    """Incremental DSIR corpus statistics over a document stream.
+
+    DSIR's only corpus-level state is two ``n_buckets``-long gram-count
+    vectors (raw corpus ``cr``, target subcorpus ``ct``) — a mergeable
+    map-side-combinable aggregate, so it rides the same MVCC epoch
+    maintainer as the rollups: per epoch, bucket-count the micro-batch's
+    bigrams and fold into the previous version by per-bucket addition.
+    Epoch replay rewrites the identical version (counts are a
+    deterministic function of the input rows), so the statistics are
+    exactly-once without any dedup.
+
+    Importance weights then refresh as a crawl lands: read the newest
+    state with ``read_rollup_state``, turn it into the log-ratio table
+    with ``operators.sampling.dsir_log_ratios``, and score any corpus
+    with ``dsir_score`` — pinned equal to the batch ``dsir_weights``
+    over the same rows by tests/test_rollup.py.
+    """
+    from pyspark.sql import functions as F
+
+    from commerce_sessionization_spark.operators.sampling import gram_buckets
+
+    def partial(df: DataFrame) -> DataFrame:
+        gb = gram_buckets(
+            df,
+            text_col,
+            id_col,
+            n_buckets,
+            extra_cols=(
+                (F.col(target_col) == F.lit(target_value)).alias("_tgt"),
+            ),
+        )
+        return gb.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
+        )
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return (
+            a.unionByName(b)
+            .groupBy("bucket")
+            .agg(F.sum("cr").alias("cr"), F.sum("ct").alias("ct"))
+        )
+
+    return make_incremental_writer(spark, out_path, partial, merge,
+                                   keep_versions=keep_versions)
+
+
 def make_checksum_writer(
     spark: SparkSession,
     out_path: str,

@@ -231,3 +231,49 @@ def test_checksum_writer_matches_batch_fingerprint_and_replays(spark, tmp_path):
         ).cast("long").alias("c"),
     ).collect()[0]
     assert (got["n_rows"], got["checksum"]) == (want["n"], want["c"])
+
+
+def test_dsir_writer_streamed_stats_equal_batch_weights_and_replay(
+    spark, tmp_path
+):
+    """The streaming DSIR maintainer's law: corpus statistics folded
+    epoch-by-epoch, then scored via dsir_log_ratios + dsir_score, must
+    equal the batch dsir_weights over all rows ever seen — and epoch
+    replay must rewrite the identical state version (exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from commerce_sessionization_spark.operators.sampling import (
+        dsir_log_ratios,
+        dsir_score,
+        dsir_weights,
+    )
+    from commerce_sessionization_spark.sources.tables import load_table
+    from commerce_sessionization_spark.streaming.rollup_stream import (
+        make_dsir_writer,
+        read_rollup_state,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    out = str(tmp_path / "dsir")
+    write = make_dsir_writer(spark, out)
+    write(b0, 0)
+    write(b1, 1)
+    write(b1, 1)  # replay: counts must not double-fold
+    state = read_rollup_state(spark, out)
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_w_q6"])
+        for r in dsir_score(docs, dsir_log_ratios(state)).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_grams"], r["dsir_w_q6"])
+        for r in dsir_weights(
+            docs, docs.filter(F.col("lang") == "en")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
