@@ -290,7 +290,14 @@ def triangle_counts(
         # (InMemoryRelation keeps outputPartitioning, unlike a
         # checkpoint's LogicalRDD) instead of localCheckpoint — the
         # deserialized row blocks OOM the local JVM at sf10 edge counts.
-        .repartition(int(_sc_parallelism(edges)), "u")
+        # 4× over-partitioning bounds PER-TASK memory in the intersect
+        # stage: each task holds both sides' adjacency arrays for its
+        # key slice, and at sf10 a slot-count layout OOMs an 8 GiB JVM
+        # from those buffers alone; quartering the slice trades a few
+        # hundred extra sub-second tasks for a 4× smaller working set —
+        # the standard partitions-scale-with-data rule, stated here
+        # once for the whole wedge pipeline.
+        .repartition(4 * int(_sc_parallelism(edges)), "u")
         .persist(StorageLevel.MEMORY_AND_DISK)
         # referenced 3x: wedge left, wedge right, closer
     )
