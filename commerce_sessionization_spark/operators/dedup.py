@@ -244,7 +244,7 @@ def shingle_base_hashes(text: Column, n: int = 3, fast: bool = False) -> Column:
     )
 
 
-def minhash_lsh_candidates(
+def lsh_band_table(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -252,20 +252,21 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
 ) -> DataFrame:
-    """Candidate near-dup pairs (a < b) sharing ≥ 1 LSH band.
+    """Per-document LSH band keys: (id, band, key), ``bands`` rows per doc.
 
-    Signature → ``bands`` slices of ``num_hashes/bands`` values → hash each
-    slice to a band key → self-join on (band_idx, band_key). The join input
-    has #docs × bands rows; matching probability follows the usual S-curve
-    1−(1−j^r)^b.
+    The MinHash signature is computed as a *flat aggregation*: explode
+    shingles to (doc, hash) rows, then ``num_hashes`` ``min(xxhash64(
+    slot, h))`` aggs. Two reasons over the array-expression formulation:
+    (a) Catalyst's CollapseProject would inline the whole signature
+    expression into each of the ``bands`` band-key expressions (observed
+    ~bands× blowup); (b) the hash-agg gets map-side partial aggregation
+    and whole-stage codegen, and at 100 TB the shuffle carries only
+    (doc_id, 8·num_hashes bytes) rows.
 
-    The signature is computed as a *flat aggregation*: explode shingles to
-    (doc, hash) rows, then ``num_hashes`` ``min(xxhash64(slot, h))`` aggs.
-    Two reasons over the array-expression formulation: (a) Catalyst's
-    CollapseProject would inline the whole signature expression into each of
-    the ``bands`` band-key expressions (observed ~bands× blowup); (b) the
-    hash-agg gets map-side partial aggregation and whole-stage codegen, and
-    at 100 TB the shuffle carries only (doc_id, 8·num_hashes bytes) rows.
+    This table is the SHARED currency of near-dup detection: the batch
+    pair finders self-join it, and the incremental ingest path persists
+    it as the corpus near-dup index (union-mergeable — 3 fixed-width
+    values per row, uniform keys by construction).
     """
     rows_per_band = num_hashes // bands
     sh = _with_words(df, id_col, text_col).select(
@@ -278,7 +279,7 @@ def minhash_lsh_candidates(
             for i in range(num_hashes)
         ]
     )
-    banded = sig.select(
+    return sig.select(
         "_id",
         F.explode(
             F.array(
@@ -298,7 +299,86 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bk"),
-    ).select("_id", "bk.band", "bk.key")
+    ).select(F.col("_id").alias(id_col), "bk.band", "bk.key")
+
+
+def incremental_neardup_dedup(
+    new_docs: DataFrame,
+    seen_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup-aware ingest: keep only batch docs that LSH-collide with
+    neither the existing corpus nor a smaller-id batch doc.
+
+    ``seen_bands`` is the historical (band, key) index of every KEPT
+    document (``lsh_band_table`` rows; ids not needed for the filter).
+    Two drops, both candidate-level (no exact-Jaccard verify — this is
+    the aggressive CCNet-style ingest gate, and the false-positive rate
+    is the standard S-curve 1−(1−j^r)^b at the band setting):
+
+    - corpus hit: any band key already in the index;
+    - batch loser: not the min id in some shared (band, key) group
+      (min-id representative, the same convention as exact dedup —
+      note this can drop BOTH ends of a collision chain a−b−c; a
+      blocking gate prefers that to re-admitting a near-dup).
+
+    Invariant (pinned by test): the kept corpus NEVER contains an LSH
+    candidate pair — within a batch the per-band min rule leaves at
+    most one owner per key, and across batches the index check blocks
+    later colliders.
+
+    100 TB shape: identical to ``incremental_exact_dedup`` — the index
+    is far larger than a daily batch, so persist it bucketed by
+    (band, key) (sha/xxhash-uniform, no skew) and only the small batch
+    side shuffles; the within-batch rule is one map-side-combinable
+    groupBy over batch×bands rows. Returns kept rows (original
+    columns); append ``lsh_band_table(kept)`` to the index to close
+    the loop.
+    """
+    bt = lsh_band_table(
+        new_docs, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes, bands=bands,
+    )
+    hit = (
+        bt.join(seen_bands.select("band", "key"), ["band", "key"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    bmin = bt.groupBy("band", "key").agg(F.min(id_col).alias("_min"))
+    losers = (
+        bt.join(bmin, ["band", "key"])
+        .filter(F.col(id_col) != F.col("_min"))
+        .select(id_col)
+        .distinct()
+    )
+    drop = hit.unionByName(losers).distinct()
+    return new_docs.join(drop, id_col, "left_anti")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing ≥ 1 LSH band.
+
+    Signature → ``bands`` slices of ``num_hashes/bands`` values → hash each
+    slice to a band key → self-join on (band_idx, band_key). The join input
+    has #docs × bands rows; matching probability follows the usual S-curve
+    1−(1−j^r)^b. The band table comes from ``lsh_band_table`` (see there
+    for the flat-aggregation signature rationale).
+    """
+    banded = lsh_band_table(
+        df, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes, bands=bands,
+    ).withColumnRenamed(id_col, "_id")
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(

@@ -88,6 +88,65 @@ def make_dedup_ingest_writer(
     return write
 
 
+def make_neardup_ingest_writer(
+    spark: SparkSession,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    keep_versions: int = 3,
+):
+    """Idempotent ``foreachBatch`` fn: near-dup-aware corpus ingestion.
+
+    The exact-dedup writer's twin with the LSH band index as state: per
+    epoch, ``incremental_neardup_dedup`` drops batch docs that collide
+    with the corpus index or a smaller-id batch doc, the kept docs land
+    epoch-keyed, and the index gains their ``lsh_band_table`` rows.
+    Same crash/replay argument as ``make_dedup_ingest_writer`` (the
+    replay reads the index version *before* its epoch and recomputes
+    the identical anti-join). State is ``bands`` fixed-width rows per
+    kept doc; the kept corpus never contains an LSH candidate pair
+    (the operator invariant, pinned in tests/test_ingest_dedup.py).
+    """
+    from commerce_sessionization_spark.operators.dedup import (
+        incremental_neardup_dedup,
+        lsh_band_table,
+    )
+
+    state_root = f"{out_path}/rollup_state"
+    lsh_kw = dict(
+        id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes, bands=bands,
+    )
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        prev = read_rollup_state(spark, out_path, before=epoch_id)
+        if prev is None:
+            prev = spark.createDataFrame([], f"{id_col} long, band int, key long")
+        kept = incremental_neardup_dedup(batch_df, prev, **lsh_kw)
+        kept.write.mode("overwrite").parquet(
+            f"{out_path}/docs/epoch={epoch_id}"
+        )
+        new_state = prev.unionByName(
+            lsh_band_table(
+                spark.read.parquet(f"{out_path}/docs/epoch={epoch_id}"),
+                **lsh_kw,
+            )
+        ).distinct()
+        new_state.write.mode("overwrite").parquet(f"{state_root}/v={epoch_id}")
+        live = _live_versions(spark, state_root)
+        fs, jvm = _fs_and_path(spark, state_root)
+        for v in live[:-keep_versions] if keep_versions else []:
+            if v != epoch_id:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(f"{state_root}/v={v}"), True
+                )
+
+    return write
+
+
 def stream_dedup_ingest(
     docs_stream: DataFrame,
     out_path: str,

@@ -83,3 +83,75 @@ def test_end_to_end_readstream(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert read_corpus(spark, out).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Near-dup-aware ingestion (LSH band index as the corpus state)
+# ---------------------------------------------------------------------------
+
+_BASE = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square tonight"
+
+
+def _ndoc(doc_id, text):
+    return (doc_id, text)
+
+
+def test_incremental_neardup_dedup_batch_rules(spark):
+    """Corpus hit, near-dup hit, in-batch min-id rule, fresh doc kept."""
+    from commerce_sessionization_spark.operators.dedup import (
+        incremental_neardup_dedup,
+        lsh_band_table,
+        minhash_lsh_candidates,
+    )
+
+    corpus = _batch(spark, [_ndoc(1, _BASE)])
+    index = lsh_band_table(corpus)
+    batch = _batch(
+        spark,
+        [
+            _ndoc(10, _BASE),                      # exact re-crawl -> drop
+            _ndoc(11, _BASE + " extra"),           # near-dup -> drop
+            _ndoc(12, "completely different words about spark shuffles and "
+                      "parquet footers and broadcast joins at scale"),
+            _ndoc(13, "completely different words about spark shuffles and "
+                      "parquet footers and broadcast joins at scale"),
+            # 12/13 identical: in-batch min-id keeps 12
+        ],
+    )
+    kept = incremental_neardup_dedup(batch, index)
+    assert sorted(r.doc_id for r in kept.collect()) == [12]
+
+    # invariant: corpus + kept has zero LSH candidate pairs
+    merged = corpus.unionByName(kept)
+    assert minhash_lsh_candidates(merged).count() == 0
+
+
+def test_neardup_ingest_writer_epochs_and_replay(spark, tmp_path):
+    """Near-dup ingestion across epochs: exact and near re-deliveries
+    blocked by the band index, replay rewrites identically, and the
+    final corpus holds no LSH candidate pair."""
+    from commerce_sessionization_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from commerce_sessionization_spark.streaming.ingest_dedup import (
+        make_neardup_ingest_writer,
+    )
+
+    out = str(tmp_path / "ndcorpus")
+    write = make_neardup_ingest_writer(spark, out)
+
+    write(_batch(spark, [_ndoc(1, _BASE), _ndoc(2, _BASE)]), 1)
+    b2 = _batch(
+        spark,
+        [
+            _ndoc(3, _BASE + " appended"),          # near-dup of epoch-1 doc
+            _ndoc(4, "fresh unrelated content on columnar execution and "
+                     "adaptive query plans with skew handling enabled"),
+        ],
+    )
+    write(b2, 2)
+    write(b2, 2)  # crash replay: identical recompute
+
+    corpus = read_corpus(spark, out)
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 4]
+    assert minhash_lsh_candidates(corpus).count() == 0
