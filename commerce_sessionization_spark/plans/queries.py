@@ -9871,6 +9871,90 @@ FROM (SELECT doc_id, n_grams, dsir_w_q6, ({_SPLIT_HASH_SQL}) % 10000 AS h
 """
 
 
+def q_corpus_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: WHY each document left the corpus. Every
+    doc gets a status — 'quality' (failed the gate), 'exact_dup' (passed
+    quality, lost the exact-dedup argmin), 'near_dup' (pruned as the
+    larger id of a ≥0.8-Jaccard pair), or 'kept'. The attribution is
+    stage-ordered like the pipeline itself, so per-stage loss rates are
+    one groupBy away — the first question anyone asks of a corpus run
+    ("where did my documents go?") answered as a table, auditable
+    against the oracle end-to-end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs)
+    kept = scored.where(F.col("quality_score") >= 0.5).select(*docs.columns)
+    uniq = exact_dedup(kept).localCheckpoint()
+    dropb = (
+        ngram_jaccard_pairs(uniq, n=3, threshold=0.8)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+        .withColumn("_nd", F.lit(1))
+    )
+    uniq_ids = uniq.select("doc_id").withColumn("_u", F.lit(1))
+    return (
+        scored.select("doc_id", "quality_score")
+        .join(uniq_ids, "doc_id", "left")
+        .join(dropb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("quality_score") < 0.5, "quality")
+            .when(F.col("_u").isNull(), "exact_dup")
+            .when(F.col("_nd") == 1, "near_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+
+
+SQL_CORPUS_DROP_REASONS = f"""
+WITH scored AS (
+  SELECT doc_id,
+         0.5 * least(length(text) / 500.0, 1.0)
+       + 0.3 * least((len([w for w in {_LWORDS_SQL} if w IN ('the','and','of','to','in','is','a')])
+                      / len({_LWORDS_SQL})) * 5.0, 1.0)
+       + 0.2 * (1.0 - least((len(regexp_extract_all(text, '[^\\w\\s]'))
+                             / length(text)) * 5.0, 1.0)) AS score
+  FROM documents
+), keptq AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN scored USING (doc_id)
+  WHERE score >= 0.5
+), uniq AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (
+             PARTITION BY sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM keptq)
+  WHERE rn = 1
+), docsw AS (
+  SELECT doc_id, {_LWORDS_SQL} AS words FROM uniq
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(words[i+1:i+3], ' ') for i in range(0, greatest(len(words)-2, 0))]
+         )) AS shingle
+  FROM docsw
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), dropb AS (
+  SELECT DISTINCT b
+  FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+  WHERE i / (sa.n + sb.n - i) >= 0.8
+)
+SELECT s.doc_id,
+       CASE WHEN s.score < 0.5 THEN 'quality'
+            WHEN u.doc_id IS NULL THEN 'exact_dup'
+            WHEN s.doc_id IN (SELECT b FROM dropb) THEN 'near_dup'
+            ELSE 'kept' END AS status
+FROM scored s LEFT JOIN uniq u ON u.doc_id = s.doc_id
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -10092,6 +10176,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "full training-corpus pipeline with data selection: "
              "quality gate -> exact dedup -> near-dup prune -> DSIR "
              "Gumbel-top-k resample -> split labels, one oracle"),
+    QueryDef("corpus_drop_reasons", q_corpus_drop_reasons,
+             SQL_CORPUS_DROP_REASONS,
+             "pipeline observability: per-doc drop attribution "
+             "(quality / exact_dup / near_dup / kept), stage-ordered"),
     # round-7 rotation: displaced near-duplicates (see the CATALOG note
     # beside dsir_weights for where each shape stays graded)
     QueryDef("window_rank_suite", q_window_rank_suite, SQL_WINDOW_RANK_SUITE,
