@@ -195,6 +195,25 @@ def main(argv: list[str] | None = None) -> int:
                     help="product token for robots group selection")
     cr.add_argument("--master", default=None)
 
+    cp = sub.add_parser(
+        "corpus",
+        help="training-corpus pipeline over a documents parquet "
+             "(e.g. `crawl` output): quality gate -> exact dedup -> "
+             "near-dup prune [-> DSIR top-k selection] -> split labels; "
+             "writes corpus/ plus a per-document drop_reasons/ audit",
+    )
+    cp.add_argument("input", help="documents parquet (doc_id, text[, lang])")
+    cp.add_argument("--out", required=True, help="output directory")
+    cp.add_argument("--min-quality", type=float, default=0.5)
+    cp.add_argument("--jaccard", type=float, default=0.8,
+                    help="near-dup prune threshold")
+    cp.add_argument("--dsir-k", type=int, default=None,
+                    help="keep only the top-k DSIR importance resample "
+                         "toward the --target-lang subcorpus")
+    cp.add_argument("--target-lang", default="en",
+                    help="DSIR target subcorpus (lang column value)")
+    cp.add_argument("--master", default=None)
+
     ge = sub.add_parser(
         "generate",
         help="write deterministic synthetic events via the "
@@ -341,6 +360,80 @@ def main(argv: list[str] | None = None) -> int:
                     f"wrote {sum(r['n_records'] for r in m)} WET records "
                     f"in {len(m)} files to {args.wet_out}"
                 )
+        elif args.cmd == "corpus":
+            from pyspark.sql import functions as F
+
+            from commerce_sessionization_spark.operators.dedup import (
+                exact_dedup,
+                ngram_jaccard_pairs,
+            )
+            from commerce_sessionization_spark.operators.sampling import (
+                dsir_weights,
+                gumbel_top_k,
+                hash_split,
+            )
+            from commerce_sessionization_spark.operators.text import (
+                quality_score,
+            )
+
+            docs = spark.read.parquet(args.input)
+            scored = quality_score(docs)
+            kept = scored.where(
+                F.col("quality_score") >= args.min_quality
+            ).select(*docs.columns)
+            uniq = exact_dedup(kept).localCheckpoint()
+            dropb = (
+                ngram_jaccard_pairs(uniq, n=3, threshold=args.jaccard)
+                .select(F.col("b").alias("doc_id"))
+                .distinct()
+                .localCheckpoint()
+            )
+            survivors = uniq.join(dropb, "doc_id", "left_anti")
+            if args.dsir_k:
+                if "lang" not in docs.columns:
+                    top.error("--dsir-k needs a `lang` column for the target")
+                survivors = survivors.localCheckpoint()
+                w = dsir_weights(
+                    survivors,
+                    survivors.filter(F.col("lang") == args.target_lang),
+                )
+                sel = gumbel_top_k(w, args.dsir_k).select("doc_id")
+                survivors = survivors.join(
+                    F.broadcast(sel), "doc_id", "left_semi"
+                )
+            corpus = hash_split(survivors, "doc_id").localCheckpoint()
+            corpus.write.mode("overwrite").parquet(f"{args.out}/corpus")
+
+            kept_ids = corpus.select("doc_id").withColumn("_k", F.lit(1))
+            uniq_ids = uniq.select("doc_id").withColumn("_u", F.lit(1))
+            nd_ids = dropb.withColumn("_nd", F.lit(1))
+            reasons = (
+                scored.select("doc_id", "quality_score")
+                .join(uniq_ids, "doc_id", "left")
+                .join(nd_ids, "doc_id", "left")
+                .join(kept_ids, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.when(
+                        F.col("quality_score") < args.min_quality, "quality"
+                    )
+                    .when(F.col("_u").isNull(), "exact_dup")
+                    .when(F.col("_nd") == 1, "near_dup")
+                    .when(F.col("_k").isNull(), "not_selected")
+                    .otherwise("kept")
+                    .alias("status"),
+                )
+            )
+            reasons.write.mode("overwrite").parquet(
+                f"{args.out}/drop_reasons"
+            )
+            tally = {
+                r["status"]: r["n"]
+                for r in reasons.groupBy("status")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            print(f"corpus: {corpus.count()} docs kept; drops: {tally}")
         elif args.cmd == "generate":
             from commerce_sessionization_spark.sources.generator import (
                 register as register_generator,

@@ -484,3 +484,49 @@ def test_cli_crawl_robots_composed(tmp_path):
         "https://site-a.net/private/pub/y",
         "https://site-b.org/anything",
     }
+
+
+def test_cli_corpus_subcommand(tmp_path):
+    """`corpus` runs the training-corpus pipeline (with DSIR selection)
+    over a documents parquet and writes corpus + drop_reasons; the
+    audit statuses must tally with the kept set."""
+    import subprocess
+    import sys as _sys
+
+    import duckdb
+
+    out = tmp_path / "corpus_out"
+    run = subprocess.run(
+        [_sys.executable, "-m", "commerce_sessionization_spark", "corpus",
+         "/root/testdata/sf0.001/documents.parquet",
+         "--out", str(out), "--dsir-k", "20", "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert run.returncode == 0, run.stderr[-800:]
+    con = duckdb.connect()
+    kept = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/corpus/*.parquet')"
+    ).fetchone()[0]
+    assert kept == 20  # DSIR top-k caps the corpus
+    tally = dict(con.execute(
+        "SELECT status, count(*) FROM "
+        f"read_parquet('{out}/drop_reasons/*.parquet') GROUP BY 1"
+    ).fetchall())
+    assert tally.get("kept") == 20
+    n_docs = con.execute(
+        "SELECT count(*) FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(tally.values()) == n_docs  # every doc attributed once
+    # kept ids in the audit == the written corpus ids
+    same = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/corpus/*.parquet') c "
+        f"JOIN read_parquet('{out}/drop_reasons/*.parquet') r USING (doc_id) "
+        "WHERE r.status = 'kept'"
+    ).fetchone()[0]
+    assert same == 20
+    assert "split" in [
+        d[0] for d in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{out}/corpus/*.parquet')"
+        ).fetchall()
+    ]
