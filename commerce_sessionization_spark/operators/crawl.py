@@ -142,3 +142,74 @@ def extract_links(
         .filter(F.col("dst").isNotNull())
         .select("src", "href", "dst")
     )
+
+
+def crawl_frontier(
+    outlinks: DataFrame,
+    fetched: DataFrame,
+    per_host_k: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    url_col: str = "url",
+    salt_partitions: int = 16,
+) -> DataFrame:
+    """Next fetch batch from the web graph — the loop-closer of the
+    crawl family (crawl → extract_links → frontier → fetch).
+
+    Discovered targets are canonicalized, already-fetched URLs drop
+    (anti-join — bucket the fetched index by url at corpus scale, cf.
+    ``incremental_exact_dedup``), each survivor is scored by in-degree
+    (count of DISTINCT referring pages — the standard crawl priority),
+    and a politeness cap keeps only the top ``per_host_k`` per host so
+    one fetch round hits no host more than k times. Non-http(s)
+    schemes drop. Deterministic total order (score desc, url asc), so
+    the frontier is engine-replayable.
+
+    Skew is the scale hazard: ONE hot host (a link farm, a big CDN)
+    can own most of the candidate set, and a plain per-host window
+    funnels it through one task. The top-k is therefore two-stage:
+    candidates first rank inside (host, salt) sub-partitions — salt =
+    hash(url) mod ``salt_partitions`` — and only each sub-partition's
+    top k (≤ salt_partitions·k rows per host, bounded) proceed to the
+    exact per-host ranking. Every global top-k row is in its
+    sub-partition's top k, so the result is IDENTICAL to the
+    single-window formulation — which is exactly what the oracle
+    replays, making the skew-safety a free-of-semantics plan choice.
+
+    Output: (url, host, n_referrers, rank), rank 1..k per host.
+    """
+    from pyspark.sql import Window
+
+    from commerce_sessionization_spark.operators.urls import url_parts
+
+    cand = outlinks.select(
+        canonical_url(F.col(dst_col)).alias("url"),
+        canonical_url(F.col(src_col)).alias("_ref"),
+    )
+    scores = cand.groupBy("url").agg(
+        F.count_distinct("_ref").alias("n_referrers")
+    )
+    seen = fetched.select(
+        canonical_url(F.col(url_col)).alias("url")
+    ).distinct()
+    fresh = scores.join(seen, "url", "left_anti")
+    parts = url_parts(F.col("url"))
+    fresh = fresh.withColumn("host", parts["host"]).filter(
+        parts["scheme"].isin("http", "https")
+    )
+    sub = Window.partitionBy("host", "_salt").orderBy(
+        F.desc("n_referrers"), F.asc("url")
+    )
+    top = Window.partitionBy("host").orderBy(
+        F.desc("n_referrers"), F.asc("url")
+    )
+    return (
+        fresh.withColumn(
+            "_salt", F.pmod(F.xxhash64("url"), F.lit(int(salt_partitions)))
+        )
+        .withColumn("_r", F.row_number().over(sub))
+        .filter(F.col("_r") <= per_host_k)
+        .withColumn("rank", F.row_number().over(top))
+        .filter(F.col("rank") <= per_host_k)
+        .select("url", "host", "n_referrers", "rank")
+    )

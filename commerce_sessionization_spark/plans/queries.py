@@ -9955,6 +9955,73 @@ FROM scored s LEFT JOIN uniq u ON u.doc_id = s.doc_id
 """
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``crawl_frontier`` over deterministic synthetic pages: each page
+    links one of 7 mirror hosts plus a same-host doc path, fetched =
+    the pages themselves, politeness cap k=5 per host. The hrefs are
+    generated pre-canonical (lowercase, portless, queryless) so the
+    oracle needs no canonicalization replay — that rule pipeline is
+    graded separately by ``canonical_urls`` — and replays resolution →
+    distinct-referrer scoring → per-host top-k with a plain window,
+    which must equal the operator's two-stage skew-safe ranking
+    row-for-row (the partitioning-invariance claim, hash-checked).
+    """
+    from commerce_sessionization_spark.operators.crawl import (
+        crawl_frontier,
+        extract_links,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = F.concat(
+        F.lit("https://corpus.net/dir/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/page.html"),
+    )
+    html = F.concat(
+        F.lit('<a href="https://m'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('.mirrors.net/doc/'),
+        ((F.col("doc_id") * 3) % 200).cast("string"),
+        F.lit('">m</a> <a href="/doc/'),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit('">d</a>'),
+    )
+    pages = docs.select(base.alias("url"), html.alias("html"))
+    links = extract_links(pages, "html", "url")
+    return crawl_frontier(links, pages.select("url"), per_host_k=5)
+
+
+SQL_CRAWL_FRONTIER = """
+WITH pages AS (
+  SELECT 'https://corpus.net/dir/' || doc_id || '/page.html' AS url,
+         'https://m' || (doc_id % 7) || '.mirrors.net/doc/'
+           || ((doc_id * 3) % 200) AS mhref,
+         '/doc/' || (doc_id % 50) AS dhref
+  FROM documents
+), links AS (
+  SELECT url AS src, mhref AS dst FROM pages
+  UNION ALL
+  SELECT url AS src, 'https://corpus.net' || dhref AS dst FROM pages
+), scores AS (
+  SELECT dst AS url, CAST(count(DISTINCT src) AS BIGINT) AS n_referrers
+  FROM links GROUP BY 1
+), fresh AS (
+  SELECT * FROM scores WHERE url NOT IN (SELECT url FROM pages)
+), ranked AS (
+  SELECT url,
+         lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS host,
+         n_referrers,
+         row_number() OVER (
+           PARTITION BY lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1))
+           ORDER BY n_referrers DESC, url) AS rank
+  FROM fresh
+)
+SELECT url, host, n_referrers, rank FROM ranked WHERE rank <= 5
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -10180,6 +10247,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_CORPUS_DROP_REASONS,
              "pipeline observability: per-doc drop attribution "
              "(quality / exact_dup / near_dup / kept), stage-ordered"),
+    QueryDef("crawl_frontier", q_crawl_frontier, SQL_CRAWL_FRONTIER,
+             "next fetch batch: canonicalize outlink targets, drop "
+             "fetched, in-degree priority, per-host politeness top-k "
+             "(two-stage skew-safe rank == plain-window oracle)"),
     # round-7 rotation: displaced near-duplicates (see the CATALOG note
     # beside dsir_weights for where each shape stays graded)
     QueryDef("window_rank_suite", q_window_rank_suite, SQL_WINDOW_RANK_SUITE,
