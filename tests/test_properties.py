@@ -389,3 +389,83 @@ def test_sentence_chunks_cover_everything_in_order_property(
     # ids are contiguous from zero (downstream packers index by them)
     ids = [r["chunk_id"] for r in out.collect()]
     assert ids == list(range(len(ids)))
+
+
+# ---------------------------------------------------------------------------
+# crawl_frontier: the two-stage skew-safe top-k equals the plain window
+# for EVERY candidate multiset, salt count, and k
+# ---------------------------------------------------------------------------
+
+frontier_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # host index
+        st.integers(min_value=0, max_value=30),   # target path index
+        st.integers(min_value=0, max_value=200),  # referrer index
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=frontier_rows, k=st.integers(1, 4), salts=st.integers(1, 5))
+def test_frontier_two_stage_rank_equals_plain_window(
+    spark, rows, k, salts
+):
+    """The operator's salted two-stage politeness cap must be
+    indistinguishable from the naive single-window formulation for any
+    link multiset — the claim that makes the skew-safe plan a pure
+    physical choice (and lets a plain-SQL oracle replay it)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from commerce_sessionization_spark.operators.crawl import crawl_frontier
+
+    links = spark.createDataFrame(
+        [
+            (
+                f"https://ref{r}.example.org/p",
+                f"https://h{h}.example.org/doc/{t}",
+            )
+            for h, t, r in rows
+        ],
+        "src string, dst string",
+    )
+    fetched = spark.createDataFrame(
+        [("https://h0.example.org/doc/0",)], "url string"
+    )
+    got = sorted(
+        map(
+            tuple,
+            crawl_frontier(
+                links, fetched, per_host_k=k, salt_partitions=salts
+            ).collect(),
+        )
+    )
+
+    scores = (
+        links.join(fetched, links.dst == fetched.url, "left_anti")
+        .groupBy("dst")
+        .agg(F.count_distinct("src").alias("n_referrers"))
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("n_referrers"), "url")
+    want = sorted(
+        map(
+            tuple,
+            scores.select(
+                F.col("dst").alias("url"),
+                F.regexp_extract(
+                    "dst", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1
+                ).alias("host"),
+                "n_referrers",
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .collect(),
+        )
+    )
+    assert got == want
