@@ -193,6 +193,12 @@ def main(argv: list[str] | None = None) -> int:
                          "are dropped from the corpus")
     cr.add_argument("--user-agent", default="*",
                     help="product token for robots group selection")
+    cr.add_argument("--frontier-out", default=None,
+                    help="also write the next fetch batch (outlink "
+                         "targets not yet fetched, in-degree priority, "
+                         "per-host politeness cap) to this parquet path")
+    cr.add_argument("--frontier-k", type=int, default=100,
+                    help="frontier politeness cap: max URLs per host")
     cr.add_argument("--master", default=None)
 
     cp = sub.add_parser(
@@ -360,6 +366,35 @@ def main(argv: list[str] | None = None) -> int:
                     f"wrote {sum(r['n_records'] for r in m)} WET records "
                     f"in {len(m)} files to {args.wet_out}"
                 )
+            if args.frontier_out:
+                from pyspark.sql import functions as F
+
+                from commerce_sessionization_spark.operators.crawl import (
+                    crawl_frontier,
+                    extract_links,
+                )
+                from commerce_sessionization_spark.operators.urls import (
+                    canonical_url,
+                )
+
+                pages = read_warc_dir(spark, args.path, glob=args.glob).filter(
+                    (F.col("warc_type") == "response")
+                    & (F.col("http_status") == 200)
+                    & F.col("http_content_type").startswith("text/html")
+                ).select(
+                    canonical_url(F.col("target_uri")).alias("url"),
+                    F.make_valid_utf8(
+                        F.col("payload").cast("string")
+                    ).alias("html"),
+                )
+                frontier = crawl_frontier(
+                    extract_links(pages, "html", "url"),
+                    pages.select("url"),
+                    per_host_k=args.frontier_k,
+                )
+                frontier.write.mode("overwrite").parquet(args.frontier_out)
+                nf = spark.read.parquet(args.frontier_out).count()
+                print(f"wrote {nf} frontier URLs to {args.frontier_out}")
         elif args.cmd == "corpus":
             from pyspark.sql import functions as F
 

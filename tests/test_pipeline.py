@@ -530,3 +530,60 @@ def test_cli_corpus_subcommand(tmp_path):
             f"DESCRIBE SELECT * FROM read_parquet('{out}/corpus/*.parquet')"
         ).fetchall()
     ]
+
+
+def test_cli_crawl_frontier_composition(tmp_path):
+    """`crawl --frontier-out` closes the crawl loop: the next fetch
+    batch holds outlink targets NOT in the fetched set, in-degree
+    scored, per-host capped."""
+    import subprocess
+    import sys as _sys
+
+    import duckdb
+
+    from commerce_sessionization_spark.functions.warc import (
+        build_http_response,
+        build_warc,
+        build_warc_record,
+    )
+
+    pages = [
+        ("https://site-a.net/one",
+         b"<html><body>alpha beta gamma "
+         b"<a href='https://hub.net/top'>t</a> "
+         b"<a href='/two'>self</a></body></html>"),
+        ("https://site-a.net/two",
+         b"<html><body>delta epsilon zeta "
+         b"<a href='https://hub.net/top'>t</a> "
+         b"<a href='https://hub.net/other'>o</a></body></html>"),
+    ]
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    (warcs / "seg.warc").write_bytes(
+        build_warc(
+            [
+                build_warc_record(
+                    "response", build_http_response(body), target_uri=url
+                )
+                for url, body in pages
+            ]
+        )
+    )
+    out = tmp_path / "corpus"
+    fr = tmp_path / "frontier"
+    run = subprocess.run(
+        [_sys.executable, "-m", "commerce_sessionization_spark",
+         "crawl", str(warcs), "--out", str(out),
+         "--frontier-out", str(fr), "--frontier-k", "1",
+         "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert run.returncode == 0, run.stderr[-800:]
+    rows = duckdb.connect().execute(
+        f"SELECT url, host, n_referrers, rank FROM '{fr}/*.parquet' "
+        "ORDER BY host, rank"
+    ).fetchall()
+    # k=1: hub.net keeps only /top (2 referrers beats /other's 1);
+    # site-a.net/two is already fetched, so site-a.net contributes
+    # nothing — the politeness cap and the fetched gate both visible.
+    assert rows == [("https://hub.net/top", "hub.net", 2, 1)]
