@@ -633,8 +633,18 @@ def k_core(
 
     Each round is one degree aggregation (map-side combinable) plus two
     anti-joins keyed by node — shuffle size shrinks monotonically as the
-    graph peels. ``localCheckpoint`` pins each round's survivor set so
-    lineage doesn't re-execute the whole peel chain per reference.
+    graph peels. Each round's survivor set is pinned with
+    ``localCheckpoint(storageLevel=MEMORY_AND_DISK)`` (serialized in Spark 4;
+    the checkpoint default is the deserialized MEMORY_AND_DISK_DESER): the survivor
+    state EVOLVES, so the checkpoint's plan truncation is load-bearing
+    (each round references the prior set three times — without
+    truncation the logical plan grows 3^rounds and analysis time
+    dominates: measured 3.7 s → ~50 s at sf0.01 with a persist-based
+    pin), while the SERIALIZED level keeps the blocks compact byte
+    buffers instead of per-row deserialized objects (the default
+    deserialized level OOMs the local JVM at sf10 edge counts — cf. the
+    loop-INVARIANT pagerank/triangle pins, where no plan grows and a
+    plain columnar persist is the better trade).
 
     Output: (node, core_degree) — surviving nodes with their degree in
     the surviving subgraph (>= k iff the peel reached fixpoint).
@@ -644,7 +654,7 @@ def k_core(
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = cur.count()
     for _ in range(rounds):
@@ -663,7 +673,7 @@ def k_core(
             cur.join(bad.withColumnRenamed("node", "a"), "a", "left_anti")
             .join(bad.withColumnRenamed("node", "b"), "b", "left_anti")
             .select("a", "b")
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         )
         next_edges = cur.count()
         if next_edges == n_edges:  # fixpoint: further rounds are no-ops
