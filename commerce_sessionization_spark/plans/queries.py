@@ -10027,6 +10027,89 @@ SELECT url, host, n_referrers, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (record linkage) over a deterministically
+    dirtied customer table: BLOCK on an exact equality key (the
+    near-unique account balance stands in for a phone/email — the
+    self-join never goes all-pairs), SCORE surviving pairs
+    with name edit distance (``levenshtein <= 3``, identical semantics
+    in both engines), and CLUSTER matches with the connected-components
+    operator (min member key = the stable entity id). The dirt is two
+    synthetic variants per selected customer — a dropped character and
+    a case change — so blocks hold up to 3 records and the component
+    step must close the transitive triangle. The oracle replays match
+    + a recursive-CTE transitive closure, the converged form of the
+    pointer-jumping rounds.
+    """
+    from commerce_sessionization_spark.operators.dedup import (
+        dedup_components,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_name").alias("name"),
+        # the testdata customer table has no phone; the near-unique
+        # account balance stands in as the exact blocking key
+        F.col("c_acctbal").alias("phone"),
+    )
+    v1 = cust.filter(F.col("cust_id") % 2 == 0).select(
+        (F.col("cust_id") + 1_000_000).alias("cust_id"),
+        F.concat(
+            F.substring("name", 1, 1), F.expr("substr(name, 3)")
+        ).alias("name"),
+        "phone",
+    )
+    v2 = cust.filter(F.col("cust_id") % 4 == 0).select(
+        (F.col("cust_id") + 2_000_000).alias("cust_id"),
+        F.lower(F.col("name")).alias("name"),
+        "phone",
+    )
+    dirty = cust.unionByName(v1).unionByName(v2)
+    l, r = dirty.alias("l"), dirty.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.phone") == F.col("r.phone"))
+            & (F.col("l.cust_id") < F.col("r.cust_id")),
+        )
+        .filter(F.levenshtein(F.col("l.name"), F.col("r.name")) <= 3)
+        .select(F.col("l.cust_id").alias("a"), F.col("r.cust_id").alias("b"))
+    )
+    return dedup_components(
+        pairs, dirty.select("cust_id"), id_col="cust_id"
+    ).select("cust_id", F.col("component_id").alias("entity_id"))
+
+
+SQL_CUSTOMER_ENTITY_RESOLUTION = """
+WITH RECURSIVE dirty AS (
+  SELECT c_custkey AS cust_id, c_name AS name, c_acctbal AS phone
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000,
+         substr(c_name, 1, 1) || substr(c_name, 3), c_acctbal
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey + 2000000, lower(c_name), c_acctbal
+  FROM customer WHERE c_custkey % 4 = 0
+), pairs AS (
+  SELECT l.cust_id AS a, r.cust_id AS b
+  FROM dirty l JOIN dirty r
+    ON l.phone = r.phone AND l.cust_id < r.cust_id
+  WHERE levenshtein(l.name, r.name) <= 3
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT cust_id AS node, cust_id AS comp FROM dirty
+  UNION
+  SELECT e.src AS node, r.comp
+  FROM reach r JOIN edges e ON e.dst = r.node
+  WHERE r.comp < e.src
+)
+SELECT node AS cust_id, CAST(min(comp) AS BIGINT) AS entity_id
+FROM reach GROUP BY node
+"""
+
+
 # The driver's correctness gate grades the first 50 catalog entries, so
 # CATALOG is exactly 50 queries — one per operator family, every entry
 # oracle-paired. Near-duplicate shapes and secondary variants live in
@@ -10256,6 +10339,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "next fetch batch: canonicalize outlink targets, drop "
              "fetched, in-degree priority, per-host politeness top-k "
              "(two-stage skew-safe rank == plain-window oracle)"),
+    QueryDef("customer_entity_resolution", q_customer_entity_resolution,
+             SQL_CUSTOMER_ENTITY_RESOLUTION,
+             "entity resolution: phone blocking + levenshtein match + "
+             "connected components -> stable entity ids"),
     # round-7 rotation: displaced near-duplicates (see the CATALOG note
     # beside dsir_weights for where each shape stays graded)
     QueryDef("window_rank_suite", q_window_rank_suite, SQL_WINDOW_RANK_SUITE,
