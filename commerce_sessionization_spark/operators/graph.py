@@ -121,7 +121,7 @@ def pagerank(
     # less aggregate cache memory. The plan stays loop-invariant, so the
     # O(1)-lineage argument for a checkpoint doesn't apply.
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    vertices = vertices.localCheckpoint()
+    vertices = vertices.localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     # count AFTER the checkpoint: it reads the materialized partitions
     # instead of executing the vertex subtree a second time
     n_vert = vertices.count()  # scalar dimension, like k-means' k
@@ -164,11 +164,11 @@ def pagerank(
         # own key layout, so one shuffle per round is inherent (the
         # standard Pregel cost); pin as compressed columnar (cf. edges).
         wedges = wedges.persist(StorageLevel.MEMORY_AND_DISK)
-    dang_nodes = vertices.join(out_deg, id_col, "left_anti").localCheckpoint()
+    dang_nodes = vertices.join(out_deg, id_col, "left_anti").localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
 
     ranks = vertices.select(
         F.col(id_col), F.lit(1.0 / n_vert).alias("rank")
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
 
     for _ in range(iterations):
         dangling = ranks.join(
@@ -201,7 +201,7 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         )
     if small and partition_invariants:
         # the returned ranks are checkpoint-materialized, so the cached
@@ -418,12 +418,12 @@ def label_propagation(
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     verts = (
         und.select(F.explode(F.array(F.col("a"), F.col("b"))).alias("node"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     n_vert = verts.count()
     small = n_vert <= broadcast_labels
@@ -445,7 +445,7 @@ def label_propagation(
     if small:
         adj = adj.repartition(F.col("node")).cache()
     else:
-        adj = adj.localCheckpoint()
+        adj = adj.localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     labels = verts.select("node", F.col("node").alias("community"))
     for _ in range(rounds):
         lbl = labels.select(
@@ -455,7 +455,7 @@ def label_propagation(
         labels = (
             votes.groupBy("node")
             .agg(F.mode(F.col("_l"), True).alias("community"))
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         )
     if small:
         adj.unpersist(blocking=False)
@@ -499,7 +499,7 @@ def shortest_paths(
             ).alias("_e")
         )
         .select("_e.node", "_e.nbr")
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     spark = edges.sparkSession
     settled = spark.createDataFrame([(source, 0)], "node long, dist int")
@@ -521,9 +521,9 @@ def shortest_paths(
             .distinct()
             .join(settled, "node", "left_anti")
             .select("node", F.lit(r).alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         )
-        settled = settled.unionAll(reached).localCheckpoint()
+        settled = settled.unionAll(reached).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         frontier = reached
         n_frontier = reached.count()
     return settled
@@ -583,7 +583,7 @@ def weighted_shortest_paths(
             ).alias("_e")
         )
         .select("_e.node", "_e.nbr", "_e.w")
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     spark = edges.sparkSession
     dist = spark.createDataFrame([(source, 0)], "node long, dist long")
@@ -601,7 +601,7 @@ def weighted_shortest_paths(
             dist.unionAll(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         )
         row = dist.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
