@@ -445,7 +445,7 @@ def label_propagation(
     if small:
         adj = adj.repartition(F.col("node")).cache()
     else:
-        adj = adj.localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+        adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
     labels = verts.select("node", F.col("node").alias("community"))
     for _ in range(rounds):
         lbl = labels.select(
@@ -499,7 +499,9 @@ def shortest_paths(
             ).alias("_e")
         )
         .select("_e.node", "_e.nbr")
-        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+        # loop-INVARIANT pin -> columnar persist (decompresses batch-wise
+        # per round; a serialized checkpoint re-deserializes row by row)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     spark = edges.sparkSession
     settled = spark.createDataFrame([(source, 0)], "node long, dist int")
@@ -583,7 +585,8 @@ def weighted_shortest_paths(
             ).alias("_e")
         )
         .select("_e.node", "_e.nbr", "_e.w")
-        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+        # loop-INVARIANT pin -> columnar persist (cf. shortest_paths)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     spark = edges.sparkSession
     dist = spark.createDataFrame([(source, 0)], "node long, dist long")

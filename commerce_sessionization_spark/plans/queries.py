@@ -7890,10 +7890,11 @@ def q_part_hop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from commerce_sessionization_spark.operators.graph import shortest_paths
 
-    # serialized checkpoint: the pair set is ~100M rows at sf10 and the
-    # deserialized default OOMs the local JVM (cf. operators/graph.py)
-    edges = _part_pair_edges(spark, sf_dir).localCheckpoint(
-        storageLevel=StorageLevel.MEMORY_AND_DISK
+    # loop-invariant pin -> columnar persist: the pair set is ~100M rows
+    # at sf10 and the deserialized checkpoint default OOMs the local JVM
+    # (cf. operators/graph.py pin-type rule)
+    edges = _part_pair_edges(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     src = edges.agg(
         F.min(F.least(F.col("src"), F.col("dst")))
@@ -8338,8 +8339,8 @@ def q_part_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         _part_pair_edges(spark, sf_dir)
         .withColumn("w", 1 + (F.col("src") + F.col("dst")) % 5)
-        # serialized checkpoint, cf. q_part_hop_distances
-        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+        # loop-invariant pin -> columnar persist, cf. q_part_hop_distances
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     src = edges.agg(F.min(F.least(F.col("src"), F.col("dst")))).first()[0]
     if src is None:  # empty graph
