@@ -124,6 +124,12 @@ HEADLINE = [
     "c4_filtered_docs",
     "doc_outlinks",
     "dsir_weights",
+    # round-7: the composed corpus pipeline with DSIR selection, the
+    # crawl loop-closer, per-doc drop attribution, entity resolution
+    "llm_corpus_dsir_pipeline",
+    "crawl_frontier",
+    "corpus_drop_reasons",
+    "customer_entity_resolution",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

@@ -9968,9 +9968,11 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated pre-canonical (lowercase, portless, queryless) so the
     oracle needs no canonicalization replay — that rule pipeline is
     graded separately by ``canonical_urls`` — and replays resolution →
-    distinct-referrer scoring → per-host top-k with a plain window,
-    which must equal the operator's two-stage skew-safe ranking
-    row-for-row (the partitioning-invariance claim, hash-checked).
+    distinct-referrer scoring → per-host top-k row-for-row. Hot-host
+    skew safety comes from Catalyst's InferWindowGroupLimit (map-side
+    per-host pruning before the exchange), plan-asserted in
+    tests/test_plans.py and receipted under a 99:1 host skew in
+    tools/frontier_skew_probe.py.
     """
     from commerce_sessionization_spark.operators.crawl import (
         crawl_frontier,
@@ -10339,7 +10341,7 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("crawl_frontier", q_crawl_frontier, SQL_CRAWL_FRONTIER,
              "next fetch batch: canonicalize outlink targets, drop "
              "fetched, in-degree priority, per-host politeness top-k "
-             "(two-stage skew-safe rank == plain-window oracle)"),
+             "(hot-host-safe via map-side WindowGroupLimit pruning)"),
     QueryDef("customer_entity_resolution", q_customer_entity_resolution,
              SQL_CUSTOMER_ENTITY_RESOLUTION,
              "entity resolution: phone blocking + levenshtein match + "

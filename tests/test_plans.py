@@ -165,6 +165,20 @@ def test_pii_scrub_stays_jvm_side(spark, queries):
     assert node_count(plan, "Exchange") == 0
 
 
+def test_frontier_rank_prunes_map_side(spark, queries):
+    """The frontier's per-host top-k relies on Catalyst's
+    InferWindowGroupLimit for hot-host safety: a PARTIAL
+    WindowGroupLimit must sit below the host exchange, so every map
+    task pre-prunes its slice to k rows per host and a link-farm host
+    never concentrates in one reducer (measured 1.01 vs 397× max/median
+    shuffle-read with the rule excluded — tools/frontier_skew_probe.py).
+    If a Spark upgrade renames or drops the rule, the operator's skew
+    story is void and this fails."""
+    plan = plan_of(queries["crawl_frontier"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+    assert "row_number(), 5, Partial" in plan, plan
+
+
 def test_window_value_suite_single_exchange_and_window(spark, queries):
     """Four window functions over two frame variants of one spec must fuse:
     one Exchange, one Sort, ONE Window node."""

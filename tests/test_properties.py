@@ -392,8 +392,8 @@ def test_sentence_chunks_cover_everything_in_order_property(
 
 
 # ---------------------------------------------------------------------------
-# crawl_frontier: the two-stage skew-safe top-k equals the plain window
-# for EVERY candidate multiset, salt count, and k
+# crawl_frontier: the Spark result equals an independent pure-Python
+# model of the spec for EVERY candidate multiset and k
 # ---------------------------------------------------------------------------
 
 frontier_rows = st.lists(
@@ -412,60 +412,45 @@ frontier_rows = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
-@given(rows=frontier_rows, k=st.integers(1, 4), salts=st.integers(1, 5))
-def test_frontier_two_stage_rank_equals_plain_window(
-    spark, rows, k, salts
-):
-    """The operator's salted two-stage politeness cap must be
-    indistinguishable from the naive single-window formulation for any
-    link multiset — the claim that makes the skew-safe plan a pure
-    physical choice (and lets a plain-SQL oracle replay it)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
+@given(rows=frontier_rows, k=st.integers(1, 4))
+def test_frontier_matches_pure_python_model(spark, rows, k):
+    """The frontier spec, re-implemented in ~10 lines of plain Python
+    (distinct-referrer counts, fetched exclusion, per-host top-k with
+    the (score desc, url asc) total order), must agree with the Spark
+    operator for any link multiset — independent of partitioning and
+    of whatever plan (WindowGroupLimit etc.) Catalyst picks."""
     from commerce_sessionization_spark.operators.crawl import crawl_frontier
 
-    links = spark.createDataFrame(
-        [
-            (
-                f"https://ref{r}.example.org/p",
-                f"https://h{h}.example.org/doc/{t}",
-            )
-            for h, t, r in rows
-        ],
-        "src string, dst string",
-    )
-    fetched = spark.createDataFrame(
-        [("https://h0.example.org/doc/0",)], "url string"
-    )
-    got = sorted(
+    links = [
+        (
+            f"https://ref{r}.example.org/p",
+            f"https://h{h}.example.org/doc/{t}",
+        )
+        for h, t, r in rows
+    ]
+    fetched_url = "https://h0.example.org/doc/0"
+
+    refs: dict[str, set] = {}
+    for src, dst in links:
+        if dst != fetched_url:
+            refs.setdefault(dst, set()).add(src)
+    by_host: dict[str, list] = {}
+    for url, srcs in refs.items():
+        host = url.split("//")[1].split("/")[0]
+        by_host.setdefault(host, []).append((-len(srcs), url))
+    want = set()
+    for host, cands in by_host.items():
+        for rank, (neg, url) in enumerate(sorted(cands)[:k], start=1):
+            want.add((url, host, -neg, rank))
+
+    got = set(
         map(
             tuple,
             crawl_frontier(
-                links, fetched, per_host_k=k, salt_partitions=salts
+                spark.createDataFrame(links, "src string, dst string"),
+                spark.createDataFrame([(fetched_url,)], "url string"),
+                per_host_k=k,
             ).collect(),
-        )
-    )
-
-    scores = (
-        links.join(fetched, links.dst == fetched.url, "left_anti")
-        .groupBy("dst")
-        .agg(F.count_distinct("src").alias("n_referrers"))
-    )
-    w = Window.partitionBy("host").orderBy(F.desc("n_referrers"), "url")
-    want = sorted(
-        map(
-            tuple,
-            scores.select(
-                F.col("dst").alias("url"),
-                F.regexp_extract(
-                    "dst", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1
-                ).alias("host"),
-                "n_referrers",
-            )
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .collect(),
         )
     )
     assert got == want
