@@ -1,11 +1,15 @@
 """Benchmark harness — times the headline catalog queries.
 
 Runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32) against
-``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. The full payload including the
-per-query spread noise floor is written to ``bench_result.json`` beside
-this file (stdout must stay short enough for the driver's tail capture).
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE
+COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"sf": ..., "repeats": ..., "load_avg": ...}. The full payload — the
+per-query timings dict and the per-query spread noise floor — is written
+to ``bench_result.json`` beside this file. stdout stays compact because
+the driver captures only a bounded TAIL of it: rounds 6 and 7 embedded
+the full 72-query timings dict in the line and the truncated head lost
+the ``value`` field, making the artifact machine-unreadable.
+``tests/test_bench_contract.py`` pins the line under 500 bytes.
 
 Each query executes fully distributed via the noop sink (no driver-side
 collect); a warmup pass on the smallest table absorbs JVM/codegen startup.
@@ -142,6 +146,18 @@ HEADLINE = [
 REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "5"))
 
 
+def compact_line(full: dict) -> str:
+    """The one stdout line the driver machine-reads.
+
+    Strips every unbounded field (``queries``, ``spread``) so the line
+    stays well under the driver's stdout-tail capture window no matter
+    how many headline queries the round adds. The full payload lives in
+    ``bench_result.json``; this line carries only bounded scalars.
+    """
+    keep = ("metric", "value", "unit", "sf", "repeats", "load_avg")
+    return json.dumps({k: full[k] for k in keep if k in full})
+
+
 def sf_label(path: str) -> float:
     name = os.path.basename(path.rstrip("/"))
     try:
@@ -182,25 +198,29 @@ def main() -> None:
         # must clear before it counts as a plan change, not contention
         spreads[name] = round((max(runs) - min(runs)) / max(med, 1e-9), 3)
 
-    out = {
+    full = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
         "repeats": REPEATS,
         "sf": sf_label(SF_DIR),
+        # 1-min load average at completion: distinguishes a real plan
+        # regression from a contended box when comparing rounds
+        "load_avg": round(os.getloadavg()[0], 2),
     }
-    # Full payload (incl. per-query spread — the regression gate's noise
-    # floor) goes to a FILE: the round-6 artifact was unparseable because
-    # the spread dict pushed the single stdout line past the driver's
-    # stdout-tail capture window. stdout carries exactly ONE compact JSON
-    # line (the driver contract); tools/compare_bench.py reads spread
-    # from bench_result.json / committed previews when present.
-    full = dict(out, spread=spreads)
+    # Full payload (per-query timings + spread — the regression gate's
+    # noise floor) goes to a FILE; stdout carries exactly ONE compact
+    # line. Rounds 6 AND 7 shipped unparseable BENCH artifacts because
+    # the timings/spread dicts pushed the line past the driver's
+    # stdout-tail window and the truncated head lost `value`.
+    # tools/compare_bench.py reads per-query detail from
+    # bench_result.json / committed previews.
     Path(__file__).resolve().parent.joinpath("bench_result.json").write_text(
         json.dumps(full) + "\n"
     )
-    print(json.dumps(out))
+    print(compact_line(full))
     spark.stop()
 
 
