@@ -449,8 +449,13 @@ def main(argv: list[str] | None = None) -> int:
                 .join(kept_ids, "doc_id", "left")
                 .select(
                     "doc_id",
+                    # NULL score (null/empty text) fails the quality
+                    # gate too — without the isNull arm it would fall
+                    # through to 'exact_dup' and misattribute the drop
                     F.when(
-                        F.col("quality_score") < args.min_quality, "quality"
+                        F.col("quality_score").isNull()
+                        | (F.col("quality_score") < args.min_quality),
+                        "quality",
                     )
                     .when(F.col("_u").isNull(), "exact_dup")
                     .when(F.col("_nd") == 1, "near_dup")

@@ -127,6 +127,7 @@ def pagerank(
     n_vert = vertices.count()  # scalar dimension, like k-means' k
     if n_vert == 0:
         # empty graph: no ranks, not a division by zero
+        edges.unpersist(blocking=False)
         return vertices.select(
             F.col(id_col), F.lit(0.0).alias("rank")
         )
@@ -203,10 +204,13 @@ def pagerank(
             )
             .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         )
+    # the returned ranks are checkpoint-materialized, so every pinned
+    # loop-invariant can be dropped without invalidating the result —
+    # a long-lived session running many catalog queries would otherwise
+    # accumulate spilled blocks from each graph call
+    edges.unpersist(blocking=False)
+    wedges.unpersist(blocking=False)
     if small and partition_invariants:
-        # the returned ranks are checkpoint-materialized, so the cached
-        # loop-invariants can be dropped without invalidating the result
-        wedges.unpersist(blocking=False)
         vertices.unpersist(blocking=False)
     return ranks
 
@@ -364,7 +368,7 @@ def triangle_counts(
         raise ValueError(f"unknown strategy {strategy!r}")
     two_t = F.coalesce(F.col("n_triangles"), F.lit(0)) * 2
     dd = F.col("degree") * (F.col("degree") - 1)
-    return (
+    out = (
         deg.filter(F.col("degree") >= 2)
         .join(per_node, "node", "left")
         .select(
@@ -375,7 +379,15 @@ def triangle_counts(
                 two_t.cast("double") / dd.cast("double") * F.lit(1e6)
             ).cast("long").alias("cc_q6"),
         )
+        # materialize the small per-node result (serialized checkpoint)
+        # so the two big pins below can be released before returning —
+        # without this, every triangle call in a long session leaves its
+        # edge/adjacency spill blocks behind (cf. pagerank's release)
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
+    und.unpersist(blocking=False)
+    ranked.unpersist(blocking=False)
+    return out
 
 
 def label_propagation(
@@ -457,8 +469,9 @@ def label_propagation(
             .agg(F.mode(F.col("_l"), True).alias("community"))
             .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         )
-    if small:
-        adj.unpersist(blocking=False)
+    # labels are checkpoint-materialized each round, so the adjacency
+    # pin can be released in BOTH regimes (not just the small branch)
+    adj.unpersist(blocking=False)
     return labels
 
 
@@ -528,6 +541,8 @@ def shortest_paths(
         settled = settled.unionAll(reached).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         frontier = reached
         n_frontier = reached.count()
+    # settled is checkpoint-materialized: release the adjacency pin
+    adj.unpersist(blocking=False)
     return settled
 
 
@@ -612,6 +627,8 @@ def weighted_shortest_paths(
         if (row["n"], row["s"]) == fingerprint:
             break  # fixpoint: further rounds are no-ops
         fingerprint = (row["n"], row["s"])
+    # dist is checkpoint-materialized: release the adjacency pin
+    adj.unpersist(blocking=False)
     return dist
 
 

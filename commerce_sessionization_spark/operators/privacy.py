@@ -119,16 +119,21 @@ def laplace_noise(key: Column, scale: float, seed: str = "dp") -> Column:
     """Deterministic Laplace(0, scale) noise keyed on ``key`` (see the
     module caveat: replayable mechanism shape, not a DP release).
 
-    u = (sha-derived 60-bit int + 0.5) / 2^60 ∈ (0, 1) — the half-up
+    u = (sha-derived 52-bit int + 0.5) / 2^52 ∈ (0, 1) — the half-up
     offset keeps u off both endpoints, so ln(1 − 2|u−½|) is finite.
+    52 bits (not 60) so the double arithmetic is EXACT: a 60-bit hash
+    cast to double rounds, and any h within one ulp of 2^60 collapsed
+    u onto the 1.0 endpoint, making the log blow up after all.
     Inverse CDF: noise = −scale · sign(u−½) · ln(1 − 2|u−½|).
     """
     from commerce_sessionization_spark.functions.hashing import (
         stable_long_hash,
     )
 
-    h = stable_long_hash(F.concat(F.lit(f"{seed}:"), key.cast("string")))
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    h = stable_long_hash(
+        F.concat(F.lit(f"{seed}:"), key.cast("string")), n_chars=13
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
     t = u - F.lit(0.5)
     return (
         F.lit(-scale)

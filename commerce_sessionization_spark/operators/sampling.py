@@ -59,16 +59,21 @@ def weighted_priority(id_col: Column, weight_col: Column, seed: str = "ws") -> C
 
     Efraimidis–Spirakis: taking the k SMALLEST priorities yields a
     weighted sample without replacement (inclusion odds ∝ weight).
-    u = (sha-derived 60-bit int + 1) / 2^60 ∈ (0, 1] — deterministic
-    across runs/engines (no rand() state), so the sample is reproducible
-    and join-stable like every sampler here. The only non-integer step is
-    ln(); selection flips require the k-th and (k+1)-th priorities within
-    one ulp — vanishing for hash-random inputs.
+    u = (sha-derived 52-bit int + 0.5) / 2^52 — strictly inside (0, 1)
+    with EXACT double arithmetic (a 60-bit hash cast to double rounds,
+    and any h within one ulp of 2^60 collapsed u onto 1.0, making the
+    priority 0 — that doc would win a slot regardless of weight) —
+    and deterministic across runs/engines (no rand() state), so the
+    sample is reproducible and join-stable like every sampler here.
+    The only non-integer step is ln(); selection flips require the k-th
+    and (k+1)-th priorities within one ulp — vanishing for hash-random
+    inputs.
     """
     h = hex_to_long(
-        F.sha2(F.concat(F.lit(f"{seed}:"), id_col.cast("string")), 256)
+        F.sha2(F.concat(F.lit(f"{seed}:"), id_col.cast("string")), 256),
+        n_chars=13,
     )
-    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
     return -F.log(u) / weight_col.cast("double")
 
 
@@ -104,20 +109,29 @@ def gumbel_top_k(
     ``weight_col`` is a q6-quantized integer log-weight (see
     ``dsir_weights``); dividing it back to double makes the dominant
     key term bit-identical across engines, and the Gumbel noise
-    ``-ln(-ln(u))`` uses hash-derived u ∈ (0, 1], so the selection is
-    deterministic, engine-replayable, and exp()-free (no overflow for
-    any weight range). Global top-k = TakeOrdered, no full sort.
+    ``-ln(-ln(u))`` uses hash-derived u strictly inside (0, 1), so the
+    selection is deterministic, engine-replayable, and exp()-free (no
+    overflow for any weight range). Global top-k = TakeOrdered, no full
+    sort.
+
+    The hash is truncated to 52 bits so ``(h + 0.5) / 2^52`` is EXACT
+    double arithmetic: a 60-bit hash cast to double rounds, and every
+    h within one ulp of 2^60 yielded u == 1.0, whose ``ln(-ln(u))`` is
+    ln(0) → NULL in Spark — silently sorting that doc last regardless
+    of weight. A secondary ascending id order breaks exact key ties the
+    same way in every engine.
     """
     h = hex_to_long(
-        F.sha2(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")), 256)
+        F.sha2(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")), 256),
+        n_chars=13,
     )
-    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
     key = F.col(weight_col).cast("double") / F.lit(1_000_000.0) - F.log(
         -F.log(u)
     )
     return (
         weights.withColumn("_gumbel_key", key)
-        .orderBy(F.desc("_gumbel_key"))
+        .orderBy(F.desc("_gumbel_key"), F.asc(id_col))
         .limit(k)
         .drop("_gumbel_key")
     )

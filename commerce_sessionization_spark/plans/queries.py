@@ -4001,7 +4001,7 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
         .union(cp.select(F.col("p").alias("node")))
         .distinct()
     )
-    return edges, verts
+    return edges, verts, cp
 
 
 def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4009,8 +4009,10 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decimal-exact replay, same contract as ``pagerank_neardup``)."""
     from commerce_sessionization_spark.operators.graph import pagerank
 
-    edges, verts = _copurchase_graph(spark, sf_dir)
+    edges, verts, cp = _copurchase_graph(spark, sf_dir)
     out = pagerank(edges, verts, iterations=5, damping=0.85, exact=True)
+    # pagerank returns a materialized checkpoint: the pair-gen pin can go
+    cp.unpersist(blocking=False)
     return out.select("node", _quant(F.col("rank"), 12).alias("rank_q12"))
 
 
@@ -4020,8 +4022,9 @@ def q_pagerank_copurchase_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decimal replay arithmetic on an iteration-dominated graph."""
     from commerce_sessionization_spark.operators.graph import pagerank
 
-    edges, verts = _copurchase_graph(spark, sf_dir)
+    edges, verts, cp = _copurchase_graph(spark, sf_dir)
     out = pagerank(edges, verts, iterations=5, damping=0.85, exact=False)
+    cp.unpersist(blocking=False)
     return out.select("node", F.round(F.col("rank"), 6).alias("rank_r6"))
 
 
@@ -6573,8 +6576,9 @@ WITH counts AS (
              + _DP_ENC.format(c="c_nationkey")
              + " || "
              + _DP_ENC.format(c="c_mktsegment")
-             + ")"
-         )}::DOUBLE + 0.5) / 1152921504606846976.0 AS u
+             + ")",
+             13,
+         )}::DOUBLE + 0.5) / 4503599627370496.0 AS u
   FROM counts
 )
 SELECT c_nationkey, c_mktsegment, exact_count,
@@ -7900,8 +7904,12 @@ def q_part_hop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.least(F.col("src"), F.col("dst")))
     ).first()[0]
     if src is None:  # empty graph: no source, empty distance table
+        edges.unpersist(blocking=False)
         return spark.createDataFrame([], "node long, dist int")
-    return shortest_paths(edges, source=int(src), rounds=_SSSP_ROUNDS)
+    out = shortest_paths(edges, source=int(src), rounds=_SSSP_ROUNDS)
+    # shortest_paths returns a materialized checkpoint: release the pin
+    edges.unpersist(blocking=False)
+    return out
 
 
 def _sssp_sql(rounds: int) -> str:
@@ -8344,8 +8352,11 @@ def q_part_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = edges.agg(F.min(F.least(F.col("src"), F.col("dst")))).first()[0]
     if src is None:  # empty graph
+        edges.unpersist(blocking=False)
         return spark.createDataFrame([], "node long, dist long")
-    return weighted_shortest_paths(edges, source=int(src), rounds=_WSSSP_ROUNDS)
+    out = weighted_shortest_paths(edges, source=int(src), rounds=_WSSSP_ROUNDS)
+    edges.unpersist(blocking=False)
+    return out
 
 
 def _wsssp_sql(rounds: int) -> str:
@@ -9767,10 +9778,12 @@ GROUP BY doc_id
 
 SQL_DSIR_WEIGHTS = _dsir_weights_sql("documents")
 
+# 52-bit hash so (h + 0.5) / 2^52 is exact double arithmetic and u stays
+# strictly inside (0, 1) — mirrors operators/sampling.py::gumbel_top_k
 _DSIR_U = (
     "(("
-    + _hex2int_sql("sha256('dsir:' || CAST(doc_id AS VARCHAR))", 15)
-    + ")::DOUBLE + 1.0) / 1152921504606846976.0"
+    + _hex2int_sql("sha256('dsir:' || CAST(doc_id AS VARCHAR))", 13)
+    + ")::DOUBLE + 0.5) / 4503599627370496.0"
 )
 
 SQL_DSIR_RESAMPLE = f"""
@@ -9781,7 +9794,7 @@ keyed AS (
   FROM w
 )
 SELECT doc_id, n_grams, dsir_w_q6
-FROM keyed ORDER BY gk DESC LIMIT 100
+FROM keyed ORDER BY gk DESC, doc_id ASC LIMIT 100
 """
 
 
@@ -9869,7 +9882,8 @@ keyed AS (
          dsir_w_q6::DOUBLE / 1000000.0 - ln(-ln({_DSIR_U})) AS gk
   FROM w
 ), sel AS (
-  SELECT doc_id, n_grams, dsir_w_q6 FROM keyed ORDER BY gk DESC LIMIT 100
+  SELECT doc_id, n_grams, dsir_w_q6
+  FROM keyed ORDER BY gk DESC, doc_id ASC LIMIT 100
 )
 SELECT doc_id, n_grams, dsir_w_q6, {_SPLIT_CASE_SQL} AS split
 FROM (SELECT doc_id, n_grams, dsir_w_q6, ({_SPLIT_HASH_SQL}) % 10000 AS h
@@ -9904,7 +9918,14 @@ def q_corpus_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dropb, "doc_id", "left")
         .select(
             "doc_id",
-            F.when(F.col("quality_score") < 0.5, "quality")
+            # NULL score (null/empty text) fails the gate as well: the
+            # isNull arm keeps the attribution at the quality stage
+            # instead of falling through to 'exact_dup'
+            F.when(
+                F.col("quality_score").isNull()
+                | (F.col("quality_score") < 0.5),
+                "quality",
+            )
             .when(F.col("_u").isNull(), "exact_dup")
             .when(F.col("_nd") == 1, "near_dup")
             .otherwise("kept")
@@ -9953,7 +9974,7 @@ WITH scored AS (
   WHERE i / (sa.n + sb.n - i) >= 0.8
 )
 SELECT s.doc_id,
-       CASE WHEN s.score < 0.5 THEN 'quality'
+       CASE WHEN s.score IS NULL OR s.score < 0.5 THEN 'quality'
             WHEN u.doc_id IS NULL THEN 'exact_dup'
             WHEN s.doc_id IN (SELECT b FROM dropb) THEN 'near_dup'
             ELSE 'kept' END AS status

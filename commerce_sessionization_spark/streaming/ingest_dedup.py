@@ -124,7 +124,10 @@ def make_neardup_ingest_writer(
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         prev = read_rollup_state(spark, out_path, before=epoch_id)
         if prev is None:
-            prev = spark.createDataFrame([], f"{id_col} long, band int, key long")
+            # epoch-0 empty state: derive the id column's type from the
+            # batch itself (a string doc-id stream would otherwise union
+            # bigint with string and fail under ANSI mode)
+            prev = lsh_band_table(batch_df.limit(0), **lsh_kw)
         kept = incremental_neardup_dedup(batch_df, prev, **lsh_kw)
         kept.write.mode("overwrite").parquet(
             f"{out_path}/docs/epoch={epoch_id}"
