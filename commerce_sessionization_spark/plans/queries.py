@@ -10233,11 +10233,6 @@ CATALOG: list[QueryDef] = [
     QueryDef("c4_filtered_docs", q_c4_filtered_docs, SQL_C4_FILTERED_DOCS,
              "C4 line-level cleaning (terminal punctuation + min words, "
              "lorem-ipsum/brace page gates) — kept text sha-pinned"),
-    QueryDef("boilerplate_extract_docs", q_boilerplate_extract_docs,
-             SQL_BOILERPLATE_EXTRACT_DOCS,
-             "jusText-style per-block boilerplate removal (length + "
-             "link-density + stopword-density signals), array-land "
-             "zero-shuffle, keep/drop pattern hash-matched"),
     QueryDef("language_id", q_language_id, SQL_LANGUAGE_ID,
              "stopword-profile language guess"),
     QueryDef("pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES,
@@ -10290,10 +10285,6 @@ CATALOG: list[QueryDef] = [
     QueryDef("pq_adc_topk", q_pq_adc_topk, SQL_PQ_ADC_TOPK,
              "product-quantization ANN: seeded codebook, fold-expression "
              "encode, literal-LUT ADC top-10 (64x compression path)"),
-    QueryDef("canonical_urls", q_canonical_urls, SQL_CANONICAL_URLS,
-             "URL canonicalization (case, default ports, tracking "
-             "params, param sort, fragments, trailing slash) + "
-             "scheme/host/domain/path parts — rule-for-rule oracle"),
     QueryDef("robots_filtered_urls", q_robots_filtered_urls,
              SQL_ROBOTS_FILTERED_URLS,
              "RFC 9309 robots decision over synthesized rules: per-host "
@@ -10321,8 +10312,6 @@ CATALOG: list[QueryDef] = [
              SQL_HOURLY_ROLLUP_MERGE,
              "incremental continuous aggregate: two-batch rollup merge == "
              "direct recompute (exact merge law)"),
-    QueryDef("scd2_user_state", q_scd2_user_state, SQL_SCD2_USER_STATE,
-             "SCD Type-2 versioned history with change collapse"),
     # --- round-7 rotation: the three oracle-paired families the gate
     # had never graded. Displaced near-duplicates (all still
     # oracle-checked in EXTENDED): window_rank_suite (the window-function
@@ -10335,21 +10324,20 @@ CATALOG: list[QueryDef] = [
              "DSIR hashed-bigram importance weights vs the English "
              "target subcorpus (Xie et al. 2023) — exact integer "
              "counts, 256-bucket broadcast log-ratio table, q6"),
-    QueryDef("dsir_resample", q_dsir_resample, SQL_DSIR_RESAMPLE,
-             "DSIR end-to-end: Gumbel-top-k importance resample over "
-             "the quantized weights (samples prop. to exp(w) without "
-             "replacement, hash-derived noise, exp-free)"),
     QueryDef("sentence_chunks", q_sentence_chunks, SQL_SENTENCE_CHUNKS,
              "sentence-preserving offset-bucketed chunking (RAG chunker):"
              " RE2-safe segmentation, window cumsum, ordered re-assembly"
              " — full chunk text hash-matched"),
-]
-
-#: Secondary variants and near-duplicate shapes — full QueryDef contract,
-#: continuously oracle-checked locally, excluded from the driver's 50-query
-#: window so every driver slot carries an independent operator family.
-EXTENDED_CATALOG: list[QueryDef] = [
-    # round-7: DSIR composed into the corpus pipeline end-to-end
+    # --- round-8 rotation: the four round-7 families the gate had never
+    # graded. Displaced near-duplicates (all still oracle-checked in
+    # EXTENDED): dsir_resample (its Gumbel-top-k stage runs inside
+    # llm_corpus_dsir_pipeline's graded chain; dsir_weights stays graded),
+    # boilerplate_extract_docs (the quality-extraction shape stays graded
+    # via gopher_doc_flags + c4_filtered_docs + html_extract_docs),
+    # canonical_urls (the full rule set replays inside crawl_frontier's
+    # outlink canonicalization; the parts projection stays oracle-checked
+    # in EXTENDED), scd2_user_state (SCD2 validity-interval semantics
+    # stay graded via pit_scd2_join).
     QueryDef("llm_corpus_dsir_pipeline", q_llm_corpus_dsir_pipeline,
              SQL_LLM_CORPUS_DSIR,
              "full training-corpus pipeline with data selection: "
@@ -10367,6 +10355,29 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_CUSTOMER_ENTITY_RESOLUTION,
              "entity resolution: phone blocking + levenshtein match + "
              "connected components -> stable entity ids"),
+]
+
+#: Secondary variants and near-duplicate shapes — full QueryDef contract,
+#: continuously oracle-checked locally, excluded from the driver's 50-query
+#: window so every driver slot carries an independent operator family.
+EXTENDED_CATALOG: list[QueryDef] = [
+    # round-8 rotation: displaced near-duplicates (see the CATALOG note
+    # beside llm_corpus_dsir_pipeline for where each shape stays graded)
+    QueryDef("dsir_resample", q_dsir_resample, SQL_DSIR_RESAMPLE,
+             "DSIR end-to-end: Gumbel-top-k importance resample over "
+             "the quantized weights (samples prop. to exp(w) without "
+             "replacement, hash-derived noise, exp-free)"),
+    QueryDef("boilerplate_extract_docs", q_boilerplate_extract_docs,
+             SQL_BOILERPLATE_EXTRACT_DOCS,
+             "jusText-style per-block boilerplate removal (length + "
+             "link-density + stopword-density signals), array-land "
+             "zero-shuffle, keep/drop pattern hash-matched"),
+    QueryDef("canonical_urls", q_canonical_urls, SQL_CANONICAL_URLS,
+             "URL canonicalization (case, default ports, tracking "
+             "params, param sort, fragments, trailing slash) + "
+             "scheme/host/domain/path parts — rule-for-rule oracle"),
+    QueryDef("scd2_user_state", q_scd2_user_state, SQL_SCD2_USER_STATE,
+             "SCD Type-2 versioned history with change collapse"),
     # round-7 rotation: displaced near-duplicates (see the CATALOG note
     # beside dsir_weights for where each shape stays graded)
     QueryDef("window_rank_suite", q_window_rank_suite, SQL_WINDOW_RANK_SUITE,

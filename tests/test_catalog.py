@@ -42,7 +42,6 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # remains graded)
     "gopher_doc_flags",           # Gopher quality gates (text quality)
     "c4_filtered_docs",           # C4 line-level cleaning
-    "boilerplate_extract_docs",   # jusText boilerplate removal
     "robots_filtered_urls",       # RFC 9309 robots decision
     "doc_outlinks",               # web-graph edge builder
     # round-6 second swap: the WARC/WET IO loop graded by value
@@ -56,7 +55,6 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # sub-computation of simhash_pairs)
     "pagerank_neardup",           # iterative graph
     "hourly_rollup_merge",        # continuous aggregate merge law
-    "scd2_user_state",            # SCD2 warehouse maintenance
     "market_share",               # Q8 snowflake, double-role dim join
     # round-3 continued rotation: four new first-class families promoted
     # (displacing near-duplicates: session_funnel ~ session_pattern_match
@@ -104,7 +102,6 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # kmv_distinct_users (NDV family graded via orders_profile + 3 other
     # sketches) move to EXTENDED, still oracle-checked.
     "html_extract_docs",          # HTML -> text extraction (crawl step 0)
-    "canonical_urls",             # URL canonicalization / dedup key
     "brand_basket_rules",         # market-basket association rules
     # round-7 rotation: the last three oracle-paired families the gate
     # had never graded. Displaced near-duplicates — window_rank_suite
@@ -114,8 +111,17 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # cms_heavy_hitters + orders_profile) — stay oracle-checked in
     # EXTENDED_CATALOG.
     "dsir_weights",               # DSIR importance weights (data selection)
-    "dsir_resample",              # Gumbel-top-k importance resample
     "sentence_chunks",            # sentence-preserving RAG chunker
+    # round-8 rotation: the four round-7 families rotate into the graded
+    # window (displaced near-duplicates — dsir_resample's Gumbel stage
+    # runs inside llm_corpus_dsir_pipeline, boilerplate_extract_docs'
+    # shape stays via gopher/c4/html_extract, canonical_urls' rules
+    # replay inside crawl_frontier, scd2_user_state's semantics via
+    # pit_scd2_join — all stay oracle-checked in EXTENDED)
+    "llm_corpus_dsir_pipeline",   # composed corpus pipeline + DSIR
+    "corpus_drop_reasons",        # per-doc drop attribution
+    "crawl_frontier",             # crawl loop-closer (politeness top-k)
+    "customer_entity_resolution", # blocking + fuzzy match + components
 }
 
 
