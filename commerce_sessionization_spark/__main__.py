@@ -199,6 +199,12 @@ def main(argv: list[str] | None = None) -> int:
                          "per-host politeness cap) to this parquet path")
     cr.add_argument("--frontier-k", type=int, default=100,
                     help="frontier politeness cap: max URLs per host")
+    cr.add_argument("--fetched", default=None,
+                    help="parquet of previously fetched URLs (a `url` "
+                         "column — e.g. prior rounds' --out corpora) to "
+                         "exclude from the frontier, closing the crawl "
+                         "loop across invocations: round N+1 passes "
+                         "round N's output here")
     cr.add_argument("--master", default=None)
 
     cp = sub.add_parser(
@@ -387,9 +393,16 @@ def main(argv: list[str] | None = None) -> int:
                         F.col("payload").cast("string")
                     ).alias("html"),
                 )
+                seen = pages.select("url")
+                if args.fetched:
+                    # prior rounds' fetches join the anti-join side so a
+                    # multi-invocation crawl never re-emits an old URL
+                    seen = seen.unionByName(
+                        spark.read.parquet(args.fetched).select("url")
+                    )
                 frontier = crawl_frontier(
                     extract_links(pages, "html", "url"),
-                    pages.select("url"),
+                    seen,
                     per_host_k=args.frontier_k,
                 )
                 frontier.write.mode("overwrite").parquet(args.frontier_out)

@@ -587,3 +587,80 @@ def test_cli_crawl_frontier_composition(tmp_path):
     # site-a.net/two is already fetched, so site-a.net contributes
     # nothing — the politeness cap and the fetched gate both visible.
     assert rows == [("https://hub.net/top", "hub.net", 2, 1)]
+
+
+def test_cli_crawl_two_round_loop_via_fetched(tmp_path):
+    """Round N+1 of the crawl loop as a second CLI invocation: fetch
+    round 1's frontier, pass round 1's corpus via --fetched, and the
+    new frontier holds ONLY newly-discovered URLs — no round-1 page
+    resurfaces even when round-2 pages link back to it."""
+    import subprocess
+    import sys as _sys
+
+    import duckdb
+
+    from commerce_sessionization_spark.functions.warc import (
+        build_http_response,
+        build_warc,
+        build_warc_record,
+    )
+
+    def write_warc(dirname, pages):
+        d = tmp_path / dirname
+        d.mkdir()
+        (d / "seg.warc").write_bytes(
+            build_warc(
+                [
+                    build_warc_record(
+                        "response", build_http_response(body), target_uri=url
+                    )
+                    for url, body in pages
+                ]
+            )
+        )
+        return d
+
+    def crawl(warcs, out, frontier, fetched=None):
+        cmd = [_sys.executable, "-m", "commerce_sessionization_spark",
+               "crawl", str(warcs), "--out", str(out),
+               "--frontier-out", str(frontier), "--master", "local[2]"]
+        if fetched:
+            cmd += ["--fetched", str(fetched)]
+        run = subprocess.run(
+            cmd, capture_output=True, text=True, cwd="/root/repo"
+        )
+        assert run.returncode == 0, run.stderr[-800:]
+
+    # round 1: one seed linking to two hub pages
+    warcs1 = write_warc("warcs1", [
+        ("https://seed.net/",
+         b"<html><body>seed text "
+         b"<a href='https://hub.net/h1'>1</a> "
+         b"<a href='https://hub.net/h2'>2</a></body></html>"),
+    ])
+    out1, fr1 = tmp_path / "corpus1", tmp_path / "frontier1"
+    crawl(warcs1, out1, fr1)
+    q = duckdb.connect()
+    got1 = {r[0] for r in q.execute(
+        f"SELECT url FROM '{fr1}/*.parquet'").fetchall()}
+    assert got1 == {"https://hub.net/h1", "https://hub.net/h2"}
+
+    # round 2: "fetch" the frontier — h1 links onward to deep.io AND
+    # back to the seed; h2 links to its sibling h1 (both already seen)
+    warcs2 = write_warc("warcs2", [
+        ("https://hub.net/h1",
+         b"<html><body>hub one "
+         b"<a href='https://deep.io/d1'>d</a> "
+         b"<a href='https://seed.net/'>back</a></body></html>"),
+        ("https://hub.net/h2",
+         b"<html><body>hub two "
+         b"<a href='https://hub.net/h1'>sib</a></body></html>"),
+    ])
+    out2, fr2 = tmp_path / "corpus2", tmp_path / "frontier2"
+    crawl(warcs2, out2, fr2, fetched=out1)
+    got2 = {r[0] for r in q.execute(
+        f"SELECT url FROM '{fr2}/*.parquet'").fetchall()}
+    # only the newly-discovered leaf: the back-link to seed.net is
+    # filtered by --fetched (round-1 corpus) and the sibling link to
+    # h1 by this invocation's own fetched set
+    assert got2 == {"https://deep.io/d1"}
