@@ -9798,6 +9798,160 @@ FROM keyed ORDER BY gk DESC, doc_id ASC LIMIT 100
 """
 
 
+def _stream_scratch_dir(prefix: str, sf_dir: str) -> str:
+    """Per-(query, sf, pid) scratch path for in-query maintainer drives
+    (the ``warc_roundtrip_checksums`` convention: stale runs of the same
+    pid are cleared up front; artifacts stay for post-mortem)."""
+    import os
+    import re as _re
+    import shutil
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        prefix
+        + "_"
+        + _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+        + f"_{os.getpid()}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return out
+
+
+def q_dsir_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming DSIR statistics maintainer graded by VALUE: the
+    documents table splits into three micro-batches (``doc_id % 3``)
+    and folds through ``make_dsir_writer``'s MVCC epoch state ON DISK —
+    the real ``foreachBatch`` fn, including prior-version resolution
+    and the _SUCCESS commit protocol — then the newest committed state
+    is read back. The oracle recomputes the 256-bucket (cr, ct) bigram
+    counts directly over the whole corpus, so the green row proves
+    ``fold(fold(partial(e0), partial(e1)), partial(e2)) == direct``
+    with exact integers. Streaming execution mechanics (triggers,
+    checkpoint WAL, crash replay) stay covered by tests/test_rollup.py;
+    the part a value oracle CAN grade — the maintained state's content
+    — is graded here.
+    """
+    from commerce_sessionization_spark.streaming.rollup_stream import (
+        make_dsir_writer,
+        read_rollup_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = _stream_scratch_dir("spark_graft_dsir_stream", sf_dir)
+    writer = make_dsir_writer(spark, out)
+    for epoch in range(3):
+        writer(docs.filter(F.col("doc_id") % 3 == epoch), epoch)
+    state = read_rollup_state(spark, out)
+    return state.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cr").cast("long").alias("cr"),
+        F.col("ct").cast("long").alias("ct"),
+    )
+
+
+SQL_DSIR_STREAM_STATS = f"""
+WITH tok AS (
+  SELECT lang, regexp_extract_all(lower(text), '{_TOKEN_RE}') AS t
+  FROM documents
+), g AS (
+  SELECT lang,
+         unnest([t[_i] || ' ' || t[_i + 1] for _i in range(1, len(t))])
+           AS gram
+  FROM tok
+), gb AS (
+  SELECT lang, ({_DSIR_BUCKET}) % 256 AS bucket FROM g
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cr,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+FROM gb GROUP BY 1
+"""
+
+
+def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming exact-dedup ingest maintainer graded by VALUE: the
+    documents table arrives as three micro-batches (``doc_id % 3``)
+    through ``make_dedup_ingest_writer`` — the real ``foreachBatch`` fn
+    with its epoch-keyed corpus outputs and MVCC fingerprint index —
+    and the read-back corpus must hold exactly one representative per
+    normalized-content fingerprint: the min-id doc of the EARLIEST
+    epoch containing that fingerprint. The oracle replays that
+    first-arrival rule as an ``ORDER BY (doc_id % 3, doc_id)`` argmin,
+    so cross-epoch index anti-joins and the within-batch min rule are
+    both on the graded path (a duplicate ingested twice, or a lost
+    index version, breaks the hash match).
+
+    Null-text rows are excluded on both sides: a NULL fingerprint never
+    equi-joins against the index, so the maintainer passes every such
+    row through — correct for a filter-before-ingest pipeline, but not
+    a dedup semantics an oracle should bless.
+    """
+    from commerce_sessionization_spark.streaming.ingest_dedup import (
+        make_dedup_ingest_writer,
+        read_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    out = _stream_scratch_dir("spark_graft_ingest_dedup", sf_dir)
+    writer = make_dedup_ingest_writer(spark, out)
+    for epoch in range(3):
+        writer(docs.filter(F.col("doc_id") % 3 == epoch), epoch)
+    corpus = read_corpus(spark, out)
+    return corpus.select(
+        "doc_id",
+        F.col("epoch").cast("int").alias("epoch"),
+        "content_sha",
+    )
+
+
+SQL_STREAM_INGEST_DEDUP = r"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(doc_id % 3 AS INT) AS epoch,
+         sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           AS content_sha,
+         row_number() OVER (
+           PARTITION BY sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           ORDER BY doc_id % 3, doc_id) AS rn
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, epoch, content_sha FROM f WHERE rn = 1
+"""
+
+
+def q_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming NEAR-dup ingest maintainer (LSH band index as
+    state), driven the same three-epoch way. ROWS-ONLY check: the band
+    keys are ``xxhash64`` values (both the 64 MinHash slot mixes and
+    the per-band key hash), which DuckDB cannot replay — no
+    engine-independent value oracle exists for the kept set, the same
+    boundary as the double-precision PageRank twins. The operator
+    invariant (the kept corpus never contains an LSH candidate pair,
+    across batches and within them) and crash-replay idempotency are
+    pinned by tests/test_ingest_dedup.py; this entry keeps the
+    maintainer on the driver's smoke surface with a stable schema.
+    """
+    from commerce_sessionization_spark.streaming.ingest_dedup import (
+        make_neardup_ingest_writer,
+        read_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    out = _stream_scratch_dir("spark_graft_neardup_ingest", sf_dir)
+    writer = make_neardup_ingest_writer(spark, out)
+    for epoch in range(3):
+        writer(docs.filter(F.col("doc_id") % 3 == epoch), epoch)
+    corpus = read_corpus(spark, out)
+    return corpus.select(
+        "doc_id", F.col("epoch").cast("int").alias("epoch")
+    )
+
+
 def q_llm_corpus_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus pipeline with DSIR selection composed in — the order
     practitioners actually run the passes: quality gate → exact dedup →
@@ -10270,8 +10424,15 @@ CATALOG: list[QueryDef] = [
              SQL_NGRAM_DECONTAMINATE,
              "benchmark decontamination: train/eval 4-gram overlap"),
     # --- deduplication ---
-    QueryDef("exact_dedup_docs", q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS,
-             "exact dedup via fingerprint argmin"),
+    # round-8 second swap: the streaming ingest maintainer grades a
+    # strict superset of exact_dedup_docs' min-id-per-fingerprint shape
+    # (plus epoch ordering and the MVCC index path), so exact_dedup_docs
+    # moves to EXTENDED, still oracle-checked
+    QueryDef("stream_ingest_dedup", q_stream_ingest_dedup,
+             SQL_STREAM_INGEST_DEDUP,
+             "streaming exact-dedup ingest maintainer graded by value: "
+             "3 micro-batch epochs through the MVCC fingerprint index, "
+             "kept set == first-arrival argmin oracle"),
     QueryDef("segment_dedup_docs", q_segment_dedup_docs, SQL_SEGMENT_DEDUP_DOCS,
              "corpus boilerplate removal: cross-doc duplicate segments"),
     # third swap: ngram_jaccard_pairs left the window — minhash_lsh_pairs
@@ -10339,10 +10500,15 @@ CATALOG: list[QueryDef] = [
     # minhash_lsh_pairs; simhash_fingerprints stays in EXTENDED),
     # histogram_quantile_sketch (mergeable-sketch family graded via
     # cms_heavy_hitters + orders_profile).
-    QueryDef("dsir_weights", q_dsir_weights, SQL_DSIR_WEIGHTS,
-             "DSIR hashed-bigram importance weights vs the English "
-             "target subcorpus (Xie et al. 2023) — exact integer "
-             "counts, 256-bucket broadcast log-ratio table, q6"),
+    # round-8 second swap: the DSIR weight law replays IN FULL inside
+    # llm_corpus_dsir_pipeline's graded oracle (the `w AS (...)` CTE is
+    # the same _dsir_weights_sql), so dsir_weights moves to EXTENDED and
+    # its slot grades the streaming statistics maintainer by value
+    QueryDef("dsir_stream_stats", q_dsir_stream_stats,
+             SQL_DSIR_STREAM_STATS,
+             "streaming DSIR statistics maintainer graded by value: 3 "
+             "epochs folded through the on-disk MVCC state == direct "
+             "256-bucket gram-count recompute (exact integers)"),
     QueryDef("sentence_chunks", q_sentence_chunks, SQL_SENTENCE_CHUNKS,
              "sentence-preserving offset-bucketed chunking (RAG chunker):"
              " RE2-safe segmentation, window cumsum, ordered re-assembly"
@@ -10381,6 +10547,21 @@ CATALOG: list[QueryDef] = [
 #: continuously oracle-checked locally, excluded from the driver's 50-query
 #: window so every driver slot carries an independent operator family.
 EXTENDED_CATALOG: list[QueryDef] = [
+    # round-8 second swap: displaced by the two streaming-maintainer
+    # value grades (see the CATALOG notes beside stream_ingest_dedup /
+    # dsir_stream_stats), both still oracle-checked here
+    QueryDef("exact_dedup_docs", q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS,
+             "exact dedup via fingerprint argmin"),
+    QueryDef("dsir_weights", q_dsir_weights, SQL_DSIR_WEIGHTS,
+             "DSIR hashed-bigram importance weights vs the English "
+             "target subcorpus (Xie et al. 2023) — exact integer "
+             "counts, 256-bucket broadcast log-ratio table, q6"),
+    # the near-dup twin of stream_ingest_dedup: rows-only (xxhash64
+    # band keys have no DuckDB replay — see the query docstring)
+    QueryDef("stream_neardup_ingest", q_stream_neardup_ingest, None,
+             "streaming near-dup ingest maintainer (LSH band index as "
+             "MVCC state), 3-epoch drive; rows-only — band keys are "
+             "xxhash64, invariants pinned in tests/test_ingest_dedup"),
     # round-8 rotation: displaced near-duplicates (see the CATALOG note
     # beside llm_corpus_dsir_pipeline for where each shape stays graded)
     QueryDef("dsir_resample", q_dsir_resample, SQL_DSIR_RESAMPLE,

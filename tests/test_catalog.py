@@ -27,7 +27,9 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "repetition_scores",          # repetition signals
     "pii_scrub",                  # PII scrubbing
     "ngram_decontaminate",        # decontamination
-    "exact_dedup_docs",           # exact dedup
+    # round-8 second swap: exact_dedup_docs -> EXTENDED; the streaming
+    # ingest maintainer grades a strict superset of its argmin shape
+    "stream_ingest_dedup",        # exact dedup via the MVCC maintainer
     "minhash_lsh_pairs",          # MinHash LSH
     "dedup_components",           # connected components
     "segment_dedup_docs",         # boilerplate removal
@@ -110,7 +112,10 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # histogram_quantile_sketch (mergeable-sketch family via
     # cms_heavy_hitters + orders_profile) — stay oracle-checked in
     # EXTENDED_CATALOG.
-    "dsir_weights",               # DSIR importance weights (data selection)
+    # round-8 second swap: dsir_weights -> EXTENDED (its weight law
+    # replays in full inside llm_corpus_dsir_pipeline's oracle); the
+    # slot grades the streaming DSIR statistics maintainer by value
+    "dsir_stream_stats",          # DSIR stats via the MVCC maintainer
     "sentence_chunks",            # sentence-preserving RAG chunker
     # round-8 rotation: the four round-7 families rotate into the graded
     # window (displaced near-duplicates — dsir_resample's Gumbel stage
@@ -154,6 +159,12 @@ ROWS_ONLY_ALLOWED = {
     # and every non-ndv column is value-pinned through the exact twin
     # (orders_profile, driver-graded)
     "orders_profile_approx",
+    # LSH band keys are xxhash64 (both the MinHash slot mixes and the
+    # band key hash) — DuckDB has no xxhash64, so the kept set has no
+    # engine-independent value replay; the no-candidate-pair invariant
+    # and crash-replay idempotency are pinned in tests/test_ingest_dedup
+    # and the exact-dedup twin (stream_ingest_dedup) is value-graded
+    "stream_neardup_ingest",
 }
 
 
