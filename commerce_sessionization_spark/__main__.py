@@ -199,6 +199,12 @@ def main(argv: list[str] | None = None) -> int:
                          "per-host politeness cap) to this parquet path")
     cr.add_argument("--frontier-k", type=int, default=100,
                     help="frontier politeness cap: max URLs per host")
+    cr.add_argument("--sitemaps", default=None,
+                    help="directory of sitemap XML files (urlset or "
+                         "sitemapindex); listed URLs join the frontier "
+                         "candidates with the sitemap as referrer, so "
+                         "they ride the same in-degree scoring and "
+                         "politeness cap as organic links")
     cr.add_argument("--fetched", default=None,
                     help="parquet of previously fetched URLs (a `url` "
                          "column — e.g. prior rounds' --out corpora) to "
@@ -400,8 +406,30 @@ def main(argv: list[str] | None = None) -> int:
                     seen = seen.unionByName(
                         spark.read.parquet(args.fetched).select("url")
                     )
+                cand = extract_links(pages, "html", "url").select(
+                    "src", "dst"
+                )
+                if args.sitemaps:
+                    from pyspark.sql import functions as _SF
+
+                    from commerce_sessionization_spark.operators.sitemaps import (  # noqa: E501
+                        parse_sitemaps,
+                        sitemap_frontier_candidates,
+                    )
+
+                    bodies = (
+                        spark.read.option("wholetext", "true")
+                        .text(args.sitemaps)
+                        .select(
+                            _SF.input_file_name().alias("sitemap_url"),
+                            _SF.col("value").alias("content"),
+                        )
+                    )
+                    cand = cand.unionByName(
+                        sitemap_frontier_candidates(parse_sitemaps(bodies))
+                    )
                 frontier = crawl_frontier(
-                    extract_links(pages, "html", "url"),
+                    cand,
                     seen,
                     per_host_k=args.frontier_k,
                 )

@@ -5847,6 +5847,19 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor), summed in term lexical order. Top-20 by (score, doc_id).
     """
     docs = load_table(spark, sf_dir, "documents")
+    out = _bm25_scored(spark, docs)
+    return (
+        out.orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id", "n_matched_terms", _quant(F.col("score"), 6).alias("bm25_q6")
+        )
+    )
+
+
+def _bm25_scored(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, score, n_matched_terms) for the fixed ``_BM25_TERMS``
+    query — shared by ``bm25_search`` and the hybrid RRF fusion."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
@@ -5884,16 +5897,9 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "tok", (idf * sat).cast("decimal(28,12)").alias("_s")
     )
     # decimal-snapped per (doc, term), exact order-independent total
-    out = per_term.groupBy("doc_id").agg(
+    return per_term.groupBy("doc_id").agg(
         F.sum("_s").cast("double").alias("score"),
         F.count(F.lit(1)).alias("n_matched_terms"),
-    )
-    return (
-        out.orderBy(F.desc("score"), "doc_id")
-        .limit(20)
-        .select(
-            "doc_id", "n_matched_terms", _quant(F.col("score"), 6).alias("bm25_q6")
-        )
     )
 
 
@@ -5928,6 +5934,247 @@ FROM per_term
 GROUP BY doc_id
 ORDER BY CAST(sum(s) AS DOUBLE) DESC, doc_id
 LIMIT 20
+"""
+
+
+#: RRF constant (Cormack et al. 2009's k=60) and per-ranker list depth
+_RRF_K = 60
+_RRF_TOPN = 100
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of two rankers over the
+    same corpus and query — BM25 (whitespace analyzer, tf saturation +
+    idf) and smoothed TF-IDF accumulation (regex-lowercase analyzer) —
+    the standard way production search fuses lexical and second-channel
+    rankings without score calibration: rrf(d) = Σ_r 1/(k + rank_r(d))
+    over the rankers that returned d in their top N.
+
+    Determinism: each ranker's per-term score is decimal-snapped before
+    the order-independent sum (the bm25_search trick), ranks are
+    row_numbers over (score desc, doc_id), and the fused score is two
+    IEEE divisions + one add on identical small-integer operands in
+    both engines — bit-identical, quantized q9 anyway.
+
+    Scale shape: each ranker is the one-explode broadcast-terms plan
+    its standalone query audits; the top-N cut is orderBy+limit
+    (TakeOrdered — per-partition heaps + a k-row driver merge, never a
+    global sort), and only the two ≤N-row rank lists meet in the fusion
+    join. The final row_number window runs over N rows, not the corpus.
+    """
+    from commerce_sessionization_spark.operators.text import TOKEN_PATTERN
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def ranked(scored: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        top = scored.orderBy(F.desc("score"), "doc_id").limit(_RRF_TOPN)
+        w = Window.orderBy(F.desc("score"), "doc_id")
+        return top.select(
+            "doc_id", F.row_number().over(w).cast("int").alias("rank")
+        )
+
+    lex = ranked(_bm25_scored(spark, docs).select("doc_id", "score"))
+
+    # second ranker: smoothed TF-IDF sum over the same query terms,
+    # regex-lowercase analyzer (a genuinely different lexical view —
+    # 'Table' and 'table,' match here but not under the space split)
+    terms = spark.createDataFrame(
+        [(t,) for t in sorted(_BM25_TERMS)], "tok string"
+    )
+    rtoks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("tok"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        rtoks.join(F.broadcast(terms), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    tfidf = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            (
+                F.col("tf").cast("double")
+                * F.log(
+                    (F.col("n") + 1).cast("double")
+                    / (F.col("df").cast("double") + F.lit(1.0))
+                )
+            ).cast("decimal(28,12)").alias("_s"),
+        )
+    )
+    sem = ranked(
+        tfidf.groupBy("doc_id").agg(F.sum("_s").cast("double").alias("score"))
+    )
+
+    fused = lex.withColumnRenamed("rank", "rank_lex").join(
+        sem.withColumnRenamed("rank", "rank_sem"), "doc_id", "full_outer"
+    )
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col(c).cast("double")),
+        F.lit(0.0),
+    )
+    return fused.select(
+        "doc_id",
+        "rank_lex",
+        "rank_sem",
+        _quant(contrib("rank_lex") + contrib("rank_sem"), 9).alias("rrf_q9"),
+    )
+
+
+SQL_HYBRID_SEARCH_RRF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), lens AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_len FROM lens
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ('merge', 'scan', 'table')
+  GROUP BY 1, 2
+), dfs AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+), per_term AS (
+  SELECT t.doc_id,
+         CAST(ln(CAST(n_docs - df + 0.5 AS DOUBLE) / CAST(df + 0.5 AS DOUBLE)
+                 + 1.0)
+              * ((CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0!r})
+                 / (CAST(tf AS DOUBLE)
+                    + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+                       + {_BM25_B!r} * CAST(dl AS DOUBLE)
+                         / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+              AS DECIMAL(28,12)) AS s
+  FROM tf t JOIN dfs USING (tok) JOIN lens USING (doc_id) CROSS JOIN stats
+), lex AS (
+  SELECT doc_id, CAST(rn AS INT) AS rank_lex FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY CAST(sum(s) AS DOUBLE) DESC, doc_id)
+             AS rn
+    FROM per_term GROUP BY doc_id
+  ) WHERE rn <= {_RRF_TOPN}
+), rtok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS tok
+  FROM documents
+), tf2 AS (
+  SELECT doc_id, tok, count(*) AS tf FROM rtok
+  WHERE tok IN ('merge', 'scan', 'table')
+  GROUP BY 1, 2
+), df2 AS (
+  SELECT tok, count(*) AS df FROM tf2 GROUP BY 1
+), n AS (SELECT count(*) AS n FROM documents
+), per2 AS (
+  SELECT doc_id,
+         CAST(CAST(tf AS DOUBLE) * ln((n + 1) / (df + 1.0))
+              AS DECIMAL(28,12)) AS s
+  FROM tf2 JOIN df2 USING (tok), n
+), sem AS (
+  SELECT doc_id, CAST(rn AS INT) AS rank_sem FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY CAST(sum(s) AS DOUBLE) DESC, doc_id)
+             AS rn
+    FROM per2 GROUP BY doc_id
+  ) WHERE rn <= {_RRF_TOPN}
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, rank_lex, rank_sem,
+       CAST(floor((COALESCE(1.0 / ({_RRF_K}.0 + rank_lex), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K}.0 + rank_sem), 0.0))
+                  * 1000000000.0) AS BIGINT) AS rrf_q9
+FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+"""
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion round trip (the robots_filtered_urls pattern:
+    synthesize the web artifact deterministically, run the real parser,
+    oracle states the expected semantics directly): one
+    ``<urlset>`` sitemap per part brand — each part a ``<url>`` entry
+    with an entity-escaped query string and a ``<lastmod>`` — plus one
+    ``<sitemapindex>`` naming every brand sitemap, all parsed by
+    ``operators.sitemaps.parse_sitemaps``. Any regression in block
+    matching, ``<loc>`` extraction, entity decoding, whitespace
+    handling, or optional-``<lastmod>`` NULLing breaks the hash match.
+
+    Scale: XML body construction is one groupBy over parts; parsing is
+    the linear narrow pass the operator docstring audits.
+    """
+    from commerce_sessionization_spark.operators.sitemaps import (
+        parse_sitemaps,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    host = F.concat(
+        F.replace(F.lower(F.col("p_brand")), F.lit("#"), F.lit("-")),
+        F.lit(".example"),
+    )
+    day = F.lpad(((F.col("p_partkey") % 28) + 1).cast("string"), 2, "0")
+    entry = F.concat(
+        F.lit("<url>\n  <loc> https://"), host,
+        F.lit("/part?id="), F.col("p_partkey").cast("string"),
+        F.lit("&amp;ref=sm </loc>\n  <lastmod>2024-01-"), day,
+        F.lit("</lastmod>\n</url>"),
+    )
+    leafs = part.groupBy(host.alias("_host")).agg(
+        F.concat_ws("\n", F.array_sort(F.collect_list(entry))).alias("_es")
+    )
+    leaf_bodies = leafs.select(
+        F.concat(
+            F.lit("https://"), F.col("_host"), F.lit("/sitemap.xml")
+        ).alias("sitemap_url"),
+        F.concat(
+            F.lit('<?xml version="1.0"?>\n<urlset xmlns="http://www.'
+                  'sitemaps.org/schemas/sitemap/0.9">\n'),
+            F.col("_es"),
+            F.lit("\n</urlset>"),
+        ).alias("content"),
+    )
+    index_body = leafs.select(
+        F.concat(
+            F.lit("<sitemap><loc>https://"), F.col("_host"),
+            F.lit("/sitemap.xml</loc></sitemap>"),
+        ).alias("_e")
+    ).agg(
+        F.concat(
+            F.lit("<sitemapindex>\n"),
+            F.concat_ws("\n", F.array_sort(F.collect_list("_e"))),
+            F.lit("\n</sitemapindex>"),
+        ).alias("content")
+    ).select(
+        F.lit("https://portal.example/sitemap-index.xml").alias(
+            "sitemap_url"
+        ),
+        "content",
+    )
+    bodies = leaf_bodies.unionByName(index_body)
+    return parse_sitemaps(bodies).select(
+        "sitemap_url", "kind", "loc", "lastmod"
+    )
+
+
+SQL_SITEMAP_URLS = """
+WITH b AS (
+  SELECT p_partkey,
+         lower(replace(p_brand, '#', '-')) || '.example' AS host
+  FROM part
+)
+SELECT 'https://' || host || '/sitemap.xml' AS sitemap_url,
+       'url' AS kind,
+       'https://' || host || '/part?id=' || CAST(p_partkey AS VARCHAR)
+         || '&ref=sm' AS loc,
+       '2024-01-' || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0')
+         AS lastmod
+FROM b
+UNION ALL
+SELECT 'https://portal.example/sitemap-index.xml', 'sitemap',
+       'https://' || host || '/sitemap.xml', CAST(NULL AS VARCHAR)
+FROM (SELECT DISTINCT host FROM b)
 """
 
 
@@ -10562,6 +10809,16 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "streaming near-dup ingest maintainer (LSH band index as "
              "MVCC state), 3-epoch drive; rows-only — band keys are "
              "xxhash64, invariants pinned in tests/test_ingest_dedup"),
+    # round-8 post-worklist families
+    QueryDef("hybrid_search_rrf", q_hybrid_search_rrf,
+             SQL_HYBRID_SEARCH_RRF,
+             "hybrid retrieval: reciprocal-rank fusion (k=60) of BM25 "
+             "and TF-IDF rankings over the same query — rank lists "
+             "top-100 via TakeOrdered, fusion joins two 100-row sides"),
+    QueryDef("sitemap_urls", q_sitemap_urls, SQL_SITEMAP_URLS,
+             "sitemaps.org ingestion round trip: per-brand urlset + a "
+             "sitemapindex synthesized, parsed back (loc entities, "
+             "whitespace, optional lastmod) — rule-for-rule oracle"),
     # round-8 rotation: displaced near-duplicates (see the CATALOG note
     # beside llm_corpus_dsir_pipeline for where each shape stays graded)
     QueryDef("dsir_resample", q_dsir_resample, SQL_DSIR_RESAMPLE,

@@ -664,3 +664,56 @@ def test_cli_crawl_two_round_loop_via_fetched(tmp_path):
     # filtered by --fetched (round-1 corpus) and the sibling link to
     # h1 by this invocation's own fetched set
     assert got2 == {"https://deep.io/d1"}
+
+
+def test_cli_crawl_sitemaps_join_the_frontier(tmp_path):
+    """--sitemaps: sitemap-announced URLs enter the frontier with the
+    sitemap as referrer — a URL both organically linked and
+    sitemap-listed earns in-degree 2."""
+    import subprocess
+    import sys as _sys
+
+    import duckdb
+
+    from commerce_sessionization_spark.functions.warc import (
+        build_http_response,
+        build_warc,
+        build_warc_record,
+    )
+
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    (warcs / "seg.warc").write_bytes(
+        build_warc([
+            build_warc_record(
+                "response",
+                build_http_response(
+                    b"<html><body><a href='https://hub.net/h1'>1</a>"
+                    b"</body></html>"
+                ),
+                target_uri="https://seed.net/",
+            )
+        ])
+    )
+    sitemaps = tmp_path / "sitemaps"
+    sitemaps.mkdir()
+    (sitemaps / "hub.xml").write_text(
+        "<urlset><url><loc>https://hub.net/h1</loc></url>"
+        "<url><loc>https://hub.net/h9</loc></url></urlset>"
+    )
+    out, fr = tmp_path / "corpus", tmp_path / "frontier"
+    run = subprocess.run(
+        [_sys.executable, "-m", "commerce_sessionization_spark",
+         "crawl", str(warcs), "--out", str(out),
+         "--frontier-out", str(fr), "--sitemaps", str(sitemaps),
+         "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert run.returncode == 0, run.stderr[-800:]
+    rows = duckdb.connect().execute(
+        f"SELECT url, n_referrers, rank FROM '{fr}/*.parquet' ORDER BY rank"
+    ).fetchall()
+    assert rows == [
+        ("https://hub.net/h1", 2, 1),   # organic link + sitemap listing
+        ("https://hub.net/h9", 1, 2),   # sitemap-only discovery
+    ]

@@ -232,6 +232,7 @@ _INTENDED_LOOP_JOINS = {
     "hash_sample_docs",
     "train_test_split",
     "bm25_search",             # 1-row corpus stats (N, total_len) anchor
+    "hybrid_search_rrf",       # the same anchor ×2 (bm25 + tfidf rankers)
     "bigram_logprob_scores",   # 1-row vocabulary-size anchor
     "event_gapfill_interp",    # 1-row global bucket-range anchor
     "domain_mixture_sample",   # 1-row corpus totals anchor
