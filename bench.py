@@ -134,6 +134,13 @@ HEADLINE = [
     "crawl_frontier",
     "corpus_drop_reasons",
     "customer_entity_resolution",
+    # round-8: the two streaming maintainers graded by value (the MVCC
+    # disk drives ARE the measured path), hybrid lexical fusion, and
+    # sitemap ingestion
+    "stream_ingest_dedup",
+    "dsir_stream_stats",
+    "hybrid_search_rrf",
+    "sitemap_urls",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off
