@@ -7428,6 +7428,71 @@ WHERE ({_DOC_HASH_SQL.replace("doc_id", "d.doc_id")}) % 1000000 < r.thresh_ppm
 """
 
 
+def q_domain_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (α = 0.5): sample source ``s``
+    with probability ∝ c_s^α — the multilingual-LM rebalancing rule
+    (mBERT/mT5's exponentiated smoothing) that lifts rare domains
+    without flattening to uniform. At a 50% corpus budget, source
+    ``s`` keeps ``floor(N/2 · √c_s / Σ_t √c_t)`` documents, applied as
+    a parts-per-million threshold on the doc-id hash, so the gate is
+    pure integer like ``domain_mixture_sample``'s.
+
+    Engine parity of the one float step: √c_s is a single
+    correctly-rounded IEEE op on the same integer in both engines, and
+    Σ_t √c_t decimal-snaps each term before summing (the bm25 trick) so
+    the total is order-independent; the threshold then divides/floors
+    identical operands. Scale: one count per source, an S-row rate
+    table broadcast back, corpus scans once, zero wide shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_c"))
+    denom = counts.agg(
+        F.sum(F.sqrt(F.col("_c").cast("double")).cast("decimal(28,12)"))
+        .cast("double").alias("_s"),
+        F.sum("_c").alias("_n"),
+    )
+    rates = counts.crossJoin(F.broadcast(denom)).select(
+        "source",
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.floor(
+                F.floor(F.col("_n").cast("double") / 2.0
+                        * F.sqrt(F.col("_c").cast("double")) / F.col("_s"))
+                * 1000000
+                / F.col("_c")
+            ),
+        ).alias("_thresh_ppm"),
+    )
+    h = hex_to_long(F.sha2(F.col("doc_id").cast("string"), 256))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter((h % 1000000) < F.col("_thresh_ppm"))
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+SQL_DOMAIN_TEMPERATURE_SAMPLE = f"""
+WITH counts AS (
+  SELECT source, count(*) AS c FROM documents GROUP BY source
+), denom AS (
+  SELECT CAST(sum(CAST(sqrt(CAST(c AS DOUBLE)) AS DECIMAL(28,12)))
+              AS DOUBLE) AS s,
+         CAST(sum(c) AS BIGINT) AS n
+  FROM counts
+), rates AS (
+  SELECT source,
+         least(1000000,
+               CAST(floor(floor(CAST(n AS DOUBLE) / 2.0
+                                * sqrt(CAST(c AS DOUBLE)) / s)
+                          * 1000000 / c) AS BIGINT)) AS thresh_ppm
+  FROM counts, denom
+)
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d JOIN rates r ON r.source = d.source
+WHERE ({_DOC_HASH_SQL.replace("doc_id", "d.doc_id")}) % 1000000 < r.thresh_ppm
+"""
+
+
 # --------------------------------------------------------------------------
 # Linear classifier inference (model-scoring family)
 # --------------------------------------------------------------------------
@@ -10401,6 +10466,15 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_links,
     )
 
+    pages = _synthetic_crawl_pages(spark, sf_dir)
+    links = extract_links(pages, "html", "url")
+    return crawl_frontier(links, pages.select("url"), per_host_k=5)
+
+
+def _synthetic_crawl_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic (url, html) page set behind ``crawl_frontier``
+    and its streaming twin — one page per document, each linking one of
+    7 mirror hosts plus a same-host doc path, hrefs pre-canonical."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     base = F.concat(
         F.lit("https://corpus.net/dir/"),
@@ -10416,9 +10490,9 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 50).cast("string"),
         F.lit('">d</a>'),
     )
-    pages = docs.select(base.alias("url"), html.alias("html"))
-    links = extract_links(pages, "html", "url")
-    return crawl_frontier(links, pages.select("url"), per_host_k=5)
+    return docs.select(
+        base.alias("url"), html.alias("html"), F.col("doc_id")
+    )
 
 
 SQL_CRAWL_FRONTIER = """
@@ -10450,6 +10524,32 @@ WITH pages AS (
 )
 SELECT url, host, n_referrers, rank FROM ranked WHERE rank <= 5
 """
+
+
+def q_stream_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming frontier maintainer graded by VALUE against the
+    batch law: the synthetic page set arrives as two micro-batches
+    (``doc_id % 2``) through ``make_frontier_writer`` — the real
+    ``foreachBatch`` fn with its MVCC edge/fetched state — and the
+    epoch-1 frontier read back from disk must equal the BATCH frontier
+    over all pages, because the frontier is a pure function of the
+    union-merged state. The oracle is therefore ``crawl_frontier``'s
+    own batch replay (SQL_CRAWL_FRONTIER): a lost state version, a
+    double-folded epoch, or a broken union breaks the hash match.
+    """
+    from commerce_sessionization_spark.streaming.frontier_stream import (
+        make_frontier_writer,
+        read_frontier,
+    )
+
+    pages = _synthetic_crawl_pages(spark, sf_dir)
+    out = _stream_scratch_dir("spark_graft_frontier_stream", sf_dir)
+    writer = make_frontier_writer(spark, out, per_host_k=5)
+    for epoch in range(2):
+        writer(pages.filter(F.col("doc_id") % 2 == epoch), epoch)
+    return read_frontier(spark, out, 1).select(
+        "url", "host", "n_referrers", "rank"
+    )
 
 
 def q_customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10810,6 +10910,16 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "MVCC state), 3-epoch drive; rows-only — band keys are "
              "xxhash64, invariants pinned in tests/test_ingest_dedup"),
     # round-8 post-worklist families
+    QueryDef("stream_crawl_frontier", q_stream_crawl_frontier,
+             SQL_CRAWL_FRONTIER,
+             "streaming frontier maintainer graded by value: 2 page "
+             "micro-batches folded through the MVCC edge/fetched state "
+             "== the batch frontier over all pages (pure-function law)"),
+    QueryDef("domain_temperature_sample", q_domain_temperature_sample,
+             SQL_DOMAIN_TEMPERATURE_SAMPLE,
+             "temperature (alpha=0.5) domain mixing at a 50% budget: "
+             "keep-rate prop. to sqrt(c_s), integer ppm hash gate, "
+             "decimal-snapped denominator"),
     QueryDef("hybrid_search_rrf", q_hybrid_search_rrf,
              SQL_HYBRID_SEARCH_RRF,
              "hybrid retrieval: reciprocal-rank fusion (k=60) of BM25 "

@@ -152,3 +152,44 @@ def test_politeness_cap_holds_in_every_round(spark):
     assert hub_order == [
         "https://hub.net/h1", "https://hub.net/h2", "https://hub.net/h3",
     ]
+
+
+def test_streaming_frontier_matches_batch_and_replays_idempotently(
+    spark, tmp_path
+):
+    """The maintainer's two contracts: (a) the epoch-1 frontier over
+    incrementally-folded state equals the batch frontier over all pages
+    (pure-function law); (b) replaying an epoch rewrites the identical
+    artifacts (MVCC idempotency)."""
+    from pyspark.sql import Row
+
+    from commerce_sessionization_spark.operators.crawl import (
+        crawl_frontier,
+        extract_links,
+    )
+    from commerce_sessionization_spark.streaming.frontier_stream import (
+        make_frontier_writer,
+        read_frontier,
+    )
+
+    pages = spark.createDataFrame(
+        [Row(url=u, html=WEB[u]) for u in sorted(WEB)]
+    )
+    out = str(tmp_path / "frontier_state")
+    writer = make_frontier_writer(spark, out, per_host_k=2)
+    batches = [
+        pages.filter(F.length("url") % 2 == 0),
+        pages.filter(F.length("url") % 2 == 1),
+    ]
+    writer(batches[0], 0)
+    writer(batches[1], 1)
+    got = {tuple(r) for r in read_frontier(spark, out, 1).collect()}
+    want = {tuple(r) for r in crawl_frontier(
+        extract_links(pages, "html", "url"), pages.select("url"),
+        per_host_k=2,
+    ).collect()}
+    assert got == want
+    # crash-replay of epoch 1: identical rows, no double-fold
+    writer(batches[1], 1)
+    again = {tuple(r) for r in read_frontier(spark, out, 1).collect()}
+    assert again == got

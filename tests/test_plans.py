@@ -236,6 +236,7 @@ _INTENDED_LOOP_JOINS = {
     "bigram_logprob_scores",   # 1-row vocabulary-size anchor
     "event_gapfill_interp",    # 1-row global bucket-range anchor
     "domain_mixture_sample",   # 1-row corpus totals anchor
+    "domain_temperature_sample",  # 1-row sqrt-denominator anchor
     "gdpr_purge_audit",        # three 1-row (total x purged) count crosses
     "semdedup_prune",          # broadcast 16-row seed centroids (×3 refs)
     "sq_topk",                 # 1-row bounds + 1-row query-code broadcasts
