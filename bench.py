@@ -174,6 +174,9 @@ def sf_label(path: str) -> float:
 
 
 def main() -> None:
+    # sample BEFORE any work: the figure distinguishes a contended box
+    # from an idle one — at completion it would measure the bench itself
+    load_avg = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_spark_queries()
@@ -213,9 +216,9 @@ def main() -> None:
         "spread": spreads,
         "repeats": REPEATS,
         "sf": sf_label(SF_DIR),
-        # 1-min load average at completion: distinguishes a real plan
-        # regression from a contended box when comparing rounds
-        "load_avg": round(os.getloadavg()[0], 2),
+        # 1-min load average at bench START (pre-warmup): distinguishes
+        # a real plan regression from a contended box across rounds
+        "load_avg": load_avg,
     }
     # Full payload (per-query timings + spread — the regression gate's
     # noise floor) goes to a FILE; stdout carries exactly ONE compact

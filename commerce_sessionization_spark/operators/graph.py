@@ -632,6 +632,124 @@ def weighted_shortest_paths(
     return dist
 
 
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    exact: bool = False,
+    broadcast_vertices: int = 4_000_000,
+) -> DataFrame:
+    """HITS (Kleinberg 1999): authority and hub scores over a DIRECTED
+    graph by alternating power iteration with L1 normalization.
+
+    Per round: ``a(v) = Σ_{u→v} h(u)`` then L1-normalize, ``h(u) =
+    Σ_{u→v} a(v)`` then L1-normalize. L1 (not the textbook L2) keeps
+    the normalizer a plain non-negative sum — replayable with the same
+    order-independent decimal accumulation as ``pagerank``'s
+    ``exact=True`` mode, with no sqrt in the loop; the fixpoint
+    direction is the same eigenvector, only the scale convention
+    differs. Scores start at 1 for every node; isolated nodes
+    (no in-edges / no out-edges) hold authority / hub 0.
+
+    Scale shape mirrors ``pagerank``: the edge list pins ONCE
+    (compressed columnar), each half-round is one score⋈edges join +
+    one aggregation, the score table broadcasts while the vertex set
+    is dimension-sized (past ``broadcast_vertices`` the join falls
+    back to shuffle — the billion-node plan), the normalizer is a
+    1-row broadcast crossJoin, and each round's score tables are
+    serialized localCheckpoints for O(1) lineage. Every pin is
+    released before returning (cf. the round-8 pin-leak receipts).
+
+    Output: (node, authority, hub) for every node in the graph.
+    """
+    if exact:
+        def _sum0(col: F.Column) -> F.Column:
+            return (
+                F.coalesce(F.sum(_dec(col)), F.lit(0).cast("decimal(38,18)"))
+                .cast("double")
+            )
+    else:
+        def _sum0(col: F.Column) -> F.Column:
+            return F.coalesce(F.sum(col), F.lit(0.0))
+
+    edges = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    verts = (
+        edges.select(F.col("_src").alias("node"))
+        .union(edges.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    n_vert = verts.count()
+    small = n_vert <= broadcast_vertices
+
+    def _bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        norm = raw.agg(_sum0(F.col(col)).alias("_norm"))
+        return (
+            raw.crossJoin(F.broadcast(norm))
+            .select(
+                "node",
+                F.when(F.col("_norm") > 0, F.col(col) / F.col("_norm"))
+                .otherwise(F.lit(0.0))
+                .alias(col),
+            )
+            .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+        )
+
+    hub = verts.select("node", F.lit(1.0).alias("hub")).localCheckpoint(
+        storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    auth = verts.select("node", F.lit(1.0).alias("authority"))
+    for _ in range(iterations):
+        a_raw = (
+            edges.join(
+                _bcast(hub.select(F.col("node").alias("_src"), "hub")),
+                "_src",
+            )
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(_sum0(F.col("hub")).alias("authority"))
+        )
+        auth = _normalize(
+            verts.join(a_raw, "node", "left").select(
+                "node", F.coalesce("authority", F.lit(0.0)).alias("authority")
+            ),
+            "authority",
+        )
+        h_raw = (
+            edges.join(
+                _bcast(
+                    auth.select(F.col("node").alias("_dst"), "authority")
+                ),
+                "_dst",
+            )
+            .groupBy(F.col("_src").alias("node"))
+            .agg(_sum0(F.col("authority")).alias("hub"))
+        )
+        hub = _normalize(
+            verts.join(h_raw, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+    out = (
+        verts.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        )
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    edges.unpersist(blocking=False)
+    return out
+
+
 def k_core(
     edges: DataFrame,
     k: int,

@@ -4028,6 +4028,78 @@ def q_pagerank_copurchase_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round(F.col("rank"), 6).alias("rank_r6"))
 
 
+def q_hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the DIRECTED customer→part co-purchase graph: hubs are
+    customers whose baskets concentrate on authoritative parts,
+    authorities are parts bought by strong hubs — the bipartite ranking
+    PageRank's symmetrized walk can't express (it conflates the two
+    roles). 3 alternating rounds, decimal-exact sums, L1 normalization
+    (see ``operators.graph.hits`` for why L1 replaces the textbook L2:
+    no sqrt in the loop, same eigenvector, engine-replayable) — the
+    oracle replays every round as chained CTEs.
+    """
+    from commerce_sessionization_spark.operators.graph import hits
+
+    _edges, _verts, cp = _copurchase_graph(spark, sf_dir)
+    directed = cp.select(F.col("c").alias("src"), F.col("p").alias("dst"))
+    out = hits(directed, iterations=3, exact=True)
+    # hits returns a materialized checkpoint: the pair-gen pin can go
+    cp.unpersist(blocking=False)
+    return out.select(
+        "node",
+        _quant(F.col("authority"), 12).alias("auth_q12"),
+        _quant(F.col("hub"), 12).alias("hub_q12"),
+    )
+
+
+def _hits_sql(rounds: int = 3) -> str:
+    """Chained-CTE DuckDB replay of ``operators.graph.hits``
+    (exact=True, L1): per round, decimal-summed in-neighbor hubs →
+    normalize, decimal-summed out-neighbor authorities → normalize."""
+    dec = "DECIMAL(38,18)"
+    parts = [f"""WITH e AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 'p' || l_partkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), v AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), h0 AS (SELECT node, 1.0::DOUBLE AS hub FROM v)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", ar{r} AS (
+  SELECT v.node,
+         CAST(COALESCE(sum(CAST(h.hub AS {dec})), 0) AS DOUBLE) AS authority
+  FROM v LEFT JOIN e ON e.dst = v.node
+         LEFT JOIN h{r - 1} h ON h.node = e.src
+  GROUP BY v.node
+), an{r} AS (
+  SELECT CAST(COALESCE(sum(CAST(authority AS {dec})), 0) AS DOUBLE) AS s
+  FROM ar{r}
+), a{r} AS (
+  SELECT node, CASE WHEN s > 0 THEN authority / s ELSE 0.0 END AS authority
+  FROM ar{r}, an{r}
+), hr{r} AS (
+  SELECT v.node,
+         CAST(COALESCE(sum(CAST(a.authority AS {dec})), 0) AS DOUBLE) AS hub
+  FROM v LEFT JOIN e ON e.src = v.node
+         LEFT JOIN a{r} a ON a.node = e.dst
+  GROUP BY v.node
+), hn{r} AS (
+  SELECT CAST(COALESCE(sum(CAST(hub AS {dec})), 0) AS DOUBLE) AS s
+  FROM hr{r}
+), h{r} AS (
+  SELECT node, CASE WHEN s > 0 THEN hub / s ELSE 0.0 END AS hub
+  FROM hr{r}, hn{r}
+)""")
+    parts.append(f"""
+SELECT a.node,
+       CAST(floor(a.authority * 1000000000000.0) AS BIGINT) AS auth_q12,
+       CAST(floor(h.hub * 1000000000000.0) AS BIGINT) AS hub_q12
+FROM a{rounds} a JOIN h{rounds} h ON h.node = a.node""")
+    return "".join(parts)
+
+
+SQL_HITS_COPURCHASE = _hits_sql(3)
+
+
 def q_pagerank_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path: identical 5-round PageRank with plain ``double``
     aggregation buffers (several× cheaper than decimal at 100 TB).
@@ -10910,6 +10982,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "MVCC state), 3-epoch drive; rows-only — band keys are "
              "xxhash64, invariants pinned in tests/test_ingest_dedup"),
     # round-8 post-worklist families
+    QueryDef("hits_copurchase", q_hits_copurchase, SQL_HITS_COPURCHASE,
+             "HITS hub/authority over the directed customer->part "
+             "graph: 3 alternating rounds, decimal-exact L1-normalized "
+             "power iteration, chained-CTE replayed oracle"),
     QueryDef("stream_crawl_frontier", q_stream_crawl_frontier,
              SQL_CRAWL_FRONTIER,
              "streaming frontier maintainer graded by value: 2 page "

@@ -419,3 +419,67 @@ def test_weighted_shortest_paths_fixpoint_equals_more_rounds(spark):
     a = sorted(map(tuple, weighted_shortest_paths(g, 1, rounds=3).collect()))
     b = sorted(map(tuple, weighted_shortest_paths(g, 1, rounds=10).collect()))
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# HITS (round 8)
+# --------------------------------------------------------------------------
+
+def _hits_edges(spark, pairs):
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+
+def test_hits_star_center_is_the_authority(spark):
+    from commerce_sessionization_spark.operators.graph import hits
+
+    # 3 spokes all pointing at one center: center is the sole authority,
+    # spokes are equal hubs, and the L1 norms are exactly 1
+    edges = _hits_edges(spark, [(1, 9), (2, 9), (3, 9)])
+    rows = {r.node: r for r in hits(edges, iterations=3).collect()}
+    assert rows[9].authority == pytest.approx(1.0)
+    assert rows[9].hub == 0.0
+    for spoke in (1, 2, 3):
+        assert rows[spoke].authority == 0.0
+        assert rows[spoke].hub == pytest.approx(1 / 3)
+    assert sum(r.authority for r in rows.values()) == pytest.approx(1.0)
+    assert sum(r.hub for r in rows.values()) == pytest.approx(1.0)
+
+
+def test_hits_bipartite_separates_roles_and_ranks_by_degree(spark):
+    from commerce_sessionization_spark.operators.graph import hits
+
+    # hubs {1,2} -> authorities {10,11,12}; 10 is cited by both hubs,
+    # hub 1 cites more than hub 2
+    edges = _hits_edges(
+        spark, [(1, 10), (1, 11), (1, 12), (2, 10)]
+    )
+    rows = {r.node: r for r in hits(edges, iterations=4).collect()}
+    assert rows[10].authority > rows[11].authority > 0
+    assert rows[11].authority == pytest.approx(rows[12].authority)
+    assert rows[1].hub > rows[2].hub > 0
+    # direction matters: sources never gain authority, sinks never hub
+    assert rows[1].authority == 0.0 and rows[10].hub == 0.0
+
+
+def test_hits_exact_and_fast_modes_agree(spark):
+    from commerce_sessionization_spark.operators.graph import hits
+
+    edges = _hits_edges(
+        spark,
+        [(a, b) for a in range(6) for b in range(10, 16) if (a + b) % 3],
+    )
+    exact = {r.node: (r.authority, r.hub)
+             for r in hits(edges, iterations=3, exact=True).collect()}
+    fast = {r.node: (r.authority, r.hub)
+            for r in hits(edges, iterations=3, exact=False).collect()}
+    assert exact.keys() == fast.keys()
+    for node in exact:
+        assert exact[node][0] == pytest.approx(fast[node][0], abs=1e-9)
+        assert exact[node][1] == pytest.approx(fast[node][1], abs=1e-9)
+
+
+def test_hits_empty_graph_returns_no_rows(spark):
+    from commerce_sessionization_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert hits(edges, iterations=2).count() == 0

@@ -227,6 +227,7 @@ _INTENDED_LOOP_JOINS = {
     "llm_corpus_pipeline",     # composes the above
     "embedding_bucket_pairs",  # plane matrix broadcast
     "pagerank_neardup",        # 1-row dangling mass per round
+    "hits_copurchase",         # 1-row L1 normalizer, 2 per round
     "stratified_sample_docs",  # per-stratum scalar caps
     "order_count_distribution",  # Q13 scalar
     "hash_sample_docs",
