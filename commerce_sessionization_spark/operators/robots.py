@@ -96,6 +96,37 @@ def parse_robots(content: bytes | str, user_agent: str = "*") -> list[dict]:
     return out
 
 
+def sitemaps_from_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "content",
+) -> DataFrame:
+    """``Sitemap:`` directives from robots.txt bodies — the third leg of
+    crawl discovery (RFC 9309 treats the line as an "other record":
+    group-independent, any position, case-insensitive key; the value is
+    a full sitemap URL per sitemaps.org). Output: one
+    (``host_col``, sitemap_url) row per distinct directive — fetch
+    those documents and feed them to ``sitemaps.parse_sitemaps`` /
+    ``sitemap_frontier_candidates`` to close the loop.
+
+    Pure built-in expressions (anchored line regex + explode): unlike
+    the allow/disallow rule compiler — which parses driver-side because
+    the per-host body set is dimension-sized and the rules become one
+    broadcast table — this extraction stays on the executors, so it
+    also works when robots bodies arrive as a corpus-scale crawl
+    column.
+    """
+    urls = F.regexp_extract_all(
+        F.col(body_col),
+        F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"),
+        F.lit(1),
+    )
+    return (
+        robots.select(F.col(host_col), F.explode(urls).alias("sitemap_url"))
+        .distinct()
+    )
+
+
 def parse_robots_df(
     robots: DataFrame,
     host_col: str = "host",

@@ -110,3 +110,54 @@ def test_sitemap_candidates_enter_frontier_scoring_and_cap(spark):
         "https://shop.example/p?a=1&b=2", "https://shop.example/about",
     ]
     assert [r.rank for r in both] == [1, 2]
+
+
+def test_sitemaps_from_robots_extracts_group_independent_directives(spark):
+    from commerce_sessionization_spark.operators.robots import (
+        sitemaps_from_robots,
+    )
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Sitemap: https://shop.example/sitemap.xml\n"
+        "\n"
+        "User-agent: megabot\n"
+        "Allow: /\n"
+        "SITEMAP:https://shop.example/sitemap-2.xml\n"
+        "  sitemap : https://shop.example/sitemap-3.xml  # trailing note\n"
+        "# Sitemap: https://shop.example/commented-out.xml\n"
+        "Sitemap: https://shop.example/sitemap.xml\n"  # duplicate
+    )
+    rows = sitemaps_from_robots(
+        spark.createDataFrame([Row(host="shop.example", content=body)])
+    ).orderBy("sitemap_url").collect()
+    assert [(r.host, r.sitemap_url) for r in rows] == [
+        ("shop.example", "https://shop.example/sitemap-2.xml"),
+        ("shop.example", "https://shop.example/sitemap-3.xml"),
+        ("shop.example", "https://shop.example/sitemap.xml"),
+    ]
+
+
+def test_sitemaps_from_robots_composes_with_parser(spark):
+    """robots -> sitemap URLs -> (fetched) bodies -> frontier rows."""
+    from commerce_sessionization_spark.operators.robots import (
+        sitemaps_from_robots,
+    )
+
+    robots = spark.createDataFrame([
+        Row(host="shop.example",
+            content="Sitemap: https://shop.example/sitemap.xml\n"),
+        Row(host="silent.example", content="User-agent: *\nDisallow:\n"),
+    ])
+    announced = sitemaps_from_robots(robots)
+    assert [r.sitemap_url for r in announced.collect()] == [
+        "https://shop.example/sitemap.xml"
+    ]
+    # "fetch" the announced document and parse it
+    fetched = announced.join(
+        _bodies(spark, [("https://shop.example/sitemap.xml", URLSET)]),
+        "sitemap_url",
+    )
+    parsed = parse_sitemaps(fetched)
+    assert parsed.count() == 2  # the two loc-bearing entries of URLSET
