@@ -10801,9 +10801,15 @@ CATALOG: list[QueryDef] = [
              "single-source BFS hop distances, frontier-propagated "
              "(chained-CTE replayed oracle; frontier broadcast while "
              "dimension-sized)"),
-    QueryDef("bm25_search", q_bm25_search, SQL_BM25_SEARCH,
-             "full-text BM25 ranking from one token explode "
-             "(search-engine scoring family)"),
+    # round-8 third rotation: bm25_search -> EXTENDED; the RRF fusion
+    # query re-derives the full BM25 ranking as one of its two fused
+    # legs (strict superset of the displaced shape), and adds the
+    # rank-join fusion the gate has never graded.
+    QueryDef("hybrid_search_rrf", q_hybrid_search_rrf,
+             SQL_HYBRID_SEARCH_RRF,
+             "hybrid retrieval: reciprocal-rank fusion (k=60) of BM25 "
+             "and TF-IDF rankings over the same query — rank lists "
+             "top-100 via TakeOrdered, fusion joins two 100-row sides"),
     QueryDef("market_share", q_market_share, SQL_MARKET_SHARE,
              "Q8-shaped 7-table snowflake with double-role nation join"),
     # --- text analysis / crawl quality ---
@@ -10866,9 +10872,15 @@ CATALOG: list[QueryDef] = [
     QueryDef("dedup_components", q_dedup_components, SQL_DEDUP_COMPONENTS,
              "connected components over the near-dup pair graph"),
     # --- iterative graph ---
-    QueryDef("pagerank_neardup", q_pagerank_neardup, SQL_PAGERANK_NEARDUP,
-             "5-iteration PageRank over the near-dup graph "
-             "(decimal-exact power iteration, 5-round replayed oracle)"),
+    # round-8 third rotation: pagerank_neardup -> EXTENDED (its
+    # decimal-exact power-iteration shape stays oracle-checked there and
+    # in the 199 sweep); HITS grades the same loop plus the dual-state
+    # alternating normalization PageRank cannot exercise. The iterative
+    # family keeps part_hop_distances + triangle_counts graded too.
+    QueryDef("hits_copurchase", q_hits_copurchase, SQL_HITS_COPURCHASE,
+             "HITS hub/authority over the directed customer->part "
+             "graph: 3 alternating rounds, decimal-exact L1-normalized "
+             "power iteration, chained-CTE replayed oracle"),
     # --- similarity / embeddings ---
     QueryDef("knn_cosine", q_knn_cosine, SQL_KNN_COSINE,
              "brute-force cosine top-10"),
@@ -10889,9 +10901,15 @@ CATALOG: list[QueryDef] = [
              "RFC 9309 robots decision over synthesized rules: per-host "
              "regex match, longest pattern wins, allow on tie, "
              "unmatched kept — oracle-replayed, zero corpus shuffle"),
-    QueryDef("doc_outlinks", q_doc_outlinks, SQL_DOC_OUTLINKS,
-             "href extraction + relative-URL resolution (the web-graph "
-             "edge builder) — every resolution rule oracle-replayed"),
+    # round-8 third rotation: doc_outlinks -> EXTENDED; the href
+    # extraction + resolution shape replays verbatim inside the graded
+    # crawl_frontier (which calls extract_links on its page set), and
+    # the slot goes to the sitemaps.org ingestion family the gate has
+    # never seen.
+    QueryDef("sitemap_urls", q_sitemap_urls, SQL_SITEMAP_URLS,
+             "sitemaps.org ingestion round trip: per-brand urlset + a "
+             "sitemapindex synthesized, parsed back (loc entities, "
+             "whitespace, optional lastmod) — rule-for-rule oracle"),
     # --- sketches & sampling ---
     QueryDef("brand_basket_rules", q_brand_basket_rules,
              SQL_BRAND_BASKET_RULES,
@@ -10901,9 +10919,15 @@ CATALOG: list[QueryDef] = [
     QueryDef("triangle_counts", q_triangle_counts, SQL_TRIANGLE_COUNTS,
              "degree-ordered triangle counting + clustering coefficient "
              "over the part co-occurrence graph (skew-safe wedge join)"),
-    QueryDef("stratified_sample_docs", q_stratified_sample_docs,
-             SQL_STRATIFIED_SAMPLE_DOCS,
-             "deterministic fixed-size-per-stratum sample"),
+    # round-8 third rotation: stratified_sample_docs -> EXTENDED; the
+    # temperature sampler is the same deterministic per-stratum hash
+    # gate with non-uniform (temperature-scaled) keep rates — a strict
+    # generalization of the displaced uniform-rate shape.
+    QueryDef("domain_temperature_sample", q_domain_temperature_sample,
+             SQL_DOMAIN_TEMPERATURE_SAMPLE,
+             "temperature (alpha=0.5) domain mixing at a 50% budget: "
+             "keep-rate prop. to sqrt(c_s), integer ppm hash gate, "
+             "decimal-snapped denominator"),
     QueryDef("cms_heavy_hitters", q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS,
              "count-min sketch point queries vs exact counts"),
     # --- warehouse maintenance (round-3 driver-window promotions) ---
@@ -10981,30 +11005,31 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "streaming near-dup ingest maintainer (LSH band index as "
              "MVCC state), 3-epoch drive; rows-only — band keys are "
              "xxhash64, invariants pinned in tests/test_ingest_dedup"),
-    # round-8 post-worklist families
-    QueryDef("hits_copurchase", q_hits_copurchase, SQL_HITS_COPURCHASE,
-             "HITS hub/authority over the directed customer->part "
-             "graph: 3 alternating rounds, decimal-exact L1-normalized "
-             "power iteration, chained-CTE replayed oracle"),
+    # round-8 post-worklist families: stream_crawl_frontier stays here
+    # for the round-9 rotation (crawl_frontier itself enters the graded
+    # window this round and must be graded at least once first).
     QueryDef("stream_crawl_frontier", q_stream_crawl_frontier,
              SQL_CRAWL_FRONTIER,
              "streaming frontier maintainer graded by value: 2 page "
              "micro-batches folded through the MVCC edge/fetched state "
              "== the batch frontier over all pages (pure-function law)"),
-    QueryDef("domain_temperature_sample", q_domain_temperature_sample,
-             SQL_DOMAIN_TEMPERATURE_SAMPLE,
-             "temperature (alpha=0.5) domain mixing at a 50% budget: "
-             "keep-rate prop. to sqrt(c_s), integer ppm hash gate, "
-             "decimal-snapped denominator"),
-    QueryDef("hybrid_search_rrf", q_hybrid_search_rrf,
-             SQL_HYBRID_SEARCH_RRF,
-             "hybrid retrieval: reciprocal-rank fusion (k=60) of BM25 "
-             "and TF-IDF rankings over the same query — rank lists "
-             "top-100 via TakeOrdered, fusion joins two 100-row sides"),
-    QueryDef("sitemap_urls", q_sitemap_urls, SQL_SITEMAP_URLS,
-             "sitemaps.org ingestion round trip: per-brand urlset + a "
-             "sitemapindex synthesized, parsed back (loc entities, "
-             "whitespace, optional lastmod) — rule-for-rule oracle"),
+    # round-8 third rotation: displaced near-duplicates (each shape's
+    # graded home is noted beside its replacement in CATALOG)
+    QueryDef("bm25_search", q_bm25_search, SQL_BM25_SEARCH,
+             "full-text BM25 ranking from one token explode "
+             "(search-engine scoring family; replays inside "
+             "hybrid_search_rrf's fused leg)"),
+    QueryDef("pagerank_neardup", q_pagerank_neardup, SQL_PAGERANK_NEARDUP,
+             "5-iteration PageRank over the near-dup graph "
+             "(decimal-exact power iteration, 5-round replayed oracle)"),
+    QueryDef("doc_outlinks", q_doc_outlinks, SQL_DOC_OUTLINKS,
+             "href extraction + relative-URL resolution (the web-graph "
+             "edge builder) — every resolution rule oracle-replayed; "
+             "shape replays inside crawl_frontier's extract_links stage"),
+    QueryDef("stratified_sample_docs", q_stratified_sample_docs,
+             SQL_STRATIFIED_SAMPLE_DOCS,
+             "deterministic fixed-size-per-stratum sample (uniform-rate "
+             "special case of domain_temperature_sample's hash gate)"),
     # round-8 rotation: displaced near-duplicates (see the CATALOG note
     # beside llm_corpus_dsir_pipeline for where each shape stays graded)
     QueryDef("dsir_resample", q_dsir_resample, SQL_DSIR_RESAMPLE,

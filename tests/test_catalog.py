@@ -35,7 +35,11 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "segment_dedup_docs",         # boilerplate removal
     "knn_cosine",                 # brute-force ANN
     "cms_heavy_hitters",          # count-min sketch
-    "stratified_sample_docs",     # sampling
+    # round-8 third swap: stratified_sample_docs -> EXTENDED; the
+    # temperature sampler is the same per-stratum hash gate with
+    # temperature-scaled (non-uniform) keep rates — a strict
+    # generalization.
+    "domain_temperature_sample",  # sampling (temperature domain mixing)
     # round-6 rotation: the round-5 crawl/quality families rotate into
     # the graded window (displaced near-duplicates — quality_scores,
     # session_stats, value_percentiles, idle_rich_customers,
@@ -45,7 +49,10 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "gopher_doc_flags",           # Gopher quality gates (text quality)
     "c4_filtered_docs",           # C4 line-level cleaning
     "robots_filtered_urls",       # RFC 9309 robots decision
-    "doc_outlinks",               # web-graph edge builder
+    # round-8 third swap: doc_outlinks -> EXTENDED; crawl_frontier calls
+    # extract_links on its page set so the edge-builder shape replays
+    # verbatim inside a graded query.
+    "sitemap_urls",               # sitemaps.org ingestion round trip
     # round-6 second swap: the WARC/WET IO loop graded by value
     # (event_props_extract to EXTENDED; JSON shape stays oracle-checked
     # via props_variant_stats)
@@ -55,7 +62,11 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # sql_session_stats ~ session_stats, lang_distribution ~ language_id,
     # doc_fingerprints ~ exact_dedup_docs, simhash_fingerprints is a
     # sub-computation of simhash_pairs)
-    "pagerank_neardup",           # iterative graph
+    # round-8 third swap: pagerank_neardup -> EXTENDED (decimal
+    # power-iteration shape stays oracle-checked there); HITS grades the
+    # same loop plus dual-state alternating normalization. The family
+    # keeps part_hop_distances + triangle_counts graded.
+    "hits_copurchase",            # iterative graph (HITS power iteration)
     "hourly_rollup_merge",        # continuous aggregate merge law
     "market_share",               # Q8 snowflake, double-role dim join
     # round-3 continued rotation: four new first-class families promoted
@@ -70,7 +81,10 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "triangle_counts",            # graph analytics (clustering coeff)
     # second swap: search-ranking family in, Q19 to EXTENDED (the OR-of-
     # ANDs shape stays oracle-checked there; TPC-H keeps 10 graded reps)
-    "bm25_search",                # full-text BM25 ranking
+    # round-8 third swap: bm25_search -> EXTENDED; RRF re-derives the
+    # full BM25 ranking as one fused leg (strict superset) and adds the
+    # rank-join fusion shape.
+    "hybrid_search_rrf",          # BM25 + TF-IDF reciprocal-rank fusion
     # third swap: privacy family in, ngram_jaccard_pairs to EXTENDED
     # (minhash_lsh_pairs carries the identical exhaustive-Jaccard oracle,
     # so that shape stays driver-graded)
