@@ -141,6 +141,8 @@ HEADLINE = [
     "dsir_stream_stats",
     "hybrid_search_rrf",
     "sitemap_urls",
+    # round-8 continued: substring-level training-data dedup (ExactSubstr)
+    "exact_substring_dedup",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

@@ -657,3 +657,117 @@ def segment_dedup(
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
         .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)))
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_docs: int = 2,
+    count_mode: str = "docs",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Token-level cross-document exact-substring removal (ExactSubstr).
+
+    The substring-granularity tier below ``exact_dedup`` (whole doc),
+    ``minhash_lsh_*`` (near-whole doc), and ``segment_dedup`` (fixed
+    line/segment): remove every *word position* covered by any word
+    ``window``-gram that is duplicated corpus-wide, then reassemble the
+    survivors in order. This is exactly the "remove all maximal
+    duplicated substrings of length ≥ k" semantics of suffix-array
+    training-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): a position lies inside a duplicated
+    substring of ≥ ``window`` tokens iff some duplicated ``window``-gram
+    covers it, so the k-shingle formulation is EXACT — no suffix array
+    needed, and the whole computation is built-in DataFrame ops.
+
+    ``count_mode='docs'`` (default) marks a gram duplicated when it
+    occurs in ≥ ``min_docs`` *distinct* documents (cross-doc mirrors /
+    boilerplate; within-doc repetition is left to repetition_scores).
+    ``count_mode='occurrences'`` marks on total occurrence count ≥
+    ``min_docs`` — the literature-faithful variant that also collapses
+    within-document repeats.
+
+    Adds ``out_col`` (survivors joined by single spaces, '' when the
+    whole doc was duplicated), ``n_words`` (original token count) and
+    ``n_kept`` (surviving token count) to ``df``.
+
+    Scale shape: one explode to (doc, pos, gram-hash); one corpus agg on
+    the uniform 60-bit hash (map-side combinable, narrow: hash only);
+    the duplicated-position expansion is ``window`` × (duplicated grams
+    only), NOT window × corpus; the survivor anti-join keys on
+    (doc, pos) — uniform, skew-free; ordered reassembly is the same
+    groupBy(doc) array_sort(collect_list) shape as ``segment_dedup``.
+    All built-ins, whole-stage codegen end to end.
+    """
+    if count_mode not in ("docs", "occurrences"):
+        raise ValueError(f"count_mode must be docs|occurrences: {count_mode}")
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_w")
+    )
+    w = F.col("_w")
+    n = F.size(w)
+    # 1-based k-gram start positions; docs shorter than the window emit none
+    starts = F.when(
+        n >= window, F.sequence(F.lit(1), n - window + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("p"),
+                    hex_to_long(
+                        F.sha2(F.concat_ws(" ", F.slice(w, i, window)), 256)
+                    ).alias("h"),
+                ),
+            )
+        ).alias("_g"),
+    ).select("_id", F.col("_g.p").alias("_p"), F.col("_g.h").alias("_h"))
+
+    freq = (
+        F.count_distinct(F.col("_id"))
+        if count_mode == "docs"
+        else F.count(F.lit(1))
+    )
+    dup = (
+        grams.groupBy("_h")
+        .agg(freq.alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    covered = (
+        grams.join(dup, "_h")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_p"), F.col("_p") + window - 1)
+            ).alias("_i"),
+        )
+        .distinct()
+    )
+    words = toks.select(
+        "_id", F.posexplode(w).alias("_i0", "_word")
+    ).select("_id", (F.col("_i0") + 1).alias("_i"), "_word")
+    kept = words.join(covered, ["_id", "_i"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_word"))),
+                lambda x: x["_word"],
+            ),
+            " ",
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_words = F.size(F.split(F.col(text_col), " ")).cast("long")
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["_id"], "left")
+        .drop("_id")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)).cast("long"))
+        .withColumn("n_words", n_words)
+    )

@@ -2705,6 +2705,60 @@ GROUP BY n.doc_id, n.n_segments
 
 
 # --------------------------------------------------------------------------
+# Token-level exact-substring dedup (ExactSubstr, Lee et al. 2022)
+# --------------------------------------------------------------------------
+
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-equivalent duplicate-substring removal via sliding
+    word 8-grams: every word position covered by an 8-gram occurring in
+    >=2 distinct documents is removed, survivors reassembled in order.
+    The k-shingle formulation is exact for "remove all duplicated
+    substrings of length >= k" — a position is inside one iff some
+    duplicated k-gram covers it — so no suffix array is needed and the
+    whole plan is built-in DataFrame ops."""
+    from commerce_sessionization_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_dedup(docs, window=8, min_docs=2).select(
+        "doc_id", "clean_text", "n_words", "n_kept"
+    )
+
+
+SQL_EXACT_SUBSTRING_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, g.i AS p, array_to_string(w[g.i:(g.i+7)], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 8 + 2)) AS i) g
+  WHERE len(w) >= 8
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+covered AS (
+  SELECT DISTINCT grams.doc_id, grams.p + o.j AS i
+  FROM grams JOIN dup USING (gram),
+       LATERAL (SELECT unnest(range(0, 8)) AS j) o
+),
+words AS (
+  SELECT doc_id, g.i, w[g.i] AS word
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) g
+),
+kept AS (
+  SELECT wo.doc_id, wo.i, wo.word FROM words wo
+  LEFT JOIN covered c ON c.doc_id = wo.doc_id AND c.i = wo.i
+  WHERE c.doc_id IS NULL
+),
+base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM toks)
+SELECT b.doc_id,
+       coalesce(string_agg(k.word, ' ' ORDER BY k.i), '') AS clean_text,
+       b.n_words,
+       CAST(count(k.word) AS BIGINT) AS n_kept
+FROM base b LEFT JOIN kept k USING (doc_id)
+GROUP BY b.doc_id, b.n_words
+"""
+
+
+# --------------------------------------------------------------------------
 # Count-min sketch (frequency) and histogram sketch (quantiles) — like the
 # KMV/HLL sketches, cells derive from SHA-256 so the oracle replays the
 # sketch bit-for-bit; merge = sum matching cells (map-side combinable).
@@ -10858,8 +10912,17 @@ CATALOG: list[QueryDef] = [
              "streaming exact-dedup ingest maintainer graded by value: "
              "3 micro-batch epochs through the MVCC fingerprint index, "
              "kept set == first-arrival argmin oracle"),
-    QueryDef("segment_dedup_docs", q_segment_dedup_docs, SQL_SEGMENT_DEDUP_DOCS,
-             "corpus boilerplate removal: cross-doc duplicate segments"),
+    # round-8 third rotation: segment_dedup_docs -> EXTENDED; the
+    # substring tier's plan is a strict superset of the segment tier's
+    # (same dup-set agg + anti-join + ordered reassembly, plus the
+    # sliding-gram position expansion and interval union the gate has
+    # never graded).
+    QueryDef("exact_substring_dedup", q_exact_substring_dedup,
+             SQL_EXACT_SUBSTRING_DEDUP,
+             "ExactSubstr (Lee et al. 2022): sliding word 8-grams "
+             "duplicated across >=2 docs mark covered positions, "
+             "interval-unioned, survivors reassembled in order — "
+             "suffix-array-equivalent by the k-shingle covering law"),
     # third swap: ngram_jaccard_pairs left the window — minhash_lsh_pairs
     # below carries the SAME oracle SQL (the exhaustive Jaccard), so the
     # exhaustive semantics stay driver-graded; the freed slot promotes the
@@ -11030,6 +11093,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_STRATIFIED_SAMPLE_DOCS,
              "deterministic fixed-size-per-stratum sample (uniform-rate "
              "special case of domain_temperature_sample's hash gate)"),
+    QueryDef("segment_dedup_docs", q_segment_dedup_docs, SQL_SEGMENT_DEDUP_DOCS,
+             "corpus boilerplate removal: cross-doc duplicate segments "
+             "(fixed-segment subset of exact_substring_dedup's plan)"),
     # round-8 rotation: displaced near-duplicates (see the CATALOG note
     # beside llm_corpus_dsir_pipeline for where each shape stays graded)
     QueryDef("dsir_resample", q_dsir_resample, SQL_DSIR_RESAMPLE,

@@ -32,7 +32,10 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "stream_ingest_dedup",        # exact dedup via the MVCC maintainer
     "minhash_lsh_pairs",          # MinHash LSH
     "dedup_components",           # connected components
-    "segment_dedup_docs",         # boilerplate removal
+    # round-8 third swap: segment_dedup_docs -> EXTENDED; the substring
+    # tier grades a strict superset of its plan (dup-set agg + anti-join
+    # + ordered reassembly, plus sliding-gram interval union).
+    "exact_substring_dedup",      # ExactSubstr substring-level dedup
     "knn_cosine",                 # brute-force ANN
     "cms_heavy_hitters",          # count-min sketch
     # round-8 third swap: stratified_sample_docs -> EXTENDED; the

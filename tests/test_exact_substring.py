@@ -1,0 +1,120 @@
+"""exact_substring_dedup: token-level cross-document duplicate-span
+removal (the ExactSubstr tier of training-data dedup).
+
+The k-shingle formulation must EQUAL the declarative semantics "remove
+every word position covered by a duplicated >=window-token substring" —
+these tests pin that equality on hand-built corpora plus the structural
+laws (subsequence preservation, count law, short-doc passthrough,
+docs-vs-occurrences mode split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commerce_sessionization_spark.operators.dedup import exact_substring_dedup
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _out(df):
+    return {
+        r["doc_id"]: (r["clean_text"], r["n_words"], r["n_kept"])
+        for r in df.collect()
+    }
+
+
+WORDS = [f"w{i}" for i in range(30)]
+
+
+def test_shared_run_removed_from_both_docs(spark):
+    # docs 1 and 2 share an exact 10-word run; window=8 marks positions
+    # covered by any duplicated 8-gram — i.e. the full 10-word run in
+    # both docs, and nothing else.
+    shared = " ".join(WORDS[:10])
+    a = "alpha beta " + shared + " gamma"
+    b = "delta " + shared + " epsilon zeta"
+    out = _out(exact_substring_dedup(_mk(spark, [(1, a), (2, b)]), window=8))
+    assert out[1] == ("alpha beta gamma", 13, 3)
+    assert out[2] == ("delta epsilon zeta", 13, 3)
+
+
+def test_overlapping_grams_merge_into_maximal_span(spark):
+    # the duplicated region is longer than the window: overlapping
+    # duplicated 4-grams must union into one maximal removed span with
+    # no survivor islands inside it.
+    shared = " ".join(WORDS[:9])
+    a = "x1 " + shared + " x2"
+    b = shared
+    out = _out(exact_substring_dedup(_mk(spark, [(1, a), (2, b)]), window=4))
+    assert out[1] == ("x1 x2", 11, 2)
+    assert out[2] == ("", 9, 0)  # doc 2 was entirely duplicated
+
+
+def test_doc_shorter_than_window_untouched(spark):
+    out = _out(
+        exact_substring_dedup(
+            _mk(spark, [(1, "a b c"), (2, "a b c")]), window=8
+        )
+    )
+    # both docs are identical but shorter than the window: no 8-gram
+    # exists, so nothing is removed (whole-doc dedup is exact_dedup's job)
+    assert out[1] == ("a b c", 3, 3)
+    assert out[2] == ("a b c", 3, 3)
+
+
+def test_within_doc_repeat_modes(spark):
+    # one doc repeats its own 8-gram; no other doc shares it.
+    run = " ".join(WORDS[:8])
+    text = run + " mid " + run
+    df = _mk(spark, [(1, text), (2, "unrelated words only here")])
+    docs_mode = _out(exact_substring_dedup(df, window=8, count_mode="docs"))
+    occ_mode = _out(
+        exact_substring_dedup(df, window=8, count_mode="occurrences")
+    )
+    # docs mode: the gram occurs in 1 distinct doc -> kept
+    assert docs_mode[1] == (text, 17, 17)
+    # occurrences mode (Lee et al.): 2 total occurrences -> both removed
+    assert occ_mode[1] == ("mid", 17, 1)
+    assert occ_mode[2][2] == 4  # untouched bystander
+
+
+def test_survivors_are_an_ordered_subsequence(spark):
+    shared = " ".join(WORDS[10:20])
+    rows = [
+        (i, f"p{i} q{i} " + shared + f" r{i} s{i} t{i}") for i in range(6)
+    ]
+    out = exact_substring_dedup(_mk(spark, rows), window=8)
+    for r in out.collect():
+        orig = r["text"].split(" ")
+        keptw = r["clean_text"].split(" ") if r["clean_text"] else []
+        # subsequence check
+        it = iter(orig)
+        assert all(w in it for w in keptw)
+        assert r["n_kept"] == len(keptw)
+        assert r["n_words"] == len(orig)
+
+
+def test_count_law_and_schema(spark):
+    shared = " ".join(WORDS[:12])
+    df = exact_substring_dedup(
+        _mk(spark, [(1, "a " + shared), (2, shared + " b")]), window=8
+    )
+    got = df.select(
+        "doc_id",
+        (F.col("n_kept") == F.size(F.filter(
+            F.split("clean_text", " "), lambda s: s != ""
+        ))).alias("law"),
+    ).collect()
+    assert all(r["law"] for r in got)
+    assert df.schema["n_kept"].dataType.simpleString() == "bigint"
+    assert df.schema["n_words"].dataType.simpleString() == "bigint"
+
+
+def test_no_python_nodes_in_plan(spark):
+    df = exact_substring_dedup(_mk(spark, [(1, "a b c d e f g h i")]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
