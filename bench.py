@@ -143,6 +143,7 @@ HEADLINE = [
     "sitemap_urls",
     # round-8 continued: substring-level training-data dedup (ExactSubstr)
     "exact_substring_dedup",
+    "corpus_shard_manifest",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

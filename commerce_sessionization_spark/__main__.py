@@ -230,6 +230,10 @@ def main(argv: list[str] | None = None) -> int:
                          "toward the --target-lang subcorpus")
     cp.add_argument("--target-lang", default="en",
                     help="DSIR target subcorpus (lang column value)")
+    cp.add_argument("--shards", type=int, default=0,
+                    help="write corpus/ as N deterministic hash shards "
+                         "(shard_id=K/ dirs, within-shard order by the "
+                         "sha2 shard key) instead of one flat parquet")
     cp.add_argument("--master", default=None)
 
     ge = sub.add_parser(
@@ -478,7 +482,15 @@ def main(argv: list[str] | None = None) -> int:
                     F.broadcast(sel), "doc_id", "left_semi"
                 )
             corpus = hash_split(survivors, "doc_id").localCheckpoint()
-            corpus.write.mode("overwrite").parquet(f"{args.out}/corpus")
+            if args.shards:
+                from commerce_sessionization_spark.operators.layout import (
+                    write_shards,
+                )
+
+                write_shards(corpus, f"{args.out}/corpus",
+                             n_shards=args.shards)
+            else:
+                corpus.write.mode("overwrite").parquet(f"{args.out}/corpus")
 
             kept_ids = corpus.select("doc_id").withColumn("_k", F.lit(1))
             uniq_ids = uniq.select("doc_id").withColumn("_u", F.lit(1))

@@ -146,3 +146,97 @@ def global_rank(
         .withColumn(rank_col, F.row_number().over(w_local) + F.col("_offset"))
         .drop("_pid", "_offset")
     )
+
+
+def shard_assignment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    shard_col: str = "shard_id",
+    hash_col: str = "shard_key",
+) -> DataFrame:
+    """Deterministic pseudo-random shard placement for the final corpus.
+
+    The last step of a training-data pipeline: the corpus must reach
+    the trainer in an order uncorrelated with crawl/source/time order,
+    split into N same-sized shards. Placement and within-shard order
+    both derive from ``sha2('shard:' || id)`` — reproducible
+    run-to-run, engine-replayable (a SQL oracle can recompute every
+    assignment), and salted independently from ``hash_split``'s
+    'split:' domain so shard placement never correlates with the
+    train/val/test gate. Adds ``shard_col`` (= key mod ``n_shards``)
+    and ``hash_col`` (the 60-bit order key).
+
+    Uniformity comes from SHA-256: shard sizes concentrate at
+    corpus/N with multiplicative deviation O(sqrt(N/corpus)) — at any
+    real corpus scale the imbalance is <1%, so no shard becomes a
+    straggler task.
+    """
+    from commerce_sessionization_spark.functions.hashing import hex_to_long
+
+    key = hex_to_long(
+        F.sha2(F.concat(F.lit("shard:"), F.col(id_col).cast("string")), 256)
+    )
+    return df.withColumn(hash_col, key).withColumn(
+        shard_col, F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int")
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Per-shard manifest of the sharded corpus: (shard_id, n_docs,
+    n_tokens, n_bytes, min/max order key). The manifest is what a
+    training job reads to plan epoch schedules and what a data audit
+    diffs run-over-run; sums over it must equal corpus totals (pinned
+    in tests). One scan, one map-side-combinable aggregation keyed on
+    the (uniform) shard id — no sort, no window.
+    """
+    a = shard_assignment(df, id_col=id_col, n_shards=n_shards)
+    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    return (
+        a.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("n_tokens"),
+            F.sum(F.octet_length(F.col(text_col)).cast("long")).alias(
+                "n_bytes"
+            ),
+            F.min("shard_key").alias("min_key"),
+            F.max("shard_key").alias("max_key"),
+        )
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> None:
+    """Write ``df`` as ``n_shards`` hive-partitioned parquet shards
+    (``shard_id=K/``), each internally ordered by the deterministic
+    shard key (then id, a total-order tiebreak for key collisions).
+
+    Scale shape: ONE hash-partition exchange on the shard id (each of
+    the N output tasks owns exactly one shard directory) plus a
+    within-partition sort — the same shuffle any partitioned write
+    pays; no global sort, no single-partition window, and the sort
+    spills per-task rather than per-corpus. Re-running is idempotent
+    (dynamic overwrite semantics are inherited from the session conf).
+    """
+    a = shard_assignment(df, id_col=id_col, n_shards=n_shards)
+    # the sort leads with shard_id: the dynamic-partition writer demands
+    # its output ordered by the partition columns and would otherwise
+    # insert its own NON-STABLE sort on shard_id alone, destroying the
+    # within-shard key order this writer exists to provide
+    (
+        a.repartition(n_shards, F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "shard_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

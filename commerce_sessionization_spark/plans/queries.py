@@ -2759,6 +2759,40 @@ GROUP BY b.doc_id, b.n_words
 
 
 # --------------------------------------------------------------------------
+# Corpus shard manifest (the trainer-facing output layout)
+# --------------------------------------------------------------------------
+
+def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest of the deterministically sharded corpus:
+    placement and order key derive from sha2('shard:' || doc_id), so
+    every assignment is engine-replayable; sums over the manifest equal
+    corpus totals (pinned in tests/test_shards.py). One scan, one
+    map-side-combinable agg on the uniform shard id."""
+    from commerce_sessionization_spark.operators.layout import shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_manifest(docs, n_shards=16).select(
+        "shard_id", "n_docs", "n_tokens", "n_bytes", "min_key", "max_key"
+    )
+
+
+_SHARD_KEY_SQL = _hex2int_sql("sha256('shard:' || doc_id::VARCHAR)")
+
+SQL_CORPUS_SHARD_MANIFEST = f"""
+WITH a AS (
+  SELECT doc_id, text, ({_SHARD_KEY_SQL}) AS k FROM documents
+)
+SELECT CAST(k % 16 AS INT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+       min(k) AS min_key,
+       max(k) AS max_key
+FROM a GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Count-min sketch (frequency) and histogram sketch (quantiles) — like the
 # KMV/HLL sketches, cells derive from SHA-256 so the oracle replays the
 # sketch bit-for-bit; merge = sum matching cells (map-side combinable).
@@ -11096,6 +11130,13 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("segment_dedup_docs", q_segment_dedup_docs, SQL_SEGMENT_DEDUP_DOCS,
              "corpus boilerplate removal: cross-doc duplicate segments "
              "(fixed-segment subset of exact_substring_dedup's plan)"),
+    # round-8 continued: the trainer-facing output layout (round-9
+    # rotation candidate — family never driver-graded)
+    QueryDef("corpus_shard_manifest", q_corpus_shard_manifest,
+             SQL_CORPUS_SHARD_MANIFEST,
+             "deterministic corpus sharding manifest: sha2-derived "
+             "placement + order key (salted independently of the "
+             "train/test split hash), per-shard doc/token/byte totals"),
     # round-8 rotation: displaced near-duplicates (see the CATALOG note
     # beside llm_corpus_dsir_pipeline for where each shape stays graded)
     QueryDef("dsir_resample", q_dsir_resample, SQL_DSIR_RESAMPLE,

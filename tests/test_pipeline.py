@@ -532,6 +532,38 @@ def test_cli_corpus_subcommand(tmp_path):
     ]
 
 
+def test_cli_corpus_shards(tmp_path):
+    """`corpus --shards N` writes the kept corpus as N hash-partitioned
+    shard directories whose union equals the flat output."""
+    import subprocess
+    import sys as _sys
+
+    import duckdb
+
+    out = tmp_path / "sharded"
+    run = subprocess.run(
+        [_sys.executable, "-m", "commerce_sessionization_spark", "corpus",
+         "/root/testdata/sf0.001/documents.parquet",
+         "--out", str(out), "--shards", "4", "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert run.returncode == 0, run.stderr[-800:]
+    con = duckdb.connect()
+    shards = con.execute(
+        "SELECT shard_id, count(*) FROM "
+        f"read_parquet('{out}/corpus/*/*.parquet', hive_partitioning=1) "
+        "GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    assert len(shards) == 4
+    assert all(n > 0 for _, n in shards)
+    # every kept doc lands in exactly one shard
+    total = con.execute(
+        f"SELECT count(*), count(DISTINCT doc_id) FROM "
+        f"read_parquet('{out}/corpus/*/*.parquet', hive_partitioning=1)"
+    ).fetchone()
+    assert total[0] == total[1] == sum(n for _, n in shards)
+
+
 def test_cli_crawl_frontier_composition(tmp_path):
     """`crawl --frontier-out` closes the crawl loop: the next fetch
     batch holds outlink targets NOT in the fetched set, in-degree
