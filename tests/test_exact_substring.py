@@ -118,3 +118,58 @@ def test_no_python_nodes_in_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Property: the DataFrame plan equals a brute-force Python reference on
+# adversarial small corpora (tiny vocabulary forces heavy gram collisions,
+# overlapping/nested duplicate runs, cross- and within-doc repeats).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _ref(docs, window, min_docs, mode):
+    from collections import defaultdict
+
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    occ = defaultdict(list)
+    for d, w in toks.items():
+        for i in range(len(w) - window + 1):
+            occ[tuple(w[i : i + window])].append(d)
+    if mode == "docs":
+        dup = {g for g, ds in occ.items() if len(set(ds)) >= min_docs}
+    else:
+        dup = {g for g, ds in occ.items() if len(ds) >= min_docs}
+    out = {}
+    for d, w in toks.items():
+        covered = set()
+        for i in range(len(w) - window + 1):
+            if tuple(w[i : i + window]) in dup:
+                covered.update(range(i, i + window))
+        kept = [w[i] for i in range(len(w)) if i not in covered]
+        out[d] = (" ".join(kept), len(w), len(kept))
+    return out
+
+
+_corpus = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_corpus, window=st.integers(2, 4), mode=st.sampled_from(
+    ["docs", "occurrences"]
+))
+def test_matches_bruteforce_reference(spark, corpus, window, mode):
+    docs = {i: " ".join(words) for i, words in enumerate(corpus)}
+    df = _mk(spark, list(docs.items()))
+    got = _out(exact_substring_dedup(df, window=window, count_mode=mode))
+    assert got == _ref(docs, window, 2, mode)
