@@ -144,6 +144,7 @@ HEADLINE = [
     # round-8 continued: substring-level training-data dedup (ExactSubstr)
     "exact_substring_dedup",
     "corpus_shard_manifest",
+    "events_key_skew",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

@@ -200,3 +200,71 @@ def profile_columns(
         ]
     )
     return one.select(F.explode(rows).alias("_p")).select("_p.*")
+
+
+def key_skew_stats(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-flight skew diagnostic for a prospective join/groupBy key.
+
+    Every shuffle keyed on ``key_cols`` inherits this distribution: the
+    slowest task owns the heaviest key, so max/mean IS the parallelism
+    ceiling (a skew_factor of 400 means 31 executors finish and wait on
+    one). Run this BEFORE keying a 100 TB join to decide between a
+    plain shuffle, salting (``operators.joins.salted_join``), or a
+    broadcast.
+
+    One row out: n_rows, n_keys, mean/p50/p90/p99/max per-key counts,
+    skew_factor (max/mean, q6-quantized), and the ``top_k`` heaviest
+    keys as an ordered array of (key, cnt) structs — the salting
+    candidates.
+
+    Plan shape: one map-side-combinable count per key (the only
+    corpus-sized shuffle, on the key under test — unavoidable: the
+    distribution IS the measurement), then a single-cell summary over
+    the (much smaller) per-key counts. The heavy-hitter list is a
+    TakeOrderedAndProject over the counts (each task keeps only its
+    local ``top_k``, never a collect_list of every key) folded to one
+    array row and cross-joined onto the 1-row summary — a 1×1 join.
+    """
+    key = F.concat_ws("", *[F.col(c).cast("string") for c in key_cols])
+    counts = (
+        df.select(key.alias("_key"))
+        .groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    summary = counts.agg(
+        F.sum("_cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.floor(F.avg("_cnt") * 1e6).cast("long").alias("mean_cnt_q6"),
+        F.expr("percentile(_cnt, 0.5)").alias("p50_cnt"),
+        F.expr("percentile(_cnt, 0.9)").alias("p90_cnt"),
+        F.expr("percentile(_cnt, 0.99)").alias("p99_cnt"),
+        F.max("_cnt").alias("max_cnt"),
+        F.floor(
+            F.max("_cnt") / (F.sum("_cnt") / F.count(F.lit(1))) * 1e6
+        ).cast("long").alias("skew_factor_q6"),
+    )
+    topk = (
+        counts.orderBy(F.col("_cnt").desc(), F.col("_key"))
+        .limit(top_k)
+        .agg(
+            F.transform(
+                # sort on (-cnt, key): display order == the limit's
+                # (cnt desc, key asc), ties included
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("_cnt")).alias("_nc"), F.col("_key")
+                        )
+                    )
+                ),
+                lambda s: F.struct(
+                    s["_key"].alias("key"), (-s["_nc"]).alias("cnt")
+                ),
+            ).alias("top_keys")
+        )
+    )
+    return summary.crossJoin(F.broadcast(topk))

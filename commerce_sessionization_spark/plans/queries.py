@@ -2776,6 +2776,61 @@ def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Key-skew diagnostics (the pre-flight check before any 100 TB shuffle)
+# --------------------------------------------------------------------------
+
+def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``key_skew_stats`` over events.user_id: one corpus-sized count
+    per key (map-side combinable), a single-cell summary over the
+    per-key counts, and a TakeOrdered heavy-hitter list — the
+    diagnostic that decides plain shuffle vs salting vs broadcast
+    before keying a join at scale. Percentiles q6-quantized for
+    engine-exact comparison; the top-k list flattened to strings."""
+    from commerce_sessionization_spark.operators.dq import key_skew_stats
+
+    events = load_table(spark, sf_dir, "events")
+    s = key_skew_stats(events, ["user_id"], top_k=5)
+    return s.select(
+        "n_rows",
+        "n_keys",
+        "mean_cnt_q6",
+        _quant(F.col("p50_cnt"), 6).alias("p50_cnt_q6"),
+        _quant(F.col("p90_cnt"), 6).alias("p90_cnt_q6"),
+        _quant(F.col("p99_cnt"), 6).alias("p99_cnt_q6"),
+        "max_cnt",
+        "skew_factor_q6",
+        F.transform(
+            F.col("top_keys"),
+            lambda t: F.concat_ws("=", t["key"], t["cnt"].cast("string")),
+        ).alias("top_keys"),
+    )
+
+
+SQL_EVENTS_KEY_SKEW = """
+WITH counts AS (
+  SELECT user_id::VARCHAR AS key, count(*) AS cnt FROM events GROUP BY 1
+),
+summary AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(floor(avg(cnt) * 1000000.0) AS BIGINT) AS mean_cnt_q6,
+         CAST(floor(quantile_cont(cnt, 0.5) * 1000000.0) AS BIGINT) AS p50_cnt_q6,
+         CAST(floor(quantile_cont(cnt, 0.9) * 1000000.0) AS BIGINT) AS p90_cnt_q6,
+         CAST(floor(quantile_cont(cnt, 0.99) * 1000000.0) AS BIGINT) AS p99_cnt_q6,
+         CAST(max(cnt) AS BIGINT) AS max_cnt,
+         CAST(floor(max(cnt) / (sum(cnt)::DOUBLE / count(*)) * 1000000.0)
+              AS BIGINT) AS skew_factor_q6
+  FROM counts
+),
+topk AS (
+  SELECT list(key || '=' || cnt::VARCHAR ORDER BY cnt DESC, key) AS top_keys
+  FROM (SELECT key, cnt FROM counts ORDER BY cnt DESC, key LIMIT 5)
+)
+SELECT * FROM summary, topk
+"""
+
+
 _SHARD_KEY_SQL = _hex2int_sql("sha256('shard:' || doc_id::VARCHAR)")
 
 SQL_CORPUS_SHARD_MANIFEST = f"""
@@ -11137,6 +11192,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "deterministic corpus sharding manifest: sha2-derived "
              "placement + order key (salted independently of the "
              "train/test split hash), per-shard doc/token/byte totals"),
+    QueryDef("events_key_skew", q_events_key_skew, SQL_EVENTS_KEY_SKEW,
+             "pre-flight join-key skew diagnostic: per-key counts -> "
+             "single-cell distribution summary + TakeOrdered heavy "
+             "hitters (the salting candidates), q6 percentiles"),
     # round-8 rotation: displaced near-duplicates (see the CATALOG note
     # beside llm_corpus_dsir_pipeline for where each shape stays graded)
     QueryDef("dsir_resample", q_dsir_resample, SQL_DSIR_RESAMPLE,

@@ -1,0 +1,64 @@
+"""key_skew_stats: the pre-flight join/groupBy key skew diagnostic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commerce_sessionization_spark.operators.dq import key_skew_stats
+
+
+def _df(spark, counts: dict[str, int]):
+    rows = [(k,) for k, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_exact_stats_on_known_distribution(spark):
+    # 4 keys with counts 1, 1, 2, 16 -> 20 rows, mean 5, skew 16/5
+    r = key_skew_stats(
+        _df(spark, {"a": 16, "b": 2, "c": 1, "d": 1}), ["k"], top_k=2
+    ).first()
+    assert r["n_rows"] == 20 and r["n_keys"] == 4
+    assert r["max_cnt"] == 16
+    assert r["mean_cnt_q6"] == 5_000_000
+    assert r["skew_factor_q6"] == 3_200_000  # 16 / 5
+    assert r["p50_cnt"] == 1.5
+    assert [(t["key"], t["cnt"]) for t in r["top_keys"]] == [
+        ("a", 16),
+        ("b", 2),
+    ]
+
+
+def test_uniform_key_has_skew_factor_one(spark):
+    r = key_skew_stats(
+        _df(spark, {f"k{i}": 3 for i in range(10)}), ["k"]
+    ).first()
+    assert r["skew_factor_q6"] == 1_000_000
+    assert r["max_cnt"] == 3 and r["n_keys"] == 10
+
+
+def test_composite_key_and_tie_order(spark):
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("x", 2), ("y", 1)], "a string, b int"
+    )
+    r = key_skew_stats(df, ["a", "b"], top_k=3).first()
+    assert r["n_keys"] == 3 and r["n_rows"] == 4
+    # ties (cnt=1) ordered by key ascending
+    assert [(t["key"], t["cnt"]) for t in r["top_keys"]] == [
+        ("x1", 2),
+        ("x2", 1),
+        ("y1", 1),
+    ]
+
+
+def test_plan_uses_take_ordered_not_full_collect(spark):
+    df = _df(spark, {f"k{i}": i + 1 for i in range(20)})
+    plan = (
+        key_skew_stats(df, ["k"], top_k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the heavy-hitter branch must bound per-task state via TakeOrdered,
+    # never collect_list every key
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan

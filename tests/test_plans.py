@@ -245,6 +245,7 @@ _INTENDED_LOOP_JOINS = {
     "bloom_pruned_order_revenue",  # 1-row bloom bitmap broadcast probe
     "cms_join_size",           # 1-row exact-size scalar rides along
     "priority_price_quantiles",  # percentile literals x per-group totals
+    "events_key_skew",         # 1-row summary x 1-row top-k fold
     "dsir_weights",            # 1-row Nt / Nr corpus-total anchors
     "dsir_resample",           # same weights pass feeds the top-k
     "llm_corpus_dsir_pipeline",  # composes dsir_weights' scalar anchors
