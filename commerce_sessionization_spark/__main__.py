@@ -135,6 +135,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="approx_count_distinct (HLL++) instead of exact NDV")
     pr.add_argument("--master", default=None)
 
+    sk = sub.add_parser(
+        "skew",
+        help="pre-flight join/groupBy key skew diagnostic: per-key "
+             "count distribution + heavy-hitter list (the salting "
+             "candidates) for a prospective shuffle key",
+    )
+    sk.add_argument("table", help="parquet path, or a testdata table name "
+                                  "when --sf-dir is given")
+    sk.add_argument("key", help="comma-separated key column(s) under test")
+    sk.add_argument("--sf-dir", default=None,
+                    help="resolve `table` inside this testdata dir")
+    sk.add_argument("--top-k", type=int, default=10)
+    sk.add_argument("--master", default=None)
+
     ck = sub.add_parser(
         "checksum",
         help="order/layout-independent content fingerprint of a parquet "
@@ -596,6 +610,21 @@ def main(argv: list[str] | None = None) -> int:
                 df, [(c, F.col(c)) for c in names], approx_ndv=args.approx
             )
             prof.show(len(names) + 1, truncate=False)
+        elif args.cmd == "skew":
+            from commerce_sessionization_spark.operators.dq import (
+                key_skew_stats,
+            )
+
+            if args.sf_dir:
+                from commerce_sessionization_spark.sources.tables import load_table
+
+                df = load_table(spark, args.sf_dir, args.table)
+            else:
+                df = spark.read.parquet(args.table)
+            keys = [c.strip() for c in args.key.split(",")]
+            key_skew_stats(df, keys, top_k=args.top_k).show(
+                1, truncate=False, vertical=True
+            )
         elif args.cmd == "media-features":
             from pyspark.sql import functions as F
 

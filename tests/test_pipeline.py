@@ -294,6 +294,22 @@ def test_cli_profile_subcommand():
     assert "r_regionkey" in run.stdout and "ndv" in run.stdout
 
 
+def test_cli_skew_subcommand():
+    """`skew` prints the key-distribution diagnostic for a prospective
+    shuffle key."""
+    import subprocess
+    import sys as _sys
+
+    run = subprocess.run(
+        [_sys.executable, "-m", "commerce_sessionization_spark", "skew",
+         "events", "user_id", "--sf-dir", "/root/testdata/sf0.001",
+         "--top-k", "3", "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert run.returncode == 0, run.stderr[-500:]
+    assert "skew_factor_q6" in run.stdout and "top_keys" in run.stdout
+
+
 def test_read_parquet_evolving_merges_added_column(spark, tmp_path):
     import pytest as _pytest
 
