@@ -229,7 +229,9 @@ def key_skew_stats(
     local ``top_k``, never a collect_list of every key) folded to one
     array row and cross-joined onto the 1-row summary — a 1×1 join.
     """
-    key = F.concat_ws("", *[F.col(c).cast("string") for c in key_cols])
+    # \x01 separator: a separator-less concat would alias composite
+    # keys like ("a","b1") and ("ab","1") into one bucket
+    key = F.concat_ws("\x01", *[F.col(c).cast("string") for c in key_cols])
     counts = (
         df.select(key.alias("_key"))
         .groupBy("_key")

@@ -42,12 +42,22 @@ def test_composite_key_and_tie_order(spark):
     )
     r = key_skew_stats(df, ["a", "b"], top_k=3).first()
     assert r["n_keys"] == 3 and r["n_rows"] == 4
-    # ties (cnt=1) ordered by key ascending
+    # ties (cnt=1) ordered by key ascending; \x01-joined composite keys
     assert [(t["key"], t["cnt"]) for t in r["top_keys"]] == [
-        ("x1", 2),
-        ("x2", 1),
-        ("y1", 1),
+        ("x\x011", 2),
+        ("x\x012", 1),
+        ("y\x011", 1),
     ]
+
+
+def test_composite_key_no_aliasing(spark):
+    # ("a","b1") and ("ab","1") are DIFFERENT keys — a separator-less
+    # concat would fuse them into one bucket and understate skew
+    df = spark.createDataFrame(
+        [("a", "b1"), ("ab", "1")], "a string, b string"
+    )
+    r = key_skew_stats(df, ["a", "b"]).first()
+    assert r["n_keys"] == 2 and r["max_cnt"] == 1
 
 
 def test_plan_uses_take_ordered_not_full_collect(spark):
