@@ -771,3 +771,112 @@ def exact_substring_dedup(
         .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)).cast("long"))
         .withColumn("n_words", n_words)
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard-threshold self-join via prefix filtering (PPJoin-style).
+
+    Same output contract as ``ngram_jaccard_pairs`` — EVERY pair (a < b)
+    with Jaccard(word-n-gram sets) ≥ threshold, exact values, no
+    approximation — but candidate generation only explodes each document's
+    *prefix*: its ``s − ceil(t·s) + 1`` globally-rarest shingles under one
+    corpus-wide (document-frequency, shingle) ordering. Prefix-filtering
+    principle (Chaudhuri et al., ICDE 2006; Xiao et al., WWW 2008 PPJoin):
+    with all sets sorted by one global token order, J(A,B) ≥ t implies
+    |A∩B| ≥ ceil(t·max(|A|,|B|)), and two sets whose intersection is that
+    large must collide inside those prefixes — so joining on prefix tokens
+    only, plus the length filter t·|A| ≤ |B| (wlog |A| ≤ |B|), loses no
+    qualifying pair.
+
+    Why this is the 100 TB shape while ``ngram_jaccard_pairs`` is not: the
+    naive join's key is *every* shingle, so one boilerplate phrase shared
+    by 10⁶ docs makes a 10¹²-row bucket. Here the join key is each doc's
+    rarest-by-construction shingles — frequency-ordered prefixes
+    concentrate candidates on exactly the tokens with the fewest
+    occurrences corpus-wide — and the candidate set is deduplicated before
+    the (arrays-carried, semi-join-pruned) exact verification, so hot
+    shingles never pair-explode. The document-frequency table adds one
+    map-side-combinable agg + one shuffle join on shingle.
+
+    Plan: shingle-explode → df-count agg → per-doc ``array_sort`` on
+    (df, shingle) → ``slice`` prefix → explode prefix → self-join on
+    shingle (+ a<b + length filter) → distinct candidates → join back the
+    two full shingle arrays → ``array_intersect`` exact verify. All
+    built-ins, zero Python rows.
+
+    Output: (a, b, jaccard), identical to ``ngram_jaccard_pairs``.
+    """
+    sh = _with_words(df, id_col, text_col).select(
+        "_id",
+        F.explode(shingles_from_words(F.col("_w"), n)).alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # One row per doc: shingles in global (df, shingle) order + set size.
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_df", "shingle"))),
+                lambda x: x["shingle"],
+            ).alias("_set"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    # Prefix length p = s - ceil(t*s) + 1 (>=1 for s>=1).
+    prefix = ordered.select(
+        "_id",
+        "_n",
+        F.explode(
+            F.slice(
+                F.col("_set"),
+                1,
+                (F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)) + 1).cast("int"),
+            )
+        ).alias("shingle"),
+    )
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l._id") < F.col("r._id"))
+            # length filter: J >= t forces t*max(n_a,n_b) <= min(n_a,n_b)
+            & (F.col("l._n") * F.lit(threshold) <= F.col("r._n"))
+            & (F.col("r._n") * F.lit(threshold) <= F.col("l._n")),
+        )
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .distinct()
+    )
+    sets = ordered.select("_id", "_set", "_n")
+    return (
+        cands.join(
+            sets.select(
+                F.col("_id").alias("a"),
+                F.col("_set").alias("_sa"),
+                F.col("_n").alias("na"),
+            ),
+            "a",
+        )
+        .join(
+            sets.select(
+                F.col("_id").alias("b"),
+                F.col("_set").alias("_sb"),
+                F.col("_n").alias("nb"),
+            ),
+            "b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -35,6 +35,7 @@ from commerce_sessionization_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup_pairs,
     ngram_jaccard_pairs,
+    prefix_jaccard_pairs,
     segment_dedup,
 )
 from commerce_sessionization_spark.operators.decontam import ngram_contamination
@@ -729,6 +730,25 @@ SELECT node AS doc_id, min(comp) AS component_id FROM reach GROUP BY node
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=3, threshold=0.8).select(
+        "a", "b", _quant(F.col("jaccard"), 6).alias("jaccard_q6")
+    )
+
+
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact set-similarity self-join.
+
+    Third member of the near-dup-pair family, same brute-force oracle as
+    ``ngram_jaccard_pairs`` (an *optimization* claim, like the LSH twin):
+    candidates come only from each doc's globally-rarest
+    ``s − ceil(t·s) + 1`` shingles under one corpus-wide document-frequency
+    order, so the naive join's hot-shingle bucket explosion
+    (``operators/dedup.py`` docstring) never happens, yet the output is
+    exact — every pair with J ≥ 0.8, true Jaccard values, no LSH miss
+    probability. The 100 TB *exact* path where LSH's ~3e-4 miss rate is
+    not acceptable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(docs, n=3, threshold=0.8).select(
         "a", "b", _quant(F.col("jaccard"), 6).alias("jaccard_q6")
     )
 
@@ -11508,6 +11528,11 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_NGRAM_JACCARD_PAIRS,
              "exact 3-gram Jaccard near-dup pairs (exhaustive verifier; "
              "same oracle stays driver-graded via minhash_lsh_pairs)"),
+    QueryDef("prefix_jaccard_pairs", q_prefix_jaccard_pairs,
+             SQL_NGRAM_JACCARD_PAIRS,
+             "PPJoin prefix-filtered EXACT Jaccard join: rarest-shingle "
+             "prefixes bound candidate buckets, output == exhaustive "
+             "(round-9 rotation candidate)"),
     QueryDef("l_diversity_check", q_l_diversity_check,
              SQL_L_DIVERSITY_CHECK,
              "distinct l-diversity audit over a sensitive band"),

@@ -26,6 +26,7 @@ from commerce_sessionization_spark.operators.dedup import (
     minhash_lsh_candidates,
     minhash_lsh_dedup_pairs,
     ngram_jaccard_pairs,
+    prefix_jaccard_pairs,
     simhash_dedup_candidates,
     word_shingles,
 )
@@ -94,6 +95,40 @@ class TestDedup:
         df = spark.createDataFrame([(1, "a b c d"), (2, "a b c")], DOC_SCHEMA)
         [r] = ngram_jaccard_pairs(df, n=3, threshold=0.1).collect()
         assert (r.a, r.b, r.jaccard) == (1, 2, 0.5)
+
+    @pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8, 0.95])
+    def test_prefix_jaccard_matches_exhaustive(self, docs, threshold):
+        exact = {
+            (r.a, r.b, r.jaccard)
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=threshold).collect()
+        }
+        pf = {
+            (r.a, r.b, r.jaccard)
+            for r in prefix_jaccard_pairs(docs, n=3, threshold=threshold).collect()
+        }
+        assert pf == exact
+
+    def test_prefix_jaccard_under_hot_shingle_skew(self, spark):
+        # 40 docs share one boilerplate phrase (the naive join's 40²-pair
+        # hot bucket); only the planted near-dup pair must survive, and
+        # the prefix path must agree with brute force exactly.
+        boiler = "click here to subscribe to our newsletter today"
+        rows = [
+            (i, f"{boiler} unique words number {i} body {i * 7} tail")
+            for i in range(40)
+        ]
+        rows.append((100, rows[0][1]))  # exact dup of doc 0
+        df = spark.createDataFrame(rows, DOC_SCHEMA)
+        exact = {
+            (r.a, r.b, r.jaccard)
+            for r in ngram_jaccard_pairs(df, n=3, threshold=0.8).collect()
+        }
+        pf = {
+            (r.a, r.b, r.jaccard)
+            for r in prefix_jaccard_pairs(df, n=3, threshold=0.8).collect()
+        }
+        assert pf == exact
+        assert (0, 100, 1.0) in pf
 
     def test_minhash_lsh_matches_exhaustive(self, docs):
         exact = {
