@@ -85,3 +85,194 @@ def apply_linear_model(
     for c, w in zip(feature_cols, weights):
         expr = expr + F.col(c).cast("double") * F.lit(float(w))
     return df.withColumn(out_col, expr)
+
+
+def vector_sufficient_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    quantize_scale: int = 9,
+) -> DataFrame:
+    """One-pass mergeable sufficient statistics for a vector column:
+    n, Σxᵢ per dimension, and Σxᵢxⱼ per upper-triangle pair — the state
+    PCA / covariance / whitening need, O(d²) and independent of rows.
+
+    Engine-replayable by construction: each component is snapped to an
+    integer grid (``floor(x·10^scale)`` — one double multiply + floor,
+    bit-identical in any IEEE engine, no decimal-cast rounding-rule
+    dependence at all), and products and sums accumulate in EXACT
+    decimal (grid integers fit ``decimal(19,0)`` for |x| < 10^(19−scale);
+    products are exact ``decimal(38,0)``), which is order-independent,
+    unlike double sums.
+
+    The plan is the scalable one, not the obvious one: the per-row
+    upper-triangle product array is built JVM-side with nested
+    ``transform`` over ``sequence`` (no 2000-expression aggregate, no
+    self-join on row id), then ONE ``posexplode`` feeds a two-level
+    aggregate — partial map-side combine reduces every partition to
+    d(d+3)/2 rows before the only shuffle.
+
+    Output: long-form ``(i, j, s)`` where j = -1 rows carry Σxᵢ and
+    i = -1, j = -1 carries n; i ≤ j rows carry Σxᵢxⱼ. Sums are on the
+    scaled-integer grid (divide by 10^scale per factor to recover
+    units). 1-indexed dimensions (matches SQL ``generate_subscripts``).
+    """
+    grid = float(10 ** quantize_scale)
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(grid)).cast("decimal(19,0)"),
+    )
+    df = df.select(vq.alias("_v"))
+    if dim is None:
+        dim = df.select(F.size("_v").alias("d")).limit(1).collect()[0]["d"]
+    d = int(dim)
+    # [x_1..x_d] ++ flatten([x_i*x_j for i<=j]) — one array per row.
+    idx = F.sequence(F.lit(1), F.lit(d))
+    moments = F.concat(
+        F.col("_v"),
+        F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(d)),
+                    lambda j: F.element_at("_v", i.cast("int"))
+                    * F.element_at("_v", j.cast("int")),
+                ),
+            )
+        ),
+    )
+    exploded = df.select(F.posexplode(moments).alias("_k", "_x"))
+    sums = exploded.groupBy("_k").agg(
+        F.sum(F.col("_x").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    # Decode flat index k (0-based) -> (i, j). First d entries are means.
+    k = F.col("_k")
+    is_mean = k < F.lit(d)
+    # pair block: k' = k - d; row i (0-based) starts at offset
+    # i*d - i*(i-1)/2; invert with the triangular-number formula.
+    kp = (k - F.lit(d)).cast("double")
+    i0 = F.floor(
+        (F.lit(2 * d + 1) - F.sqrt(F.lit(float((2 * d + 1) ** 2)) - 8 * kp))
+        / F.lit(2.0)
+    ).cast("long")
+    j0 = (k - F.lit(d)) - (i0 * F.lit(d) - i0 * (i0 - 1) / F.lit(2)) + i0
+    stats = sums.select(
+        F.when(is_mean, k + 1).otherwise(i0 + 1).cast("long").alias("i"),
+        F.when(is_mean, F.lit(-1)).otherwise(j0 + 1).cast("long").alias("j"),
+        F.col("s").cast("decimal(38,0)").alias("s"),
+        F.col("_n").alias("_n"),
+    )
+    n_row = stats.filter(F.col("i") == 1).limit(1).select(
+        F.lit(-1).cast("long").alias("i"),
+        F.lit(-1).cast("long").alias("j"),
+        F.col("_n").cast("decimal(38,0)").alias("s"),
+        F.col("_n").alias("_n"),
+    )
+    return stats.unionByName(n_row).select("i", "j", "s")
+
+
+def covariance_from_stats(
+    stats: DataFrame, quantize_scale: int = 9
+) -> DataFrame:
+    """(i, j, cov) population covariance matrix (upper triangle) from
+    ``vector_sufficient_stats`` output: cov = (n·Σxy − Σx·Σy)/n² (then
+    /10^2·scale back to input units). The exact decimal sums are cast
+    to double FIRST, so the final arithmetic runs on identical operands
+    in any engine (decimal multiply overflow rules differ across
+    engines; double ops don't). Three broadcast-sized joins over a
+    d(d+3)/2-row relation."""
+    n = stats.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").cast("double").alias("_count")
+    )
+    means = stats.filter((F.col("j") == -1) & (F.col("i") > 0)).select(
+        F.col("i").alias("_mi"), F.col("s").cast("double").alias("_sx")
+    )
+    pairs = stats.filter(F.col("j") > 0).select(
+        "i", "j", F.col("s").cast("double").alias("_sxy")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .join(F.broadcast(means).withColumnRenamed("_mi", "i").withColumnRenamed("_sx", "_sa"), "i")
+        .join(F.broadcast(means).withColumnRenamed("_mi", "j").withColumnRenamed("_sx", "_sb"), "j")
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("_count") * F.col("_sxy") - F.col("_sa") * F.col("_sb"))
+                / (F.col("_count") * F.col("_count"))
+                / F.lit(float(10 ** (2 * quantize_scale)))
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    dim: int | None = None,
+):
+    """PCA from one distributed pass: covariance via
+    ``vector_sufficient_stats`` (the only scan), then a d×d ``eigh`` on
+    the driver — the model-state pattern again (d ≤ a few thousand).
+
+    Sign convention: each component is flipped so its
+    largest-magnitude coordinate is positive, making the fit
+    deterministic across LAPACK builds.
+
+    Returns ``(components: np.ndarray[k, d], mean: np.ndarray[d],
+    explained_variance: np.ndarray[k])``, eigenvalue-descending.
+    """
+    stats = vector_sufficient_stats(df, vec_col, dim=dim).collect()
+    grid = 1e9
+    d = max(r.j for r in stats)
+    n = float(next(r.s for r in stats if r.i == -1))
+    mean = np.zeros(d)
+    sxy = np.zeros((d, d))
+    for r in stats:
+        if r.i == -1:
+            continue
+        if r.j == -1:
+            mean[r.i - 1] = float(r.s)
+        else:
+            sxy[r.i - 1, r.j - 1] = sxy[r.j - 1, r.i - 1] = float(r.s)
+    cov = (n * sxy - np.outer(mean, mean)) / (n * n) / (grid * grid)
+    mean = mean / n / grid
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # (k, d)
+    for c in range(comps.shape[0]):
+        m = np.argmax(np.abs(comps[c]))
+        if comps[c, m] < 0:
+            comps[c] = -comps[c]
+    return comps, mean, vals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    mean,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto fitted components as pure column
+    expressions: yₖ = Σᵢ (xᵢ − μᵢ)·wₖᵢ via ``zip_with`` +
+    ``aggregate`` over literal weight arrays — JVM-side, zero
+    shuffles, broadcast-free (the model rides the plan as literals,
+    exactly like ``apply_linear_model``)."""
+    mu = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mu, lambda x, m: x - m
+    )
+    outs = []
+    for ci, comp in enumerate(components):
+        w = F.array(*[F.lit(float(v)) for v in comp])
+        outs.append(
+            F.aggregate(
+                F.zip_with(centered, w, lambda x, wv: x * wv),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias(f"_pc{ci}")
+        )
+    return df.withColumn(out_col, F.array(*outs))

@@ -39,6 +39,10 @@ from commerce_sessionization_spark.operators.dedup import (
     segment_dedup,
 )
 from commerce_sessionization_spark.operators.decontam import ngram_contamination
+from commerce_sessionization_spark.operators.ml import (
+    covariance_from_stats,
+    vector_sufficient_stats,
+)
 from commerce_sessionization_spark.operators.merge import (
     collapse_batch,
     merge_upsert,
@@ -775,6 +779,50 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Similarity search (embeddings)
 # --------------------------------------------------------------------------
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix of the embedding column — the PCA
+    fit's only scan, graded by value. ``vector_sufficient_stats`` snaps
+    each component to the floor(x·1e9) integer grid (bit-identical in
+    any IEEE engine — no decimal rounding-rule dependence), accumulates
+    Σx/Σxy as EXACT decimal (order-independent), and the final
+    (n·Σxy − Σx·Σy)/n² runs in double on identical operands, so the
+    2080 upper-triangle cells hash-match DuckDB exactly. The plan is
+    one narrow posexplode + map-side-combined agg (d(d+3)/2 rows per
+    partition reach the single shuffle) — no self-join on row id, no
+    2000-expression aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = covariance_from_stats(vector_sufficient_stats(emb))
+    return cov.select(
+        "i", "j", _quant(F.col("cov"), 12).alias("cov_q12")
+    )
+
+
+SQL_EMBEDDING_COVARIANCE = """
+WITH x AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS i,
+         CAST(floor(xi * 1000000000.0) AS DECIMAL(19,0)) AS xq
+  FROM (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS xi
+    FROM embeddings
+  )
+),
+n AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM x),
+means AS (SELECT i, CAST(sum(xq) AS DOUBLE) AS sx FROM x GROUP BY i),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.xq * b.xq) AS DOUBLE) AS sxy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT p.i, p.j,
+       CAST(floor((n.n * p.sxy - ma.sx * mb.sx) / (n.n * n.n)
+                  / 1e18 * 1000000000000.0) AS BIGINT) AS cov_q12
+FROM pairs p, n
+JOIN means ma ON ma.i = p.i
+JOIN means mb ON mb.i = p.j
+"""
+
 
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -11533,6 +11581,12 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "PPJoin prefix-filtered EXACT Jaccard join: rarest-shingle "
              "prefixes bound candidate buckets, output == exhaustive "
              "(round-9 rotation candidate)"),
+    QueryDef("embedding_covariance", q_embedding_covariance,
+             SQL_EMBEDDING_COVARIANCE,
+             "distributed covariance of the embedding column (PCA "
+             "sufficient statistics): integer-grid snap + exact decimal "
+             "sums, one posexplode + map-side-combined agg; 2080 cells "
+             "hash-matched at q12 (round-9 rotation candidate)"),
     QueryDef("l_diversity_check", q_l_diversity_check,
              SQL_L_DIVERSITY_CHECK,
              "distinct l-diversity audit over a sensitive band"),

@@ -58,3 +58,85 @@ def test_apply_linear_model_is_columnar(spark):
         F.max(F.abs(F.col("prediction") - F.col("y"))).alias("m")
     ).collect()[0]["m"]
     assert resid < 1e-7
+
+
+# ---------------------------------------------------------------------------
+# PCA via one-pass sufficient statistics
+# ---------------------------------------------------------------------------
+
+def _planted_vectors(spark, n=2000, d=8):
+    """Deterministic anisotropic cloud: two dominant directions with
+    variances ~25 and ~4, the rest small hash noise."""
+    import math
+    cols = []
+    for i in range(d):
+        noise = f"CAST(pmod(hash(id, {i + 10}), 997) AS DOUBLE) / 997 - 0.5"
+        cols.append(noise)
+    # dominant axes: t in [-0.5, 0.5) scaled onto e1 (sd 5) and e2 (sd 2)
+    t1 = "CAST(pmod(hash(id, 1), 9973) AS DOUBLE) / 9973 - 0.5"
+    t2 = "CAST(pmod(hash(id, 2), 9973) AS DOUBLE) / 9973 - 0.5"
+    cols[0] = f"({cols[0]}) * 0.01 + ({t1}) * 17.3"
+    cols[1] = f"({cols[1]}) * 0.01 + ({t2}) * 6.9"
+    arr = "array(" + ", ".join(f"CAST({c} AS FLOAT)" for c in cols) + ")"
+    return spark.range(0, n).selectExpr("id AS vec_id", f"{arr} AS embedding")
+
+
+class TestPCA:
+    def test_covariance_matches_numpy(self, spark):
+        from commerce_sessionization_spark.operators.ml import (
+            covariance_from_stats,
+            vector_sufficient_stats,
+        )
+        df = _planted_vectors(spark, n=500, d=6)
+        X = np.array(
+            [r.embedding for r in df.select("embedding").collect()],
+            dtype=np.float64,
+        )
+        Xq = np.floor(X * 1e9) / 1e9  # the operator's integer grid
+        want = np.cov(Xq.T, bias=True)
+        rows = covariance_from_stats(vector_sufficient_stats(df)).collect()
+        got = np.zeros((6, 6))
+        for r in rows:
+            got[r.i - 1, r.j - 1] = got[r.j - 1, r.i - 1] = r.cov
+        assert len(rows) == 6 * 7 // 2
+        assert np.abs(got - want).max() < 1e-12
+
+    def test_pca_recovers_planted_axes(self, spark):
+        from commerce_sessionization_spark.operators.ml import pca_fit
+        df = _planted_vectors(spark)
+        comps, mean, ev = pca_fit(df, k=3)
+        # top component ~ e1, second ~ e2; variances ordered
+        assert abs(comps[0][0]) > 0.999 and abs(comps[1][1]) > 0.999
+        assert ev[0] > ev[1] > ev[2] > 0
+        # sign convention: dominant coordinate positive
+        assert comps[0][np.argmax(np.abs(comps[0]))] > 0
+
+    def test_projection_matches_numpy(self, spark):
+        from commerce_sessionization_spark.operators.ml import (
+            pca_fit,
+            pca_project,
+        )
+        df = _planted_vectors(spark, n=300)
+        comps, mean, _ = pca_fit(df, k=2)
+        rows = pca_project(df, comps, mean).select("vec_id", "embedding", "pca").collect()
+        X = np.array([r.embedding for r in rows], dtype=np.float64)
+        got = np.array([r.pca for r in rows])
+        want = (X - mean) @ np.asarray(comps).T
+        assert got.shape == (300, 2)
+        assert np.abs(got - want).max() < 1e-9
+
+    def test_reconstruction_error_decreases_in_k(self, spark):
+        from commerce_sessionization_spark.operators.ml import (
+            pca_fit,
+            pca_project,
+        )
+        df = _planted_vectors(spark, n=400)
+        errs = []
+        for k in (1, 2, 4):
+            comps, mean, _ = pca_fit(df, k=k)
+            rows = pca_project(df, comps, mean).select("embedding", "pca").collect()
+            X = np.array([r.embedding for r in rows], dtype=np.float64)
+            Y = np.array([r.pca for r in rows])
+            recon = Y @ np.asarray(comps) + mean
+            errs.append(float(((X - recon) ** 2).sum()))
+        assert errs[0] > errs[1] > errs[2]
