@@ -824,6 +824,58 @@ JOIN means mb ON mb.i = p.j
 """
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, graded by value — the elementwise
+    grouped-mean primitive that k-means assignment, IVF coarse
+    quantizers, and SemDeDup cluster stats are built on. Same
+    engine-replayable recipe as ``embedding_covariance``: snap to the
+    floor(x·1e9) grid, exact decimal sums per (label, dim) cell
+    (map-side combinable — d rows per label per partition reach the
+    shuffle), divide in double at the end. One narrow posexplode, one
+    exchange on (label, i)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    grid = F.lit(1e9)
+    vq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * grid).cast("decimal(19,0)"),
+    )
+    cells = emb.select("label", F.posexplode(vq).alias("_i", "_x"))
+    return (
+        cells.groupBy("label", (F.col("_i") + 1).alias("i"))
+        .agg(
+            F.sum("_x").alias("_s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "i",
+            "n",
+            _quant(
+                F.col("_s").cast("double") / F.col("n").cast("double") / grid,
+                9,
+            ).alias("mean_q9"),
+        )
+    )
+
+
+SQL_LABEL_CENTROIDS = """
+WITH cells AS (
+  SELECT label, CAST(i AS BIGINT) AS i,
+         CAST(floor(xi * 1000000000.0) AS DECIMAL(19,0)) AS xq
+  FROM (
+    SELECT label, generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS xi
+    FROM embeddings
+  )
+)
+SELECT label, i, count(*) AS n,
+       CAST(floor(CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  / 1000000000.0 * 1000000000.0) AS BIGINT) AS mean_q9
+FROM cells
+GROUP BY label, i
+"""
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
@@ -11581,6 +11633,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "PPJoin prefix-filtered EXACT Jaccard join: rarest-shingle "
              "prefixes bound candidate buckets, output == exhaustive "
              "(round-9 rotation candidate)"),
+    QueryDef("label_centroids", q_label_centroids, SQL_LABEL_CENTROIDS,
+             "per-label embedding centroids: grid-snapped exact decimal "
+             "sums per (label, dim) cell, one posexplode + one exchange "
+             "(the k-means/IVF/SemDeDup grouped-mean primitive)"),
     QueryDef("embedding_covariance", q_embedding_covariance,
              SQL_EMBEDDING_COVARIANCE,
              "distributed covariance of the embedding column (PCA "
