@@ -255,16 +255,24 @@ def pca_project(
     mean,
     vec_col: str = "embedding",
     out_col: str = "pca",
+    center: bool = True,
 ) -> DataFrame:
     """Project vectors onto fitted components as pure column
     expressions: yₖ = Σᵢ (xᵢ − μᵢ)·wₖᵢ via ``zip_with`` +
     ``aggregate`` over literal weight arrays — JVM-side, zero
     shuffles, broadcast-free (the model rides the plan as literals,
-    exactly like ``apply_linear_model``)."""
-    mu = F.array(*[F.lit(float(m)) for m in mean])
-    centered = F.zip_with(
-        F.col(vec_col).cast("array<double>"), mu, lambda x, m: x - m
-    )
+    exactly like ``apply_linear_model``).
+
+    ``center=False`` skips the mean shift (yₖ = Σᵢ xᵢ·wₖᵢ): translation
+    changes angles, so COSINE search over compressed vectors must
+    project uncentered — centering is for L2 / reconstruction /
+    whitening uses. Pinned by the PCA-vs-JL recall test."""
+    v = F.col(vec_col).cast("array<double>")
+    if center:
+        mu = F.array(*[F.lit(float(m)) for m in mean])
+        centered = F.zip_with(v, mu, lambda x, m: x - m)
+    else:
+        centered = v
     outs = []
     for ci, comp in enumerate(components):
         w = F.array(*[F.lit(float(v)) for v in comp])

@@ -64,13 +64,16 @@ def test_apply_linear_model_is_columnar(spark):
 # PCA via one-pass sufficient statistics
 # ---------------------------------------------------------------------------
 
-def _planted_vectors(spark, n=2000, d=8):
+def _planted_vectors(spark, n=2000, d=8, noise_scale=1.0):
     """Deterministic anisotropic cloud: two dominant directions with
-    variances ~25 and ~4, the rest small hash noise."""
-    import math
+    variances ~25 and ~4, the rest hash noise of amplitude
+    ``noise_scale``."""
     cols = []
     for i in range(d):
-        noise = f"CAST(pmod(hash(id, {i + 10}), 997) AS DOUBLE) / 997 - 0.5"
+        noise = (
+            f"(CAST(pmod(hash(id, {i + 10}), 997) AS DOUBLE) / 997 - 0.5)"
+            f" * {noise_scale}"
+        )
         cols.append(noise)
     # dominant axes: t in [-0.5, 0.5) scaled onto e1 (sd 5) and e2 (sd 2)
     t1 = "CAST(pmod(hash(id, 1), 9973) AS DOUBLE) / 9973 - 0.5"
@@ -140,3 +143,53 @@ class TestPCA:
             recon = Y @ np.asarray(comps) + mean
             errs.append(float(((X - recon) ** 2).sum()))
         assert errs[0] > errs[1] > errs[2]
+
+
+class TestPCACompressedSearch:
+    """PCA as the data-aware compression stage for ANN — at equal output
+    dim it must beat the data-oblivious JL projection on anisotropic
+    data (it is the variance-optimal linear map; JL can't use the
+    spectrum)."""
+
+    def _recall(self, spark, corpus, queries, vec_col, k=5):
+        from commerce_sessionization_spark.operators.similarity import (
+            all_pairs_topk,
+        )
+        truth = {
+            (r.query_id, r.vec_id)
+            for r in all_pairs_topk(
+                corpus, queries, k=k, vec_col="embedding"
+            ).collect()
+        }
+        got = {
+            (r.query_id, r.vec_id)
+            for r in all_pairs_topk(
+                corpus.withColumnRenamed(vec_col, "_sv"),
+                queries.withColumnRenamed(vec_col, "_sv"),
+                k=k,
+                vec_col="_sv",
+            ).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    def test_pca4_beats_jl4_on_anisotropic_data(self, spark):
+        from commerce_sessionization_spark.operators.ml import (
+            pca_fit,
+            pca_project,
+        )
+        from commerce_sessionization_spark.operators.similarity import (
+            jl_project,
+        )
+        corpus = _planted_vectors(spark, n=600, d=16, noise_scale=0.05).cache()
+        queries = _planted_vectors(spark, n=620, d=16, noise_scale=0.05).filter(
+            F.col("vec_id") >= 600
+        ).withColumnRenamed("vec_id", "query_id")
+        comps, mean, _ = pca_fit(corpus, k=4)
+        pc = pca_project(corpus, comps, mean, out_col="red", center=False)
+        pq = pca_project(queries, comps, mean, out_col="red", center=False)
+        jc = jl_project(corpus, in_dim=16, out_dim=4, out_col="red")
+        jq = jl_project(queries, in_dim=16, out_dim=4, out_col="red")
+        pca_recall = self._recall(spark, pc, pq, "red")
+        jl_recall = self._recall(spark, jc, jq, "red")
+        assert pca_recall >= jl_recall
+        assert pca_recall >= 0.85
