@@ -773,6 +773,63 @@ def exact_substring_dedup(
     )
 
 
+def _prefix_ordered_and_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+):
+    """Shared candidate stage of the prefix-filtered join: returns
+    ``(ordered, candidates)`` where ``ordered`` is one row per doc with
+    its shingles in global (document-frequency, shingle) order plus set
+    size, and ``candidates`` is the distinct (a, b) pair set the prefix
+    join must verify. Exposed separately so the skew probe can count
+    candidates at the real threshold without duplicating the logic."""
+    sh = _with_words(df, id_col, text_col).select(
+        "_id",
+        F.explode(shingles_from_words(F.col("_w"), n)).alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_df", "shingle"))),
+                lambda x: x["shingle"],
+            ).alias("_set"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    # Prefix length p = s - ceil(t*s) + 1 (>=1 for s>=1).
+    prefix = ordered.select(
+        "_id",
+        "_n",
+        F.explode(
+            F.slice(
+                F.col("_set"),
+                1,
+                (F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)) + 1).cast("int"),
+            )
+        ).alias("shingle"),
+    )
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l._id") < F.col("r._id"))
+            # length filter: J >= t forces t*max(n_a,n_b) <= min(n_a,n_b)
+            & (F.col("l._n") * F.lit(threshold) <= F.col("r._n"))
+            & (F.col("r._n") * F.lit(threshold) <= F.col("l._n")),
+        )
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .distinct()
+    )
+    return ordered, cands
+
+
 def prefix_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -812,47 +869,8 @@ def prefix_jaccard_pairs(
 
     Output: (a, b, jaccard), identical to ``ngram_jaccard_pairs``.
     """
-    sh = _with_words(df, id_col, text_col).select(
-        "_id",
-        F.explode(shingles_from_words(F.col("_w"), n)).alias("shingle"),
-    )
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    # One row per doc: shingles in global (df, shingle) order + set size.
-    ordered = (
-        sh.join(dfreq, "shingle")
-        .groupBy("_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_df", "shingle"))),
-                lambda x: x["shingle"],
-            ).alias("_set"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-    )
-    # Prefix length p = s - ceil(t*s) + 1 (>=1 for s>=1).
-    prefix = ordered.select(
-        "_id",
-        "_n",
-        F.explode(
-            F.slice(
-                F.col("_set"),
-                1,
-                (F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)) + 1).cast("int"),
-            )
-        ).alias("shingle"),
-    )
-    l, r = prefix.alias("l"), prefix.alias("r")
-    cands = (
-        l.join(
-            r,
-            (F.col("l.shingle") == F.col("r.shingle"))
-            & (F.col("l._id") < F.col("r._id"))
-            # length filter: J >= t forces t*max(n_a,n_b) <= min(n_a,n_b)
-            & (F.col("l._n") * F.lit(threshold) <= F.col("r._n"))
-            & (F.col("r._n") * F.lit(threshold) <= F.col("l._n")),
-        )
-        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
-        .distinct()
+    ordered, cands = _prefix_ordered_and_candidates(
+        df, id_col, text_col, n, threshold
     )
     sets = ordered.select("_id", "_set", "_n")
     return (
