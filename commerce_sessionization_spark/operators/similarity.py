@@ -490,3 +490,79 @@ def sq_topk(
         .orderBy(F.desc("sq_score"), F.col(id_col))
         .limit(k)
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    score_col: str = "cosine",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank of ANN candidates (Carbonell &
+    Goldstein, SIGIR 1998): greedily pick
+    argmax λ·score(q,d) − (1−λ)·max_{s∈selected} cos(d,s), trading
+    relevance against redundancy — the diversified-retrieval /
+    training-data-selection stage after any top-N.
+
+    Scale shape: MMR is inherently sequential PER QUERY but the
+    candidate set is the ANN stage's top-N (tens of rows), so this is
+    the textbook ``applyInPandas`` case — one shuffle on the query key,
+    then an N×d numpy block per group; the corpus itself never enters.
+    λ=1 reduces to plain score order (pinned in tests); ties break on
+    id for determinism.
+
+    Input: one row per (query, candidate) with the candidate's vector
+    and relevance score — i.e. ``all_pairs_topk(...)`` joined back to
+    its vectors. Output: (query, id, mmr_rank, mmr_score), k rows per
+    query.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    out_schema = (
+        f"{query_col} long, {id_col} long, mmr_rank int, mmr_score double"
+    )
+
+    def rerank(pdf):
+        pdf = pdf.sort_values([score_col, id_col], ascending=[False, True])
+        ids = pdf[id_col].to_numpy()
+        scores = pdf[score_col].to_numpy(dtype=np.float64)
+        V = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        V = V / norms[:, None]
+        n = len(ids)
+        picked: list[int] = []
+        max_sim = np.zeros(n)
+        free = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            mmr = lam * scores - (1.0 - lam) * max_sim
+            mmr[~free] = -np.inf
+            best = int(np.argmax(mmr))  # argmax takes the first (lowest
+            # id after the sort) on ties — deterministic
+            picked.append(best)
+            free[best] = False
+            sims = V @ V[best]
+            max_sim = np.maximum(max_sim, sims)
+        qid = pdf.iloc[0][query_col]
+        return pd.DataFrame(
+            {
+                query_col: [qid] * len(picked),
+                id_col: ids[picked],
+                "mmr_rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+                "mmr_score": [
+                    float(
+                        lam * scores[p]
+                        - (1.0 - lam)
+                        * (0.0 if i == 0 else
+                           float(np.max(V[picked[:i]] @ V[p])))
+                    )
+                    for i, p in enumerate(picked)
+                ],
+            }
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(rerank, out_schema)

@@ -824,6 +824,37 @@ JOIN means mb ON mb.i = p.j
 """
 
 
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval: brute-force cosine top-20 per query
+    (3 broadcast query vectors) re-ranked to a diverse top-5 with
+    lam=0.7. Rows-only: the greedy argmax-over-selected recursion has no
+    closed SQL form (each pick depends on the max-similarity frontier
+    of the previous picks) — invariants (λ=1 ≡ score order, redundancy
+    demotion, per-group caps, rank-1 score law) are pinned in
+    tests/test_ml.py::TestMMRRerank instead. Scale shape: the corpus
+    only ever flows through the ANN stage; MMR touches N=20 rows per
+    query in one Arrow batch."""
+    from commerce_sessionization_spark.operators.similarity import (
+        all_pairs_topk,
+        mmr_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = all_pairs_topk(emb, queries, k=20).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    out = mmr_rerank(cands, k=5, lam=0.7)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "mmr_rank",
+        _quant(F.col("mmr_score"), 6).alias("mmr_score_q6"),
+    ).orderBy("query_id", "mmr_rank")
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids, graded by value — the elementwise
     grouped-mean primitive that k-means assignment, IVF coarse
@@ -11633,6 +11664,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "PPJoin prefix-filtered EXACT Jaccard join: rarest-shingle "
              "prefixes bound candidate buckets, output == exhaustive "
              "(round-9 rotation candidate)"),
+    QueryDef("mmr_diverse_topk", q_mmr_diverse_topk, None,
+             "MMR diversified re-rank of ANN top-20 (rows-only: greedy "
+             "argmax recursion has no SQL form; laws pinned in "
+             "TestMMRRerank)"),
     QueryDef("label_centroids", q_label_centroids, SQL_LABEL_CENTROIDS,
              "per-label embedding centroids: grid-snapped exact decimal "
              "sums per (label, dim) cell, one posexplode + one exchange "

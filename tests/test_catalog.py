@@ -176,6 +176,12 @@ ROWS_ONLY_ALLOWED = {
     # and every non-ndv column is value-pinned through the exact twin
     # (orders_profile, driver-graded)
     "orders_profile_approx",
+    # MMR's greedy argmax-over-selected recursion has no closed SQL
+    # form (each pick depends on the max-similarity frontier of the
+    # previous picks); its laws (lam=1 == score order, redundancy
+    # demotion, per-group caps, rank-1 score identity) are pinned in
+    # tests/test_ml.py::TestMMRRerank
+    "mmr_diverse_topk",
     # LSH band keys are xxhash64 (both the MinHash slot mixes and the
     # band key hash) — DuckDB has no xxhash64, so the kept set has no
     # engine-independent value replay; the no-candidate-pair invariant

@@ -193,3 +193,62 @@ class TestPCACompressedSearch:
         jl_recall = self._recall(spark, jc, jq, "red")
         assert pca_recall >= jl_recall
         assert pca_recall >= 0.85
+
+
+class TestMMRRerank:
+    def _cands(self, spark):
+        # query 1: A(1) and B(2) near-identical high scorers, C(3) distinct
+        rows = [
+            (1, 1, 0.99, [1.0, 0.0, 0.0]),
+            (1, 2, 0.98, [0.999, 0.04, 0.0]),
+            (1, 3, 0.90, [0.0, 1.0, 0.0]),
+            (1, 4, 0.10, [0.0, 0.0, 1.0]),
+            (2, 7, 0.80, [1.0, 0.0, 0.0]),
+            (2, 8, 0.70, [0.0, 1.0, 0.0]),
+        ]
+        return spark.createDataFrame(
+            rows, "query_id long, vec_id long, cosine double, embedding array<double>"
+        )
+
+    def test_lambda_one_is_plain_score_order(self, spark):
+        from commerce_sessionization_spark.operators.similarity import (
+            mmr_rerank,
+        )
+        out = mmr_rerank(self._cands(spark), k=4, lam=1.0)
+        got = [
+            r.vec_id
+            for r in out.filter("query_id = 1").orderBy("mmr_rank").collect()
+        ]
+        assert got == [1, 2, 3, 4]
+
+    def test_diversity_demotes_redundant_candidate(self, spark):
+        from commerce_sessionization_spark.operators.similarity import (
+            mmr_rerank,
+        )
+        out = mmr_rerank(self._cands(spark), k=3, lam=0.5)
+        got = [
+            r.vec_id
+            for r in out.filter("query_id = 1").orderBy("mmr_rank").collect()
+        ]
+        # B (near-dup of A) must fall behind the distinct C
+        assert got[0] == 1 and got[1] == 3
+
+    def test_groups_independent_and_k_capped(self, spark):
+        from commerce_sessionization_spark.operators.similarity import (
+            mmr_rerank,
+        )
+        out = mmr_rerank(self._cands(spark), k=10, lam=0.5).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        assert len(by_q[1]) == 4 and len(by_q[2]) == 2
+        ranks = sorted(r.mmr_rank for r in by_q[2])
+        assert ranks == [1, 2]
+
+    def test_first_rank_score_is_lambda_times_relevance(self, spark):
+        from commerce_sessionization_spark.operators.similarity import (
+            mmr_rerank,
+        )
+        out = mmr_rerank(self._cands(spark), k=2, lam=0.7)
+        r1 = out.filter("query_id = 1 AND mmr_rank = 1").collect()[0]
+        assert r1.mmr_score == pytest.approx(0.7 * 0.99)
