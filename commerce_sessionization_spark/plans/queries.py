@@ -10528,6 +10528,33 @@ def q_dsir_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming PCA-statistics maintainer graded by VALUE: the
+    embeddings table splits into three micro-batches (``vec_id % 3``)
+    and folds through ``make_vector_stats_writer``'s MVCC epoch state
+    on disk (the real ``foreachBatch`` fn with prior-version resolution
+    and the _SUCCESS commit protocol), then the newest committed state
+    feeds ``covariance_from_stats``. The oracle is the SAME brute
+    covariance SQL that grades the batch ``embedding_covariance`` —
+    green means ``fold(fold(partial(e0), partial(e1)), partial(e2)) ==
+    direct`` with exact decimal sums: the streaming-maintained PCA
+    state is bit-equal to the batch one-pass fit's input."""
+    from commerce_sessionization_spark.streaming.rollup_stream import (
+        make_vector_stats_writer,
+        read_rollup_state,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = _stream_scratch_dir("spark_graft_vecstats_stream", sf_dir)
+    writer = make_vector_stats_writer(spark, out, dim=64)
+    for epoch in range(3):
+        writer(emb.filter(F.col("vec_id") % 3 == epoch), epoch)
+    state = read_rollup_state(spark, out)
+    return covariance_from_stats(state).select(
+        "i", "j", _quant(F.col("cov"), 12).alias("cov_q12")
+    )
+
+
 SQL_DSIR_STREAM_STATS = f"""
 WITH tok AS (
   SELECT lang, regexp_extract_all(lower(text), '{_TOKEN_RE}') AS t
@@ -11664,6 +11691,11 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "PPJoin prefix-filtered EXACT Jaccard join: rarest-shingle "
              "prefixes bound candidate buckets, output == exhaustive "
              "(round-9 rotation candidate)"),
+    QueryDef("stream_vector_stats", q_stream_vector_stats,
+             SQL_EMBEDDING_COVARIANCE,
+             "streaming PCA-stats maintainer graded by value: 3-epoch "
+             "MVCC fold of exact-decimal sufficient stats == the batch "
+             "covariance SQL (round-9 rotation candidate)"),
     QueryDef("mmr_diverse_topk", q_mmr_diverse_topk, None,
              "MMR diversified re-rank of ANN top-20 (rows-only: greedy "
              "argmax recursion has no SQL form; laws pinned in "

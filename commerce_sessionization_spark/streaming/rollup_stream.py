@@ -326,3 +326,47 @@ def make_checksum_writer(
 
     return make_incremental_writer(spark, out_path, partial, merge,
                                    keep_versions=keep_versions)
+
+
+def make_vector_stats_writer(
+    spark: SparkSession,
+    out_path: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    keep_versions: int = 3,
+):
+    """Incremental PCA/covariance sufficient statistics over a vector
+    stream.
+
+    The one-pass PCA state (``operators.ml.vector_sufficient_stats``:
+    n + Σxᵢ + upper-triangle Σxᵢxⱼ on the integer grid, d(d+3)/2+1
+    exact-decimal rows) is associative+commutative under per-cell
+    addition, so it rides the same MVCC epoch maintainer as the
+    rollups/CMS/DSIR states: per epoch, reduce the micro-batch to its
+    stats rows and fold into the previous version by summing ``s`` per
+    (i, j). Epoch replay rewrites the identical version — decimal sums
+    are order-independent, so the maintained state is BIT-equal to the
+    batch stats over all rows ever seen (the pure-function law the
+    value-graded catalog query asserts). Refit PCA any time:
+    ``covariance_from_stats(read_rollup_state(...))`` + the driver-side
+    eigensolve — streaming model refresh with no event re-read.
+    """
+    from pyspark.sql import functions as F
+
+    from commerce_sessionization_spark.operators.ml import (
+        vector_sufficient_stats,
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return vector_sufficient_stats(df, vec_col, dim=dim)
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b)
+            .groupBy("i", "j")
+            .agg(F.sum("s").cast("decimal(38,0)").alias("s"))
+        )
+
+    return make_incremental_writer(
+        spark, out_path, partial, merge, keep_versions=keep_versions
+    )

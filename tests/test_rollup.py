@@ -277,3 +277,40 @@ def test_dsir_writer_streamed_stats_equal_batch_weights_and_replay(
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_vector_stats_writer_streamed_equals_batch_and_replay(
+    spark, tmp_path
+):
+    """The streaming PCA-stats maintainer's law: sufficient statistics
+    folded epoch-by-epoch must be BIT-equal (exact decimal) to the
+    batch one-pass stats over all rows ever seen, and epoch replay must
+    rewrite the identical version instead of double-counting."""
+    from pyspark.sql import functions as F
+
+    from commerce_sessionization_spark.operators.ml import (
+        vector_sufficient_stats,
+    )
+    from commerce_sessionization_spark.sources.tables import load_table
+    from commerce_sessionization_spark.streaming.rollup_stream import (
+        make_vector_stats_writer,
+        read_rollup_state,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = str(tmp_path / "vecstats")
+    write = make_vector_stats_writer(spark, out, dim=64)
+    for epoch in range(3):
+        write(emb.filter(F.col("vec_id") % 3 == epoch), epoch)
+    write(emb.filter(F.col("vec_id") % 3 == 2), 2)  # replay last epoch
+
+    got = {
+        (r.i, r.j): str(r.s)
+        for r in read_rollup_state(spark, out).collect()
+    }
+    want = {
+        (r.i, r.j): str(r.s)
+        for r in vector_sufficient_stats(emb, dim=64).collect()
+    }
+    assert got == want
+    assert len(got) == 64 * 67 // 2 + 1  # d(d+3)/2 cells + the n row
