@@ -52,8 +52,19 @@ def pagerank(
     exact: bool = False,
     broadcast_vertices: int = 4_000_000,
     partition_invariants: bool = True,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank.
+
+    ``seeds`` switches to PERSONALIZED PageRank (random walk with
+    restart): teleport mass (1−d) and the dangling redistribution both
+    land on the seed set (uniformly, 1/|S| each) instead of 1/N
+    uniformly, and the walk starts there — rank'(v) = (1−d)·p(v) +
+    d·(Σ_in + dangling·p(v)) with p = the seed indicator / |S|. The
+    per-vertex teleport vector rides the pinned vertices relation as
+    one extra double column, so the loop shape (and the zero-exchange
+    broadcast regime) is unchanged; the non-seeded arithmetic is kept
+    byte-identical to before so existing oracle replays are unaffected.
 
     ``edges`` is directed (symmetrize upstream for an undirected graph);
     ``vertices`` must contain every node, including isolated ones. Returns
@@ -131,6 +142,20 @@ def pagerank(
         return vertices.select(
             F.col(id_col), F.lit(0.0).alias("rank")
         )
+    if seeds is not None:
+        seed_ck = seeds.select(id_col).distinct().localCheckpoint(
+            storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+        n_seed = seed_ck.count()
+        if n_seed == 0:
+            raise ValueError("personalized pagerank needs >= 1 seed node")
+        # per-vertex teleport probability as a loop-invariant column on
+        # the (pinned) vertices relation
+        vertices = vertices.join(
+            seed_ck.select(F.col(id_col), F.lit(1.0 / n_seed).alias("_pers")),
+            id_col,
+            "left",
+        ).select(F.col(id_col), F.coalesce(F.col("_pers"), F.lit(0.0)).alias("_pers"))
     out_deg = edges.groupBy(src.alias(id_col)).agg(
         F.count(F.lit(1)).alias("_outdeg")
     )
@@ -167,8 +192,11 @@ def pagerank(
         wedges = wedges.persist(StorageLevel.MEMORY_AND_DISK)
     dang_nodes = vertices.join(out_deg, id_col, "left_anti").localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
 
+    init_rank = (
+        F.lit(1.0 / n_vert) if seeds is None else F.col("_pers")
+    )
     ranks = vertices.select(
-        F.col(id_col), F.lit(1.0 / n_vert).alias("rank")
+        F.col(id_col), init_rank.alias("rank")
     ).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
 
     for _ in range(iterations):
@@ -187,21 +215,25 @@ def pagerank(
             .groupBy(id_col)
             .agg(_sum(F.col("_c")).alias("_in"))
         )
+        if seeds is None:
+            new_rank = base + F.lit(damping) * (
+                F.coalesce(F.col("_in"), F.lit(0.0))
+                + F.col("_dangling") / n_vert
+            )
+            vert_cols = [F.col(id_col)]
+        else:
+            new_rank = F.lit(1.0 - damping) * F.col("_pers") + F.lit(
+                damping
+            ) * (
+                F.coalesce(F.col("_in"), F.lit(0.0))
+                + F.col("_dangling") * F.col("_pers")
+            )
+            vert_cols = [F.col(id_col), F.col("_pers")]
         ranks = (
-            vertices.select(id_col)
+            vertices.select(*vert_cols)
             .join(contribs, id_col, "left")
             .crossJoin(F.broadcast(dangling))
-            .select(
-                F.col(id_col),
-                (
-                    base
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("_in"), F.lit(0.0))
-                        + F.col("_dangling") / n_vert
-                    )
-                ).alias("rank"),
-            )
+            .select(F.col(id_col), new_rank.alias("rank"))
             .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         )
     # the returned ranks are checkpoint-materialized, so every pinned

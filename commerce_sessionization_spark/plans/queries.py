@@ -4435,21 +4435,49 @@ WITH cp AS (
 
 
 def _pagerank_sql(prelude: str, iterations: int = 5, d: str = "0.85",
-                  out_col: str = "doc_id") -> str:
+                  out_col: str = "doc_id", personalized: bool = False) -> str:
     """Generate the chained-CTE DuckDB twin of ``operators.graph.pagerank``
     (one CTE triple per iteration — recursive CTEs allow only a single
     reference to the working table, and each round needs three).
 
     ``prelude`` is the leading WITH-chain and must define
-    ``pr_edges(src, dst)`` and ``verts(node)``; the iteration chain and
-    the decimal-exact replay arithmetic are graph-independent."""
+    ``pr_edges(src, dst)`` and ``verts(node)`` — plus ``seeds(node)``
+    when ``personalized`` — ; the iteration chain and the decimal-exact
+    replay arithmetic are graph-independent. The personalized variant
+    replays the seeded teleport vector: rank₀ = p, and each round's
+    (1−d) and dangling terms multiply p(v) instead of dividing by N —
+    the same IEEE operand order the Spark operator uses, so rounds stay
+    bit-identical."""
     parts = [prelude.rstrip().rstrip(",") + ","]
     parts.append("""
 nv AS (SELECT count(*)::BIGINT AS n FROM verts),
-deg AS (SELECT src AS node, count(*) AS outdeg FROM pr_edges GROUP BY 1),
+deg AS (SELECT src AS node, count(*) AS outdeg FROM pr_edges GROUP BY 1),""")
+    if personalized:
+        parts.append("""
+ns AS (SELECT count(*)::BIGINT AS n FROM seeds),
+pers AS (
+  SELECT v.node,
+         CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS p
+  FROM verts v LEFT JOIN seeds s ON v.node = s.node, ns
+),
+it0 AS (SELECT node, p AS rank FROM pers)""")
+    else:
+        parts.append("""
 it0 AS (SELECT node, 1.0 / nv.n AS rank FROM verts, nv)""")
     for i in range(1, iterations + 1):
         p = i - 1
+        if personalized:
+            it_body = f"""it{i} AS (
+  SELECT v.node,
+         (1.0 - {d}) * v.p + {d} * (COALESCE(c.inr, 0.0) + g.m * v.p) AS rank
+  FROM pers v LEFT JOIN con{i} c ON v.node = c.node, dang{i} g
+)"""
+        else:
+            it_body = f"""it{i} AS (
+  SELECT v.node,
+         (1.0 - {d}) / nv.n + {d} * (COALESCE(c.inr, 0.0) + g.m / nv.n) AS rank
+  FROM verts v LEFT JOIN con{i} c ON v.node = c.node, nv, dang{i} g
+)"""
         parts.append(f""",
 dang{i} AS (
   SELECT CAST(COALESCE(sum(CAST(r.rank AS DECIMAL(38,18))),
@@ -4460,11 +4488,7 @@ dang{i} AS (
          CAST(sum(CAST(r.rank / dg.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS inr
   FROM it{p} r JOIN deg dg ON r.node = dg.node JOIN pr_edges e ON e.src = r.node
   GROUP BY 1
-), it{i} AS (
-  SELECT v.node,
-         (1.0 - {d}) / nv.n + {d} * (COALESCE(c.inr, 0.0) + g.m / nv.n) AS rank
-  FROM verts v LEFT JOIN con{i} c ON v.node = c.node, nv, dang{i} g
-)""")
+), {it_body}""")
     parts.append(f"""
 SELECT node AS {out_col},
        CAST(floor(rank * 1000000000000.0) AS BIGINT) AS rank_q12
@@ -4477,6 +4501,38 @@ SQL_PAGERANK_NEARDUP = _pagerank_sql(_PAGERANK_NEARDUP_PRELUDE)
 SQL_PAGERANK_COPURCHASE = _pagerank_sql(
     _PAGERANK_COPURCHASE_PRELUDE, out_col="node"
 )
+SQL_PPR_COPURCHASE = _pagerank_sql(
+    _PAGERANK_COPURCHASE_PRELUDE + """,
+seeds AS (
+  SELECT node FROM verts
+  WHERE node LIKE 'c%' AND CAST(substr(node, 2) AS BIGINT) % 50 = 0
+)""",
+    out_col="node",
+    personalized=True,
+)
+
+
+def q_ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) over the
+    co-purchase graph, seeded on every 50th customer — the
+    'recommendations relative to a cohort' query: teleport and dangling
+    mass return to the seed cohort, so high-rank parts are those
+    reachable from THOSE customers' baskets, not globally popular ones.
+    ORACLE MODE (decimal-exact replay): the seeded teleport vector
+    multiplies p(v) with the same IEEE operand order in both engines,
+    so all 5 rounds hash-match at q12 like the uniform variant."""
+    from commerce_sessionization_spark.operators.graph import pagerank
+
+    edges, verts, cp = _copurchase_graph(spark, sf_dir)
+    seeds = verts.filter(
+        F.col("node").startswith("c")
+        & (F.expr("CAST(substr(node, 2) AS BIGINT)") % 50 == 0)
+    )
+    out = pagerank(
+        edges, verts, iterations=5, damping=0.85, exact=True, seeds=seeds
+    )
+    cp.unpersist(blocking=False)
+    return out.select("node", _quant(F.col("rank"), 12).alias("rank_q12"))
 
 
 # --------------------------------------------------------------------------
@@ -11691,6 +11747,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "PPJoin prefix-filtered EXACT Jaccard join: rarest-shingle "
              "prefixes bound candidate buckets, output == exhaustive "
              "(round-9 rotation candidate)"),
+    QueryDef("ppr_copurchase", q_ppr_copurchase, SQL_PPR_COPURCHASE,
+             "personalized PageRank from a seeded customer cohort "
+             "(decimal-exact 5-round replay, seeded teleport + dangling "
+             "restart; round-9 rotation candidate)"),
     QueryDef("stream_vector_stats", q_stream_vector_stats,
              SQL_EMBEDDING_COVARIANCE,
              "streaming PCA-stats maintainer graded by value: 3-epoch "

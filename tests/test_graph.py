@@ -483,3 +483,76 @@ def test_hits_empty_graph_returns_no_rows(spark):
 
     edges = spark.createDataFrame([], "src long, dst long")
     assert hits(edges, iterations=2).count() == 0
+
+
+def test_personalized_pagerank_matches_numpy_reference(spark):
+    """Seeded teleport + dangling restart: 0→1, 1→2, 2→0, 0→3 (3
+    dangling), seed {0}, 5 rounds — checked against a dense power
+    iteration with the PPR update rule."""
+    import numpy as np
+
+    edges = _edges(spark, [(0, 1), (1, 2), (2, 0), (0, 3)])
+    verts = _verts(spark, [0, 1, 2, 3])
+    seeds = _verts(spark, [0])
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, verts, iterations=5, damping=0.85, seeds=seeds
+        ).collect()
+    }
+    d, p = 0.85, np.array([1.0, 0.0, 0.0, 0.0])
+    r, outdeg = p.copy(), {0: 2, 1: 1, 2: 1}
+    for _ in range(5):
+        nxt = np.zeros(4)
+        dang = sum(r[v] for v in range(4) if v not in outdeg)
+        for s, t in [(0, 1), (1, 2), (2, 0), (0, 3)]:
+            nxt[t] += r[s] / outdeg[s]
+        r = (1 - d) * p + d * (nxt + dang * p)
+    for i in range(4):
+        assert out[i] == pytest.approx(r[i], abs=1e-12)
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    """Rank mass stays ~1 (the walk restarts inside the graph) and
+    concentrates near the seed: on two disconnected triangles with the
+    seed in the first, the second triangle's rank must be ~0."""
+    tri1 = [(0, 1), (1, 2), (2, 0)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            _edges(spark, tri1 + tri2),
+            _verts(spark, [0, 1, 2, 10, 11, 12]),
+            iterations=8,
+            seeds=_verts(spark, [0]),
+        ).collect()
+    }
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+    assert out[10] == out[11] == out[12] == 0.0
+    assert out[0] > out[1] > 0
+
+
+def test_personalized_pagerank_uniform_seeds_equal_uniform_variant(spark):
+    """Seeding EVERY vertex must reproduce classic PageRank (p == 1/N
+    — same fixpoint, same arithmetic to float tolerance)."""
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 1), (1, 3)])
+    verts = _verts(spark, [1, 2, 3])
+    classic = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, verts, iterations=5).collect()
+    }
+    seeded = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, verts, iterations=5, seeds=verts).collect()
+    }
+    for k in classic:
+        assert seeded[k] == pytest.approx(classic[k], abs=1e-12)
+
+
+def test_personalized_pagerank_empty_seeds_raises(spark):
+    with pytest.raises(ValueError):
+        pagerank(
+            _edges(spark, [(1, 2)]),
+            _verts(spark, [1, 2]),
+            seeds=_verts(spark, []).filter("node IS NOT NULL"),
+        )
