@@ -256,6 +256,8 @@ def pca_project(
     vec_col: str = "embedding",
     out_col: str = "pca",
     center: bool = True,
+    explained_variance=None,
+    eps: float = 0.0,
 ) -> DataFrame:
     """Project vectors onto fitted components as pure column
     expressions: yₖ = Σᵢ (xᵢ − μᵢ)·wₖᵢ via ``zip_with`` +
@@ -266,7 +268,12 @@ def pca_project(
     ``center=False`` skips the mean shift (yₖ = Σᵢ xᵢ·wₖᵢ): translation
     changes angles, so COSINE search over compressed vectors must
     project uncentered — centering is for L2 / reconstruction /
-    whitening uses. Pinned by the PCA-vs-JL recall test."""
+    whitening uses. Pinned by the PCA-vs-JL recall test.
+
+    ``explained_variance`` (the eigenvalues from ``pca_fit``) turns the
+    projection into PCA WHITENING: yₖ /= sqrt(λₖ + ε), giving
+    unit-variance decorrelated coordinates — the normalization step
+    before Mahalanobis-style distances or feature standardization."""
     v = F.col(vec_col).cast("array<double>")
     if center:
         mu = F.array(*[F.lit(float(m)) for m in mean])
@@ -276,11 +283,12 @@ def pca_project(
     outs = []
     for ci, comp in enumerate(components):
         w = F.array(*[F.lit(float(v)) for v in comp])
-        outs.append(
-            F.aggregate(
-                F.zip_with(centered, w, lambda x, wv: x * wv),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias(f"_pc{ci}")
+        y = F.aggregate(
+            F.zip_with(centered, w, lambda x, wv: x * wv),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
+        if explained_variance is not None:
+            y = y / F.lit(float((explained_variance[ci] + eps) ** 0.5))
+        outs.append(y.alias(f"_pc{ci}"))
     return df.withColumn(out_col, F.array(*outs))

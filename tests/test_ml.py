@@ -252,3 +252,19 @@ class TestMMRRerank:
         out = mmr_rerank(self._cands(spark), k=2, lam=0.7)
         r1 = out.filter("query_id = 1 AND mmr_rank = 1").collect()[0]
         assert r1.mmr_score == pytest.approx(0.7 * 0.99)
+
+
+class TestWhitening:
+    def test_whitened_projection_has_identity_covariance(self, spark):
+        from commerce_sessionization_spark.operators.ml import (
+            pca_fit,
+            pca_project,
+        )
+        df = _planted_vectors(spark, n=800, d=6)
+        comps, mean, ev = pca_fit(df, k=3)
+        rows = pca_project(
+            df, comps, mean, explained_variance=ev
+        ).select("pca").collect()
+        Y = np.array([r.pca for r in rows])
+        C = np.cov(Y.T, bias=True)
+        assert np.abs(C - np.eye(3)).max() < 1e-6
