@@ -145,6 +145,15 @@ HEADLINE = [
     "exact_substring_dedup",
     "corpus_shard_manifest",
     "events_key_skew",
+    # round-8 second session: exact set-similarity via prefix filtering,
+    # the one-pass PCA stats family (+ its streaming maintainer drive),
+    # MMR diversified rerank, personalized PageRank
+    "prefix_jaccard_pairs",
+    "embedding_covariance",
+    "label_centroids",
+    "stream_vector_stats",
+    "mmr_diverse_topk",
+    "ppr_copurchase",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off
