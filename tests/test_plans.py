@@ -249,6 +249,9 @@ _INTENDED_LOOP_JOINS = {
     "dsir_weights",            # 1-row Nt / Nr corpus-total anchors
     "dsir_resample",           # same weights pass feeds the top-k
     "llm_corpus_dsir_pipeline",  # composes dsir_weights' scalar anchors
+    "embedding_covariance",    # 1-row n (vector count) anchor
+    "stream_vector_stats",     # the same 1-row n anchor on the maintained state
+    "mmr_diverse_topk",        # broadcast 3-row query vectors (all_pairs_topk)
 }
 
 
