@@ -566,3 +566,63 @@ def mmr_rerank(
         )
 
     return candidates.groupBy(query_col).applyInPandas(rerank, out_schema)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the k
+    corpus rows MOST similar to it whose label differs — the negatives
+    that actually move an embedding model, vs easy random ones
+    (in-batch negatives miss them at any batch size).
+
+    Plan shape matches ``all_pairs_topk``: anchors (queries, bounded)
+    broadcast; the corpus is scored in codegen and never shuffles
+    except the per-anchor top-k window on the anchor key. Self-matches
+    are excluded by id, not by similarity == 1, so exact-duplicate
+    vectors with different labels are kept — those are the hardest
+    negatives of all.
+
+    Output: (anchor_id, id, label, cosine) — k rows per anchor, ties
+    broken on id.
+    """
+    from pyspark.sql import Window
+
+    from commerce_sessionization_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias(anchor_id_col),
+            F.col(vec_col).alias("_avec"),
+            F.col(label_col).alias("_albl"),
+        )
+    )
+    scored = (
+        corpus.crossJoin(a)
+        .filter(
+            (F.col(label_col) != F.col("_albl"))
+            & (F.col(id_col) != F.col(anchor_id_col))
+        )
+        .select(
+            anchor_id_col,
+            id_col,
+            label_col,
+            cosine_similarity(F.col(vec_col), F.col("_avec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(anchor_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

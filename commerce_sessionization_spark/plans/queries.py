@@ -929,6 +929,51 @@ LIMIT 10
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining graded by value: for each of 3
+    anchor vectors, the 10 most-cosine-similar rows with a DIFFERENT
+    label (the negatives that move an embedding model). Same broadcast
+    plan as knn_cosine — the corpus never shuffles except the
+    per-anchor top-k window — and the same fold arithmetic, so the
+    cosine hash-matches DuckDB's list_dot_product replay at q6."""
+    from commerce_sessionization_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 3)
+    return hard_negatives(emb, anchors, k=10).select(
+        "anchor_id",
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        _quant(F.col("cosine"), 6).alias("cosine_q6"),
+    )
+
+
+SQL_HARD_NEGATIVES = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS avec, label AS albl
+  FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT a.anchor_id, e.vec_id, e.label,
+         list_dot_product(e.embedding::DOUBLE[], a.avec)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(a.avec, a.avec))) AS cosine
+  FROM embeddings e, a
+  WHERE e.label != a.albl AND e.vec_id != a.anchor_id
+), ranked AS (
+  SELECT anchor_id, vec_id, label, cosine,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT anchor_id, vec_id, CAST(label AS BIGINT) AS label,
+       CAST(floor(cosine * 1000000.0) AS BIGINT) AS cosine_q6
+FROM ranked WHERE rn <= 10
+"""
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
@@ -11747,6 +11792,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "PPJoin prefix-filtered EXACT Jaccard join: rarest-shingle "
              "prefixes bound candidate buckets, output == exhaustive "
              "(round-9 rotation candidate)"),
+    QueryDef("hard_negatives", q_hard_negatives, SQL_HARD_NEGATIVES,
+             "contrastive hard-negative mining: per-anchor top-10 "
+             "cross-label cosine (broadcast anchors, corpus never "
+             "shuffles; round-9 rotation candidate)"),
     QueryDef("ppr_copurchase", q_ppr_copurchase, SQL_PPR_COPURCHASE,
              "personalized PageRank from a seeded customer cohort "
              "(decimal-exact 5-round replay, seeded teleport + dangling "

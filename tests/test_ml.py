@@ -268,3 +268,43 @@ class TestWhitening:
         Y = np.array([r.pca for r in rows])
         C = np.cov(Y.T, bias=True)
         assert np.abs(C - np.eye(3)).max() < 1e-6
+
+
+class TestHardNegatives:
+    def test_cross_label_only_and_self_excluded(self, spark):
+        from commerce_sessionization_spark.operators.similarity import (
+            hard_negatives,
+        )
+        rows = [
+            (0, [1.0, 0.0], 0),
+            (1, [0.99, 0.1], 0),   # same label as anchor — excluded
+            (2, [0.98, 0.2], 1),   # hardest cross-label negative
+            (3, [0.0, 1.0], 1),
+            (4, [1.0, 0.0], 1),    # exact-dup vector, different label
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        anchors = df.filter("vec_id = 0")
+        out = hard_negatives(df, anchors, k=3).collect()
+        ids = [r.vec_id for r in sorted(out, key=lambda r: -r.cosine)]
+        assert 0 not in ids and 1 not in ids      # self + same-label out
+        assert ids[0] == 4                         # exact dup = hardest
+        assert set(ids) == {2, 3, 4}
+        assert all(r.anchor_id == 0 for r in out)
+
+    def test_k_bounds_per_anchor(self, spark):
+        from commerce_sessionization_spark.operators.similarity import (
+            hard_negatives,
+        )
+        rows = [(i, [float(i), 1.0], i % 2) for i in range(20)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        anchors = df.filter("vec_id < 2")
+        out = hard_negatives(df, anchors, k=5).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r.anchor_id, 0)
+            per[r.anchor_id] += 1
+        assert per == {0: 5, 1: 5}
