@@ -149,6 +149,24 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--top-k", type=int, default=10)
     sk.add_argument("--master", default=None)
 
+    pc = sub.add_parser(
+        "pca",
+        help="one-pass PCA over a vector column: fit on exact-decimal "
+             "sufficient statistics, write projected vectors + a model "
+             "summary (components/mean/explained variance)",
+    )
+    pc.add_argument("table", help="parquet path, or a testdata table name "
+                                  "when --sf-dir is given")
+    pc.add_argument("--sf-dir", default=None)
+    pc.add_argument("--vec-col", default="embedding")
+    pc.add_argument("--k", type=int, default=8)
+    pc.add_argument("--out", required=True,
+                    help="output dir: projected/ parquet + model.json")
+    pc.add_argument("--whiten", action="store_true")
+    pc.add_argument("--no-center", action="store_true",
+                    help="skip the mean shift (cosine-search projection)")
+    pc.add_argument("--master", default=None)
+
     ck = sub.add_parser(
         "checksum",
         help="order/layout-independent content fingerprint of a parquet "
@@ -624,6 +642,50 @@ def main(argv: list[str] | None = None) -> int:
             keys = [c.strip() for c in args.key.split(",")]
             key_skew_stats(df, keys, top_k=args.top_k).show(
                 1, truncate=False, vertical=True
+            )
+        elif args.cmd == "pca":
+            import json as _json
+
+            from commerce_sessionization_spark.operators.ml import (
+                pca_fit,
+                pca_project,
+            )
+
+            if args.sf_dir:
+                from commerce_sessionization_spark.sources.tables import load_table
+
+                df = load_table(spark, args.sf_dir, args.table)
+            else:
+                df = spark.read.parquet(args.table)
+            comps, mean, ev = pca_fit(df, vec_col=args.vec_col, k=args.k)
+            projected = pca_project(
+                df,
+                comps,
+                mean,
+                vec_col=args.vec_col,
+                center=not args.no_center,
+                explained_variance=ev if args.whiten else None,
+            )
+            projected.write.mode("overwrite").parquet(f"{args.out}/projected")
+            total_var = float(ev.sum())
+            model = {
+                "k": int(args.k),
+                "dim": len(mean),
+                "components": [[float(x) for x in c] for c in comps],
+                "mean": [float(m) for m in mean],
+                "explained_variance": [float(v) for v in ev],
+                "whiten": bool(args.whiten),
+                "center": not args.no_center,
+            }
+            import pathlib
+
+            pathlib.Path(args.out).mkdir(parents=True, exist_ok=True)
+            with open(f"{args.out}/model.json", "w") as fh:
+                _json.dump(model, fh)
+            print(
+                f"pca: k={args.k} dim={len(mean)} "
+                f"top_ev={float(ev[0]):.6g} sum_ev={total_var:.6g} "
+                f"-> {args.out}"
             )
         elif args.cmd == "media-features":
             from pyspark.sql import functions as F

@@ -765,3 +765,30 @@ def test_cli_crawl_sitemaps_join_the_frontier(tmp_path):
         ("https://hub.net/h1", 2, 1),   # organic link + sitemap listing
         ("https://hub.net/h9", 1, 2),   # sitemap-only discovery
     ]
+
+
+def test_cli_pca_subcommand(tmp_path):
+    """`pca` fits on sufficient stats and writes projected vectors plus a
+    model summary whose explained variances are descending."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    out = tmp_path / "pca"
+    run = subprocess.run(
+        [_sys.executable, "-m", "commerce_sessionization_spark", "pca",
+         "embeddings", "--sf-dir", "/root/testdata/sf0.001",
+         "--k", "4", "--out", str(out), "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert run.returncode == 0, run.stderr[-500:]
+    model = json.load(open(out / "model.json"))
+    assert model["k"] == 4 and model["dim"] == 64
+    ev = model["explained_variance"]
+    assert ev == sorted(ev, reverse=True) and ev[-1] > 0
+    import duckdb
+    n, d = duckdb.connect().execute(
+        f"SELECT count(*), max(len(pca)) FROM "
+        f"read_parquet('{out}/projected/*.parquet')"
+    ).fetchone()
+    assert n == 500 and d == 4
