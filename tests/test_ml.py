@@ -308,3 +308,54 @@ class TestHardNegatives:
             per.setdefault(r.anchor_id, 0)
             per[r.anchor_id] += 1
         assert per == {0: 5, 1: 5}
+
+
+class TestCompressedSearchPipeline:
+    """The composed retrieval path — PCA compress (4×) → IVF probe →
+    MMR diversify — holds recall against full-dimension brute force.
+    Each stage is individually graded elsewhere; this pins that the
+    COMPOSITION doesn't silently lose it."""
+
+    def test_pca_ivf_mmr_composition_recall(self, spark):
+        from commerce_sessionization_spark.operators.ml import (
+            pca_fit,
+            pca_project,
+        )
+        from commerce_sessionization_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_assign,
+            ivf_search,
+            kmeans_fit,
+            mmr_rerank,
+        )
+
+        corpus = _planted_vectors(spark, n=400, d=16, noise_scale=0.05).cache()
+        query = _planted_vectors(spark, n=401, d=16, noise_scale=0.05).filter(
+            F.col("vec_id") == 400
+        )
+        truth = {
+            r.vec_id
+            for r in brute_force_topk(corpus, query, k=10).collect()
+        }
+        comps, mean, _ = pca_fit(corpus, k=4)
+        pc = pca_project(
+            corpus, comps, mean, out_col="embedding4", center=False
+        ).select("vec_id", F.col("embedding4").alias("embedding"))
+        pq = pca_project(
+            query, comps, mean, out_col="embedding4", center=False
+        ).select("vec_id", F.col("embedding4").alias("embedding"))
+        cents = kmeans_fit(pc, k=8, max_iter=3)
+        assigned = ivf_assign(pc, cents)
+        hits = ivf_search(assigned, cents, pq, k=20, nprobe=4)
+        got = {r.vec_id for r in hits.collect()}
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.8, recall
+
+        cands = (
+            hits.withColumn("query_id", F.lit(0))
+            .join(pc.select("vec_id", "embedding"), "vec_id")
+        )
+        diverse = mmr_rerank(cands, k=5, lam=0.7).collect()
+        assert len(diverse) == 5
+        assert {r.vec_id for r in diverse} <= got
+        assert sorted(r.mmr_rank for r in diverse) == [1, 2, 3, 4, 5]
