@@ -270,3 +270,103 @@ def key_skew_stats(
         )
     )
     return summary.crossJoin(F.broadcast(topk))
+
+
+def data_drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: Sequence[str],
+    buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per column between a reference and a
+    current snapshot — the distribution-drift gate a training pipeline
+    runs before trusting fresh data (PSI < 0.1 stable, 0.1–0.25 watch,
+    > 0.25 drifted, the standard credit-scoring rubric).
+
+    Buckets are ``buckets`` equal-width bins over the REFERENCE min/max
+    (deterministic — no quantile estimation), out-of-range current
+    values clamp into the edge bins, NULLs get their own bin, and both
+    shares are ε-smoothed so empty bins don't produce ±∞:
+
+        PSI(col) = Σ_b (p_ref(b) − p_cur(b)) · ln((p_ref(b)+ε)/(p_cur(b)+ε))
+
+    Scale shape: both tables are melted to (column, value) long form in
+    one projection (no per-column scans), bucketed against the
+    broadcast per-column min/max, and reduced by ONE map-side-combined
+    groupBy((column, bucket)) per side — cost is one pass over each
+    table regardless of how many columns are audited.
+
+    Output: (column, psi, n_ref, n_cur), one row per audited column.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("need at least one column to audit")
+
+    def melt(df: DataFrame) -> DataFrame:
+        pairs = ", ".join(
+            f"'{c}', CAST({c} AS DOUBLE)" for c in cols
+        )
+        return df.selectExpr(
+            f"stack({len(cols)}, {pairs}) AS (_col, _x)"
+        )
+
+    bounds = (
+        melt(ref)
+        .groupBy("_col")
+        .agg(F.min("_x").alias("_mn"), F.max("_x").alias("_mx"))
+    )
+
+    def bucketed_counts(df: DataFrame, side: str) -> DataFrame:
+        width = F.col("_mx") - F.col("_mn")
+        raw = F.floor((F.col("_x") - F.col("_mn")) / width * buckets)
+        b = (
+            F.when(F.col("_x").isNull(), F.lit(-1))
+            .when(width == 0, F.lit(0))
+            .otherwise(
+                F.greatest(
+                    F.lit(0), F.least(F.lit(buckets - 1), raw)
+                )
+            )
+            .cast("long")
+        )
+        return (
+            melt(df)
+            .join(F.broadcast(bounds), "_col")
+            .select("_col", b.alias("_b"))
+            .groupBy("_col", "_b")
+            .agg(F.count(F.lit(1)).alias(f"_n_{side}"))
+        )
+
+    r = bucketed_counts(ref, "ref")
+    c = bucketed_counts(cur, "cur")
+    totals_r = r.groupBy("_col").agg(F.sum("_n_ref").alias("_tr"))
+    totals_c = c.groupBy("_col").agg(F.sum("_n_cur").alias("_tc"))
+    cells = (
+        r.join(c, ["_col", "_b"], "full")
+        .select(
+            "_col",
+            "_b",
+            F.coalesce(F.col("_n_ref"), F.lit(0)).alias("_n_ref"),
+            F.coalesce(F.col("_n_cur"), F.lit(0)).alias("_n_cur"),
+        )
+        .join(F.broadcast(totals_r), "_col")
+        .join(F.broadcast(totals_c), "_col")
+    )
+    p = F.col("_n_ref").cast("double") / F.col("_tr").cast("double")
+    q = F.col("_n_cur").cast("double") / F.col("_tc").cast("double")
+    term = (p - q) * F.log((p + F.lit(eps)) / (q + F.lit(eps)))
+    return (
+        cells.select("_col", "_tr", "_tc", term.alias("_t"))
+        .groupBy(F.col("_col").alias("column"))
+        .agg(
+            # snap each (identical-in-any-IEEE-engine) term to decimal
+            # before summing: the ≤ buckets+1 addends then accumulate
+            # order-independently, so PSI is engine-replayable
+            F.sum(F.col("_t").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("psi"),
+            F.max("_tr").alias("n_ref"),
+            F.max("_tc").alias("n_cur"),
+        )
+    )

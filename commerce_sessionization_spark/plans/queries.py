@@ -9512,6 +9512,89 @@ GROUP BY 1
 # One-pass column profiling (ANALYZE TABLE statistics)
 # --------------------------------------------------------------------------
 
+def q_orders_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit graded by value: PSI between two
+    deterministic halves of orders (o_orderkey % 3) for two numeric
+    columns. Equal-width bins over the REFERENCE min/max (no quantile
+    estimation → deterministic edges), ε-smoothed shares, and each
+    (p−q)·ln((p+ε)/(q+ε)) term decimal-snapped before the sum so the
+    ≤11 addends accumulate order-independently — engine-replayable to
+    hash equality. One melted pass per side covers every audited
+    column."""
+    from commerce_sessionization_spark.operators.dq import data_drift_psi
+
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.filter(F.col("o_orderkey") % 3 == 0)
+    cur = orders.filter(F.col("o_orderkey") % 3 != 0)
+    out = data_drift_psi(ref, cur, ["o_totalprice", "o_custkey"], buckets=10)
+    return out.select(
+        "column",
+        _quant(F.col("psi"), 9).alias("psi_q9"),
+        F.col("n_ref").cast("long"),
+        F.col("n_cur").cast("long"),
+    )
+
+
+def _psi_melt_sql(src: str) -> str:
+    return (
+        f"SELECT 'o_totalprice' AS col, CAST(o_totalprice AS DOUBLE) AS x "
+        f"FROM {src} UNION ALL "
+        f"SELECT 'o_custkey', CAST(o_custkey AS DOUBLE) FROM {src}"
+    )
+
+
+SQL_ORDERS_DRIFT_PSI = f"""
+WITH ref AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+cur AS (SELECT * FROM orders WHERE o_orderkey % 3 != 0),
+mref AS ({_psi_melt_sql('ref')}),
+mcur AS ({_psi_melt_sql('cur')}),
+bounds AS (SELECT col, min(x) AS mn, max(x) AS mx FROM mref GROUP BY col),
+br AS (
+  SELECT m.col,
+         CASE WHEN m.x IS NULL THEN -1
+              WHEN b.mx - b.mn = 0 THEN 0
+              ELSE GREATEST(0, LEAST(9,
+                   floor((m.x - b.mn) / (b.mx - b.mn) * 10))) END AS bkt,
+         count(*) AS n_ref
+  FROM mref m JOIN bounds b ON m.col = b.col GROUP BY 1, 2
+),
+bc AS (
+  SELECT m.col,
+         CASE WHEN m.x IS NULL THEN -1
+              WHEN b.mx - b.mn = 0 THEN 0
+              ELSE GREATEST(0, LEAST(9,
+                   floor((m.x - b.mn) / (b.mx - b.mn) * 10))) END AS bkt,
+         count(*) AS n_cur
+  FROM mcur m JOIN bounds b ON m.col = b.col GROUP BY 1, 2
+),
+cells AS (
+  SELECT COALESCE(br.col, bc.col) AS col,
+         COALESCE(br.bkt, bc.bkt) AS bkt,
+         COALESCE(br.n_ref, 0) AS n_ref,
+         COALESCE(bc.n_cur, 0) AS n_cur
+  FROM br FULL OUTER JOIN bc ON br.col = bc.col AND br.bkt = bc.bkt
+),
+tot AS (
+  SELECT col, sum(n_ref) AS tr, sum(n_cur) AS tc FROM cells GROUP BY col
+),
+terms AS (
+  SELECT c.col, t.tr, t.tc,
+         (CAST(c.n_ref AS DOUBLE) / CAST(t.tr AS DOUBLE)
+          - CAST(c.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE))
+         * ln((CAST(c.n_ref AS DOUBLE) / CAST(t.tr AS DOUBLE) + 1e-06)
+              / (CAST(c.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE) + 1e-06))
+           AS term
+  FROM cells c JOIN tot t ON c.col = t.col
+)
+SELECT col AS "column",
+       CAST(floor(CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE)
+                  * 1000000000.0) AS BIGINT) AS psi_q9,
+       CAST(max(tr) AS BIGINT) AS n_ref,
+       CAST(max(tc) AS BIGINT) AS n_cur
+FROM terms GROUP BY col
+"""
+
+
 def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of ``orders`` — rows, nulls, NDV, min, max — in
     ONE scan (``operators.dq.profile_columns``): every statistic for all
@@ -11792,6 +11875,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "PPJoin prefix-filtered EXACT Jaccard join: rarest-shingle "
              "prefixes bound candidate buckets, output == exhaustive "
              "(round-9 rotation candidate)"),
+    QueryDef("orders_drift_psi", q_orders_drift_psi, SQL_ORDERS_DRIFT_PSI,
+             "population-stability drift audit between snapshot halves "
+             "(deterministic equal-width bins, decimal-snapped term "
+             "sums; round-9 rotation candidate)"),
     QueryDef("hard_negatives", q_hard_negatives, SQL_HARD_NEGATIVES,
              "contrastive hard-negative mining: per-anchor top-10 "
              "cross-label cosine (broadcast anchors, corpus never "

@@ -147,3 +147,59 @@ def test_profile_columns_approx_mode_close_and_expand_free(spark):
     with contextlib.redirect_stdout(buf):
         approx.explain(mode="formatted")
     assert "Expand" not in buf.getvalue()
+
+
+class TestDataDriftPSI:
+    def _df(self, spark, values, col="x"):
+        return spark.createDataFrame(
+            [(float(v),) if v is not None else (None,) for v in values],
+            f"{col} double",
+        )
+
+    def test_identical_distributions_have_zero_psi(self, spark):
+        from commerce_sessionization_spark.operators.dq import data_drift_psi
+
+        vals = [float(i % 50) for i in range(1000)]
+        r = data_drift_psi(
+            self._df(spark, vals), self._df(spark, vals), ["x"]
+        ).collect()[0]
+        assert r.column == "x" and abs(r.psi) < 1e-9
+        assert r.n_ref == r.n_cur == 1000
+
+    def test_shifted_distribution_flags_drift(self, spark):
+        from commerce_sessionization_spark.operators.dq import data_drift_psi
+
+        ref = self._df(spark, [float(i % 50) for i in range(1000)])
+        cur = self._df(spark, [float(i % 50) + 40 for i in range(1000)])
+        r = data_drift_psi(ref, cur, ["x"]).collect()[0]
+        assert r.psi > 0.25  # the standard "drifted" threshold
+
+    def test_out_of_range_current_clamps_into_edge_bins(self, spark):
+        from commerce_sessionization_spark.operators.dq import data_drift_psi
+
+        ref = self._df(spark, range(100))
+        cur = self._df(spark, [-1000.0] * 50 + [1000.0] * 50)
+        r = data_drift_psi(ref, cur, ["x"]).collect()[0]
+        # everything lands in the two edge bins: massive but finite PSI
+        import math
+        assert r.psi > 1.0 and math.isfinite(r.psi)
+
+    def test_nulls_get_their_own_bin(self, spark):
+        from commerce_sessionization_spark.operators.dq import data_drift_psi
+
+        ref = self._df(spark, list(range(100)))
+        cur = self._df(spark, list(range(50)) + [None] * 50)
+        r = data_drift_psi(ref, cur, ["x"]).collect()[0]
+        # a 50% null-rate regression must register as drift
+        assert r.psi > 0.25
+        assert r.n_cur == 100  # nulls counted, not dropped
+
+    def test_multi_column_single_pass(self, spark):
+        from commerce_sessionization_spark.operators.dq import data_drift_psi
+
+        df = spark.createDataFrame(
+            [(float(i), float(i * 2)) for i in range(200)], "a double, b double"
+        )
+        rows = data_drift_psi(df, df, ["a", "b"]).collect()
+        assert {r.column for r in rows} == {"a", "b"}
+        assert all(abs(r.psi) < 1e-9 for r in rows)
