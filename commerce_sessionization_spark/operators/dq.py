@@ -299,47 +299,66 @@ def data_drift_psi(
 
     Output: (column, psi, n_ref, n_cur), one row per audited column.
     """
+    counts_r = drift_bucket_counts(ref, drift_bounds(ref, cols), cols, buckets)
+    counts_c = drift_bucket_counts(cur, drift_bounds(ref, cols), cols, buckets)
+    return psi_from_counts(counts_r, counts_c, eps=eps)
+
+
+def _melt(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    pairs = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols)
+    return df.selectExpr(f"stack({len(cols)}, {pairs}) AS (_col, _x)")
+
+
+def drift_bounds(ref: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column (min, max) of the REFERENCE snapshot — the frozen bin
+    edges every later drift comparison uses. (_col, _mn, _mx)."""
     cols = list(cols)
     if not cols:
         raise ValueError("need at least one column to audit")
-
-    def melt(df: DataFrame) -> DataFrame:
-        pairs = ", ".join(
-            f"'{c}', CAST({c} AS DOUBLE)" for c in cols
-        )
-        return df.selectExpr(
-            f"stack({len(cols)}, {pairs}) AS (_col, _x)"
-        )
-
-    bounds = (
-        melt(ref)
+    return (
+        _melt(ref, cols)
         .groupBy("_col")
         .agg(F.min("_x").alias("_mn"), F.max("_x").alias("_mx"))
     )
 
-    def bucketed_counts(df: DataFrame, side: str) -> DataFrame:
-        width = F.col("_mx") - F.col("_mn")
-        raw = F.floor((F.col("_x") - F.col("_mn")) / width * buckets)
-        b = (
-            F.when(F.col("_x").isNull(), F.lit(-1))
-            .when(width == 0, F.lit(0))
-            .otherwise(
-                F.greatest(
-                    F.lit(0), F.least(F.lit(buckets - 1), raw)
-                )
-            )
-            .cast("long")
-        )
-        return (
-            melt(df)
-            .join(F.broadcast(bounds), "_col")
-            .select("_col", b.alias("_b"))
-            .groupBy("_col", "_b")
-            .agg(F.count(F.lit(1)).alias(f"_n_{side}"))
-        )
 
-    r = bucketed_counts(ref, "ref")
-    c = bucketed_counts(cur, "cur")
+def drift_bucket_counts(
+    df: DataFrame,
+    bounds: DataFrame,
+    cols: Sequence[str],
+    buckets: int = 10,
+) -> DataFrame:
+    """Bucket-count state for PSI: (_col, _b, n) with equal-width bins
+    over the frozen reference bounds, bin -1 for NULLs, edge clamping
+    for out-of-range values. Plain integer counts — associative and
+    commutative under per-cell addition, so the state is mergeable
+    (the streaming drift maintainer folds micro-batches with exactly
+    this law)."""
+    cols = list(cols)
+    width = F.col("_mx") - F.col("_mn")
+    raw = F.floor((F.col("_x") - F.col("_mn")) / width * buckets)
+    b = (
+        F.when(F.col("_x").isNull(), F.lit(-1))
+        .when(width == 0, F.lit(0))
+        .otherwise(F.greatest(F.lit(0), F.least(F.lit(buckets - 1), raw)))
+        .cast("long")
+    )
+    return (
+        _melt(df, cols)
+        .join(F.broadcast(bounds), "_col")
+        .select("_col", b.alias("_b"))
+        .groupBy("_col", "_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def psi_from_counts(
+    ref_counts: DataFrame, cur_counts: DataFrame, eps: float = 1e-6
+) -> DataFrame:
+    """Finalize PSI from two (_col, _b, n) count states (see
+    ``data_drift_psi`` for the formula and determinism contract)."""
+    r = ref_counts.withColumnRenamed("n", "_n_ref")
+    c = cur_counts.withColumnRenamed("n", "_n_cur")
     totals_r = r.groupBy("_col").agg(F.sum("_n_ref").alias("_tr"))
     totals_c = c.groupBy("_col").agg(F.sum("_n_cur").alias("_tc"))
     cells = (
@@ -361,7 +380,7 @@ def data_drift_psi(
         .groupBy(F.col("_col").alias("column"))
         .agg(
             # snap each (identical-in-any-IEEE-engine) term to decimal
-            # before summing: the ≤ buckets+1 addends then accumulate
+            # before summing: the <= buckets+1 addends then accumulate
             # order-independently, so PSI is engine-replayable
             F.sum(F.col("_t").cast("decimal(38,18)"))
             .cast("double")

@@ -9595,6 +9595,43 @@ FROM terms GROUP BY col
 """
 
 
+def q_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming drift monitor graded by VALUE: the current-side
+    orders rows fold through ``make_drift_writer``'s MVCC epoch state
+    in three micro-batches (split on o_custkey % 3), then the newest
+    maintained counts finalize against the batch reference counts. The
+    oracle is the SAME SQL that grades the batch ``orders_drift_psi`` —
+    green proves the maintained bucket counts are exactly the batch
+    counts over all rows ever seen, epochs and replays included."""
+    from commerce_sessionization_spark.operators.dq import (
+        drift_bounds,
+        drift_bucket_counts,
+        psi_from_counts,
+    )
+    from commerce_sessionization_spark.streaming.rollup_stream import (
+        make_drift_writer,
+        read_rollup_state,
+    )
+
+    cols = ["o_totalprice", "o_custkey"]
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.filter(F.col("o_orderkey") % 3 == 0)
+    cur = orders.filter(F.col("o_orderkey") % 3 != 0)
+    bounds = drift_bounds(ref, cols)
+    out = _stream_scratch_dir("spark_graft_drift_stream", sf_dir)
+    writer = make_drift_writer(spark, out, bounds, cols)
+    for epoch in range(3):
+        writer(cur.filter(F.col("o_custkey") % 3 == epoch), epoch)
+    state = read_rollup_state(spark, out)
+    ref_counts = drift_bucket_counts(ref, bounds, cols)
+    return psi_from_counts(ref_counts, state).select(
+        "column",
+        _quant(F.col("psi"), 9).alias("psi_q9"),
+        F.col("n_ref").cast("long"),
+        F.col("n_cur").cast("long"),
+    )
+
+
 def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of ``orders`` — rows, nulls, NDV, min, max — in
     ONE scan (``operators.dq.profile_columns``): every statistic for all
@@ -11879,6 +11916,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "population-stability drift audit between snapshot halves "
              "(deterministic equal-width bins, decimal-snapped term "
              "sums; round-9 rotation candidate)"),
+    QueryDef("stream_drift_psi", q_stream_drift_psi, SQL_ORDERS_DRIFT_PSI,
+             "streaming drift monitor graded by value: 3-epoch MVCC "
+             "fold of frozen-bounds bucket counts == the batch PSI SQL "
+             "(round-9 rotation candidate)"),
     QueryDef("hard_negatives", q_hard_negatives, SQL_HARD_NEGATIVES,
              "contrastive hard-negative mining: per-anchor top-10 "
              "cross-label cosine (broadcast anchors, corpus never "

@@ -370,3 +370,46 @@ def make_vector_stats_writer(
     return make_incremental_writer(
         spark, out_path, partial, merge, keep_versions=keep_versions
     )
+
+
+def make_drift_writer(
+    spark: SparkSession,
+    out_path: str,
+    bounds: DataFrame,
+    cols,
+    buckets: int = 10,
+    keep_versions: int = 3,
+):
+    """Streaming drift monitor: maintain the CURRENT side's PSI bucket
+    counts against a frozen reference.
+
+    ``bounds`` is ``operators.dq.drift_bounds`` over the reference
+    snapshot — the bin edges never move, so the per-micro-batch bucket
+    counts (plain integers per (column, bin)) are associative+
+    commutative and ride the MVCC epoch maintainer unchanged. Read the
+    newest state and finalize with ``psi_from_counts(ref_counts,
+    state)`` whenever the gate runs: streaming drift detection with
+    O(columns × bins) state and zero event re-reads — the maintained
+    counts are EXACTLY the batch counts over all rows ever seen (the
+    value-graded law)."""
+    from pyspark.sql import functions as F
+
+    from commerce_sessionization_spark.operators.dq import (
+        drift_bucket_counts,
+    )
+
+    bounds = bounds.localCheckpoint()  # freeze: epochs must not recompute
+
+    def partial(df: DataFrame) -> DataFrame:
+        return drift_bucket_counts(df, bounds, cols, buckets)
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b)
+            .groupBy("_col", "_b")
+            .agg(F.sum("n").alias("n"))
+        )
+
+    return make_incremental_writer(
+        spark, out_path, partial, merge, keep_versions=keep_versions
+    )

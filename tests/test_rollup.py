@@ -314,3 +314,41 @@ def test_vector_stats_writer_streamed_equals_batch_and_replay(
     }
     assert got == want
     assert len(got) == 64 * 67 // 2 + 1  # d(d+3)/2 cells + the n row
+
+
+def test_drift_writer_streamed_counts_equal_batch_and_replay(spark, tmp_path):
+    """Streaming drift monitor law: bucket counts folded epoch-by-epoch
+    against FROZEN reference bounds equal the batch counts over all rows
+    ever seen, and replaying an epoch does not double-count."""
+    from pyspark.sql import functions as F
+
+    from commerce_sessionization_spark.operators.dq import (
+        drift_bounds,
+        drift_bucket_counts,
+    )
+    from commerce_sessionization_spark.sources.tables import load_table
+    from commerce_sessionization_spark.streaming.rollup_stream import (
+        make_drift_writer,
+        read_rollup_state,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    ref = orders.filter(F.col("o_orderkey") % 3 == 0)
+    cur = orders.filter(F.col("o_orderkey") % 3 != 0)
+    cols = ["o_totalprice", "o_custkey"]
+    bounds = drift_bounds(ref, cols)
+
+    out = str(tmp_path / "drift")
+    write = make_drift_writer(spark, out, bounds, cols)
+    for epoch in range(3):
+        write(cur.filter(F.col("o_custkey") % 3 == epoch), epoch)
+    write(cur.filter(F.col("o_custkey") % 3 == 1), 1)  # replay mid epoch
+
+    got = {
+        (r._col, r._b): r.n for r in read_rollup_state(spark, out).collect()
+    }
+    want = {
+        (r._col, r._b): r.n
+        for r in drift_bucket_counts(cur, bounds, cols).collect()
+    }
+    assert got == want and len(got) > 0
