@@ -154,6 +154,8 @@ HEADLINE = [
     "stream_vector_stats",
     "mmr_diverse_topk",
     "ppr_copurchase",
+    "hard_negatives",
+    "orders_drift_psi",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

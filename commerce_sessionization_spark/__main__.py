@@ -149,6 +149,19 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--top-k", type=int, default=10)
     sk.add_argument("--master", default=None)
 
+    dr = sub.add_parser(
+        "drift",
+        help="PSI distribution-drift audit between two snapshots of a "
+             "table (reference defines the bin edges)",
+    )
+    dr.add_argument("ref", help="reference parquet path, or a testdata "
+                                "table name when --sf-dir is given")
+    dr.add_argument("cur", help="current parquet path / table name")
+    dr.add_argument("columns", help="comma-separated numeric columns")
+    dr.add_argument("--sf-dir", default=None)
+    dr.add_argument("--buckets", type=int, default=10)
+    dr.add_argument("--master", default=None)
+
     pc = sub.add_parser(
         "pca",
         help="one-pass PCA over a vector column: fit on exact-decimal "
@@ -643,6 +656,24 @@ def main(argv: list[str] | None = None) -> int:
             key_skew_stats(df, keys, top_k=args.top_k).show(
                 1, truncate=False, vertical=True
             )
+        elif args.cmd == "drift":
+            from commerce_sessionization_spark.operators.dq import (
+                data_drift_psi,
+            )
+
+            def _load(name: str):
+                if args.sf_dir:
+                    from commerce_sessionization_spark.sources.tables import (
+                        load_table,
+                    )
+
+                    return load_table(spark, args.sf_dir, name)
+                return spark.read.parquet(name)
+
+            cols = [c.strip() for c in args.columns.split(",")]
+            data_drift_psi(
+                _load(args.ref), _load(args.cur), cols, buckets=args.buckets
+            ).orderBy("column").show(truncate=False)
         elif args.cmd == "pca":
             import json as _json
 
