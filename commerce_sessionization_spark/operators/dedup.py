@@ -659,6 +659,67 @@ def segment_dedup(
     )
 
 
+def _word_tokens(df, id_col: str, text_col: str):
+    """(_id, _w) projection on literal single-space word splits — the
+    tokenization contract exact-substring dedup/decontam share."""
+    return df.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_w")
+    )
+
+
+def _word_kgrams(toks, window: int):
+    """(_id, _p, _h): every 1-based word k-gram start position with the
+    60-bit hash of its space-joined window (docs shorter than the
+    window emit none)."""
+    w = F.col("_w")
+    n = F.size(w)
+    starts = F.when(
+        n >= window, F.sequence(F.lit(1), n - window + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return toks.select(
+        "_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("p"),
+                    hex_to_long(
+                        F.sha2(F.concat_ws(" ", F.slice(w, i, window)), 256)
+                    ).alias("h"),
+                ),
+            )
+        ).alias("_g"),
+    ).select("_id", F.col("_g.p").alias("_p"), F.col("_g.h").alias("_h"))
+
+
+def _rebuild_without(df, toks, covered, id_col: str, text_col: str,
+                     out_col: str):
+    """Drop the covered (doc, position) set and reassemble survivors in
+    order; adds out_col / n_kept / n_words to ``df``."""
+    words = toks.select(
+        "_id", F.posexplode(F.col("_w")).alias("_i0", "_word")
+    ).select("_id", (F.col("_i0") + 1).alias("_i"), "_word")
+    kept = words.join(covered, ["_id", "_i"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_word"))),
+                lambda x: x["_word"],
+            ),
+            " ",
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_words = F.size(F.split(F.col(text_col), " ")).cast("long")
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["_id"], "left")
+        .drop("_id")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)).cast("long"))
+        .withColumn("n_words", n_words)
+    )
+
+
 def exact_substring_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -704,30 +765,8 @@ def exact_substring_dedup(
     if count_mode not in ("docs", "occurrences"):
         raise ValueError(f"count_mode must be docs|occurrences: {count_mode}")
 
-    toks = df.select(
-        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_w")
-    )
-    w = F.col("_w")
-    n = F.size(w)
-    # 1-based k-gram start positions; docs shorter than the window emit none
-    starts = F.when(
-        n >= window, F.sequence(F.lit(1), n - window + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = toks.select(
-        "_id",
-        F.explode(
-            F.transform(
-                starts,
-                lambda i: F.struct(
-                    i.alias("p"),
-                    hex_to_long(
-                        F.sha2(F.concat_ws(" ", F.slice(w, i, window)), 256)
-                    ).alias("h"),
-                ),
-            )
-        ).alias("_g"),
-    ).select("_id", F.col("_g.p").alias("_p"), F.col("_g.h").alias("_h"))
-
+    toks = _word_tokens(df, id_col, text_col)
+    grams = _word_kgrams(toks, window)
     freq = (
         F.count_distinct(F.col("_id"))
         if count_mode == "docs"
@@ -749,28 +788,52 @@ def exact_substring_dedup(
         )
         .distinct()
     )
-    words = toks.select(
-        "_id", F.posexplode(w).alias("_i0", "_word")
-    ).select("_id", (F.col("_i0") + 1).alias("_i"), "_word")
-    kept = words.join(covered, ["_id", "_i"], "left_anti")
-    rebuilt = kept.groupBy("_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_i", "_word"))),
-                lambda x: x["_word"],
-            ),
-            " ",
-        ).alias(out_col),
-        F.count(F.lit(1)).alias("n_kept"),
+    return _rebuild_without(df, toks, covered, id_col, text_col, out_col)
+
+
+def exact_substring_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Substring-level benchmark decontamination (the eval-leak variant
+    of ``exact_substring_dedup``, per Lee et al. 2022 §4.2): remove
+    from TRAIN every word position covered by a ``window``-gram that
+    appears ANYWHERE in the benchmark corpus — verbatim eval text
+    cannot survive in the training set, even embedded mid-document,
+    which n-gram doc-level flagging (``ngram_contamination``) detects
+    but does not excise.
+
+    Scale shape: eval suites are bounded by construction, so the
+    benchmark's distinct gram-hash set is BROADCAST — the 100 TB train
+    side is one explode to (doc, pos, hash), a broadcast-hash-join
+    probe, and the same skew-free (doc, pos) anti-join + ordered
+    reassembly as the dedup twin. No shuffle of the train corpus except
+    the per-doc rebuild.
+
+    Adds ``out_col`` / ``n_kept`` / ``n_words`` to ``train``.
+    """
+    toks = _word_tokens(train, id_col, text_col)
+    bench_hashes = (
+        _word_kgrams(_word_tokens(bench, id_col, text_col), window)
+        .select("_h")
+        .distinct()
     )
-    n_words = F.size(F.split(F.col(text_col), " ")).cast("long")
-    return (
-        df.join(rebuilt, df[id_col] == rebuilt["_id"], "left")
-        .drop("_id")
-        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
-        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)).cast("long"))
-        .withColumn("n_words", n_words)
+    covered = (
+        _word_kgrams(toks, window)
+        .join(F.broadcast(bench_hashes), "_h")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_p"), F.col("_p") + window - 1)
+            ).alias("_i"),
+        )
+        .distinct()
     )
+    return _rebuild_without(train, toks, covered, id_col, text_col, out_col)
 
 
 def _prefix_ordered_and_candidates(

@@ -2954,6 +2954,66 @@ GROUP BY b.doc_id, b.n_words
 """
 
 
+def q_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level benchmark decontamination graded by value: the
+    deterministic doc_id % 20 == 0 benchmark split (the same split
+    ``ngram_decontaminate`` flags) is EXCISED from the train split at
+    word-8-gram granularity — verbatim eval text cannot survive, even
+    embedded mid-document. The benchmark gram set is broadcast (eval
+    suites are bounded), so the train side never shuffles except the
+    per-doc rebuild."""
+    from commerce_sessionization_spark.operators.dedup import (
+        exact_substring_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return exact_substring_decontaminate(train, bench, window=8).select(
+        "doc_id", "clean_text", "n_words", "n_kept"
+    )
+
+
+SQL_SUBSTRING_DECONTAMINATE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tgrams AS (
+  SELECT doc_id, g.i AS p, array_to_string(w[g.i:(g.i+7)], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 8 + 2)) AS i) g
+  WHERE len(w) >= 8 AND doc_id % 20 != 0
+),
+bgrams AS (
+  SELECT DISTINCT array_to_string(w[g.i:(g.i+7)], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 8 + 2)) AS i) g
+  WHERE len(w) >= 8 AND doc_id % 20 = 0
+),
+covered AS (
+  SELECT DISTINCT t.doc_id, t.p + o.j AS i
+  FROM tgrams t JOIN bgrams USING (gram),
+       LATERAL (SELECT unnest(range(0, 8)) AS j) o
+),
+words AS (
+  SELECT doc_id, g.i, w[g.i] AS word
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) g
+  WHERE doc_id % 20 != 0
+),
+kept AS (
+  SELECT wo.doc_id, wo.i, wo.word FROM words wo
+  LEFT JOIN covered c ON c.doc_id = wo.doc_id AND c.i = wo.i
+  WHERE c.doc_id IS NULL
+),
+base AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM toks
+  WHERE doc_id % 20 != 0
+)
+SELECT b.doc_id,
+       coalesce(string_agg(k.word, ' ' ORDER BY k.i), '') AS clean_text,
+       b.n_words,
+       CAST(count(k.word) AS BIGINT) AS n_kept
+FROM base b LEFT JOIN kept k USING (doc_id)
+GROUP BY b.doc_id, b.n_words
+"""
+
+
 # --------------------------------------------------------------------------
 # Corpus shard manifest (the trainer-facing output layout)
 # --------------------------------------------------------------------------
@@ -11912,6 +11972,11 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "PPJoin prefix-filtered EXACT Jaccard join: rarest-shingle "
              "prefixes bound candidate buckets, output == exhaustive "
              "(round-9 rotation candidate)"),
+    QueryDef("substring_decontaminate", q_substring_decontaminate,
+             SQL_SUBSTRING_DECONTAMINATE,
+             "word-8-gram excision of benchmark text from the train "
+             "split (Lee et al. decontamination; broadcast bench grams; "
+             "round-9 rotation candidate)"),
     QueryDef("orders_drift_psi", q_orders_drift_psi, SQL_ORDERS_DRIFT_PSI,
              "population-stability drift audit between snapshot halves "
              "(deterministic equal-width bins, decimal-snapped term "

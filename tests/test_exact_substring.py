@@ -173,3 +173,76 @@ def test_matches_bruteforce_reference(spark, corpus, window, mode):
     df = _mk(spark, list(docs.items()))
     got = _out(exact_substring_dedup(df, window=window, count_mode=mode))
     assert got == _ref(docs, window, 2, mode)
+
+
+class TestExactSubstringDecontaminate:
+    def test_embedded_eval_span_is_excised(self, spark):
+        from commerce_sessionization_spark.operators.dedup import (
+            exact_substring_decontaminate,
+        )
+        eval_span = "q one q two q three q four q five q six q seven q eight"
+        train = spark.createDataFrame(
+            [
+                (1, f"lead in words here {eval_span} trailing body text"),
+                (2, "completely clean document with its own words only here"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, f"benchmark prompt {eval_span} benchmark answer")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in exact_substring_decontaminate(
+                train, bench, window=8
+            ).collect()
+        }
+        # every word of the 16-token eval span is gone from doc 1
+        for w in eval_span.split():
+            assert w not in out[1].clean_text.split()
+        assert "lead" in out[1].clean_text and "trailing" in out[1].clean_text
+        # clean doc untouched
+        assert out[2].clean_text == out[2].text
+        assert out[2].n_kept == out[2].n_words
+
+    def test_no_overlap_means_no_change(self, spark):
+        from commerce_sessionization_spark.operators.dedup import (
+            exact_substring_decontaminate,
+        )
+        train = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(30)))],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(9, " ".join(f"b{i}" for i in range(30)))],
+            "doc_id long, text string",
+        )
+        [r] = exact_substring_decontaminate(train, bench).collect()
+        assert r.clean_text == r.text and r.n_kept == 30
+
+    def test_fully_leaked_train_doc_empties(self, spark):
+        from commerce_sessionization_spark.operators.dedup import (
+            exact_substring_decontaminate,
+        )
+        text = " ".join(f"w{i}" for i in range(12))
+        train = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(9, f"prefix {text} suffix")], "doc_id long, text string"
+        )
+        [r] = exact_substring_decontaminate(train, bench, window=8).collect()
+        assert r.clean_text == "" and r.n_kept == 0 and r.n_words == 12
+
+    def test_short_train_docs_below_window_survive(self, spark):
+        from commerce_sessionization_spark.operators.dedup import (
+            exact_substring_decontaminate,
+        )
+        train = spark.createDataFrame(
+            [(1, "tiny doc")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(9, "tiny doc " + " ".join(f"x{i}" for i in range(10)))],
+            "doc_id long, text string",
+        )
+        [r] = exact_substring_decontaminate(train, bench, window=8).collect()
+        assert r.clean_text == "tiny doc"  # no 8-gram can cover it
