@@ -53,6 +53,7 @@ def pagerank(
     broadcast_vertices: int = 4_000_000,
     partition_invariants: bool = True,
     seeds: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank.
 
@@ -156,17 +157,40 @@ def pagerank(
             id_col,
             "left",
         ).select(F.col(id_col), F.coalesce(F.col("_pers"), F.lit(0.0)).alias("_pers"))
-    out_deg = edges.groupBy(src.alias(id_col)).agg(
-        F.count(F.lit(1)).alias("_outdeg")
-    )
+    if weight_col is None:
+        out_deg = edges.groupBy(src.alias(id_col)).agg(
+            F.count(F.lit(1)).alias("_outdeg")
+        )
+    else:
+        # weighted: a node "dangles" when it has no out-edges; zero /
+        # negative weights are the caller's contract to avoid. The
+        # per-source weight total sums in exact decimal (order-
+        # independent) so the hoisted coefficients — and therefore the
+        # whole run — replay bit-identically in any engine for weights
+        # with <= 9 decimal places (integers included).
+        out_deg = edges.groupBy(src.alias(id_col)).agg(
+            F.sum(F.col(weight_col).cast("decimal(27,9)"))
+            .cast("double")
+            .alias("_wsum")
+        )
     base = F.lit((1.0 - damping) / n_vert)
     small = n_vert <= broadcast_vertices
 
     # loop-invariant hoists: degree lives ON the edge row; the dangling
-    # membership set is fixed by the topology
-    wedges = edges.join(
-        out_deg, src == out_deg[id_col]
-    ).select(src.alias("_src"), F.col(dst_col).alias("_dst"), "_outdeg")
+    # membership set is fixed by the topology. In the weighted variant
+    # the whole per-edge coefficient w/W is loop-invariant, so it is
+    # computed ONCE here (one double division per edge total, not per
+    # round) and each round is a plain rank×coef multiply.
+    if weight_col is None:
+        wedges = edges.join(
+            out_deg, src == out_deg[id_col]
+        ).select(src.alias("_src"), F.col(dst_col).alias("_dst"), "_outdeg")
+    else:
+        wedges = edges.join(out_deg, src == out_deg[id_col]).select(
+            src.alias("_src"),
+            F.col(dst_col).alias("_dst"),
+            (F.col(weight_col).cast("double") / F.col("_wsum")).alias("_coef"),
+        )
     if small and partition_invariants:
         # broadcast regime: ranks never shuffles (it's broadcast into the
         # edge join), so the ONLY per-round exchange left is the
@@ -210,7 +234,11 @@ def pagerank(
             wedges.join(rank_side, F.col("_src") == F.col(id_col))
             .select(
                 F.col("_dst").alias(id_col),
-                (F.col("rank") / F.col("_outdeg")).alias("_c"),
+                (
+                    F.col("rank") / F.col("_outdeg")
+                    if weight_col is None
+                    else F.col("rank") * F.col("_coef")
+                ).alias("_c"),
             )
             .groupBy(id_col)
             .agg(_sum(F.col("_c")).alias("_in"))

@@ -4540,7 +4540,8 @@ WITH cp AS (
 
 
 def _pagerank_sql(prelude: str, iterations: int = 5, d: str = "0.85",
-                  out_col: str = "doc_id", personalized: bool = False) -> str:
+                  out_col: str = "doc_id", personalized: bool = False,
+                  weighted: bool = False) -> str:
     """Generate the chained-CTE DuckDB twin of ``operators.graph.pagerank``
     (one CTE triple per iteration — recursive CTEs allow only a single
     reference to the working table, and each round needs three).
@@ -4554,7 +4555,20 @@ def _pagerank_sql(prelude: str, iterations: int = 5, d: str = "0.85",
     the same IEEE operand order the Spark operator uses, so rounds stay
     bit-identical."""
     parts = [prelude.rstrip().rstrip(",") + ","]
-    parts.append("""
+    if weighted:
+        parts.append("""
+nv AS (SELECT count(*)::BIGINT AS n FROM verts),
+deg AS (
+  SELECT src AS node,
+         CAST(sum(CAST(wt AS DECIMAL(27,9))) AS DOUBLE) AS ws
+  FROM pr_edges GROUP BY 1
+),
+coefe AS (
+  SELECT e.src, e.dst, CAST(e.wt AS DOUBLE) / w.ws AS coef
+  FROM pr_edges e JOIN deg w ON e.src = w.node
+),""")
+    else:
+        parts.append("""
 nv AS (SELECT count(*)::BIGINT AS n FROM verts),
 deg AS (SELECT src AS node, count(*) AS outdeg FROM pr_edges GROUP BY 1),""")
     if personalized:
@@ -4583,17 +4597,26 @@ it0 AS (SELECT node, 1.0 / nv.n AS rank FROM verts, nv)""")
          (1.0 - {d}) / nv.n + {d} * (COALESCE(c.inr, 0.0) + g.m / nv.n) AS rank
   FROM verts v LEFT JOIN con{i} c ON v.node = c.node, nv, dang{i} g
 )"""
+        if weighted:
+            con_body = f"""con{i} AS (
+  SELECT e.dst AS node,
+         CAST(sum(CAST(r.rank * e.coef AS DECIMAL(38,18))) AS DOUBLE) AS inr
+  FROM it{p} r JOIN coefe e ON e.src = r.node
+  GROUP BY 1
+)"""
+        else:
+            con_body = f"""con{i} AS (
+  SELECT e.dst AS node,
+         CAST(sum(CAST(r.rank / dg.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS inr
+  FROM it{p} r JOIN deg dg ON r.node = dg.node JOIN pr_edges e ON e.src = r.node
+  GROUP BY 1
+)"""
         parts.append(f""",
 dang{i} AS (
   SELECT CAST(COALESCE(sum(CAST(r.rank AS DECIMAL(38,18))),
                        0::DECIMAL(38,18)) AS DOUBLE) AS m
   FROM it{p} r LEFT JOIN deg dg ON r.node = dg.node WHERE dg.node IS NULL
-), con{i} AS (
-  SELECT e.dst AS node,
-         CAST(sum(CAST(r.rank / dg.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS inr
-  FROM it{p} r JOIN deg dg ON r.node = dg.node JOIN pr_edges e ON e.src = r.node
-  GROUP BY 1
-), {it_body}""")
+), {con_body}, {it_body}""")
     parts.append(f"""
 SELECT node AS {out_col},
        CAST(floor(rank * 1000000000000.0) AS BIGINT) AS rank_q12
@@ -4606,6 +4629,62 @@ SQL_PAGERANK_NEARDUP = _pagerank_sql(_PAGERANK_NEARDUP_PRELUDE)
 SQL_PAGERANK_COPURCHASE = _pagerank_sql(
     _PAGERANK_COPURCHASE_PRELUDE, out_col="node"
 )
+_WPAGERANK_COPURCHASE_PRELUDE = """
+WITH cp AS (
+  SELECT 'c' || o_custkey AS c, 'p' || l_partkey AS p,
+         count(*) AS wt
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+), pr_edges AS (
+  SELECT c AS src, p AS dst, wt FROM cp
+  UNION ALL SELECT p, c, wt FROM cp
+), verts AS (
+  SELECT c AS node FROM cp UNION SELECT p FROM cp
+)"""
+
+SQL_WPAGERANK_COPURCHASE = _pagerank_sql(
+    _WPAGERANK_COPURCHASE_PRELUDE, out_col="node", weighted=True
+)
+
+
+def q_wpagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the co-purchase graph: a customer's rank
+    splits across parts ∝ how often they bought each one (line-count
+    edge weights), not uniformly — repeat purchases matter. ORACLE MODE:
+    per-source weight totals sum in exact decimal so the hoisted w/Σw
+    coefficients are bit-identical in both engines, and the 5 rounds
+    replay hash-comparable at q12 like the uniform and personalized
+    variants."""
+    from commerce_sessionization_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("p"),
+        )
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .localCheckpoint()
+    )
+    edges = cp.select(
+        F.col("c").alias("src"), F.col("p").alias("dst"), "wt"
+    ).unionByName(
+        cp.select(F.col("p").alias("src"), F.col("c").alias("dst"), "wt")
+    )
+    verts = (
+        cp.select(F.col("c").alias("node"))
+        .union(cp.select("p"))
+        .distinct()
+    )
+    out = pagerank(
+        edges, verts, iterations=5, damping=0.85, exact=True, weight_col="wt"
+    )
+    cp.unpersist(blocking=False)
+    return out.select("node", _quant(F.col("rank"), 12).alias("rank_q12"))
+
+
 SQL_PPR_COPURCHASE = _pagerank_sql(
     _PAGERANK_COPURCHASE_PRELUDE + """,
 seeds AS (
@@ -11989,6 +12068,11 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "contrastive hard-negative mining: per-anchor top-10 "
              "cross-label cosine (broadcast anchors, corpus never "
              "shuffles; round-9 rotation candidate)"),
+    QueryDef("wpagerank_copurchase", q_wpagerank_copurchase,
+             SQL_WPAGERANK_COPURCHASE,
+             "weighted PageRank (rank splits by purchase frequency): "
+             "loop-invariant w/sum(w) coefficients, decimal-exact "
+             "5-round replay (round-9 rotation candidate)"),
     QueryDef("ppr_copurchase", q_ppr_copurchase, SQL_PPR_COPURCHASE,
              "personalized PageRank from a seeded customer cohort "
              "(decimal-exact 5-round replay, seeded teleport + dangling "

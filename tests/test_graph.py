@@ -556,3 +556,51 @@ def test_personalized_pagerank_empty_seeds_raises(spark):
             _verts(spark, [1, 2]),
             seeds=_verts(spark, []).filter("node IS NOT NULL"),
         )
+
+
+def test_weighted_pagerank_matches_numpy_reference(spark):
+    """Rank splits ∝ edge weight: 0→1 (w=3), 0→2 (w=1), 1→0, 2→0."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    edges = spark.createDataFrame(
+        [Row(src=0, dst=1, wt=3.0), Row(src=0, dst=2, wt=1.0),
+         Row(src=1, dst=0, wt=5.0), Row(src=2, dst=0, wt=2.0)]
+    )
+    verts = _verts(spark, [0, 1, 2])
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, verts, iterations=4, weight_col="wt"
+        ).collect()
+    }
+    d = 0.85
+    P = np.zeros((3, 3))
+    P[0, 1], P[0, 2] = 0.75, 0.25
+    P[1, 0], P[2, 0] = 1.0, 1.0
+    r = np.full(3, 1 / 3)
+    for _ in range(4):
+        r = (1 - d) / 3 + d * (r @ P)
+    for i in range(3):
+        assert out[i] == pytest.approx(r[i], abs=1e-12)
+
+
+def test_weighted_pagerank_uniform_weights_equal_unweighted(spark):
+    from pyspark.sql import Row
+
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    edges = _edges(spark, pairs)
+    wedges = spark.createDataFrame(
+        [Row(src=a, dst=b, wt=7.0) for a, b in pairs]
+    )
+    verts = _verts(spark, [1, 2, 3])
+    plain = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, verts, iterations=5).collect()
+    }
+    weighted = {
+        r["node"]: r["rank"]
+        for r in pagerank(wedges, verts, iterations=5, weight_col="wt").collect()
+    }
+    for k in plain:
+        assert weighted[k] == pytest.approx(plain[k], abs=1e-12)
