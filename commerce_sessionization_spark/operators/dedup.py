@@ -1,18 +1,25 @@
 """Deduplication operators for large text corpora (north-star surface).
 
-Four tiers, all shuffle-conscious:
+The tiers, all shuffle-conscious:
 
 - ``exact_dedup``          — hash-groupBy on a content fingerprint; keeps the
   smallest id per group (deterministic winner). One shuffle on a 64-hex key.
 - ``ngram_jaccard_pairs``  — exact Jaccard over word n-gram shingle sets via
   shingle-explode + self-join on shingle. Quadratic only within a shingle
   bucket, not the corpus; this is also the *verifier* for the LSH path.
+- ``prefix_jaccard_pairs`` — the SAME exact output via PPJoin prefix
+  filtering: only each doc's globally-rarest shingles become join keys,
+  so shared boilerplate never bucket-explodes — the exact path that
+  survives skew (receipt in tools/jaccard_skew_probe.py).
 - ``minhash_lsh_dedup``    — MinHash signatures + banded LSH: candidate pairs
   only where a band matches (one shuffle on band key), then exact-Jaccard
   verification of candidates. At 100 TB this is the scale path: cost is
   O(docs × bands) + verification of the (tiny) candidate set.
 - ``simhash``              — 60-bit SimHash fingerprint; near-dups differ in
   few bits. Provided as a column op + banded candidate pairing.
+- ``exact_substring_dedup`` / ``exact_substring_decontaminate`` —
+  token-level duplicated-span removal (Lee et al. 2022), corpus-wide or
+  against a broadcast benchmark gram set (eval-leak excision).
 
 Hashes derive from SHA-256 (``functions.hashing``) so results are
 deterministic and reproducible across engines (oracle-checkable); pass
