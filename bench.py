@@ -156,6 +156,8 @@ HEADLINE = [
     "ppr_copurchase",
     "hard_negatives",
     "orders_drift_psi",
+    "substring_decontaminate",
+    "wpagerank_copurchase",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off
