@@ -454,3 +454,45 @@ def test_frontier_matches_pure_python_model(spark, rows, k):
         )
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard == exhaustive join, for EVERY corpus
+# ---------------------------------------------------------------------------
+
+# small vocabulary forces heavy shingle sharing (the regime where prefix
+# filtering could plausibly lose pairs if the length filter or the
+# global ordering were wrong)
+_vocab = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+)
+_doc_strategy = st.lists(_vocab, min_size=1, max_size=12).map(" ".join)
+_corpus_strategy = st.lists(_doc_strategy, min_size=2, max_size=8)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus_strategy, threshold=st.sampled_from([0.3, 0.6, 0.9]))
+def test_prefix_jaccard_equals_exhaustive_for_every_corpus(
+    spark, texts, threshold
+):
+    from commerce_sessionization_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    exact = {
+        (r.a, r.b, r.jaccard)
+        for r in ngram_jaccard_pairs(df, n=3, threshold=threshold).collect()
+    }
+    pf = {
+        (r.a, r.b, r.jaccard)
+        for r in prefix_jaccard_pairs(df, n=3, threshold=threshold).collect()
+    }
+    assert pf == exact
