@@ -626,3 +626,66 @@ def hard_negatives(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivf_search_many(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batched IVF ANN: top-k per query row, probing only each query's
+    ``nprobe`` nearest centroids — ``ivf_search`` for a query TABLE
+    instead of one vector.
+
+    One plan for the whole batch (vs. a driver loop of single-query
+    jobs): the (query × centroid) probe ranking is broadcast-sized,
+    the corpus joins it ON ``centroid_id`` — so a corpus row is scored
+    once per query that probes its cell, never once per query — and
+    the final top-k window runs per query key. Matches the looped
+    single-query operator exactly (pinned in tests).
+
+    Output: (query_id, id, cosine), k rows per query, ties on id.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+        )
+    )
+    c = F.broadcast(
+        centroids.select("centroid_id", F.col(vec_col).alias("_cvec"))
+    )
+    pw = Window.partitionBy("_qid").orderBy(
+        F.desc("_psim"), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(c)
+        .select(
+            "_qid",
+            "_qvec",
+            "centroid_id",
+            cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("_psim"),
+        )
+        .withColumn("_rn", F.row_number().over(pw))
+        .filter(F.col("_rn") <= nprobe)
+        .select("_qid", "_qvec", "centroid_id")
+    )
+    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

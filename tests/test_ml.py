@@ -359,3 +359,33 @@ class TestCompressedSearchPipeline:
         assert len(diverse) == 5
         assert {r.vec_id for r in diverse} <= got
         assert sorted(r.mmr_rank for r in diverse) == [1, 2, 3, 4, 5]
+
+
+class TestIVFSearchMany:
+    def test_matches_looped_single_query_ivf(self, spark):
+        from commerce_sessionization_spark.operators.similarity import (
+            ivf_assign,
+            ivf_search,
+            ivf_search_many,
+            kmeans_fit,
+        )
+        corpus = _planted_vectors(spark, n=300, d=8).cache()
+        cents = kmeans_fit(corpus, k=6, max_iter=2)
+        assigned = ivf_assign(corpus, cents).cache()
+        queries = _planted_vectors(spark, n=305, d=8).filter(
+            F.col("vec_id") >= 300
+        ).withColumnRenamed("vec_id", "query_id")
+        batched = {
+            (r.query_id, r.vec_id)
+            for r in ivf_search_many(
+                assigned, cents, queries, k=7, nprobe=3
+            ).collect()
+        }
+        looped = set()
+        for qrow in queries.collect():
+            one = spark.createDataFrame(
+                [(qrow.embedding,)], "embedding array<float>"
+            )
+            for r in ivf_search(assigned, cents, one, k=7, nprobe=3).collect():
+                looped.add((qrow.query_id, r.vec_id))
+        assert batched == looped and len(batched) == 5 * 7
