@@ -1037,6 +1037,52 @@ def q_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CENTROID_TOPK = SQL_KNN_COSINE
 
 
+def q_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF ANN graded by value: ``ivf_search_many`` over 3 query
+    vectors at nprobe = nlist (exhaustive probe), which must equal the
+    per-query brute-force cosine top-10 — the ``centroid_topk`` plumbing
+    proof extended to the one-plan batch path (probe ranking broadcast,
+    corpus scored once per probing query, one per-query top-k window)."""
+    from commerce_sessionization_spark.operators.similarity import (
+        ivf_assign,
+        ivf_search_many,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, nlist=8)
+    assigned = ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_search_many(assigned, cents, queries, k=10, nprobe=8).select(
+        "query_id", "vec_id", _quant(F.col("cosine"), 6).alias("cosine_q6")
+    )
+
+
+SQL_IVF_BATCH_TOPK = """
+WITH a AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT a.query_id, e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], a.qv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(a.qv, a.qv))) AS cosine
+  FROM embeddings e, a
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id,
+       CAST(floor(cosine * 1000000.0) AS BIGINT) AS cosine_q6
+FROM ranked WHERE rn <= 10
+"""
+
+
 def q_user_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 parity (``SessionizationUdf.scala:81-82``): gather each user's
     events into a time-ordered array via array_sort(collect_list(struct)) —
@@ -12068,6 +12114,10 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "contrastive hard-negative mining: per-anchor top-10 "
              "cross-label cosine (broadcast anchors, corpus never "
              "shuffles; round-9 rotation candidate)"),
+    QueryDef("ivf_batch_topk", q_ivf_batch_topk, SQL_IVF_BATCH_TOPK,
+             "batched IVF ANN == per-query brute force at exhaustive "
+             "probe (one-plan multi-query path; round-9 rotation "
+             "candidate)"),
     QueryDef("wpagerank_copurchase", q_wpagerank_copurchase,
              SQL_WPAGERANK_COPURCHASE,
              "weighted PageRank (rank splits by purchase frequency): "
