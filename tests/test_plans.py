@@ -253,6 +253,7 @@ _INTENDED_LOOP_JOINS = {
     "stream_vector_stats",     # the same 1-row n anchor on the maintained state
     "mmr_diverse_topk",        # broadcast 3-row query vectors (all_pairs_topk)
     "hard_negatives",          # broadcast 3-row anchor vectors
+    "ivf_batch_topk",          # broadcast 3-row queries x 8-row centroid probe
 }
 
 
