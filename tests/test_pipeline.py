@@ -792,3 +792,20 @@ def test_cli_pca_subcommand(tmp_path):
         f"read_parquet('{out}/projected/*.parquet')"
     ).fetchone()
     assert n == 500 and d == 4
+
+
+def test_cli_drift_subcommand():
+    """`drift` prints the per-column PSI table; identical snapshots give
+    psi == 0 for every audited column."""
+    import subprocess
+    import sys as _sys
+
+    run = subprocess.run(
+        [_sys.executable, "-m", "commerce_sessionization_spark", "drift",
+         "orders", "orders", "o_totalprice,o_custkey",
+         "--sf-dir", "/root/testdata/sf0.001", "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert run.returncode == 0, run.stderr[-500:]
+    assert "o_totalprice" in run.stdout and "o_custkey" in run.stdout
+    assert "|0.0" in run.stdout.replace(" ", "")  # zero drift rendered
