@@ -780,6 +780,100 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search (embeddings)
 # --------------------------------------------------------------------------
 
+def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification audit, graded by value: assign
+    every embedding to the max-cosine LABEL centroid (the exact
+    grid-snapped decimal means of ``label_centroids``, so the centroid
+    vectors are bit-identical in both engines) and count the
+    (true label, assigned label) confusion cells — the cluster-purity /
+    label-noise check a training pipeline runs over its embedding
+    space. Plan: one posexplode + exchange builds the 10 centroids,
+    which broadcast; the corpus is scored in codegen and exchanges only
+    for the per-vector argmax window and the final count cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    grid = F.lit(1e9)
+    vq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * grid).cast("decimal(19,0)"),
+    )
+    cents = (
+        emb.select("label", F.posexplode(vq).alias("_i", "_x"))
+        .groupBy("label", "_i")
+        .agg(
+            (
+                F.sum("_x").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / grid
+            ).alias("_m")
+        )
+        .groupBy(F.col("label").alias("_clabel"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_m"))),
+                lambda x: x["_m"],
+            ).alias("_cv")
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "_clabel",
+        cosine_similarity(F.col("embedding"), F.col("_cv")).alias("_cos"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("vec_id").orderBy(F.desc("_cos"), F.col("_clabel"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy(
+            F.col("label").cast("long").alias("label"),
+            F.col("_clabel").cast("long").alias("assigned"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_CENTROID_CONFUSION = """
+WITH cells AS (
+  SELECT label, CAST(i AS BIGINT) AS i,
+         CAST(floor(xi * 1000000000.0) AS DECIMAL(19,0)) AS xq
+  FROM (
+    SELECT label, generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS xi
+    FROM embeddings
+  )
+),
+cent AS (
+  SELECT label, i,
+         CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           / 1000000000.0 AS m
+  FROM cells GROUP BY label, i
+),
+carr AS (
+  SELECT label AS clabel, list(m ORDER BY i) AS cv FROM cent GROUP BY 1
+),
+scored AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         list_dot_product(e.embedding::DOUBLE[], c.cv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+  FROM embeddings e, carr c
+),
+best AS (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, clabel) AS rn
+  FROM scored
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(clabel AS BIGINT) AS assigned,
+       CAST(count(*) AS BIGINT) AS n
+FROM best WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed covariance matrix of the embedding column — the PCA
     fit's only scan, graded by value. ``vector_sufficient_stats`` snaps
@@ -12136,6 +12230,11 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "MMR diversified re-rank of ANN top-20 (rows-only: greedy "
              "argmax recursion has no SQL form; laws pinned in "
              "TestMMRRerank)"),
+    QueryDef("centroid_confusion", q_centroid_confusion,
+             SQL_CENTROID_CONFUSION,
+             "nearest-centroid confusion matrix over the embedding "
+             "space (cluster-purity audit; exact-decimal centroids "
+             "broadcast; round-9 rotation candidate)"),
     QueryDef("label_centroids", q_label_centroids, SQL_LABEL_CENTROIDS,
              "per-label embedding centroids: grid-snapped exact decimal "
              "sums per (label, dim) cell, one posexplode + one exchange "

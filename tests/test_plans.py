@@ -254,6 +254,7 @@ _INTENDED_LOOP_JOINS = {
     "mmr_diverse_topk",        # broadcast 3-row query vectors (all_pairs_topk)
     "hard_negatives",          # broadcast 3-row anchor vectors
     "ivf_batch_topk",          # broadcast 3-row queries x 8-row centroid probe
+    "centroid_confusion",      # broadcast 10-row label-centroid table
 }
 
 
