@@ -872,7 +872,13 @@ def _prefix_ordered_and_candidates(
             F.count(F.lit(1)).alias("_n"),
         )
     )
-    # Prefix length p = s - ceil(t*s) + 1 (>=1 for s>=1).
+    # Prefix length p = s - ceil(t*s) + 1 (>=1 for s>=1). The ceil is
+    # epsilon-guarded (ADVICE r8): if n*t lands one ulp ABOVE an exact
+    # integer (100*0.55 = 55.000000000000007), a bare ceil overshoots,
+    # the prefix loses a shingle, and a qualifying pair can be missed.
+    # ceil(x - 1e-9) is identical for every non-pathological x and can
+    # only LENGTHEN the prefix (still exact — verify filters false
+    # candidates).
     prefix = ordered.select(
         "_id",
         "_n",
@@ -880,7 +886,11 @@ def _prefix_ordered_and_candidates(
             F.slice(
                 F.col("_set"),
                 1,
-                (F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)) + 1).cast("int"),
+                (
+                    F.col("_n")
+                    - F.ceil(F.col("_n") * F.lit(threshold) - F.lit(1e-9))
+                    + 1
+                ).cast("int"),
             )
         ).alias("shingle"),
     )
@@ -890,9 +900,13 @@ def _prefix_ordered_and_candidates(
             r,
             (F.col("l.shingle") == F.col("r.shingle"))
             & (F.col("l._id") < F.col("r._id"))
-            # length filter: J >= t forces t*max(n_a,n_b) <= min(n_a,n_b)
-            & (F.col("l._n") * F.lit(threshold) <= F.col("r._n"))
-            & (F.col("r._n") * F.lit(threshold) <= F.col("l._n")),
+            # length filter: J >= t forces t*max(n_a,n_b) <= min(n_a,n_b).
+            # Same ulp guard as the prefix ceil: 100*0.55 evaluates to
+            # 55.000000000000007 in doubles, which would drop an
+            # exactly-at-threshold pair with n=(100,55); the -1e-9 slack
+            # only ever ADMITS borderline candidates (verify is exact).
+            & (F.col("l._n") * F.lit(threshold) - F.lit(1e-9) <= F.col("r._n"))
+            & (F.col("r._n") * F.lit(threshold) - F.lit(1e-9) <= F.col("l._n")),
         )
         .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
         .distinct()

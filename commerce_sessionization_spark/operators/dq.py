@@ -299,8 +299,10 @@ def data_drift_psi(
 
     Output: (column, psi, n_ref, n_cur), one row per audited column.
     """
-    counts_r = drift_bucket_counts(ref, drift_bounds(ref, cols), cols, buckets)
-    counts_c = drift_bucket_counts(cur, drift_bounds(ref, cols), cols, buckets)
+    bounds = drift_bounds(ref, cols)  # one reference melt+min/max scan,
+    # shared by both sides (ADVICE r8: was computed twice per audit)
+    counts_r = drift_bucket_counts(ref, bounds, cols, buckets)
+    counts_c = drift_bucket_counts(cur, bounds, cols, buckets)
     return psi_from_counts(counts_r, counts_c, eps=eps)
 
 

@@ -212,6 +212,7 @@ def pca_fit(
     vec_col: str = "embedding",
     k: int = 8,
     dim: int | None = None,
+    quantize_scale: int = 9,
 ):
     """PCA from one distributed pass: covariance via
     ``vector_sufficient_stats`` (the only scan), then a d×d ``eigh`` on
@@ -224,8 +225,12 @@ def pca_fit(
     Returns ``(components: np.ndarray[k, d], mean: np.ndarray[d],
     explained_variance: np.ndarray[k])``, eigenvalue-descending.
     """
-    stats = vector_sufficient_stats(df, vec_col, dim=dim).collect()
-    grid = 1e9
+    # quantize_scale is forwarded and the grid derived from it (ADVICE
+    # r8): a hardcoded grid=1e9 silently coupled to the stats default.
+    stats = vector_sufficient_stats(
+        df, vec_col, dim=dim, quantize_scale=quantize_scale
+    ).collect()
+    grid = 10.0 ** quantize_scale
     d = max(r.j for r in stats)
     n = float(next(r.s for r in stats if r.i == -1))
     mean = np.zeros(d)

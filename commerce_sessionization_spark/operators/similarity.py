@@ -522,8 +522,12 @@ def mmr_rerank(
     import numpy as np
     import pandas as pd  # noqa: F401 — applyInPandas contract
 
+    # Output key types follow the input (ADVICE r8): hardcoding `long`
+    # broke string/int query or id columns despite configurable names.
+    _qt = candidates.schema[query_col].dataType.simpleString()
+    _it = candidates.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{query_col} long, {id_col} long, mmr_rank int, mmr_score double"
+        f"{query_col} {_qt}, {id_col} {_it}, mmr_rank int, mmr_score double"
     )
 
     def rerank(pdf):

@@ -203,3 +203,21 @@ class TestDataDriftPSI:
         rows = data_drift_psi(df, df, ["a", "b"]).collect()
         assert {r.column for r in rows} == {"a", "b"}
         assert all(abs(r.psi) < 1e-9 for r in rows)
+
+    def test_reference_bounds_computed_once(self, spark, monkeypatch):
+        """ADVICE r8: data_drift_psi ran the reference melt+min/max agg
+        twice (once per side). Pin the single-call contract."""
+        import commerce_sessionization_spark.operators.dq as dq
+
+        calls = []
+        real = dq.drift_bounds
+
+        def counting(ref, cols):
+            calls.append(1)
+            return real(ref, cols)
+
+        monkeypatch.setattr(dq, "drift_bounds", counting)
+        df = self._df(spark, range(100))
+        r = dq.data_drift_psi(df, df, ["x"]).collect()[0]
+        assert abs(r.psi) < 1e-9
+        assert len(calls) == 1

@@ -245,6 +245,29 @@ class TestMMRRerank:
         ranks = sorted(r.mmr_rank for r in by_q[2])
         assert ranks == [1, 2]
 
+    def test_string_query_and_id_columns_supported(self, spark):
+        """ADVICE r8: the applyInPandas output schema hardcoded `long`
+        for the key columns despite them being configurable — string
+        keys failed at runtime. Types now follow the input schema."""
+        from commerce_sessionization_spark.operators.similarity import (
+            mmr_rerank,
+        )
+        rows = [
+            ("q1", "docA", 0.99, [1.0, 0.0]),
+            ("q1", "docB", 0.98, [0.999, 0.01]),
+            ("q1", "docC", 0.50, [0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "query_id string, vec_id string, cosine double, "
+            "embedding array<double>",
+        )
+        out = mmr_rerank(df, k=2, lam=0.5)
+        got = [r.vec_id for r in out.orderBy("mmr_rank").collect()]
+        assert got == ["docA", "docC"]
+        assert dict(out.dtypes)["query_id"] == "string"
+        assert dict(out.dtypes)["vec_id"] == "string"
+
     def test_first_rank_score_is_lambda_times_relevance(self, spark):
         from commerce_sessionization_spark.operators.similarity import (
             mmr_rerank,
@@ -389,3 +412,20 @@ class TestIVFSearchMany:
             for r in ivf_search(assigned, cents, one, k=7, nprobe=3).collect():
                 looped.add((qrow.query_id, r.vec_id))
         assert batched == looped and len(batched) == 5 * 7
+
+
+class TestPCAQuantizeScale:
+    def test_quantize_scale_forwarded_and_grid_derived(self, spark):
+        """ADVICE r8: pca_fit hardcoded grid=1e9 while the stats pass
+        used its own default — changing the scale in one place would
+        mis-scale mean and covariance. Fits at two scales must agree
+        (up to quantization error), which only holds when the grid is
+        derived from the forwarded scale."""
+        from commerce_sessionization_spark.operators.ml import pca_fit
+
+        df = _planted_vectors(spark, n=400, d=6)
+        c9, m9, ev9 = pca_fit(df, k=3, quantize_scale=9)
+        c6, m6, ev6 = pca_fit(df, k=3, quantize_scale=6)
+        assert np.abs(m9 - m6).max() < 1e-4
+        assert np.abs(ev9 - ev6).max() < 1e-4
+        assert np.abs(c9 - c6).max() < 1e-3

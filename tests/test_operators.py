@@ -130,6 +130,32 @@ class TestDedup:
         assert pf == exact
         assert (0, 100, 1.0) in pf
 
+    def test_prefix_jaccard_ulp_boundary_pair_survives(self, spark):
+        """Regression (ADVICE r8): 100·0.55 = 55.000000000000007 in
+        doubles. Unguarded, (a) ceil overshoots to 56 so the 100-shingle
+        doc's prefix shrinks to its 45 df=1 shingles (no shared shingle
+        → candidate never generated), and (b) the length filter drops
+        the (100, 55) size pair outright. The fixture is adversarial:
+        doc B is a contiguous suffix of doc A, so A's 45 unique shingles
+        (df=1) sort BEFORE all 55 shared ones (df=2) and only the
+        correct prefix length 46 reaches a shared shingle. J is exactly
+        55/100 = threshold."""
+        uniq = " ".join(f"u{i:02d}" for i in range(45))
+        shared = " ".join(f"bb{i:02d}" for i in range(57))
+        df = spark.createDataFrame(
+            [(1, f"{uniq} {shared}"), (2, shared)], DOC_SCHEMA
+        )
+        exact = {
+            (r.a, r.b, r.jaccard)
+            for r in ngram_jaccard_pairs(df, n=3, threshold=0.55).collect()
+        }
+        pf = {
+            (r.a, r.b, r.jaccard)
+            for r in prefix_jaccard_pairs(df, n=3, threshold=0.55).collect()
+        }
+        assert (1, 2, 0.55) in exact  # the fixture is at the boundary
+        assert pf == exact
+
     def test_minhash_lsh_matches_exhaustive(self, docs):
         exact = {
             (r.a, r.b)

@@ -1,0 +1,178 @@
+"""Propose the next driver-window rotation from CORRECTNESS history.
+
+The driver grades the first 50 catalog entries (``CATALOG``) each round;
+everything else lives in ``EXTENDED_CATALOG``, oracle-checked locally
+but invisible to the driver's gate. To burn down cumulative coverage
+(every catalog query driver-graded at least once), the window is
+composed as:
+
+    SENTINELS                 ~36 always-on queries — the SURVEY §2
+                              reference-parity core plus exactly one
+                              representative per operator family that
+                              must never fall out of the graded window
+                              (mirrors REQUIRED_IN_DRIVER_WINDOW's
+                              intent in tests/test_catalog.py)
+    rotating slots (50 - len) filled by ascending driver grade-count,
+                              ties broken by PRIORITY (the families the
+                              last VERDICT asked to rotate in), then by
+                              catalog order
+
+Usage:
+    python tools/gen_rotation.py             # print proposed window
+    python tools/gen_rotation.py --counts    # per-query grade counts
+
+``grade_counts()`` is also imported by tools/gen_catalog_md.py so
+CATALOG.md shows how many rounds each query has been driver-graded.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+#: Always-on window members: reference-parity core + one per family.
+SENTINELS = [
+    # reference parity (SURVEY §2.2-2.7 core)
+    "sessionize_events",
+    "prev_active_sessions",
+    "user_event_sequence",
+    # crawl / ingest IO
+    "warc_roundtrip_checksums",
+    "html_extract_docs",
+    "robots_filtered_urls",
+    # profiling / DQ
+    "orders_profile",
+    # joins
+    "asof_purchase_last_view",
+    "order_lineitem_range_join",
+    "pit_scd2_join",
+    "cdc_merge_apply",
+    # TPC-H strategy suite
+    "pricing_summary",
+    "revenue_by_nation",
+    "market_share",
+    "order_cube",
+    # commerce analytics
+    "conversion_funnel_24h",
+    "brand_basket_rules",
+    # text quality / tokens
+    "gopher_doc_flags",
+    "c4_filtered_docs",
+    "language_id",
+    "tf_idf",
+    "pii_scrub",
+    # chunking / packing
+    "sentence_chunks",
+    "pack_sequences",
+    # dedup tiers
+    "stream_ingest_dedup",
+    "exact_substring_dedup",
+    # privacy
+    "k_anonymized_customers",
+    # similarity / ANN
+    "pq_adc_topk",
+    # graph
+    "part_hop_distances",
+    "triangle_counts",
+    # sketches / sampling / time series
+    "cms_heavy_hitters",
+    "domain_temperature_sample",
+    "event_gapfill_interp",
+    # search ranking
+    "hybrid_search_rrf",
+    # composed pipeline + entity resolution
+    "llm_corpus_dsir_pipeline",
+    "customer_entity_resolution",
+]
+
+#: Tie-break queue among equal grade-counts: the families the latest
+#: VERDICT names for rotation (round 9: the 13 never-graded round-8
+#: families + the streaming frontier maintainer held back until
+#: crawl_frontier itself had been graded once).
+PRIORITY = [
+    "ppr_copurchase",
+    "wpagerank_copurchase",
+    "prefix_jaccard_pairs",
+    "label_centroids",
+    "centroid_confusion",
+    "embedding_covariance",
+    "mmr_diverse_topk",
+    "hard_negatives",
+    "orders_drift_psi",
+    "events_key_skew",
+    "substring_decontaminate",
+    "corpus_shard_manifest",
+    "stream_vector_stats",
+    "stream_crawl_frontier",
+]
+
+WINDOW_SIZE = 50
+
+
+def grade_counts(repo: Path = REPO) -> dict[str, dict[str, int]]:
+    """Per-query driver history: rounds graded and rounds fully green."""
+    out: dict[str, dict[str, int]] = defaultdict(
+        lambda: {"graded": 0, "green": 0}
+    )
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        data = json.loads(f.read_text())
+        for name, r in data.items():
+            out[name]["graded"] += 1
+            if r.get("err") is None and r.get("rows_match"):
+                out[name]["green"] += 1
+    return dict(out)
+
+
+def propose_window(window_size: int = WINDOW_SIZE) -> list[str]:
+    from commerce_sessionization_spark.plans.queries import FULL_CATALOG
+
+    names = [q.name for q in FULL_CATALOG]
+    order = {n: i for i, n in enumerate(names)}
+    missing = [s for s in SENTINELS if s not in order]
+    if missing:
+        raise SystemExit(f"sentinels not in catalog: {missing}")
+    counts = grade_counts()
+    prio = {n: i for i, n in enumerate(PRIORITY)}
+    rotating = sorted(
+        (n for n in names if n not in SENTINELS),
+        key=lambda n: (
+            counts.get(n, {}).get("graded", 0),
+            prio.get(n, len(PRIORITY)),
+            order[n],
+        ),
+    )
+    return SENTINELS + rotating[: window_size - len(SENTINELS)]
+
+
+def main() -> None:
+    if "--counts" in sys.argv:
+        counts = grade_counts()
+        from commerce_sessionization_spark.plans.queries import FULL_CATALOG
+
+        for q in FULL_CATALOG:
+            c = counts.get(q.name, {"graded": 0, "green": 0})
+            print(f"{q.name}\t{c['graded']}\t{c['green']}")
+        return
+    window = propose_window()
+    from commerce_sessionization_spark.plans.queries import CATALOG
+
+    current = {q.name for q in CATALOG}
+    print(f"# proposed {len(window)}-query window "
+          f"({len(SENTINELS)} sentinels + {len(window) - len(SENTINELS)} "
+          "rotating)")
+    for n in window:
+        tag = "" if n in current else "  << rotate IN"
+        print(f"{n}{tag}")
+    out = [n for n in sorted(current) if n not in set(window)]
+    print(f"\n# rotate OUT ({len(out)}):")
+    for n in out:
+        print(n)
+
+
+if __name__ == "__main__":
+    main()
