@@ -178,7 +178,10 @@ def compact_line(full: dict) -> str:
     how many headline queries the round adds. The full payload lives in
     ``bench_result.json``; this line carries only bounded scalars.
     """
-    keep = ("metric", "value", "unit", "sf", "repeats", "load_avg")
+    keep = (
+        "metric", "value", "unit", "sf", "repeats", "load_avg",
+        "load_warning",
+    )
     return json.dumps({k: full[k] for k in keep if k in full})
 
 
@@ -237,6 +240,14 @@ def main() -> None:
         # a real plan regression from a contended box across rounds
         "load_avg": load_avg,
     }
+    # Load honesty (round-8 VERDICT item 5): the r8 official artifact
+    # ran at load 5.48 and read +14% vs the idle canonical number. A
+    # loaded box can't be refused from in here (the driver owns the
+    # schedule), but it CAN be made self-disqualifying: the compact
+    # line carries load_warning=true whenever the pre-bench 1-min load
+    # exceeds 1.0, so round-over-round comparisons skip flagged runs.
+    if load_avg > 1.0:
+        full["load_warning"] = True
     # Full payload (per-query timings + spread — the regression gate's
     # noise floor) goes to a FILE; stdout carries exactly ONE compact
     # line. Rounds 6 AND 7 shipped unparseable BENCH artifacts because

@@ -72,6 +72,7 @@ def blocked_match_pairs(
     prefix_len: int = 20,
     max_block: int | None = None,
     pad_char: str = "\x01",
+    return_candidates: bool = False,
 ) -> DataFrame:
     """Candidate pairs ``(a, b, dist)`` with ``a < b`` whose records
     agree exactly on every ``block_keys`` column and whose ``match_col``
@@ -167,6 +168,11 @@ def blocked_match_pairs(
         )
         .dropDuplicates(["a", "b"])
     )
+    if return_candidates:
+        # diagnostic mode: the deduped pre-verify candidate set — the
+        # number that prices a blocking-key choice (the verify stage is
+        # a per-candidate constant, so candidates ARE the cost model)
+        return cand.select("a", "b")
     return (
         cand.select(
             "a", "b",

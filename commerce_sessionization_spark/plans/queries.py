@@ -4797,27 +4797,7 @@ def q_wpagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants."""
     from commerce_sessionization_spark.operators.graph import pagerank
 
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    cp = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("p"), F.col("l_partkey")).alias("p"),
-        )
-        .agg(F.count(F.lit(1)).alias("wt"))
-        .localCheckpoint()
-    )
-    edges = cp.select(
-        F.col("c").alias("src"), F.col("p").alias("dst"), "wt"
-    ).unionByName(
-        cp.select(F.col("p").alias("src"), F.col("c").alias("dst"), "wt")
-    )
-    verts = (
-        cp.select(F.col("c").alias("node"))
-        .union(cp.select("p"))
-        .distinct()
-    )
+    edges, verts, cp = _wcopurchase_graph(spark, sf_dir)
     out = pagerank(
         edges, verts, iterations=5, damping=0.85, exact=True, weight_col="wt"
     )
@@ -4857,6 +4837,88 @@ def q_ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cp.unpersist(blocking=False)
     return out.select("node", _quant(F.col("rank"), 12).alias("rank_q12"))
+
+
+def q_ppr_copurchase_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on the double-precision SCALE path — the
+    variant a 100 TB user actually runs (plain double sums, no decimal
+    casts in the loop). Rows-only oracle like the uniform ``_fast``
+    twin: float summation is order-dependent, so no engine-independent
+    value replay exists; parity with the decimal oracle mode is pinned
+    to 2e-6 in tests/test_graph.py."""
+    from commerce_sessionization_spark.operators.graph import pagerank
+
+    edges, verts, cp = _copurchase_graph(spark, sf_dir)
+    seeds = verts.filter(
+        F.col("node").startswith("c")
+        & (F.expr("CAST(substr(node, 2) AS BIGINT)") % 50 == 0)
+    )
+    out = pagerank(
+        edges, verts, iterations=5, damping=0.85, exact=False, seeds=seeds
+    )
+    cp.unpersist(blocking=False)
+    return out.select("node", F.round(F.col("rank"), 6).alias("rank_r6"))
+
+
+def _wcopurchase_graph(spark: SparkSession, sf_dir: str):
+    """Weighted co-purchase graph shared by the decimal and double
+    weighted-PageRank variants: grouped (customer, part, line-count)
+    edges — 3.3× smaller per-round join input than raw pairs."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("p"),
+        )
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .localCheckpoint()
+    )
+    edges = cp.select(
+        F.col("c").alias("src"), F.col("p").alias("dst"), "wt"
+    ).unionByName(
+        cp.select(F.col("p").alias("src"), F.col("c").alias("dst"), "wt")
+    )
+    verts = (
+        cp.select(F.col("c").alias("node"))
+        .union(cp.select("p"))
+        .distinct()
+    )
+    return edges, verts, cp
+
+
+def q_wpagerank_copurchase_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank on the double-precision SCALE path (plain
+    double w/Σw coefficients and contribution sums). Rows-only oracle;
+    parity with the decimal oracle mode pinned to 2e-6 in
+    tests/test_graph.py."""
+    from commerce_sessionization_spark.operators.graph import pagerank
+
+    edges, verts, cp = _wcopurchase_graph(spark, sf_dir)
+    out = pagerank(
+        edges, verts, iterations=5, damping=0.85, exact=False,
+        weight_col="wt",
+    )
+    cp.unpersist(blocking=False)
+    return out.select("node", F.round(F.col("rank"), 6).alias("rank_r6"))
+
+
+def q_hits_copurchase_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS on the double-precision SCALE path (plain double hub and
+    authority sums, double L1 normalizations). Rows-only oracle; parity
+    with the decimal oracle mode pinned to 2e-6 in tests/test_graph.py."""
+    from commerce_sessionization_spark.operators.graph import hits
+
+    _e, _v, cp = _copurchase_graph(spark, sf_dir)
+    directed = cp.select(F.col("c").alias("src"), F.col("p").alias("dst"))
+    out = hits(directed, iterations=3, exact=False)
+    cp.unpersist(blocking=False)
+    return out.select(
+        "node",
+        F.round(F.col("authority"), 6).alias("auth_r6"),
+        F.round(F.col("hub"), 6).alias("hub_r6"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -11561,9 +11623,16 @@ CATALOG: list[QueryDef] = [
     QueryDef("user_event_sequence", q_user_event_sequence,
              SQL_USER_EVENT_SEQUENCE,
              "ordered event array per user (A1 collect_list parity)"),
-    QueryDef("chunk_documents", q_chunk_documents, SQL_CHUNK_DOCUMENTS,
-             "sliding token-window chunking (W=32, S=24): narrow "
-             "shuffle-free split/sequence/explode/slice plan"),
+    # round-9 rotation: chunk_documents -> EXTENDED after 5 green grades
+    # (the chunking family keeps sentence_chunks — the richer
+    # segmentation + reassembly plan — and pack_sequences graded); the
+    # slot grades the MMR diversified re-rank the gate has never seen
+    # (rows-only: greedy argmax recursion has no SQL form, laws pinned
+    # in tests/test_ml.py::TestMMRRerank).
+    QueryDef("mmr_diverse_topk", q_mmr_diverse_topk, None,
+             "MMR diversified re-rank of ANN top-20 (rows-only: greedy "
+             "argmax recursion has no SQL form; laws pinned in "
+             "TestMMRRerank)"),
     # --- events: functions, windows, shapes ---
     # round-6: the crawl IO loop enters the graded surface —
     # event_props_extract (JSON path project) moves to EXTENDED; the
@@ -11614,9 +11683,16 @@ CATALOG: list[QueryDef] = [
              "MERGE INTO: last-writer-wins CDC batch applied via "
              "one-target-scan anti join (delete/update/insert/keep)"),
     QueryDef("order_cube", q_order_cube, SQL_ORDER_CUBE, "CUBE grouping sets"),
-    QueryDef("semdedup_prune", q_semdedup_prune, SQL_SEMDEDUP_PRUNE,
-             "SemDeDup: cluster embeddings, greedy min-id prune of "
-             "cosine>tau pairs within each cluster"),
+    # round-9 rotation: semdedup_prune -> EXTENDED after 4 green grades
+    # (its cluster-assign stage — nearest centroid by cosine — replays
+    # inside centroid_confusion and label_centroids; the greedy prune
+    # stays oracle-checked in EXTENDED); the slot grades the
+    # cluster-purity audit the gate has never seen.
+    QueryDef("centroid_confusion", q_centroid_confusion,
+             SQL_CENTROID_CONFUSION,
+             "nearest-centroid confusion matrix over the embedding "
+             "space (cluster-purity audit; exact-decimal centroids "
+             "broadcast)"),
     QueryDef("part_hop_distances", q_part_hop_distances,
              SQL_PART_HOP_DISTANCES,
              "single-source BFS hop distances, frontier-propagated "
@@ -11659,16 +11735,34 @@ CATALOG: list[QueryDef] = [
              "hash bucket; recursive-CTE oracle replays the walk"),
     QueryDef("tf_idf", q_tf_idf, SQL_TF_IDF,
              "smoothed TF-IDF per (doc, token)"),
-    QueryDef("bigram_pmi", q_bigram_pmi, SQL_BIGRAM_PMI,
-             "adjacent-token PMI (exact counts, single-division log)"),
-    QueryDef("repetition_scores", q_repetition_scores, SQL_REPETITION_SCORES,
-             "Gopher-style within-doc repetition signals"),
+    # round-9 rotation: bigram_pmi and repetition_scores -> EXTENDED
+    # after 6 green grades each (the token-statistics shape stays graded
+    # via tf_idf; both remain oracle-checked in EXTENDED and in the
+    # local sweep) — the freed slots grade the distributed linear
+    # algebra family the gate has never seen: exact-decimal grouped
+    # centroids and the one-pass PCA covariance scan.
+    QueryDef("label_centroids", q_label_centroids, SQL_LABEL_CENTROIDS,
+             "per-label embedding centroids: grid-snapped exact decimal "
+             "sums per (label, dim) cell, one posexplode + one exchange "
+             "(the k-means/IVF/SemDeDup grouped-mean primitive)"),
+    QueryDef("embedding_covariance", q_embedding_covariance,
+             SQL_EMBEDDING_COVARIANCE,
+             "distributed covariance of the embedding column (PCA "
+             "sufficient statistics): integer-grid snap + exact decimal "
+             "sums, one posexplode + map-side-combined agg; 2080 cells "
+             "hash-matched at q12"),
     QueryDef("pii_scrub", q_pii_scrub, SQL_PII_SCRUB,
              "regex PII redaction: emails/IPs/phones counted + scrubbed"),
     # --- corpus hygiene ---
-    QueryDef("ngram_decontaminate", q_ngram_decontaminate,
-             SQL_NGRAM_DECONTAMINATE,
-             "benchmark decontamination: train/eval 4-gram overlap"),
+    # round-9 rotation: ngram_decontaminate -> EXTENDED after 6 green
+    # grades; the substring tier grades the same benchmark-overlap
+    # family with the stricter contract (gram EXCISION, not just doc
+    # flagging — broadcast bench grams, positions, ordered reassembly).
+    QueryDef("substring_decontaminate", q_substring_decontaminate,
+             SQL_SUBSTRING_DECONTAMINATE,
+             "word-8-gram excision of benchmark text from the train "
+             "split (Lee et al. decontamination; broadcast bench "
+             "grams)"),
     # --- deduplication ---
     # round-8 second swap: the streaming ingest maintainer grades a
     # strict superset of exact_dedup_docs' min-id-per-fingerprint shape
@@ -11697,23 +11791,51 @@ CATALOG: list[QueryDef] = [
     QueryDef("k_anonymized_customers", q_k_anonymized_customers,
              SQL_K_ANONYMIZED_CUSTOMERS,
              "suppression-based k-anonymization (groupBy + join-back)"),
-    QueryDef("minhash_lsh_pairs", q_minhash_lsh_pairs, SQL_NGRAM_JACCARD_PAIRS,
-             "MinHash+LSH near-dup (verified) — must equal exhaustive"),
-    QueryDef("dedup_components", q_dedup_components, SQL_DEDUP_COMPONENTS,
-             "connected components over the near-dup pair graph"),
+    # round-9 rotation: minhash_lsh_pairs -> EXTENDED after 7 green
+    # grades; prefix_jaccard_pairs carries the IDENTICAL exhaustive-
+    # Jaccard oracle (SQL_NGRAM_JACCARD_PAIRS), so the must-equal-
+    # exhaustive semantics stay driver-graded while the gate sees the
+    # PPJoin prefix/length-filter plan for the first time.
+    QueryDef("prefix_jaccard_pairs", q_prefix_jaccard_pairs,
+             SQL_NGRAM_JACCARD_PAIRS,
+             "PPJoin prefix-filtered EXACT Jaccard join: rarest-shingle "
+             "prefixes bound candidate buckets, output == exhaustive"),
+    # round-9 rotation: dedup_components -> EXTENDED after 7 green
+    # grades (the connected-components shape replays inside the graded
+    # customer_entity_resolution, whose oracle ends with CC -> stable
+    # entity ids); the slot grades weighted PageRank — the same
+    # power-iteration loop with per-edge weight coefficients the gate
+    # has never seen.
+    QueryDef("wpagerank_copurchase", q_wpagerank_copurchase,
+             SQL_WPAGERANK_COPURCHASE,
+             "weighted PageRank (rank splits by purchase frequency): "
+             "loop-invariant w/sum(w) coefficients, decimal-exact "
+             "5-round replay"),
     # --- iterative graph ---
     # round-8 third rotation: pagerank_neardup -> EXTENDED (its
     # decimal-exact power-iteration shape stays oracle-checked there and
     # in the 199 sweep); HITS grades the same loop plus the dual-state
     # alternating normalization PageRank cannot exercise. The iterative
     # family keeps part_hop_distances + triangle_counts graded too.
-    QueryDef("hits_copurchase", q_hits_copurchase, SQL_HITS_COPURCHASE,
-             "HITS hub/authority over the directed customer->part "
-             "graph: 3 alternating rounds, decimal-exact L1-normalized "
-             "power iteration, chained-CTE replayed oracle"),
+    # round-9 rotation: hits_copurchase -> EXTENDED (graded green in r8;
+    # still oracle-checked). Personalized PageRank grades the same
+    # decimal power-iteration loop plus the seeded-teleport + dangling-
+    # restart semantics the gate has never seen; the iterative family
+    # also keeps part_hop_distances, triangle_counts and
+    # wpagerank_copurchase in the window.
+    QueryDef("ppr_copurchase", q_ppr_copurchase, SQL_PPR_COPURCHASE,
+             "personalized PageRank from a seeded customer cohort "
+             "(decimal-exact 5-round replay, seeded teleport + dangling "
+             "restart)"),
     # --- similarity / embeddings ---
-    QueryDef("knn_cosine", q_knn_cosine, SQL_KNN_COSINE,
-             "brute-force cosine top-10"),
+    # round-9 rotation: knn_cosine -> EXTENDED after 7 green grades;
+    # hard_negatives grades a strict superset of its shape (broadcast
+    # query side, JVM-side cosine, per-anchor top-k window) plus the
+    # cross-label exclusion the gate has never seen.
+    QueryDef("hard_negatives", q_hard_negatives, SQL_HARD_NEGATIVES,
+             "contrastive hard-negative mining: per-anchor top-10 "
+             "cross-label cosine (broadcast anchors, corpus never "
+             "shuffles)"),
     # round-4 rotation: centroid_topk's oracle (and output) is identical
     # to knn_cosine's — an IVF exhaustive-probe equals brute force by
     # construction — so the slot goes to the time-series resampling
@@ -11736,10 +11858,15 @@ CATALOG: list[QueryDef] = [
     # crawl_frontier (which calls extract_links on its page set), and
     # the slot goes to the sitemaps.org ingestion family the gate has
     # never seen.
-    QueryDef("sitemap_urls", q_sitemap_urls, SQL_SITEMAP_URLS,
-             "sitemaps.org ingestion round trip: per-brand urlset + a "
-             "sitemapindex synthesized, parsed back (loc entities, "
-             "whitespace, optional lastmod) — rule-for-rule oracle"),
+    # round-9 rotation: sitemap_urls -> EXTENDED (graded green in r8;
+    # the crawl family keeps warc_roundtrip_checksums,
+    # robots_filtered_urls, html_extract_docs and the streaming
+    # frontier maintainer graded); the slot grades the pre-flight
+    # join-key skew diagnostic the gate has never seen.
+    QueryDef("events_key_skew", q_events_key_skew, SQL_EVENTS_KEY_SKEW,
+             "pre-flight join-key skew diagnostic: per-key counts -> "
+             "single-cell distribution summary + TakeOrdered heavy "
+             "hitters (the salting candidates), q6 percentiles"),
     # --- sketches & sampling ---
     QueryDef("brand_basket_rules", q_brand_basket_rules,
              SQL_BRAND_BASKET_RULES,
@@ -11761,10 +11888,15 @@ CATALOG: list[QueryDef] = [
     QueryDef("cms_heavy_hitters", q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS,
              "count-min sketch point queries vs exact counts"),
     # --- warehouse maintenance (round-3 driver-window promotions) ---
-    QueryDef("hourly_rollup_merge", q_hourly_rollup_merge,
-             SQL_HOURLY_ROLLUP_MERGE,
-             "incremental continuous aggregate: two-batch rollup merge == "
-             "direct recompute (exact merge law)"),
+    # round-9 rotation: hourly_rollup_merge -> EXTENDED after 5 green
+    # grades (the incremental merge-law family stays graded via the
+    # three MVCC streaming maintainers in the window:
+    # stream_ingest_dedup, stream_vector_stats, stream_crawl_frontier);
+    # the slot grades the PSI data-drift audit the gate has never seen.
+    QueryDef("orders_drift_psi", q_orders_drift_psi, SQL_ORDERS_DRIFT_PSI,
+             "population-stability drift audit between snapshot halves "
+             "(deterministic equal-width bins, decimal-snapped term "
+             "sums)"),
     # --- round-7 rotation: the three oracle-paired families the gate
     # had never graded. Displaced near-duplicates (all still
     # oracle-checked in EXTENDED): window_rank_suite (the window-function
@@ -11777,11 +11909,16 @@ CATALOG: list[QueryDef] = [
     # llm_corpus_dsir_pipeline's graded oracle (the `w AS (...)` CTE is
     # the same _dsir_weights_sql), so dsir_weights moves to EXTENDED and
     # its slot grades the streaming statistics maintainer by value
-    QueryDef("dsir_stream_stats", q_dsir_stream_stats,
-             SQL_DSIR_STREAM_STATS,
-             "streaming DSIR statistics maintainer graded by value: 3 "
-             "epochs folded through the on-disk MVCC state == direct "
-             "256-bucket gram-count recompute (exact integers)"),
+    # round-9 rotation: dsir_stream_stats -> EXTENDED (graded green in
+    # r8; the DSIR weight law stays graded via llm_corpus_dsir_pipeline
+    # whose oracle replays it in full); the slot grades the streaming
+    # PCA-statistics maintainer — the same 3-epoch MVCC fold pattern
+    # over the exact-decimal sufficient-stats state.
+    QueryDef("stream_vector_stats", q_stream_vector_stats,
+             SQL_EMBEDDING_COVARIANCE,
+             "streaming PCA-stats maintainer graded by value: 3-epoch "
+             "MVCC fold of exact-decimal sufficient stats == the batch "
+             "covariance SQL"),
     QueryDef("sentence_chunks", q_sentence_chunks, SQL_SENTENCE_CHUNKS,
              "sentence-preserving offset-bucketed chunking (RAG chunker):"
              " RE2-safe segmentation, window cumsum, ordered re-assembly"
@@ -11801,14 +11938,25 @@ CATALOG: list[QueryDef] = [
              "full training-corpus pipeline with data selection: "
              "quality gate -> exact dedup -> near-dup prune -> DSIR "
              "Gumbel-top-k resample -> split labels, one oracle"),
-    QueryDef("corpus_drop_reasons", q_corpus_drop_reasons,
-             SQL_CORPUS_DROP_REASONS,
-             "pipeline observability: per-doc drop attribution "
-             "(quality / exact_dup / near_dup / kept), stage-ordered"),
-    QueryDef("crawl_frontier", q_crawl_frontier, SQL_CRAWL_FRONTIER,
-             "next fetch batch: canonicalize outlink targets, drop "
-             "fetched, in-degree priority, per-host politeness top-k "
-             "(hot-host-safe via map-side WindowGroupLimit pruning)"),
+    # round-9 rotation: corpus_drop_reasons -> EXTENDED (graded green in
+    # r8; its stage gates replay inside the graded
+    # llm_corpus_dsir_pipeline); the slot grades the trainer-facing
+    # shard manifest the gate has never seen.
+    QueryDef("corpus_shard_manifest", q_corpus_shard_manifest,
+             SQL_CORPUS_SHARD_MANIFEST,
+             "deterministic corpus sharding manifest: sha2-derived "
+             "placement + order key (salted independently of the "
+             "train/test split hash), per-shard doc/token/byte totals"),
+    # round-9 rotation: crawl_frontier -> EXTENDED (graded green in r8);
+    # stream_crawl_frontier carries the IDENTICAL oracle SQL
+    # (SQL_CRAWL_FRONTIER), so the batch frontier semantics stay
+    # driver-graded while the gate sees the MVCC edge/fetched-state
+    # fold for the first time.
+    QueryDef("stream_crawl_frontier", q_stream_crawl_frontier,
+             SQL_CRAWL_FRONTIER,
+             "streaming frontier maintainer graded by value: 2 page "
+             "micro-batches folded through the MVCC edge/fetched state "
+             "== the batch frontier over all pages (pure-function law)"),
     QueryDef("customer_entity_resolution", q_customer_entity_resolution,
              SQL_CUSTOMER_ENTITY_RESOLUTION,
              "entity resolution via blocked_match_pairs: capped exact-"
@@ -11835,14 +11983,53 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "streaming near-dup ingest maintainer (LSH band index as "
              "MVCC state), 3-epoch drive; rows-only — band keys are "
              "xxhash64, invariants pinned in tests/test_ingest_dedup"),
-    # round-8 post-worklist families: stream_crawl_frontier stays here
-    # for the round-9 rotation (crawl_frontier itself enters the graded
-    # window this round and must be graded at least once first).
-    QueryDef("stream_crawl_frontier", q_stream_crawl_frontier,
-             SQL_CRAWL_FRONTIER,
-             "streaming frontier maintainer graded by value: 2 page "
-             "micro-batches folded through the MVCC edge/fetched state "
-             "== the batch frontier over all pages (pure-function law)"),
+    # round-9 rotation: the 14 displaced window members (grade history
+    # and the graded home of each shape are noted beside their
+    # replacements in CATALOG; all stay oracle-checked here)
+    QueryDef("chunk_documents", q_chunk_documents, SQL_CHUNK_DOCUMENTS,
+             "sliding token-window chunking (W=32, S=24): narrow "
+             "shuffle-free split/sequence/explode/slice plan"),
+    QueryDef("bigram_pmi", q_bigram_pmi, SQL_BIGRAM_PMI,
+             "adjacent-token PMI (exact counts, single-division log)"),
+    QueryDef("repetition_scores", q_repetition_scores, SQL_REPETITION_SCORES,
+             "Gopher-style within-doc repetition signals"),
+    QueryDef("ngram_decontaminate", q_ngram_decontaminate,
+             SQL_NGRAM_DECONTAMINATE,
+             "benchmark decontamination: train/eval 4-gram overlap"),
+    QueryDef("minhash_lsh_pairs", q_minhash_lsh_pairs, SQL_NGRAM_JACCARD_PAIRS,
+             "MinHash+LSH near-dup (verified) — must equal exhaustive"),
+    QueryDef("dedup_components", q_dedup_components, SQL_DEDUP_COMPONENTS,
+             "connected components over the near-dup pair graph"),
+    QueryDef("hits_copurchase", q_hits_copurchase, SQL_HITS_COPURCHASE,
+             "HITS hub/authority over the directed customer->part "
+             "graph: 3 alternating rounds, decimal-exact L1-normalized "
+             "power iteration, chained-CTE replayed oracle"),
+    QueryDef("knn_cosine", q_knn_cosine, SQL_KNN_COSINE,
+             "brute-force cosine top-10"),
+    QueryDef("semdedup_prune", q_semdedup_prune, SQL_SEMDEDUP_PRUNE,
+             "SemDeDup: cluster embeddings, greedy min-id prune of "
+             "cosine>tau pairs within each cluster"),
+    QueryDef("sitemap_urls", q_sitemap_urls, SQL_SITEMAP_URLS,
+             "sitemaps.org ingestion round trip: per-brand urlset + a "
+             "sitemapindex synthesized, parsed back (loc entities, "
+             "whitespace, optional lastmod) — rule-for-rule oracle"),
+    QueryDef("hourly_rollup_merge", q_hourly_rollup_merge,
+             SQL_HOURLY_ROLLUP_MERGE,
+             "incremental continuous aggregate: two-batch rollup merge == "
+             "direct recompute (exact merge law)"),
+    QueryDef("dsir_stream_stats", q_dsir_stream_stats,
+             SQL_DSIR_STREAM_STATS,
+             "streaming DSIR statistics maintainer graded by value: 3 "
+             "epochs folded through the on-disk MVCC state == direct "
+             "256-bucket gram-count recompute (exact integers)"),
+    QueryDef("corpus_drop_reasons", q_corpus_drop_reasons,
+             SQL_CORPUS_DROP_REASONS,
+             "pipeline observability: per-doc drop attribution "
+             "(quality / exact_dup / near_dup / kept), stage-ordered"),
+    QueryDef("crawl_frontier", q_crawl_frontier, SQL_CRAWL_FRONTIER,
+             "next fetch batch: canonicalize outlink targets, drop "
+             "fetched, in-degree priority, per-host politeness top-k "
+             "(hot-host-safe via map-side WindowGroupLimit pruning)"),
     # round-8 third rotation: displaced near-duplicates (each shape's
     # graded home is noted beside its replacement in CATALOG)
     QueryDef("bm25_search", q_bm25_search, SQL_BM25_SEARCH,
@@ -11863,17 +12050,6 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("segment_dedup_docs", q_segment_dedup_docs, SQL_SEGMENT_DEDUP_DOCS,
              "corpus boilerplate removal: cross-doc duplicate segments "
              "(fixed-segment subset of exact_substring_dedup's plan)"),
-    # round-8 continued: the trainer-facing output layout (round-9
-    # rotation candidate — family never driver-graded)
-    QueryDef("corpus_shard_manifest", q_corpus_shard_manifest,
-             SQL_CORPUS_SHARD_MANIFEST,
-             "deterministic corpus sharding manifest: sha2-derived "
-             "placement + order key (salted independently of the "
-             "train/test split hash), per-shard doc/token/byte totals"),
-    QueryDef("events_key_skew", q_events_key_skew, SQL_EVENTS_KEY_SKEW,
-             "pre-flight join-key skew diagnostic: per-key counts -> "
-             "single-cell distribution summary + TakeOrdered heavy "
-             "hitters (the salting candidates), q6 percentiles"),
     # round-8 rotation: displaced near-duplicates (see the CATALOG note
     # beside llm_corpus_dsir_pipeline for where each shape stays graded)
     QueryDef("dsir_resample", q_dsir_resample, SQL_DSIR_RESAMPLE,
@@ -12033,6 +12209,19 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("pagerank_copurchase_fast", q_pagerank_copurchase_fast, None,
              "co-purchase PageRank, double-precision scale path "
              "(benched against the decimal oracle mode)"),
+    # round-9: _fast twins for the whole iterative family (VERDICT item
+    # 2) — the decimal oracle modes are the slowest headline queries and
+    # a 100 TB user runs the double path; parity pinned in test_graph.
+    QueryDef("ppr_copurchase_fast", q_ppr_copurchase_fast, None,
+             "personalized PageRank, double-precision scale path "
+             "(benched against the decimal oracle mode)"),
+    QueryDef("wpagerank_copurchase_fast", q_wpagerank_copurchase_fast,
+             None,
+             "weighted PageRank, double-precision scale path "
+             "(benched against the decimal oracle mode)"),
+    QueryDef("hits_copurchase_fast", q_hits_copurchase_fast, None,
+             "HITS hub/authority, double-precision scale path "
+             "(benched against the decimal oracle mode)"),
     QueryDef("order_event_coverage", q_order_event_coverage,
              SQL_ORDER_EVENT_COVERAGE,
              "FULL OUTER join with both null sides exercised"),
@@ -12186,65 +12375,14 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_NGRAM_JACCARD_PAIRS,
              "exact 3-gram Jaccard near-dup pairs (exhaustive verifier; "
              "same oracle stays driver-graded via minhash_lsh_pairs)"),
-    QueryDef("prefix_jaccard_pairs", q_prefix_jaccard_pairs,
-             SQL_NGRAM_JACCARD_PAIRS,
-             "PPJoin prefix-filtered EXACT Jaccard join: rarest-shingle "
-             "prefixes bound candidate buckets, output == exhaustive "
-             "(round-9 rotation candidate)"),
-    QueryDef("substring_decontaminate", q_substring_decontaminate,
-             SQL_SUBSTRING_DECONTAMINATE,
-             "word-8-gram excision of benchmark text from the train "
-             "split (Lee et al. decontamination; broadcast bench grams; "
-             "round-9 rotation candidate)"),
-    QueryDef("orders_drift_psi", q_orders_drift_psi, SQL_ORDERS_DRIFT_PSI,
-             "population-stability drift audit between snapshot halves "
-             "(deterministic equal-width bins, decimal-snapped term "
-             "sums; round-9 rotation candidate)"),
     QueryDef("stream_drift_psi", q_stream_drift_psi, SQL_ORDERS_DRIFT_PSI,
              "streaming drift monitor graded by value: 3-epoch MVCC "
              "fold of frozen-bounds bucket counts == the batch PSI SQL "
              "(round-9 rotation candidate)"),
-    QueryDef("hard_negatives", q_hard_negatives, SQL_HARD_NEGATIVES,
-             "contrastive hard-negative mining: per-anchor top-10 "
-             "cross-label cosine (broadcast anchors, corpus never "
-             "shuffles; round-9 rotation candidate)"),
     QueryDef("ivf_batch_topk", q_ivf_batch_topk, SQL_IVF_BATCH_TOPK,
              "batched IVF ANN == per-query brute force at exhaustive "
              "probe (one-plan multi-query path; round-9 rotation "
              "candidate)"),
-    QueryDef("wpagerank_copurchase", q_wpagerank_copurchase,
-             SQL_WPAGERANK_COPURCHASE,
-             "weighted PageRank (rank splits by purchase frequency): "
-             "loop-invariant w/sum(w) coefficients, decimal-exact "
-             "5-round replay (round-9 rotation candidate)"),
-    QueryDef("ppr_copurchase", q_ppr_copurchase, SQL_PPR_COPURCHASE,
-             "personalized PageRank from a seeded customer cohort "
-             "(decimal-exact 5-round replay, seeded teleport + dangling "
-             "restart; round-9 rotation candidate)"),
-    QueryDef("stream_vector_stats", q_stream_vector_stats,
-             SQL_EMBEDDING_COVARIANCE,
-             "streaming PCA-stats maintainer graded by value: 3-epoch "
-             "MVCC fold of exact-decimal sufficient stats == the batch "
-             "covariance SQL (round-9 rotation candidate)"),
-    QueryDef("mmr_diverse_topk", q_mmr_diverse_topk, None,
-             "MMR diversified re-rank of ANN top-20 (rows-only: greedy "
-             "argmax recursion has no SQL form; laws pinned in "
-             "TestMMRRerank)"),
-    QueryDef("centroid_confusion", q_centroid_confusion,
-             SQL_CENTROID_CONFUSION,
-             "nearest-centroid confusion matrix over the embedding "
-             "space (cluster-purity audit; exact-decimal centroids "
-             "broadcast; round-9 rotation candidate)"),
-    QueryDef("label_centroids", q_label_centroids, SQL_LABEL_CENTROIDS,
-             "per-label embedding centroids: grid-snapped exact decimal "
-             "sums per (label, dim) cell, one posexplode + one exchange "
-             "(the k-means/IVF/SemDeDup grouped-mean primitive)"),
-    QueryDef("embedding_covariance", q_embedding_covariance,
-             SQL_EMBEDDING_COVARIANCE,
-             "distributed covariance of the embedding column (PCA "
-             "sufficient statistics): integer-grid snap + exact decimal "
-             "sums, one posexplode + map-side-combined agg; 2080 cells "
-             "hash-matched at q12 (round-9 rotation candidate)"),
     QueryDef("l_diversity_check", q_l_diversity_check,
              SQL_L_DIVERSITY_CHECK,
              "distinct l-diversity audit over a sensitive band"),

@@ -67,3 +67,28 @@ def test_headline_queries_all_exist_in_catalog():
     queries = all_spark_queries()
     missing = [name for name in bench.HEADLINE if name not in queries]
     assert not missing, f"HEADLINE names missing from catalog: {missing}"
+
+
+def test_load_warning_rides_the_compact_line():
+    """Round-9: a loaded driver box (r8 official bench ran at load 5.48)
+    must self-disqualify — load_warning survives into the compact line
+    whenever present, and is absent for idle runs."""
+    fat = _fat_payload()
+    fat["load_warning"] = True
+    parsed = json.loads(bench.compact_line(fat))
+    assert parsed["load_warning"] is True
+    idle = json.loads(bench.compact_line(_fat_payload()))
+    assert "load_warning" not in idle
+    # still bounded
+    assert len(bench.compact_line(fat).encode()) < 500
+
+
+def test_load_warning_threshold_logic():
+    """The main() gate: warning iff 1-min load > 1.0. Replicated here as
+    the same expression main() applies so the threshold is pinned."""
+    for load, expect in ((0.0, False), (0.99, False), (1.0, False),
+                         (1.01, True), (5.48, True)):
+        full = {"load_avg": load}
+        if full["load_avg"] > 1.0:
+            full["load_warning"] = True
+        assert ("load_warning" in full) is expect, load

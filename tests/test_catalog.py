@@ -23,20 +23,32 @@ REQUIRED_IN_DRIVER_WINDOW = {
     "order_cube",                 # grouping sets
     "language_id",                # language ID
     "tf_idf",                     # tokens
-    "bigram_pmi",                 # PMI
-    "repetition_scores",          # repetition signals
+    # round-9 rotation: bigram_pmi + repetition_scores -> EXTENDED
+    # after 6 green grades each; the token-statistics shape stays
+    # graded via tf_idf (their slots fund the linear-algebra family).
     "pii_scrub",                  # PII scrubbing
-    "ngram_decontaminate",        # decontamination
+    # round-9 rotation: ngram_decontaminate -> EXTENDED after 6 green
+    # grades; the substring tier grades the same benchmark-overlap
+    # family with the stricter excision contract.
+    "substring_decontaminate",    # decontamination (gram excision)
     # round-8 second swap: exact_dedup_docs -> EXTENDED; the streaming
     # ingest maintainer grades a strict superset of its argmin shape
     "stream_ingest_dedup",        # exact dedup via the MVCC maintainer
-    "minhash_lsh_pairs",          # MinHash LSH
-    "dedup_components",           # connected components
+    # round-9 rotation: minhash_lsh_pairs -> EXTENDED after 7 green
+    # grades; prefix_jaccard_pairs carries the IDENTICAL exhaustive-
+    # Jaccard oracle so the must-equal-exhaustive semantics stay graded.
+    "prefix_jaccard_pairs",       # exact Jaccard self-join (PPJoin)
+    # round-9 rotation: dedup_components -> EXTENDED after 7 green
+    # grades; the CC shape replays inside customer_entity_resolution's
+    # graded oracle (blocking + verify + connected components).
     # round-8 third swap: segment_dedup_docs -> EXTENDED; the substring
     # tier grades a strict superset of its plan (dup-set agg + anti-join
     # + ordered reassembly, plus sliding-gram interval union).
     "exact_substring_dedup",      # ExactSubstr substring-level dedup
-    "knn_cosine",                 # brute-force ANN
+    # round-9 rotation: knn_cosine -> EXTENDED after 7 green grades;
+    # hard_negatives grades a strict superset (broadcast anchors,
+    # JVM-side cosine, per-anchor top-k window + cross-label filter).
+    "hard_negatives",             # cosine top-k mining (ANN family)
     "cms_heavy_hitters",          # count-min sketch
     # round-8 third swap: stratified_sample_docs -> EXTENDED; the
     # temperature sampler is the same per-stratum hash gate with
@@ -55,7 +67,8 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # round-8 third swap: doc_outlinks -> EXTENDED; crawl_frontier calls
     # extract_links on its page set so the edge-builder shape replays
     # verbatim inside a graded query.
-    "sitemap_urls",               # sitemaps.org ingestion round trip
+    # round-9 rotation: sitemap_urls -> EXTENDED (graded r8); the crawl
+    # family keeps warc/robots/html + the streaming frontier maintainer.
     # round-6 second swap: the WARC/WET IO loop graded by value
     # (event_props_extract to EXTENDED; JSON shape stays oracle-checked
     # via props_variant_stats)
@@ -69,8 +82,23 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # power-iteration shape stays oracle-checked there); HITS grades the
     # same loop plus dual-state alternating normalization. The family
     # keeps part_hop_distances + triangle_counts graded.
-    "hits_copurchase",            # iterative graph (HITS power iteration)
-    "hourly_rollup_merge",        # continuous aggregate merge law
+    # round-9 rotation: hits_copurchase -> EXTENDED (graded r8); the
+    # decimal power-iteration loop stays graded via ppr + wpagerank,
+    # which add seeded-teleport and edge-weight semantics.
+    "ppr_copurchase",             # iterative graph (personalized PR)
+    "wpagerank_copurchase",       # iterative graph (weighted PR)
+    # round-9 rotation: hourly_rollup_merge -> EXTENDED after 5 green
+    # grades; the merge-law family stays graded via the three MVCC
+    # streaming maintainers below.
+    "orders_drift_psi",           # PSI data-drift audit (DQ family)
+    "events_key_skew",            # join-key skew diagnostic
+    "embedding_covariance",       # one-pass PCA sufficient stats
+    "label_centroids",            # exact-decimal grouped centroids
+    "centroid_confusion",         # cluster-purity audit
+    "mmr_diverse_topk",           # MMR diversified re-rank (rows-only)
+    "corpus_shard_manifest",      # trainer-facing shard layout
+    "stream_vector_stats",        # streaming PCA-stats maintainer
+    "stream_crawl_frontier",      # streaming frontier maintainer
     "market_share",               # Q8 snowflake, double-role dim join
     # round-3 continued rotation: four new first-class families promoted
     # (displacing near-duplicates: session_funnel ~ session_pattern_match
@@ -78,7 +106,8 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # embedding_dedup_pairs ~ knn/centroid ANN reps, hll_distinct_users ~
     # kmv_distinct_users estimate family — all still oracle-checked in
     # EXTENDED_CATALOG)
-    "chunk_documents",            # training-context chunking
+    # round-9 rotation: chunk_documents -> EXTENDED after 5 green
+    # grades; chunking stays graded via sentence_chunks + pack_sequences.
     "pack_sequences",             # tier-b next-fit sequence packing
     "pq_adc_topk",                # product-quantization ANN
     "triangle_counts",            # graph analytics (clustering coeff)
@@ -112,7 +141,9 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # round-5 rotation: three families the gate had never graded
     # (displacing near-duplicates customer_order_counts /
     # forecast_revenue / shipping_priority — see CATALOG comments)
-    "semdedup_prune",             # embedding semantic dedup (SemDeDup)
+    # round-9 rotation: semdedup_prune -> EXTENDED after 4 green grades;
+    # its nearest-centroid assign stage replays inside the graded
+    # centroid_confusion + label_centroids pair.
     "pit_scd2_join",              # point-in-time SCD2 warehouse join
     "part_hop_distances",         # BFS graph traversal
     # round-5 second rotation: web-crawl preprocessing + basket mining in;
@@ -132,7 +163,9 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # round-8 second swap: dsir_weights -> EXTENDED (its weight law
     # replays in full inside llm_corpus_dsir_pipeline's oracle); the
     # slot grades the streaming DSIR statistics maintainer by value
-    "dsir_stream_stats",          # DSIR stats via the MVCC maintainer
+    # round-9 rotation: dsir_stream_stats -> EXTENDED (graded r8); the
+    # DSIR weight law stays graded via llm_corpus_dsir_pipeline and the
+    # MVCC maintainer pattern via stream_vector_stats.
     "sentence_chunks",            # sentence-preserving RAG chunker
     # round-8 rotation: the four round-7 families rotate into the graded
     # window (displaced near-duplicates — dsir_resample's Gumbel stage
@@ -141,8 +174,9 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # replay inside crawl_frontier, scd2_user_state's semantics via
     # pit_scd2_join — all stay oracle-checked in EXTENDED)
     "llm_corpus_dsir_pipeline",   # composed corpus pipeline + DSIR
-    "corpus_drop_reasons",        # per-doc drop attribution
-    "crawl_frontier",             # crawl loop-closer (politeness top-k)
+    # round-9 rotation: corpus_drop_reasons (stage gates replay inside
+    # llm_corpus_dsir_pipeline) and crawl_frontier (stream_crawl_frontier
+    # carries the IDENTICAL oracle SQL) -> EXTENDED, both graded r8.
     "customer_entity_resolution", # blocking + fuzzy match + components
 }
 
@@ -171,6 +205,12 @@ ROWS_ONLY_ALLOWED = {
     # decimal-exact oracle mode within 1e-9 in tests/test_graph.py
     "pagerank_neardup_fast",
     "pagerank_copurchase_fast",
+    # round-9: the same double-vs-decimal argument for the rest of the
+    # iterative family — parity with each decimal oracle mode is pinned
+    # to 2e-6 in tests/test_graph.py
+    "ppr_copurchase_fast",
+    "wpagerank_copurchase_fast",
+    "hits_copurchase_fast",
     # HLL++ ndv estimates are engine-specific — no DuckDB value replay
     # exists; accuracy is pinned within the rsd bound by tests/test_dq.py
     # and every non-ndv column is value-pinned through the exact twin

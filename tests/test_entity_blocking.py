@@ -162,3 +162,108 @@ def test_block_cardinality_scales_with_corpus(spark):
     # one, and holds a vanishing fraction of the corpus
     assert max_block <= max_old / 2
     assert max_block <= max(4, n_docs // 50)
+
+
+class TestMultiKeyBlocking:
+    """Round-9: compound blocking — blocked_match_pairs with TWO block
+    keys must equal the naive two-key self-join exactly, and the second
+    (content-derived band) key must strictly shrink the pre-verify
+    candidate set generated under a coarse hot key."""
+
+    def _cust(self, spark):
+        rows = [
+            # segment A, band 1: a matching trio (<=2 edits on 18-prefix)
+            (1, "Customer#000000001", "A", 1),
+            (2, "Customer#000000002", "A", 1),
+            (3, "Xustomer#000000001", "A", 1),
+            # same segment, DIFFERENT band: near-identical name must NOT
+            # pair under two-key blocking (band disagrees)
+            (4, "Customer#000000001", "A", 2),
+            # segment B: same name as 1, must never cross segments
+            (5, "Customer#000000001", "B", 1),
+            # junk-ish far name, same block as 1
+            (6, "Zzzzzzzzzzzzzzzzzzzz", "A", 1),
+        ]
+        return spark.createDataFrame(
+            rows, "cust_id long, name string, segment string, bal_band long"
+        )
+
+    def _naive(self, spark, df, keys, max_dist=2, prefix_len=18):
+        p = F.rpad(F.substring("name", 1, prefix_len), prefix_len, "\x01")
+        d = df.select("cust_id", *keys, p.alias("p"))
+        cond = F.col("l.cust_id") < F.col("r.cust_id")
+        for k in keys:
+            cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+        return {
+            (r.a, r.b, r.dist)
+            for r in d.alias("l").join(d.alias("r"), cond)
+            .select(
+                F.col("l.cust_id").alias("a"),
+                F.col("r.cust_id").alias("b"),
+                F.levenshtein(F.col("l.p"), F.col("r.p"))
+                .cast("long").alias("dist"),
+            )
+            .filter(F.col("dist") <= max_dist)
+            .collect()
+        }
+
+    def test_two_key_blocking_equals_naive(self, spark):
+        from commerce_sessionization_spark.operators.entity import (
+            blocked_match_pairs,
+        )
+        df = self._cust(spark)
+        keys = ["segment", "bal_band"]
+        got = {
+            (r.a, r.b, r.dist)
+            for r in blocked_match_pairs(
+                df, "cust_id", "name", keys, max_dist=2, prefix_len=18
+            ).collect()
+        }
+        assert got == self._naive(spark, df, keys)
+        # the cross-band near-identical pair (1,4) must be absent...
+        assert not any(a == 1 and b == 4 for a, b, _ in got)
+        # ...and present under single-key blocking
+        single = {
+            (r.a, r.b)
+            for r in blocked_match_pairs(
+                df, "cust_id", "name", ["segment"],
+                max_dist=2, prefix_len=18,
+            ).collect()
+        }
+        assert (1, 4) in single
+
+    def test_second_key_shrinks_candidates_under_hot_key(self, spark):
+        """On the real customer table the coarse mktsegment key (5
+        values) generates strictly more pre-verify candidates than
+        (mktsegment, acctbal-band) — the compound-blocking receipt the
+        sf1 probe (tools/er_blocking_probe.py) prices at scale."""
+        from commerce_sessionization_spark.operators.entity import (
+            blocked_match_pairs,
+        )
+        from commerce_sessionization_spark.sources.tables import load_table
+
+        cust = load_table(spark, SF_DIR, "customer").select(
+            F.col("c_custkey").alias("cust_id"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_band"),
+        )
+        single = blocked_match_pairs(
+            cust, "cust_id", "name", ["segment"],
+            max_dist=2, prefix_len=18, return_candidates=True,
+        ).count()
+        double = blocked_match_pairs(
+            cust, "cust_id", "name", ["segment", "bal_band"],
+            max_dist=2, prefix_len=18, return_candidates=True,
+        ).count()
+        assert double < single
+        # verified output under two keys == the naive two-key join
+        # (recall is untouched by compounding exact keys)
+        got = {
+            (r.a, r.b, r.dist)
+            for r in blocked_match_pairs(
+                cust, "cust_id", "name", ["segment", "bal_band"],
+                max_dist=2, prefix_len=18,
+            ).collect()
+        }
+        assert got == self._naive(spark, cust, ["segment", "bal_band"])

@@ -604,3 +604,55 @@ def test_weighted_pagerank_uniform_weights_equal_unweighted(spark):
     }
     for k in plain:
         assert weighted[k] == pytest.approx(plain[k], abs=1e-12)
+
+
+def test_ppr_catalog_fast_matches_exact_on_testdata(spark):
+    """ppr_copurchase_fast (double) vs ppr_copurchase (decimal oracle
+    mode) on the real co-purchase graph at sf0.001 — same ranks to 2e-6
+    (the r6-rounding granularity of the fast output)."""
+    from commerce_sessionization_spark.plans.queries import (
+        q_ppr_copurchase,
+        q_ppr_copurchase_fast,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["node"]: r["rank_q12"] / 1e12
+             for r in q_ppr_copurchase(spark, sf).collect()}
+    fast = {r["node"]: r["rank_r6"]
+            for r in q_ppr_copurchase_fast(spark, sf).collect()}
+    assert fast.keys() == exact.keys()
+    for n in fast:
+        assert fast[n] == pytest.approx(exact[n], abs=2e-6)
+
+
+def test_wpagerank_catalog_fast_matches_exact_on_testdata(spark):
+    from commerce_sessionization_spark.plans.queries import (
+        q_wpagerank_copurchase,
+        q_wpagerank_copurchase_fast,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["node"]: r["rank_q12"] / 1e12
+             for r in q_wpagerank_copurchase(spark, sf).collect()}
+    fast = {r["node"]: r["rank_r6"]
+            for r in q_wpagerank_copurchase_fast(spark, sf).collect()}
+    assert fast.keys() == exact.keys()
+    for n in fast:
+        assert fast[n] == pytest.approx(exact[n], abs=2e-6)
+
+
+def test_hits_catalog_fast_matches_exact_on_testdata(spark):
+    from commerce_sessionization_spark.plans.queries import (
+        q_hits_copurchase,
+        q_hits_copurchase_fast,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["node"]: (r["auth_q12"] / 1e12, r["hub_q12"] / 1e12)
+             for r in q_hits_copurchase(spark, sf).collect()}
+    fast = {r["node"]: (r["auth_r6"], r["hub_r6"])
+            for r in q_hits_copurchase_fast(spark, sf).collect()}
+    assert fast.keys() == exact.keys()
+    for n in fast:
+        assert fast[n][0] == pytest.approx(exact[n][0], abs=2e-6)
+        assert fast[n][1] == pytest.approx(exact[n][1], abs=2e-6)
