@@ -11117,6 +11117,84 @@ def q_stream_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_centroid_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming k-means/IVF index maintenance graded by VALUE — the
+    production ANN story ``stream_vector_stats`` stops short of: the
+    embeddings stream in three micro-batches (``vec_id % 3``) through
+    ``make_centroid_stats_writer``'s MVCC state (E-step: nearest of the
+    8 pinned seed centroids by cosine, in codegen; state: nlist × d
+    exact-decimal (Σx, n) cells), then the newest committed state emits
+    the refit centroids — one batch Lloyd M-step, maintained
+    incrementally with no corpus re-read. The oracle replays seed
+    selection (8 smallest vec_ids), the cosine argmax assignment
+    (identical operand order, ties to the lower centroid_id — the
+    ``centroid_confusion`` recipe), and the grid-snapped decimal
+    grouped means. Green means fold(fold(E(e0), E(e1)), E(e2)) over the
+    on-disk state == the direct batch M-step, bit-for-bit at q12."""
+    from commerce_sessionization_spark.operators.similarity import (
+        seed_centroids,
+    )
+    from commerce_sessionization_spark.streaming.rollup_stream import (
+        make_centroid_stats_writer,
+        read_rollup_state,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = seed_centroids(emb, nlist=8)
+    out = _stream_scratch_dir("spark_graft_centroid_stream", sf_dir)
+    writer = make_centroid_stats_writer(spark, out, seeds)
+    for epoch in range(3):
+        writer(emb.filter(F.col("vec_id") % 3 == epoch), epoch)
+    state = read_rollup_state(spark, out)
+    return state.select(
+        "centroid_id",
+        F.col("i").cast("long").alias("i"),
+        F.col("n").cast("long").alias("n"),
+        _quant(
+            F.col("s").cast("double") / F.col("n").cast("double") / F.lit(1e9),
+            12,
+        ).alias("mean_q12"),
+    )
+
+
+SQL_STREAM_CENTROID_REFIT = """
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id,
+         embedding::DOUBLE[] AS cv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+scored AS (
+  SELECT e.vec_id, s.centroid_id,
+         list_dot_product(e.embedding::DOUBLE[], s.cv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(s.cv, s.cv))) AS cos
+  FROM embeddings e, seeds s
+),
+best AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, centroid_id) AS rn
+  FROM scored
+),
+asg AS (SELECT vec_id, centroid_id FROM best WHERE rn = 1),
+cells AS (
+  SELECT a.centroid_id, CAST(x.i AS BIGINT) AS i,
+         CAST(floor(x.xi * 1000000000.0) AS DECIMAL(19,0)) AS xq
+  FROM (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS xi
+    FROM embeddings
+  ) x JOIN asg a USING (vec_id)
+)
+SELECT CAST(centroid_id AS INT) AS centroid_id, i,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  / 1000000000.0 * 1000000000000.0) AS BIGINT) AS mean_q12
+FROM cells GROUP BY 1, 2
+"""
+
+
 SQL_DSIR_STREAM_STATS = f"""
 WITH tok AS (
   SELECT lang, regexp_extract_all(lower(text), '{_TOKEN_RE}') AS t
@@ -12030,6 +12108,14 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "next fetch batch: canonicalize outlink targets, drop "
              "fetched, in-degree priority, per-host politeness top-k "
              "(hot-host-safe via map-side WindowGroupLimit pruning)"),
+    # round-9 worklist item 8 (stretch): the streaming ANN-index
+    # maintenance loop closed — round-10 rotation candidate
+    QueryDef("stream_centroid_refit", q_stream_centroid_refit,
+             SQL_STREAM_CENTROID_REFIT,
+             "streaming k-means/IVF refit graded by value: 3-epoch MVCC "
+             "fold of per-centroid exact-decimal (sum, n) cells under a "
+             "pinned cosine E-step == one batch Lloyd M-step; refit "
+             "centroids emit with no corpus re-read"),
     # round-8 third rotation: displaced near-duplicates (each shape's
     # graded home is noted beside its replacement in CATALOG)
     QueryDef("bm25_search", q_bm25_search, SQL_BM25_SEARCH,

@@ -413,3 +413,108 @@ def make_drift_writer(
     return make_incremental_writer(
         spark, out_path, partial, merge, keep_versions=keep_versions
     )
+
+
+def make_centroid_stats_writer(
+    spark: SparkSession,
+    out_path: str,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    keep_versions: int = 3,
+    quantize_scale: int = 9,
+):
+    """Streaming k-means/IVF index maintenance: per-centroid sufficient
+    statistics (n, Σx per dimension) over a vector stream, assigned to
+    a FIXED coarse quantizer.
+
+    This closes the training loop ``stream_vector_stats`` opened: that
+    maintainer keeps global PCA stats; this one keeps the per-cell
+    stats a coarse quantizer refit needs. The E-step (nearest-centroid
+    assignment by cosine against the pinned ``centroids``) runs per
+    micro-batch in codegen; the M-step is free at any time —
+    ``centroids_from_stats(read_rollup_state(...))`` emits refreshed
+    centroids with NO corpus re-read. Holding the assignment centroids
+    fixed is what makes the maintained state a pure function of the
+    rows ever seen (streamed Lloyd HALF-iterations with an evolving
+    E-step would make state order-dependent and unreplayable): the
+    result after any epochs equals one batch Lloyd M-step over the full
+    corpus — the law the value-graded catalog query asserts against the
+    DuckDB replay.
+
+    State size: nlist × d cells regardless of corpus size. Sums are
+    exact decimal on the floor(x·10^scale) grid (same recipe as
+    ``label_centroids`` / ``vector_sufficient_stats``), so epoch folds
+    are order-independent and crash replays rewrite identical bytes.
+    """
+    from pyspark.sql import functions as F
+
+    from commerce_sessionization_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    grid = F.lit(float(10 ** quantize_scale))
+    pinned = centroids.localCheckpoint()
+
+    def partial(df: DataFrame) -> DataFrame:
+        assigned = ivf_assign(df, pinned, vec_col=vec_col)
+        vq = F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * grid).cast("decimal(19,0)"),
+        )
+        return (
+            assigned.select(
+                "centroid_id", F.posexplode(vq).alias("_i", "_x")
+            )
+            .groupBy("centroid_id", (F.col("_i") + 1).alias("i"))
+            .agg(
+                F.sum("_x").cast("decimal(38,0)").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b)
+            .groupBy("centroid_id", "i")
+            .agg(
+                F.sum("s").cast("decimal(38,0)").alias("s"),
+                F.sum("n").cast("long").alias("n"),
+            )
+        )
+
+    return make_incremental_writer(
+        spark, out_path, partial, merge, keep_versions=keep_versions
+    )
+
+
+def centroids_from_stats(
+    state: DataFrame,
+    vec_col: str = "embedding",
+    quantize_scale: int = 9,
+) -> DataFrame:
+    """The M-step from maintained per-centroid stats: mean per (cell,
+    dimension) = s/n/grid (decimal cast to double FIRST, like
+    ``covariance_from_stats``, so both engines divide identical
+    operands). Returns ``(centroid_id, {vec_col})`` compatible with
+    ``ivf_assign`` / ``ivf_search`` — drop-in refreshed quantizer."""
+    from pyspark.sql import functions as F
+
+    grid = float(10 ** quantize_scale)
+    return (
+        state.select(
+            "centroid_id",
+            "i",
+            (
+                F.col("s").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(grid)
+            ).alias("_m"),
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "_m"))),
+                lambda x: x["_m"],
+            ).alias(vec_col)
+        )
+    )
