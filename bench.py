@@ -158,6 +158,13 @@ HEADLINE = [
     "orders_drift_psi",
     "substring_decontaminate",
     "wpagerank_copurchase",
+    # round-9: the double-precision scale twins bench against their
+    # decimal oracle modes (the pagerank_copurchase pair pattern), and
+    # the streaming ANN-index maintainer joins the maintainer family
+    "ppr_copurchase_fast",
+    "wpagerank_copurchase_fast",
+    "hits_copurchase_fast",
+    "stream_centroid_refit",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

@@ -85,3 +85,43 @@ def decontaminate(
         id_col
     )
     return train.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def semantic_contamination(
+    train_vecs: DataFrame,
+    bench_vecs: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: for every train vector, the max
+    cosine against ANY benchmark vector, plus the ≥ tau contamination
+    flag — the semantic sibling of ``ngram_contamination`` (paraphrased
+    or reformatted eval items share no n-grams but sit next to their
+    source in embedding space; SemDeDup's cross-split variant).
+
+    Scale shape: eval suites are bounded by construction, so the
+    benchmark side BROADCASTS and the 100 TB train side is scored in
+    whole-stage codegen and reduced by a map-side-combinable max — the
+    train corpus never shuffles (the ``hard_negatives`` /
+    ``ngram_decontaminate`` plan shape). Output: (id, max_cos,
+    contaminated), one row per train vector.
+    """
+    from commerce_sessionization_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    b = F.broadcast(
+        bench_vecs.select(F.col(vec_col).alias("_bvec"))
+    )
+    return (
+        train_vecs.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(b)
+        .select(
+            id_col,
+            cosine_similarity(F.col(vec_col), F.col("_bvec")).alias("_cos"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("_cos").alias("max_cos"))
+        .withColumn("contaminated", F.col("max_cos") >= F.lit(tau))
+    )

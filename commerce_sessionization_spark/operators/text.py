@@ -830,3 +830,65 @@ def c4_line_filters(
         & ~t.contains("{")
         & (F.col("n_lines_kept") > 0),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_re: str = r"[a-z0-9']+",
+    term_quant: int = 9,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the CCNet-style language-model quality proxy (docs far
+    below the corpus median read as boilerplate/garbage; far above as
+    repetitive): score(d) = Σ_t ln(count(t)/N) / |d|.
+
+    Engine-replayability is the design constraint: a plain double
+    Σ ln(p_t) is ORDER-DEPENDENT (Spark's partial sums vs any serial
+    replay), so each term is snapped ONCE, at the vocab level, to
+    ``floor(ln(c/N)·10^term_quant)`` — one ln per DISTINCT count value,
+    the ``bigram_pmi`` single-log discipline — and documents sum exact
+    BIGINTs. The mean then divides two exact integers in double
+    (identical operands in any engine).
+
+    Scale shape: one token explode + one map-side-combinable vocab
+    count, then the token stream joins the vocab ON token — a real
+    shuffle join by design (the vocab of a 100 TB corpus is itself
+    large; at bounded vocab sizes AQE broadcasts it) — and one final
+    per-doc aggregate. Output: (id, n_tokens, lp_qsum, logprob) where
+    lp_qsum is the exact quantized-term sum and logprob = lp_qsum / n /
+    10^term_quant.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(token_re), F.lit(0)
+            )
+        ).alias("_t"),
+    )
+    vocab = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    total = vocab.agg(F.sum("_c").alias("_n"))
+    grid = float(10 ** term_quant)
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "_t",
+        F.floor(
+            F.log(F.col("_c").cast("double") / F.col("_n").cast("double"))
+            * F.lit(grid)
+        ).cast("long").alias("_lpq"),
+    )
+    return (
+        toks.join(lp, "_t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_lpq").alias("lp_qsum"),
+        )
+        .withColumn(
+            "logprob",
+            F.col("lp_qsum").cast("double")
+            / F.col("n_tokens").cast("double")
+            / F.lit(grid),
+        )
+    )

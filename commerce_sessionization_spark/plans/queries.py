@@ -11195,6 +11195,100 @@ FROM cells GROUP BY 1, 2
 """
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination graded by value: every train
+    vector's max cosine against the (vec_id % 20 == 0) benchmark split
+    — the semantic sibling of ``ngram_decontaminate`` for paraphrased /
+    reformatted eval leakage that shares no n-grams with its source.
+    tau = 0.35 flags the nearest-to-benchmark tail of this fixture (the
+    production knob is corpus-specific). The benchmark side broadcasts
+    (eval suites are bounded by construction) and the train side is
+    scored in codegen + reduced by a map-side max — at 100 TB the train
+    corpus never shuffles for the probe, exactly the
+    ``ngram_decontaminate`` / ``hard_negatives`` plan shape."""
+    from commerce_sessionization_spark.operators.decontam import (
+        semantic_contamination,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    train = emb.filter(F.col("vec_id") % 20 != 0)
+    out = semantic_contamination(train, bench, tau=0.35)
+    return out.select(
+        F.col("vec_id").alias("doc_id"),
+        _quant(F.col("max_cos"), 6).alias("max_cos_q6"),
+        "contaminated",
+    )
+
+
+SQL_SEMANTIC_DECONTAMINATE = """
+WITH bench AS (
+  SELECT embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 20 = 0
+),
+train AS (
+  SELECT vec_id, embedding::DOUBLE[] AS tv
+  FROM embeddings WHERE vec_id % 20 <> 0
+),
+s AS (
+  SELECT t.vec_id,
+         max(list_dot_product(t.tv, b.bv)
+             / (sqrt(list_dot_product(t.tv, t.tv))
+                * sqrt(list_dot_product(b.bv, b.bv)))) AS mx
+  FROM train t, bench b GROUP BY 1
+)
+SELECT vec_id AS doc_id,
+       CAST(floor(mx * 1000000.0) AS BIGINT) AS max_cos_q6,
+       mx >= 0.35 AS contaminated
+FROM s
+"""
+
+
+def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style unigram-LM quality proxy graded by value: each
+    document's mean token log-probability under the corpus's own
+    unigram distribution. The engine-replayable recipe is in the
+    operator docstring (``operators.text.unigram_logprob``): one ln per
+    DISTINCT vocab count snapped to the 1e9 grid — the ``bigram_pmi``
+    single-log discipline — then exact BIGINT sums per doc, so no
+    order-dependent double summation exists anywhere in the plan."""
+    from commerce_sessionization_spark.operators.text import (
+        TOKEN_PATTERN,
+        unigram_logprob,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = unigram_logprob(docs, token_re=TOKEN_PATTERN)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "lp_qsum",
+        _quant(F.col("logprob"), 6).alias("logprob_q6"),
+    )
+
+
+SQL_UNIGRAM_LOGPROB_QUALITY = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS t
+  FROM documents
+), vocab AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab),
+lp AS (
+  SELECT t, CAST(floor(ln(CAST(c AS DOUBLE) / n.n) * 1000000000.0)
+                 AS BIGINT) AS lpq
+  FROM vocab, n
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(lpq) AS BIGINT) AS lp_qsum
+  FROM tok JOIN lp USING (t) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, lp_qsum,
+       CAST(floor(CAST(lp_qsum AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  / 1000000000.0 * 1000000.0) AS BIGINT) AS logprob_q6
+FROM per_doc
+"""
+
+
 SQL_DSIR_STREAM_STATS = f"""
 WITH tok AS (
   SELECT lang, regexp_extract_all(lower(text), '{_TOKEN_RE}') AS t
@@ -12116,6 +12210,21 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "fold of per-centroid exact-decimal (sum, n) cells under a "
              "pinned cosine E-step == one batch Lloyd M-step; refit "
              "centroids emit with no corpus re-read"),
+    # round-9 continued: two more corpus-pipeline stages, both
+    # round-10 rotation candidates
+    QueryDef("semantic_decontaminate", q_semantic_decontaminate,
+             SQL_SEMANTIC_DECONTAMINATE,
+             "embedding-space decontamination: per-train-vector max "
+             "cosine vs the broadcast benchmark split + tau flag (the "
+             "paraphrase-leakage sibling of ngram_decontaminate)"),
+    QueryDef("unigram_logprob_quality", q_unigram_logprob_quality,
+             SQL_UNIGRAM_LOGPROB_QUALITY,
+             "CCNet-style unigram-LM quality proxy: per-doc MEAN token "
+             "log-probability over regex tokens (the length-normalized "
+             "filter signal; operator-backed upgrade of the "
+             "whitespace-token sum in unigram_logprob), one ln per "
+             "distinct vocab count snapped to the 1e9 grid + exact "
+             "BIGINT doc sums"),
     # round-8 third rotation: displaced near-duplicates (each shape's
     # graded home is noted beside its replacement in CATALOG)
     QueryDef("bm25_search", q_bm25_search, SQL_BM25_SEARCH,

@@ -588,3 +588,66 @@ def test_c4_filters_stay_jvm_side(spark):
     plan = c4_line_filters(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+class TestSemanticContamination:
+    def test_max_cosine_and_flag(self, spark):
+        """Hand-computable: train vec [1,0] vs bench {[1,0],[0,1]} has
+        max cos 1.0 (contaminated at tau=0.9); [0.6,0.8] has max cos
+        0.8 (clean); orthogonal-ish [−1,0]... use [0,1]-free bench."""
+        from commerce_sessionization_spark.operators.decontam import (
+            semantic_contamination,
+        )
+        bench = spark.createDataFrame(
+            [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        train = spark.createDataFrame(
+            [(1, [2.0, 0.0]), (2, [0.6, 0.8]), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r.vec_id: (round(r.max_cos, 9), r.contaminated)
+            for r in semantic_contamination(train, bench, tau=0.9).collect()
+        }
+        assert got[1] == (1.0, True)       # same direction, scaled
+        assert got[2] == (0.6, False)      # cos = 0.6/1
+        assert got[3] == (0.0, False)      # orthogonal
+        assert len(got) == 3               # one row per train vector
+
+
+class TestUnigramLogprob:
+    def test_exact_quantized_sums(self, spark):
+        """Corpus 'a a b' ⇒ p(a)=2/3, p(b)=1/3. Doc1='a a' ⇒ lp_qsum =
+        2·floor(ln(2/3)·1e9); doc2='b' ⇒ floor(ln(1/3)·1e9); means
+        divide exactly."""
+        import math
+
+        from commerce_sessionization_spark.operators.text import (
+            unigram_logprob,
+        )
+        df = spark.createDataFrame(
+            [(1, "a a"), (2, "b")], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.lp_qsum, r.logprob)
+            for r in unigram_logprob(df).collect()
+        }
+        qa = math.floor(math.log(2 / 3) * 1e9)
+        qb = math.floor(math.log(1 / 3) * 1e9)
+        assert got[1] == (2, 2 * qa, 2 * qa / 2 / 1e9)
+        assert got[2] == (1, qb, qb / 1 / 1e9)
+
+    def test_order_independence_is_structural(self, spark):
+        """The per-doc sum is over exact BIGINTs, so repartitioning the
+        corpus cannot move the result (the hazard the design removes)."""
+        from commerce_sessionization_spark.operators.text import (
+            unigram_logprob,
+        )
+        rows = [(i, f"tok{i % 7} tok{i % 3} common") for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {(r.doc_id, r.lp_qsum) for r in unigram_logprob(df).collect()}
+        b = {
+            (r.doc_id, r.lp_qsum)
+            for r in unigram_logprob(df.repartition(13)).collect()
+        }
+        assert a == b

@@ -255,6 +255,10 @@ _INTENDED_LOOP_JOINS = {
     "hard_negatives",          # broadcast 3-row anchor vectors
     "ivf_batch_topk",          # broadcast 3-row queries x 8-row centroid probe
     "centroid_confusion",      # broadcast 10-row label-centroid table
+    # round-9 additions
+    "semantic_decontaminate",  # broadcast bounded benchmark split
+    "unigram_logprob_quality",  # 1-row corpus-total anchor
+    "stream_centroid_refit",   # broadcast 8-row pinned seed centroids
 }
 
 
