@@ -150,11 +150,15 @@ def exp_smooth(
     """
     import pandas as pd
 
+    # key/index/value types follow the input (same fix as mmr_rerank,
+    # ADVICE r8): hardcoding `string`/`long` broke non-string series
+    # keys despite the configurable column names
     out_schema = ", ".join(
         [
-            f"{series_col} string",
-            f"{idx_col} long",
-            f"{value_micro_col} long",
+            f"{series_col} {df.schema[series_col].dataType.simpleString()}",
+            f"{idx_col} {df.schema[idx_col].dataType.simpleString()}",
+            f"{value_micro_col} "
+            f"{df.schema[value_micro_col].dataType.simpleString()}",
             "s_micro long",
         ]
     )
@@ -328,11 +332,13 @@ def holt_smooth(
     """
     import pandas as pd
 
+    # key/index/value types follow the input (see exp_smooth)
     out_schema = ", ".join(
         [
-            f"{series_col} string",
-            f"{idx_col} long",
-            f"{value_micro_col} long",
+            f"{series_col} {df.schema[series_col].dataType.simpleString()}",
+            f"{idx_col} {df.schema[idx_col].dataType.simpleString()}",
+            f"{value_micro_col} "
+            f"{df.schema[value_micro_col].dataType.simpleString()}",
             "s_micro long",
             "b_micro long",
             "forecast_micro long",

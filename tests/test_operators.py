@@ -717,3 +717,32 @@ def test_cusum_flags_level_shift_not_flat_series(spark, tmp_path):
     # alarms begin after the shift, never before day 21
     assert min(r.d for r in out if r.o_orderpriority == "B") > \
         datetime.date(2024, 1, 21)
+
+
+class TestSmootherKeyTypes:
+    def test_exp_smooth_long_series_key(self, spark):
+        """Round-9 audit fix: the smoothers hardcoded `series string` in
+        their applyInPandas schema — a bigint series key failed. Types
+        now follow the input schema."""
+        from commerce_sessionization_spark.operators.timeseries import (
+            exp_smooth,
+            holt_smooth,
+        )
+        df = spark.createDataFrame(
+            [(7, 0, 100), (7, 1, 200), (7, 2, 300)],
+            "series long, idx long, v_micro long",
+        )
+        out = exp_smooth(
+            df, series_col="series", idx_col="idx",
+            value_micro_col="v_micro",
+        ).orderBy("idx").collect()
+        assert [r.series for r in out] == [7, 7, 7]
+        assert dict(exp_smooth(
+            df, series_col="series", idx_col="idx",
+            value_micro_col="v_micro",
+        ).dtypes)["series"] == "bigint"
+        h = holt_smooth(
+            df, series_col="series", idx_col="idx",
+            value_micro_col="v_micro",
+        ).orderBy("idx").collect()
+        assert [r.series for r in h] == [7, 7, 7]

@@ -36,6 +36,14 @@ def main() -> int:
         # "parsed"; a raw bench.py line has "queries" at top level
         if "queries" not in d and "parsed" in d:
             d = d["parsed"]
+        # round-9: bench.py flags contended runs (1-min load > 1.0);
+        # a flagged artifact is not comparison-grade — say so loudly
+        if d.get("load_warning"):
+            print(
+                f"WARNING: {path} carries load_warning=true "
+                f"(load_avg={d.get('load_avg')}) — deltas against it "
+                "measure box contention, not plan changes"
+            )
         return d["queries"], d.get("spread", {})
 
     old, old_spread = load(args[0])
