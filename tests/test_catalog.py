@@ -296,3 +296,32 @@ def test_catalog_md_is_current():
     for q in FULL_CATALOG:
         assert f"`{q.name}`" in text, f"{q.name} missing from CATALOG.md"
     assert f"{len(FULL_CATALOG)} queries:" in text
+
+
+def test_rotation_tool_contract():
+    """tools/gen_rotation.py: sentinels must exist in the catalog, the
+    proposal must be exactly window-sized with no duplicates, keep
+    every sentinel, and spend rotating slots on the least-graded
+    queries (priority families first among ties)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "tools")
+    )
+    import gen_rotation as gr
+
+    names = {q.name for q in FULL_CATALOG}
+    assert set(gr.SENTINELS) <= names
+    assert set(gr.PRIORITY) <= names
+    window = gr.propose_window()
+    assert len(window) == 50 and len(set(window)) == 50
+    assert set(gr.SENTINELS) <= set(window)
+    counts = gr.grade_counts()
+    rotating = [n for n in window if n not in set(gr.SENTINELS)]
+    # every rotating slot goes to a query graded no more often than any
+    # non-sentinel left outside the window
+    max_in = max(counts.get(n, {}).get("graded", 0) for n in rotating)
+    outside = names - set(window) - set(gr.SENTINELS)
+    min_out = min(counts.get(n, {}).get("graded", 0) for n in outside)
+    assert max_in <= min_out or max_in == 0
