@@ -90,25 +90,18 @@ SENTINELS = [
     "customer_entity_resolution",
 ]
 
-#: Tie-break queue among equal grade-counts: the families the latest
-#: VERDICT names for rotation (round 9: the 13 never-graded round-8
-#: families + the streaming frontier maintainer held back until
-#: crawl_frontier itself had been graded once).
+#: Tie-break queue among equal grade-counts: the never-graded families
+#: queued for the NEXT rotation. (Round 9 rotated the 13 round-8
+#: families + stream_crawl_frontier into the window — once
+#: CORRECTNESS_r09 lands they carry grade-count 1 and leave the
+#: rotating pool automatically.) Round-10 queue: the round-9 additions
+#: plus the two batch/stream twins whose graded siblings entered in r9.
 PRIORITY = [
-    "ppr_copurchase",
-    "wpagerank_copurchase",
-    "prefix_jaccard_pairs",
-    "label_centroids",
-    "centroid_confusion",
-    "embedding_covariance",
-    "mmr_diverse_topk",
-    "hard_negatives",
-    "orders_drift_psi",
-    "events_key_skew",
-    "substring_decontaminate",
-    "corpus_shard_manifest",
-    "stream_vector_stats",
-    "stream_crawl_frontier",
+    "stream_drift_psi",        # streaming PSI maintainer (batch twin graded r9)
+    "ivf_batch_topk",          # batched IVF == brute force identity
+    "stream_centroid_refit",   # streaming k-means/IVF refit (new r9)
+    "semantic_decontaminate",  # embedding-space decontamination (new r9)
+    "unigram_logprob_quality",  # CCNet unigram-LM quality proxy (new r9)
 ]
 
 WINDOW_SIZE = 50
