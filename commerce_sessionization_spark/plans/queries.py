@@ -23,7 +23,7 @@ from __future__ import annotations
 import math
 
 from dataclasses import dataclass
-from typing import Callable
+from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -11195,6 +11195,62 @@ FROM cells GROUP BY 1, 2
 """
 
 
+def q_lineitem_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-order clustering key graded by value — the layout family's
+    only un-oracled member until now (``write_zordered``'s file-skipping
+    receipt lives in SCALE.md; this grades the KEY MATH the layout
+    depends on): equal-width bucket ranks of (l_partkey, l_suppkey) on
+    the min/max-scaled double grid, bit-interleaved 8 bits per
+    dimension. Every step is engine-exact: the double scaling divides
+    identical operands, floor+least snap to integers, and the
+    interleave is pure BIGINT shifts both engines implement
+    identically."""
+    from commerce_sessionization_spark.operators.layout import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return zorder_key(li, ["l_partkey", "l_suppkey"], bits=8).select(
+        "l_orderkey", "l_linenumber", F.col("_zkey").alias("zkey")
+    )
+
+
+def _zorder_sql_terms(bits: int, dims: Sequence[str]) -> str:
+    """The interleave as SQL: output bit (b·ndims + i) = bit b of dim i
+    — generated from the same loop shape as operators/layout.py."""
+    terms = [
+        f"((({d} >> {b}) & 1) << {b * len(dims) + i})"
+        for b in range(bits)
+        for i, d in enumerate(dims)
+    ]
+    return " | ".join(terms)
+
+
+SQL_LINEITEM_ZORDER_KEYS = f"""
+WITH b AS (
+  SELECT min(CAST(l_partkey AS DOUBLE)) AS mnp,
+         max(CAST(l_partkey AS DOUBLE)) AS mxp,
+         min(CAST(l_suppkey AS DOUBLE)) AS mns,
+         max(CAST(l_suppkey AS DOUBLE)) AS mxs
+  FROM lineitem
+), q AS (
+  SELECT l_orderkey, l_linenumber,
+    least(CAST(floor(
+      CASE WHEN mxp - mnp > 0
+           THEN (CAST(l_partkey AS DOUBLE) - mnp) / (mxp - mnp)
+           ELSE 0.0 END * 256) AS BIGINT), 255) AS bp,
+    least(CAST(floor(
+      CASE WHEN mxs - mns > 0
+           THEN (CAST(l_suppkey AS DOUBLE) - mns) / (mxs - mns)
+           ELSE 0.0 END * 256) AS BIGINT), 255) AS bs
+  FROM lineitem, b
+)
+SELECT l_orderkey, l_linenumber,
+       CAST({_zorder_sql_terms(8, ["bp", "bs"])} AS BIGINT) AS zkey
+FROM q
+"""
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination graded by value: every train
     vector's max cosine against the (vec_id % 20 == 0) benchmark split
@@ -12212,6 +12268,11 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "centroids emit with no corpus re-read"),
     # round-9 continued: two more corpus-pipeline stages, both
     # round-10 rotation candidates
+    QueryDef("lineitem_zorder_keys", q_lineitem_zorder_keys,
+             SQL_LINEITEM_ZORDER_KEYS,
+             "z-order clustering key (bit-interleaved 2-D bucket "
+             "ranks) graded by value — the key math behind "
+             "write_zordered's file-skipping layout"),
     QueryDef("semantic_decontaminate", q_semantic_decontaminate,
              SQL_SEMANTIC_DECONTAMINATE,
              "embedding-space decontamination: per-train-vector max "

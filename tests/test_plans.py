@@ -259,6 +259,7 @@ _INTENDED_LOOP_JOINS = {
     "semantic_decontaminate",  # broadcast bounded benchmark split
     "unigram_logprob_quality",  # 1-row corpus-total anchor
     "stream_centroid_refit",   # broadcast 8-row pinned seed centroids
+    "lineitem_zorder_keys",    # 1-row per-column min/max bounds anchor
 }
 
 
