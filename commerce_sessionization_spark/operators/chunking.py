@@ -242,3 +242,92 @@ def chunk_by_sentences(
         )
         .withColumn("chunk_chars", F.length("chunk_text").cast("bigint"))
     )
+
+
+def pack_sequences_ffd(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    budget: int = 512,
+    n_buckets: int = 64,
+    seed: str = "pack",
+) -> DataFrame:
+    """First-fit-decreasing sequence packing: ``pack_sequences``'
+    next-fit walk trades packing density for a replayable oracle; this
+    twin is the density-first variant a trainer runs when padding waste
+    is the bill — FFD's worst case is 11/9·OPT + 6/9 (Dósa 2007) vs
+    next-fit's 2·OPT, and on real length distributions the gap is the
+    difference between ~6% and ~1% padding (receipt in SCALE.md).
+
+    Within each hash bucket: items sort by (length desc, id), each
+    item lands in the FIRST open bin with room, else opens a new bin.
+    Oversize items (> budget) get a bin of their own (same escape
+    hatch as next-fit). The per-bucket walk is the documented
+    sequential core — FFD's state is the multiset of bin remainders,
+    which no window or recursive-CTE replay expresses reasonably, so
+    the catalog entry is rows-only with its laws pinned in
+    tests/test_chunking.py (every id exactly once, per-bin sums ≤
+    budget, offsets are placement-order prefix sums, waste ≤ the
+    next-fit packing of the same rows, repartition-invariant).
+
+    Output: (id, bucket, bin_idx, bin_offset, item_tokens) — same
+    contract as ``pack_sequences``, drop-in for the training job's
+    (bucket, bin_idx) group-by.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    bucket = (
+        hex_to_long(
+            F.sha2(
+                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")), 256
+            )
+        )
+        % n_buckets
+    ).cast("long")
+    slim = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(len_col).cast("long").alias("_len"),
+        bucket.alias("bucket"),
+    )
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("bucket", LongType()),
+            StructField("bin_idx", LongType()),
+            StructField("bin_offset", LongType()),
+            StructField("item_tokens", LongType()),
+        ]
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["_len", "_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []  # current fill per bin, index = bin_idx
+        bins, offs = [], []
+        for ln in pdf["_len"]:
+            placed = None
+            for bi, fill in enumerate(fills):
+                if fill + ln <= budget:
+                    placed = bi
+                    break
+            if placed is None:
+                placed = len(fills)
+                fills.append(0)
+            bins.append(placed)
+            offs.append(fills[placed])
+            fills[placed] += ln
+        return pd.DataFrame(
+            {
+                id_col: pdf["_id"],
+                "bucket": pdf["bucket"],
+                "bin_idx": bins,
+                "bin_offset": offs,
+                "item_tokens": pdf["_len"],
+            }
+        )
+
+    return slim.groupBy("bucket").applyInPandas(pack, schema=out_schema)

@@ -6119,6 +6119,27 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing of the same documents/budget as
+    ``pack_sequences`` — the density-first twin (rows-only: FFD's
+    bin-remainder multiset state has no reasonable SQL replay; its laws
+    — every id once, per-bin sums ≤ budget, placement-order offsets,
+    waste ≤ next-fit, repartition invariance — are pinned in
+    tests/test_chunking.py, and the padding-waste receipt vs next-fit
+    is in SCALE.md)."""
+    from commerce_sessionization_spark.operators.chunking import (
+        pack_sequences_ffd,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences_ffd(
+        docs, budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS
+    )
+
+
 SQL_PACK_SEQUENCES = f"""
 WITH RECURSIVE base AS (
   SELECT doc_id,
@@ -12268,6 +12289,11 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "centroids emit with no corpus re-read"),
     # round-9 continued: two more corpus-pipeline stages, both
     # round-10 rotation candidates
+    QueryDef("pack_sequences_ffd", q_pack_sequences_ffd, None,
+             "first-fit-decreasing sequence packing (density-first "
+             "twin of the graded next-fit; rows-only — FFD's "
+             "bin-remainder state has no SQL replay; laws + waste "
+             "receipt pinned in tests/SCALE.md)"),
     QueryDef("lineitem_zorder_keys", q_lineitem_zorder_keys,
              SQL_LINEITEM_ZORDER_KEYS,
              "z-order clustering key (bit-interleaved 2-D bucket "

@@ -211,6 +211,13 @@ ROWS_ONLY_ALLOWED = {
     "ppr_copurchase_fast",
     "wpagerank_copurchase_fast",
     "hits_copurchase_fast",
+    # FFD packing keeps a bin-remainder multiset as it walks — no
+    # window/recursive-CTE replay expresses it reasonably (the graded
+    # next-fit twin IS hash-checked via its recursive CTE); FFD's laws
+    # (each id once, bin sums <= budget, placement-order offsets,
+    # waste <= next-fit, repartition invariance) are pinned in
+    # tests/test_chunking.py
+    "pack_sequences_ffd",
     # HLL++ ndv estimates are engine-specific — no DuckDB value replay
     # exists; accuracy is pinned within the rsd bound by tests/test_dq.py
     # and every non-ndv column is value-pinned through the exact twin

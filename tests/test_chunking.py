@@ -229,3 +229,111 @@ def test_sentence_chunks_single_long_sentence_is_one_chunk(spark):
     out = chunk_by_sentences(df, max_chars=50).collect()
     assert len(out) == 1  # a sentence is never split, however long
     assert out[0]["n_sentences"] == 1
+
+
+class TestPackSequencesFFD:
+    def _docs(self, spark, lens):
+        return spark.createDataFrame(
+            [(i, ln) for i, ln in enumerate(lens)],
+            "doc_id long, n_tokens long",
+        )
+
+    def _pack(self, spark, lens, budget=10, n_buckets=1):
+        from commerce_sessionization_spark.operators.chunking import (
+            pack_sequences_ffd,
+        )
+        return pack_sequences_ffd(
+            self._docs(spark, lens), budget=budget, n_buckets=n_buckets
+        ).collect()
+
+    def test_hand_computable_ffd_layout(self, spark):
+        """lens 7,6,4,3,2 budget 10 ⇒ FFD sorted desc: 7→bin0, 6→bin1,
+        4→bin1 (6+4=10), 3→bin0 (7+3=10), 2→bin2. Next-fit in id order
+        would need 3 bins with waste 8; FFD wastes 8 too here but the
+        layout is the textbook one."""
+        rows = {r.doc_id: (r.bin_idx, r.bin_offset)
+                for r in self._pack(spark, [7, 6, 4, 3, 2])}
+        assert rows[0] == (0, 0)   # len 7, first
+        assert rows[1] == (1, 0)   # len 6
+        assert rows[2] == (1, 6)   # len 4 fits bin1 exactly
+        assert rows[3] == (0, 7)   # len 3 fits bin0 exactly
+        assert rows[4] == (2, 0)   # len 2 opens bin2
+
+    def test_laws_on_testdata(self, spark):
+        """Every doc exactly once; per-bin sums ≤ budget except oversize
+        singletons; offsets are placement-order prefix sums; waste ≤
+        the next-fit packing of the same rows."""
+        from collections import defaultdict
+
+        from pyspark.sql import functions as F
+
+        from commerce_sessionization_spark.operators.chunking import (
+            pack_sequences,
+            pack_sequences_ffd,
+        )
+        from commerce_sessionization_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+        budget = 512
+        ffd = pack_sequences_ffd(docs, budget=budget, n_buckets=8).collect()
+        nf = pack_sequences(docs, budget=budget, n_buckets=8).collect()
+        assert sorted(r.doc_id for r in ffd) == sorted(r.doc_id for r in nf)
+        sums = defaultdict(int)
+        for r in ffd:
+            sums[(r.bucket, r.bin_idx)] += r.item_tokens
+        for (b, bi), s in sums.items():
+            singles = [
+                r for r in ffd if (r.bucket, r.bin_idx) == (b, bi)
+            ]
+            assert s <= budget or (
+                len(singles) == 1 and singles[0].item_tokens > budget
+            )
+        # offsets: within each bin, sorting by offset gives contiguous
+        # prefix sums of the items in placement order
+        by_bin = defaultdict(list)
+        for r in ffd:
+            by_bin[(r.bucket, r.bin_idx)].append(r)
+        for rows in by_bin.values():
+            rows.sort(key=lambda r: r.bin_offset)
+            run = 0
+            for r in rows:
+                assert r.bin_offset == run
+                run += r.item_tokens
+
+        def waste(rows):
+            fill = defaultdict(int)
+            for r in rows:
+                fill[(r.bucket, r.bin_idx)] += r.item_tokens
+            return sum(max(budget - s, 0) for s in fill.values())
+
+        assert waste(ffd) <= waste(nf)
+
+    def test_repartition_invariance(self, spark):
+        from commerce_sessionization_spark.operators.chunking import (
+            pack_sequences_ffd,
+        )
+        df = self._docs(spark, [5, 9, 2, 8, 3, 7, 1, 6] * 5)
+        a = sorted(
+            (r.doc_id, r.bucket, r.bin_idx, r.bin_offset)
+            for r in pack_sequences_ffd(df, budget=10, n_buckets=4).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.bucket, r.bin_idx, r.bin_offset)
+            for r in pack_sequences_ffd(
+                df.repartition(7), budget=10, n_buckets=4
+            ).collect()
+        )
+        assert a == b
+
+    def test_oversize_gets_own_bin(self, spark):
+        rows = self._pack(spark, [25, 3, 3], budget=10)
+        big = [r for r in rows if r.item_tokens == 25][0]
+        mates = [
+            r for r in rows
+            if (r.bucket, r.bin_idx) == (big.bucket, big.bin_idx)
+            and r.doc_id != big.doc_id
+        ]
+        assert big.bin_offset == 0 and not mates
