@@ -48,6 +48,21 @@ PINNED = [
     "canonical_urls",
     "doc_encoding_readability",
     "sentence_chunks",
+    # round-9 additions: the seeded/weighted graph twins (empty seeds,
+    # empty weight totals), the MVCC centroid maintainer (0 seed
+    # centroids), the broadcast-benchmark decontaminator, the
+    # corpus-total LM anchor, the min/max bounds anchor, and both
+    # packers — all must emit 0 rows, not crash
+    "ppr_copurchase",
+    "ppr_copurchase_fast",
+    "wpagerank_copurchase",
+    "wpagerank_copurchase_fast",
+    "hits_copurchase_fast",
+    "stream_centroid_refit",
+    "semantic_decontaminate",
+    "unigram_logprob_quality",
+    "lineitem_zorder_keys",
+    "pack_sequences_ffd",
 ]
 
 
