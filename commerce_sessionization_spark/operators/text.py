@@ -852,13 +852,19 @@ def unigram_logprob(
     BIGINTs. The mean then divides two exact integers in double
     (identical operands in any engine).
 
-    Scale shape: one token explode + one map-side-combinable vocab
-    count, then the token stream joins the vocab ON token — a real
-    shuffle join by design (the vocab of a 100 TB corpus is itself
-    large; at bounded vocab sizes AQE broadcasts it) — and one final
-    per-doc aggregate. Output: (id, n_tokens, lp_qsum, logprob) where
-    lp_qsum is the exact quantized-term sum and logprob = lp_qsum / n /
-    10^term_quant.
+    Scale shape: the token stream joins the per-token count table ON
+    token — a real shuffle join by design (the vocab of a 100 TB corpus
+    is itself large; at bounded vocab sizes AQE broadcasts it) — and
+    one final per-doc aggregate. Honest pass count: the UNPINNED plan
+    tokenizes the corpus once per consuming subtree (the vocab count,
+    its total, and the doc-side join — three scans), the same
+    recompute-over-pin trade ``tf_idf`` and ``bigram_pmi`` make:
+    operators that return DataFrames have no unpersist point, and the
+    round-8 persist-pin leak is the worse failure mode. A pipeline
+    running this at scale materializes ``toks`` once upstream and
+    passes it through all three roles. Output: (id, n_tokens, lp_qsum,
+    logprob) where lp_qsum is the exact quantized-term sum and
+    logprob = lp_qsum / n / 10^term_quant.
     """
     toks = df.select(
         F.col(id_col),

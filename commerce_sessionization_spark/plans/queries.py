@@ -4873,7 +4873,13 @@ def _wcopurchase_graph(spark: SparkSession, sf_dir: str):
             F.concat(F.lit("p"), F.col("l_partkey")).alias("p"),
         )
         .agg(F.count(F.lit(1)).alias("wt"))
-        .localCheckpoint()
+        # compressed columnar persist, NOT localCheckpoint — same
+        # reasoning as _copurchase_graph above: the grouped pair set is
+        # pair-cardinality (~50M rows at sf10) and deserialized
+        # checkpoint row blocks OOM a local JVM where columnar blocks
+        # fit; persist also makes the callers' unpersist() real
+        # (checkpoint blocks are invisible to the CacheManager).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     edges = cp.select(
         F.col("c").alias("src"), F.col("p").alias("dst"), "wt"
@@ -11167,12 +11173,20 @@ def q_stream_centroid_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for epoch in range(3):
         writer(emb.filter(F.col("vec_id") % 3 == epoch), epoch)
     state = read_rollup_state(spark, out)
+    # the state is self-describing: the writer stamps qscale on every
+    # cell, so the grid is read back rather than assumed (one bounded
+    # distinct-collect, like the centroid model state itself)
+    [scale] = [
+        r.qscale for r in state.select("qscale").distinct().collect()
+    ]
     return state.select(
         "centroid_id",
         F.col("i").cast("long").alias("i"),
         F.col("n").cast("long").alias("n"),
         _quant(
-            F.col("s").cast("double") / F.col("n").cast("double") / F.lit(1e9),
+            F.col("s").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(float(10 ** scale)),
             12,
         ).alias("mean_q12"),
     )

@@ -420,6 +420,7 @@ def make_centroid_stats_writer(
     out_path: str,
     centroids: DataFrame,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     keep_versions: int = 3,
     quantize_scale: int = 9,
 ):
@@ -445,6 +446,11 @@ def make_centroid_stats_writer(
     exact decimal on the floor(x·10^scale) grid (same recipe as
     ``label_centroids`` / ``vector_sufficient_stats``), so epoch folds
     are order-independent and crash replays rewrite identical bytes.
+    The state is SELF-DESCRIBING: every cell carries its ``qscale``, so
+    ``centroids_from_stats`` derives the grid from the state instead of
+    trusting the caller to repeat the writer's knob (the pca_fit
+    grid-coupling defect class, ADVICE r8) — folds of mismatched
+    scales stay as separate visible rows rather than silently summing.
     """
     from pyspark.sql import functions as F
 
@@ -456,7 +462,7 @@ def make_centroid_stats_writer(
     pinned = centroids.localCheckpoint()
 
     def partial(df: DataFrame) -> DataFrame:
-        assigned = ivf_assign(df, pinned, vec_col=vec_col)
+        assigned = ivf_assign(df, pinned, id_col=id_col, vec_col=vec_col)
         vq = F.transform(
             F.col(vec_col),
             lambda x: F.floor(x.cast("double") * grid).cast("decimal(19,0)"),
@@ -465,7 +471,11 @@ def make_centroid_stats_writer(
             assigned.select(
                 "centroid_id", F.posexplode(vq).alias("_i", "_x")
             )
-            .groupBy("centroid_id", (F.col("_i") + 1).alias("i"))
+            .groupBy(
+                "centroid_id",
+                (F.col("_i") + 1).alias("i"),
+                F.lit(quantize_scale).cast("int").alias("qscale"),
+            )
             .agg(
                 F.sum("_x").cast("decimal(38,0)").alias("s"),
                 F.count(F.lit(1)).alias("n"),
@@ -475,7 +485,7 @@ def make_centroid_stats_writer(
     def merge(a: DataFrame, b: DataFrame) -> DataFrame:
         return (
             a.unionByName(b)
-            .groupBy("centroid_id", "i")
+            .groupBy("centroid_id", "i", "qscale")
             .agg(
                 F.sum("s").cast("decimal(38,0)").alias("s"),
                 F.sum("n").cast("long").alias("n"),
@@ -490,15 +500,30 @@ def make_centroid_stats_writer(
 def centroids_from_stats(
     state: DataFrame,
     vec_col: str = "embedding",
-    quantize_scale: int = 9,
+    quantize_scale: int | None = None,
 ) -> DataFrame:
     """The M-step from maintained per-centroid stats: mean per (cell,
     dimension) = s/n/grid (decimal cast to double FIRST, like
     ``covariance_from_stats``, so both engines divide identical
     operands). Returns ``(centroid_id, {vec_col})`` compatible with
-    ``ivf_assign`` / ``ivf_search`` — drop-in refreshed quantizer."""
+    ``ivf_assign`` / ``ivf_search`` — drop-in refreshed quantizer.
+
+    The grid comes from the state's own ``qscale`` column (the writer
+    stamps it on every cell); a state holding MIXED scales is refused
+    loudly. ``quantize_scale`` is only consulted for legacy states
+    without the column."""
     from pyspark.sql import functions as F
 
+    if "qscale" in state.columns:
+        scales = [r.qscale for r in state.select("qscale").distinct().collect()]
+        if len(scales) > 1:
+            raise ValueError(
+                f"state holds cells on mixed quantize grids {sorted(scales)} "
+                "— refusing to average across scales"
+            )
+        quantize_scale = scales[0] if scales else (quantize_scale or 9)
+    elif quantize_scale is None:
+        quantize_scale = 9
     grid = float(10 ** quantize_scale)
     return (
         state.select(

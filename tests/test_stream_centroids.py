@@ -169,3 +169,37 @@ def test_streaming_refit_recovers_recall_after_distribution_shift(spark):
     assert 0.2 < r_stale < 1.0
     assert r_refit > r_stale
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_state_is_self_describing_about_its_grid(spark, tmp_path):
+    """Review fix (round-9): the writer stamps qscale on every cell and
+    centroids_from_stats reads the grid back — a writer at scale 6 and
+    one at scale 9 must refit to (nearly) the same centroids without
+    the caller repeating the knob, and mixed-scale states are refused."""
+    import pytest
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    seeds = seed_centroids(emb, nlist=4).localCheckpoint()
+    outs = {}
+    for scale in (6, 9):
+        out = str(tmp_path / f"s{scale}")
+        writer = make_centroid_stats_writer(
+            spark, out, seeds, quantize_scale=scale
+        )
+        writer(emb, 0)
+        outs[scale] = {
+            r.centroid_id: list(r.embedding)
+            for r in centroids_from_stats(
+                read_rollup_state(spark, out)
+            ).collect()
+        }
+    for cid in outs[9]:
+        for a, b in zip(outs[6][cid], outs[9][cid]):
+            assert abs(a - b) < 1e-5  # only quantization error apart
+
+    # mixed scales in one state: loud refusal, never a silent average
+    mixed = read_rollup_state(spark, str(tmp_path / "s6")).unionByName(
+        read_rollup_state(spark, str(tmp_path / "s9"))
+    )
+    with pytest.raises(ValueError, match="mixed quantize grids"):
+        centroids_from_stats(mixed)

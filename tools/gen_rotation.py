@@ -116,7 +116,17 @@ def grade_counts(repo: Path = REPO) -> dict[str, dict[str, int]]:
         data = json.loads(f.read_text())
         for name, r in data.items():
             out[name]["graded"] += 1
-            if r.get("err") is None and r.get("rows_match"):
+            # green = FULLY green: rows AND schema AND value hash all
+            # passed (hash/schema absent on rows-only records counts as
+            # pass; an explicit False never does — r04's orders_profile
+            # was rows_match=True / hash_match=False and must not read
+            # as a green round)
+            if (
+                r.get("err") is None
+                and r.get("rows_match")
+                and r.get("schema_match") is not False
+                and r.get("hash_match") is not False
+            ):
                 out[name]["green"] += 1
     return dict(out)
 
