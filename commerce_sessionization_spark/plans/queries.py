@@ -11175,10 +11175,10 @@ def q_stream_centroid_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = read_rollup_state(spark, out)
     # the state is self-describing: the writer stamps qscale on every
     # cell, so the grid is read back rather than assumed (one bounded
-    # distinct-collect, like the centroid model state itself)
-    [scale] = [
-        r.qscale for r in state.select("qscale").distinct().collect()
-    ]
+    # distinct-collect, like the centroid model state itself). An empty
+    # corpus yields an empty state — any grid divides zero rows.
+    scales = [r.qscale for r in state.select("qscale").distinct().collect()]
+    scale = scales[0] if scales else 9
     return state.select(
         "centroid_id",
         F.col("i").cast("long").alias("i"),
