@@ -3196,9 +3196,17 @@ def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         _quant(F.col("p99_cnt"), 6).alias("p99_cnt_q6"),
         "max_cnt",
         "skew_factor_q6",
-        F.transform(
-            F.col("top_keys"),
-            lambda t: F.concat_ws("=", t["key"], t["cnt"].cast("string")),
+        # Serialized to ONE scalar string (the user_event_sequence
+        # convention, plans/queries.py q_user_event_sequence): the
+        # driver's pandas canonicalization cannot factorize list cells,
+        # so an array<string> column crashes the oracle harness
+        # (CORRECTNESS_r09: TypeError unhashable type 'list').
+        F.array_join(
+            F.transform(
+                F.col("top_keys"),
+                lambda t: F.concat_ws("=", t["key"], t["cnt"].cast("string")),
+            ),
+            ",",
         ).alias("top_keys"),
     )
 
@@ -3220,7 +3228,8 @@ summary AS (
   FROM counts
 ),
 topk AS (
-  SELECT list(key || '=' || cnt::VARCHAR ORDER BY cnt DESC, key) AS top_keys
+  SELECT string_agg(key || '=' || cnt::VARCHAR, ',' ORDER BY cnt DESC, key)
+         AS top_keys
   FROM (SELECT key, cnt FROM counts ORDER BY cnt DESC, key LIMIT 5)
 )
 SELECT * FROM summary, topk
