@@ -572,6 +572,112 @@ def mmr_rerank(
     return candidates.groupBy(query_col).applyInPandas(rerank, out_schema)
 
 
+def mmr_rerank_exact(
+    candidates: DataFrame,
+    k: int = 10,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    grid: int = 1_000_000,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    score_col: str = "cosine",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Engine-replayable MMR: the same greedy as :func:`mmr_rerank` but
+    run entirely on the ``floor(x·grid)`` integer lattice with a
+    rational λ = ``lam_num / lam_den``, so any engine that reproduces
+    the q-grid cosines reproduces the ranking bit-for-bit (the oracle
+    discipline the rest of the catalog uses — see
+    ``plans/queries.py::SQL_MMR_DIVERSE_TOPK``, an unrolled greedy CTE).
+
+    Two differences vs the double-precision twin:
+
+    - Relevance scores AND pairwise candidate similarities are
+      quantized to ``floor(cos·grid)`` BIGINTs computed JVM-side with
+      ``functions.vectors.cosine_similarity`` (left-to-right fold —
+      the operand order DuckDB's ``list_dot_product`` uses), NOT with
+      numpy BLAS (whose pairwise/SIMD accumulation order differs).
+    - The greedy objective is the exact integer
+      ``lam_num·sq − (lam_den−lam_num)·mq`` (scaled by
+      ``lam_den·grid``); ties break on (objective desc, id asc) in
+      both engines. No float enters the argmax.
+
+    Scale shape: one within-query self-join of the candidate set
+    (N ≈ ANN top-N rows per query, so N² stays tens-to-hundreds of
+    rows per query), then one shuffle on the query key into an
+    Arrow-batched integer greedy. The corpus never enters.
+
+    Output: (query, id, mmr_rank, mmr_score_q) — mmr_score_q is the
+    integer objective scaled by ``lam_den·grid``; k rows per query.
+    """
+    import numpy as np
+    import pandas as pd
+
+    g = F.lit(float(grid))
+    a = candidates.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_aid"),
+        F.floor(F.col(score_col) * g).cast("long").alias("_sq"),
+        F.col(vec_col).alias("_avec"),
+    )
+    b = candidates.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_bid"),
+        F.col(vec_col).alias("_bvec"),
+    )
+    pairs = a.join(b, "_q").select(
+        "_q",
+        "_aid",
+        "_bid",
+        "_sq",
+        F.floor(cosine_similarity(F.col("_avec"), F.col("_bvec")) * g)
+        .cast("long")
+        .alias("_pq"),
+    )
+
+    _qt = candidates.schema[query_col].dataType.simpleString()
+    _it = candidates.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{query_col} {_qt}, {id_col} {_it}, mmr_rank int, mmr_score_q long"
+    )
+    neg = np.iinfo(np.int64).min // 4
+
+    def rerank(pdf):
+        ids = np.sort(pdf["_aid"].unique())
+        idx = {v: i for i, v in enumerate(ids)}
+        n = len(ids)
+        scores = np.zeros(n, dtype=np.int64)
+        sims = np.zeros((n, n), dtype=np.int64)
+        ai = pdf["_aid"].map(idx).to_numpy()
+        bi = pdf["_bid"].map(idx).to_numpy()
+        sims[ai, bi] = pdf["_pq"].to_numpy(dtype=np.int64)
+        scores[ai] = pdf["_sq"].to_numpy(dtype=np.int64)
+        free = np.ones(n, dtype=bool)
+        max_sim = np.zeros(n, dtype=np.int64)
+        picked: list[int] = []
+        objective: list[int] = []
+        for _ in range(min(k, n)):
+            mmr = lam_num * scores - (lam_den - lam_num) * max_sim
+            mmr[~free] = neg
+            # ids sorted ascending + argmax-first-max == tie on id asc
+            best = int(np.argmax(mmr))
+            picked.append(best)
+            objective.append(int(mmr[best]))
+            free[best] = False
+            max_sim = np.maximum(max_sim, sims[:, best])
+        qid = pdf["_q"].iloc[0]
+        return pd.DataFrame(
+            {
+                query_col: [qid] * len(picked),
+                id_col: ids[picked],
+                "mmr_rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+                "mmr_score_q": objective,
+            }
+        )
+
+    return pairs.groupBy("_q").applyInPandas(rerank, out_schema)
+
+
 def hard_negatives(
     corpus: DataFrame,
     anchors: DataFrame,

@@ -919,15 +919,47 @@ JOIN means mb ON mb.i = p.j
 
 
 def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR-diversified retrieval: brute-force cosine top-20 per query
-    (3 broadcast query vectors) re-ranked to a diverse top-5 with
-    lam=0.7. Rows-only: the greedy argmax-over-selected recursion has no
-    closed SQL form (each pick depends on the max-similarity frontier
-    of the previous picks) — invariants (λ=1 ≡ score order, redundancy
-    demotion, per-group caps, rank-1 score law) are pinned in
-    tests/test_ml.py::TestMMRRerank instead. Scale shape: the corpus
-    only ever flows through the ANN stage; MMR touches N=20 rows per
-    query in one Arrow batch."""
+    """MMR-diversified retrieval, graded by VALUE: brute-force cosine
+    top-20 per query (3 broadcast query vectors) re-ranked to a
+    diverse top-5 with λ = 7/10 by ``mmr_rerank_exact`` — the greedy
+    run on the floor(cos·1e6) integer lattice (scores and pairwise
+    candidate sims quantized JVM-side with the left-to-right fold
+    DuckDB's list_dot_product replays), so the 5-step argmax recursion
+    IS SQL-expressible as an unrolled CTE (SQL_MMR_DIVERSE_TOPK).
+    mmr_score_q7 = 7·sq6 − 3·max_sim_q6, an exact integer scaled by
+    1e7. The double-precision twin stays rows-only in EXTENDED
+    (mmr_diverse_topk_fast); its laws are pinned in
+    tests/test_ml.py::TestMMRRerank. Scale shape: the corpus only ever
+    flows through the ANN stage; MMR touches 20 rows (400 pair cells)
+    per query in one Arrow batch."""
+    from commerce_sessionization_spark.operators.similarity import (
+        all_pairs_topk,
+        mmr_rerank_exact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = all_pairs_topk(emb, queries, k=20).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    out = mmr_rerank_exact(cands, k=5, lam_num=7, lam_den=10, grid=1_000_000)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "mmr_rank",
+        F.col("mmr_score_q").alias("mmr_score_q7"),
+    ).orderBy("query_id", "mmr_rank")
+
+
+def q_mmr_diverse_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-precision MMR twin (the scale path: numpy BLAS pairwise
+    sims, float objective). Rows-only: the greedy argmax recursion
+    over raw doubles has no engine-exact SQL form — invariants (λ=1 ≡
+    score order, redundancy demotion, rank-1 score law) are pinned in
+    tests/test_ml.py::TestMMRRerank, and 2e-6 rank-agreement vs the
+    exact twin is pinned in tests/test_ml.py."""
     from commerce_sessionization_spark.operators.similarity import (
         all_pairs_topk,
         mmr_rerank,
@@ -947,6 +979,112 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mmr_rank",
         _quant(F.col("mmr_score"), 6).alias("mmr_score_q6"),
     ).orderBy("query_id", "mmr_rank")
+
+
+# Unrolled greedy: sel{t} picks round t's argmax of the exact integer
+# objective 7·sq − 3·ms (ms = max q6-sim to the picks so far); ms{t}
+# carries the shrinking free set with its updated frontier. k=5 ⇒ five
+# levels. Ties pin to (objective DESC, vec_id) in both engines.
+SQL_MMR_DIVERSE_TOPK = """
+WITH qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qvec)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine
+  FROM embeddings e, qv q
+), cand AS (
+  SELECT query_id, vec_id, CAST(floor(cosine * 1000000.0) AS BIGINT) AS sq
+  FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= 20
+), cvec AS (
+  SELECT c.query_id, c.vec_id, c.sq, e.embedding::DOUBLE[] AS v
+  FROM cand c JOIN embeddings e USING (vec_id)
+), pairs AS (
+  SELECT a.query_id, a.vec_id AS aid, b.vec_id AS bid,
+         CAST(floor(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v)))
+              * 1000000.0) AS BIGINT) AS pq
+  FROM cvec a JOIN cvec b ON a.query_id = b.query_id
+), sel1 AS (
+  SELECT query_id, vec_id, sq, 7 * sq AS mq FROM (
+    SELECT query_id, vec_id, sq,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sq DESC, vec_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+), ms1 AS (
+  SELECT c.query_id, c.vec_id, c.sq, p.pq AS ms
+  FROM cand c
+  JOIN sel1 s ON s.query_id = c.query_id AND c.vec_id <> s.vec_id
+  JOIN pairs p ON p.query_id = c.query_id
+              AND p.aid = c.vec_id AND p.bid = s.vec_id
+), sel2 AS (
+  SELECT query_id, vec_id, sq, ms, 7 * sq - 3 * ms AS mq FROM (
+    SELECT query_id, vec_id, sq, ms,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY 7 * sq - 3 * ms DESC, vec_id) AS rn
+    FROM ms1
+  ) WHERE rn = 1
+), ms2 AS (
+  SELECT c.query_id, c.vec_id, c.sq, greatest(c.ms, p.pq) AS ms
+  FROM ms1 c
+  JOIN sel2 s ON s.query_id = c.query_id AND c.vec_id <> s.vec_id
+  JOIN pairs p ON p.query_id = c.query_id
+              AND p.aid = c.vec_id AND p.bid = s.vec_id
+), sel3 AS (
+  SELECT query_id, vec_id, sq, ms, 7 * sq - 3 * ms AS mq FROM (
+    SELECT query_id, vec_id, sq, ms,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY 7 * sq - 3 * ms DESC, vec_id) AS rn
+    FROM ms2
+  ) WHERE rn = 1
+), ms3 AS (
+  SELECT c.query_id, c.vec_id, c.sq, greatest(c.ms, p.pq) AS ms
+  FROM ms2 c
+  JOIN sel3 s ON s.query_id = c.query_id AND c.vec_id <> s.vec_id
+  JOIN pairs p ON p.query_id = c.query_id
+              AND p.aid = c.vec_id AND p.bid = s.vec_id
+), sel4 AS (
+  SELECT query_id, vec_id, sq, ms, 7 * sq - 3 * ms AS mq FROM (
+    SELECT query_id, vec_id, sq, ms,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY 7 * sq - 3 * ms DESC, vec_id) AS rn
+    FROM ms3
+  ) WHERE rn = 1
+), ms4 AS (
+  SELECT c.query_id, c.vec_id, c.sq, greatest(c.ms, p.pq) AS ms
+  FROM ms3 c
+  JOIN sel4 s ON s.query_id = c.query_id AND c.vec_id <> s.vec_id
+  JOIN pairs p ON p.query_id = c.query_id
+              AND p.aid = c.vec_id AND p.bid = s.vec_id
+), sel5 AS (
+  SELECT query_id, vec_id, sq, ms, 7 * sq - 3 * ms AS mq FROM (
+    SELECT query_id, vec_id, sq, ms,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY 7 * sq - 3 * ms DESC, vec_id) AS rn
+    FROM ms4
+  ) WHERE rn = 1
+)
+SELECT query_id, vec_id, CAST(mmr_rank AS INT) AS mmr_rank,
+       CAST(mq AS BIGINT) AS mmr_score_q7
+FROM (
+  SELECT query_id, vec_id, 1 AS mmr_rank, mq FROM sel1
+  UNION ALL SELECT query_id, vec_id, 2, mq FROM sel2
+  UNION ALL SELECT query_id, vec_id, 3, mq FROM sel3
+  UNION ALL SELECT query_id, vec_id, 4, mq FROM sel4
+  UNION ALL SELECT query_id, vec_id, 5, mq FROM sel5
+)
+ORDER BY query_id, mmr_rank
+"""
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11897,14 +12035,15 @@ CATALOG: list[QueryDef] = [
              "ordered event array per user (A1 collect_list parity)"),
     # round-9 rotation: chunk_documents -> EXTENDED after 5 green grades
     # (the chunking family keeps sentence_chunks — the richer
-    # segmentation + reassembly plan — and pack_sequences graded); the
-    # slot grades the MMR diversified re-rank the gate has never seen
-    # (rows-only: greedy argmax recursion has no SQL form, laws pinned
-    # in tests/test_ml.py::TestMMRRerank).
-    QueryDef("mmr_diverse_topk", q_mmr_diverse_topk, None,
-             "MMR diversified re-rank of ANN top-20 (rows-only: greedy "
-             "argmax recursion has no SQL form; laws pinned in "
-             "TestMMRRerank)"),
+    # segmentation + reassembly plan — and pack_sequences graded).
+    # round-10: mmr_diverse_topk gains a VALUE oracle (r9 verdict item
+    # 2a): the greedy runs on the floor(cos·1e6) integer lattice
+    # (mmr_rerank_exact), replayed in SQL as a 5-step unrolled CTE; the
+    # double-precision twin stays rows-only in EXTENDED
+    # (mmr_diverse_topk_fast).
+    QueryDef("mmr_diverse_topk", q_mmr_diverse_topk, SQL_MMR_DIVERSE_TOPK,
+             "MMR diversified re-rank of ANN top-20, integer-exact "
+             "greedy on the q6 lattice == 5-step unrolled CTE oracle"),
     # --- events: functions, windows, shapes ---
     # round-6: the crawl IO loop enters the graded surface —
     # event_props_extract (JSON path project) moves to EXTENDED; the
@@ -12527,6 +12666,13 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("hits_copurchase_fast", q_hits_copurchase_fast, None,
              "HITS hub/authority, double-precision scale path "
              "(benched against the decimal oracle mode)"),
+    # round-10: the double-precision MMR twin (numpy BLAS pairwise
+    # sims) — the graded window slot now runs the integer-exact greedy
+    # with a 5-step unrolled CTE oracle; this keeps the scale path
+    # benched and law-pinned (TestMMRRerank).
+    QueryDef("mmr_diverse_topk_fast", q_mmr_diverse_topk_fast, None,
+             "MMR re-rank, double-precision scale path (rows-only; "
+             "laws pinned in TestMMRRerank)"),
     QueryDef("order_event_coverage", q_order_event_coverage,
              SQL_ORDER_EVENT_COVERAGE,
              "FULL OUTER join with both null sides exercised"),

@@ -223,12 +223,14 @@ ROWS_ONLY_ALLOWED = {
     # and every non-ndv column is value-pinned through the exact twin
     # (orders_profile, driver-graded)
     "orders_profile_approx",
-    # MMR's greedy argmax-over-selected recursion has no closed SQL
-    # form (each pick depends on the max-similarity frontier of the
-    # previous picks); its laws (lam=1 == score order, redundancy
-    # demotion, per-group caps, rank-1 score identity) are pinned in
-    # tests/test_ml.py::TestMMRRerank
-    "mmr_diverse_topk",
+    # double-precision MMR twin: numpy BLAS pairwise sims have no
+    # engine-independent accumulation order, so no value replay exists;
+    # its laws (lam=1 == score order, redundancy demotion, per-group
+    # caps, rank-1 score identity) are pinned in
+    # tests/test_ml.py::TestMMRRerank. The graded window runs the
+    # integer-exact twin (mmr_diverse_topk), value-matched against a
+    # 5-step unrolled greedy CTE.
+    "mmr_diverse_topk_fast",
     # LSH band keys are xxhash64 (both the MinHash slot mixes and the
     # band key hash) — DuckDB has no xxhash64, so the kept set has no
     # engine-independent value replay; the no-candidate-pair invariant
@@ -252,6 +254,46 @@ def test_rows_only_list_is_tight():
 
 def test_extended_catalog_names_disjoint_from_driver_window():
     assert not ({q.name for q in CATALOG} & {q.name for q in EXTENDED_CATALOG})
+
+
+def test_driver_window_queries_all_have_oracles():
+    """Window contract (round-9 verdict item 2): the driver grades an
+    oracle-less window row `err: no_oracle` — a permanent red slot
+    (mmr_diverse_topk, round 9). Rows-only queries belong in
+    EXTENDED_CATALOG, where the weaker rows-only check is fine."""
+    missing = [q.name for q in CATALOG if q.oracle is None]
+    assert not missing, (
+        "oracle-less queries in the graded driver window (guaranteed "
+        f"red rows): {missing} — move to EXTENDED_CATALOG or add a "
+        "DuckDB oracle"
+    )
+
+
+def test_driver_window_outputs_are_scalar_only(spark):
+    """Window contract (round-9 verdict item 2): the driver
+    canonicalizes results with pandas sort_values, which crashes on
+    Array/Map/Struct cells (`TypeError: unhashable type: 'list'` —
+    events_key_skew, round 9). Serialize arrays with array_join (the
+    user_event_sequence convention) before rotating a query in."""
+    import os
+
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    offenders = {}
+    for q in CATALOG:
+        schema = q.spark(spark, sf_dir).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[q.name] = bad
+    assert not offenders, (
+        "non-scalar output columns in the graded driver window (the "
+        f"driver's pandas canonicalization crashes on these): {offenders}"
+    )
 
 
 def test_oracle_sql_types_have_no_hugeint():

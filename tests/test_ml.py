@@ -276,6 +276,56 @@ class TestMMRRerank:
         r1 = out.filter("query_id = 1 AND mmr_rank = 1").collect()[0]
         assert r1.mmr_score == pytest.approx(0.7 * 0.99)
 
+    def test_exact_twin_same_picks_and_laws(self, spark):
+        """mmr_rerank_exact (the oracle-graded integer-lattice twin)
+        must make the same greedy picks as the double path on the
+        fixture, cap per group, and obey the rank-1 score identity
+        mmr_score_q == lam_num * floor(cos * grid)."""
+        import math
+
+        from commerce_sessionization_spark.operators.similarity import (
+            mmr_rerank_exact,
+        )
+
+        out = mmr_rerank_exact(
+            self._cands(spark), k=10, lam_num=5, lam_den=10
+        ).collect()
+        by_q = {}
+        for r in sorted(out, key=lambda r: (r.query_id, r.mmr_rank)):
+            by_q.setdefault(r.query_id, []).append(r)
+        assert [r.vec_id for r in by_q[1]][:2] == [1, 3]  # B demoted
+        assert len(by_q[1]) == 4 and len(by_q[2]) == 2
+        r1 = by_q[1][0]
+        assert r1.mmr_score_q == 5 * math.floor(0.99 * 1_000_000)
+
+    def test_exact_twin_matches_double_twin_on_testdata(self, spark):
+        """End-to-end 2e-6 parity pin between the graded integer-exact
+        MMR query and its double-precision scale twin at sf0.001: same
+        picked ids in the same order per query, objectives within 2e-6
+        (quantization floor) — the _fast-twin discipline the graph
+        family uses (tests/test_graph.py)."""
+        from commerce_sessionization_spark.plans.queries import (
+            q_mmr_diverse_topk,
+            q_mmr_diverse_topk_fast,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        exact = {
+            (r.query_id, r.mmr_rank): r
+            for r in q_mmr_diverse_topk(spark, sf_dir).collect()
+        }
+        fast = {
+            (r.query_id, r.mmr_rank): r
+            for r in q_mmr_diverse_topk_fast(spark, sf_dir).collect()
+        }
+        assert exact.keys() == fast.keys() and len(exact) == 15
+        for key, er in exact.items():
+            fr = fast[key]
+            assert er.vec_id == fr.vec_id, f"pick diverged at {key}"
+            # exact objective is scaled by lam_den * grid = 1e7;
+            # fast's q6 floor is scaled by 1e6
+            assert abs(er.mmr_score_q7 / 1e7 - fr.mmr_score_q6 / 1e6) < 2e-6
+
 
 class TestWhitening:
     def test_whitened_projection_has_identity_covariance(self, spark):

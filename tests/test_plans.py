@@ -252,6 +252,7 @@ _INTENDED_LOOP_JOINS = {
     "embedding_covariance",    # 1-row n (vector count) anchor
     "stream_vector_stats",     # the same 1-row n anchor on the maintained state
     "mmr_diverse_topk",        # broadcast 3-row query vectors (all_pairs_topk)
+    "mmr_diverse_topk_fast",   # same broadcast queries, double-path twin
     "hard_negatives",          # broadcast 3-row anchor vectors
     "ivf_batch_topk",          # broadcast 3-row queries x 8-row centroid probe
     "centroid_confusion",      # broadcast 10-row label-centroid table
