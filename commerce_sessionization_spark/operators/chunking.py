@@ -306,20 +306,50 @@ def pack_sequences_ffd(
         pdf = pdf.sort_values(
             ["_len", "_id"], ascending=[False, True]
         ).reset_index(drop=True)
+        # Lowest-index first fit in O(log B) per item (ADVICE r9: the
+        # naive O(bins) scan made a skewed bucket O(n²)): a max-segment
+        # tree over bin REMAINDERS; "first bin with fill+ln <= budget"
+        # == left-first descent to the first leaf with remainder >= ln.
+        # Placements are identical to the linear scan by construction.
+        cap = 1  # leaf capacity, power of two; leaves at tree[cap+i]
+        tree: list[int] = [0, 0]
+        nbins = 0
         fills: list[int] = []  # current fill per bin, index = bin_idx
         bins, offs = [], []
+
+        def _set_rem(pos: int, rem: int) -> None:
+            i = cap + pos
+            tree[i] = rem
+            i //= 2
+            while i:
+                tree[i] = max(tree[2 * i], tree[2 * i + 1])
+                i //= 2
+
         for ln in pdf["_len"]:
+            ln = int(ln)
             placed = None
-            for bi, fill in enumerate(fills):
-                if fill + ln <= budget:
-                    placed = bi
-                    break
+            if nbins and tree[1] >= ln:
+                i = 1
+                while i < cap:
+                    i = 2 * i if tree[2 * i] >= ln else 2 * i + 1
+                leaf = i - cap
+                if leaf < nbins:  # empty leaves only match ln == 0
+                    placed = leaf
             if placed is None:
-                placed = len(fills)
+                placed = nbins
+                nbins += 1
                 fills.append(0)
+                if nbins > cap:  # double the tree, re-seat the leaves
+                    cap *= 2
+                    tree = [0] * (2 * cap)
+                    for bi, fill in enumerate(fills):
+                        tree[cap + bi] = budget - fill
+                    for i in range(cap - 1, 0, -1):
+                        tree[i] = max(tree[2 * i], tree[2 * i + 1])
             bins.append(placed)
             offs.append(fills[placed])
             fills[placed] += ln
+            _set_rem(placed, budget - fills[placed])
         return pd.DataFrame(
             {
                 id_col: pdf["_id"],

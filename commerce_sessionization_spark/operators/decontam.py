@@ -111,6 +111,15 @@ def semantic_contamination(
         cosine_similarity,
     )
 
+    # An empty benchmark side would make the crossJoin drop EVERY train
+    # row — a decontamination gate that silently passes with zero
+    # coverage (ADVICE r9). The benchmark is bounded by construction,
+    # so the emptiness probe is one cheap local scan; fail loudly.
+    if bench_vecs.isEmpty():
+        raise ValueError(
+            "semantic_contamination: benchmark split is empty — the "
+            "gate would pass every train row with zero coverage"
+        )
     b = F.broadcast(
         bench_vecs.select(F.col(vec_col).alias("_bvec"))
     )

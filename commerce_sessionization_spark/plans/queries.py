@@ -11325,6 +11325,13 @@ def q_stream_centroid_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct-collect, like the centroid model state itself). An empty
     # corpus yields an empty state — any grid divides zero rows.
     scales = [r.qscale for r in state.select("qscale").distinct().collect()]
+    if len(scales) > 1:
+        # mixed grids cannot be averaged on one denominator — the same
+        # invariant centroids_from_stats enforces (ADVICE r9: an
+        # unordered collect()[0] would silently pick a wrong grid)
+        raise ValueError(
+            f"mixed qscale grids in centroid state: {sorted(scales)}"
+        )
     scale = scales[0] if scales else 9
     return state.select(
         "centroid_id",

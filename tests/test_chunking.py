@@ -328,6 +328,38 @@ class TestPackSequencesFFD:
         )
         assert a == b
 
+    def test_segment_tree_matches_naive_linear_scan(self, spark):
+        """The O(log B) max-segment-tree first fit (ADVICE r9) must
+        place every item exactly where the naive O(bins) scan does —
+        seeded random lengths incl. zeros and oversize, one bucket so
+        the whole instance exercises one sequential walk."""
+        import random
+
+        rng = random.Random(10)
+        lens = [rng.randint(0, 14) for _ in range(400)] + [25, 0, 25]
+        budget = 10
+        rows = {
+            r.doc_id: (r.bin_idx, r.bin_offset)
+            for r in self._pack(spark, lens, budget=budget)
+        }
+        # naive linear-scan FFD over the same (len desc, id asc) order
+        order = sorted(range(len(lens)), key=lambda i: (-lens[i], i))
+        fills: list[int] = []
+        expect = {}
+        for i in order:
+            ln = lens[i]
+            placed = None
+            for bi, fill in enumerate(fills):
+                if fill + ln <= budget:
+                    placed = bi
+                    break
+            if placed is None:
+                placed = len(fills)
+                fills.append(0)
+            expect[i] = (placed, fills[placed])
+            fills[placed] += ln
+        assert rows == expect
+
     def test_oversize_gets_own_bin(self, spark):
         rows = self._pack(spark, [25, 3, 3], budget=10)
         big = [r for r in rows if r.item_tokens == 25][0]

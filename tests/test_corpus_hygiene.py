@@ -614,6 +614,24 @@ class TestSemanticContamination:
         assert got[3] == (0.0, False)      # orthogonal
         assert len(got) == 3               # one row per train vector
 
+    def test_empty_benchmark_raises(self, spark):
+        """ADVICE r9: an empty benchmark split must fail loudly — the
+        crossJoin would otherwise drop every train row and a
+        decontamination gate would pass with zero coverage."""
+        import pytest
+
+        from commerce_sessionization_spark.operators.decontam import (
+            semantic_contamination,
+        )
+        bench = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        train = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="zero coverage"):
+            semantic_contamination(train, bench, tau=0.9)
+
 
 class TestUnigramLogprob:
     def test_exact_quantized_sums(self, spark):
