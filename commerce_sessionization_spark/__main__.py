@@ -147,6 +147,12 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--sf-dir", default=None,
                     help="resolve `table` inside this testdata dir")
     sk.add_argument("--top-k", type=int, default=10)
+    sk.add_argument("--blocking-audit", action="store_true",
+                    help="also price the key as an ER blocking key: "
+                         "exact candidate-pair bound sum(C(block,2)) "
+                         "and per-record verify multiplier, from the "
+                         "same one groupBy (run BEFORE committing a "
+                         "100 TB corpus to a blocking key)")
     sk.add_argument("--master", default=None)
 
     dr = sub.add_parser(
@@ -656,6 +662,14 @@ def main(argv: list[str] | None = None) -> int:
             key_skew_stats(df, keys, top_k=args.top_k).show(
                 1, truncate=False, vertical=True
             )
+            if args.blocking_audit:
+                from commerce_sessionization_spark.operators.dq import (
+                    blocking_key_audit,
+                )
+
+                blocking_key_audit(df, keys).show(
+                    1, truncate=False, vertical=True
+                )
         elif args.cmd == "drift":
             from commerce_sessionization_spark.operators.dq import (
                 data_drift_psi,

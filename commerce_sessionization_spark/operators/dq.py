@@ -272,6 +272,55 @@ def key_skew_stats(
     return summary.crossJoin(F.broadcast(topk))
 
 
+def blocking_key_audit(
+    df: DataFrame,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Analytic pre-flight for an entity-resolution blocking-key choice
+    (promoted from tools/er_blocking_probe.py, round-9 verdict item 6).
+
+    Blocked matching scores every within-block pair, so the cost of a
+    key choice is exactly ``Σ_blocks C(|block|, 2)`` — computable from
+    ONE cheap map-side-combinable groupBy, without running the join.
+    The SCALE.md ER receipt (110× candidate cut from compounding a
+    second key, and the caveat that fixed-cardinality keys only delay
+    the quadratic) is priced by this number: run it BEFORE committing
+    a 100 TB corpus to a blocking key, and re-run it as the corpus
+    grows — ``cand_per_record`` creeping up means the key's cardinality
+    stopped scaling with the data and the quadratic is back.
+
+    One row out: n_rows, n_blocks, candidate_pair_bound (exact BIGINT —
+    n·(n−1) is always even so integer DIV loses nothing), max_block,
+    and cand_per_record_q6 (the per-record verify-stage multiplier).
+    """
+    # \x01 separator: same composite-key aliasing guard as
+    # key_skew_stats above
+    key = F.concat_ws("\x01", *[F.col(c).cast("string") for c in key_cols])
+    counts = (
+        df.select(key.alias("_key"))
+        .groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    return counts.agg(
+        F.sum("_cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.expr("_cnt * (_cnt - 1) DIV 2")).alias(
+            "candidate_pair_bound"
+        ),
+        F.max("_cnt").alias("max_block"),
+    ).select(
+        "n_rows",
+        "n_blocks",
+        "candidate_pair_bound",
+        "max_block",
+        F.floor(
+            F.col("candidate_pair_bound").cast("double")
+            / F.col("n_rows").cast("double")
+            * 1e6
+        ).cast("long").alias("cand_per_record_q6"),
+    )
+
+
 def data_drift_psi(
     ref: DataFrame,
     cur: DataFrame,

@@ -3374,6 +3374,43 @@ SELECT * FROM summary, topk
 """
 
 
+def q_blocking_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER blocking-key pre-flight graded by value (round-9 verdict item
+    6, promoted from tools/er_blocking_probe.py): the exact candidate-
+    pair bound Σ C(|block|,2) for the compound (mktsegment, acctbal
+    band) key the SCALE.md receipt prices — ONE map-side-combinable
+    groupBy, no join ever runs. cand_per_record_q6 is the per-record
+    verify-stage multiplier a 100 TB user reads before committing to
+    the key."""
+    from commerce_sessionization_spark.operators.dq import (
+        blocking_key_audit,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_band"),
+    )
+    return blocking_key_audit(cust, ["segment", "bal_band"])
+
+
+SQL_BLOCKING_KEY_AUDIT = """
+WITH b AS (
+  SELECT c_mktsegment,
+         CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_band,
+         count(*) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pair_bound,
+       CAST(max(n) AS BIGINT) AS max_block,
+       CAST(floor(CAST(sum(n * (n - 1) // 2) AS DOUBLE)
+                  / CAST(sum(n) AS DOUBLE) * 1000000.0) AS BIGINT)
+         AS cand_per_record_q6
+FROM b
+"""
+
+
 _SHARD_KEY_SQL = _hex2int_sql("sha256('shard:' || doc_id::VARCHAR)")
 
 SQL_CORPUS_SHARD_MANIFEST = f"""
@@ -12463,6 +12500,14 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "twin of the graded next-fit; rows-only — FFD's "
              "bin-remainder state has no SQL replay; laws + waste "
              "receipt pinned in tests/SCALE.md)"),
+    # round-10: the ER blocking pre-flight promoted from
+    # tools/er_blocking_probe.py (r9 verdict item 6) — rotation
+    # candidate for the round-10 window
+    QueryDef("blocking_key_audit", q_blocking_key_audit,
+             SQL_BLOCKING_KEY_AUDIT,
+             "ER blocking-key pre-flight: exact candidate-pair bound "
+             "sum(C(block,2)) + per-record verify multiplier from one "
+             "groupBy — prices a key BEFORE any 100 TB blocked join"),
     QueryDef("lineitem_zorder_keys", q_lineitem_zorder_keys,
              SQL_LINEITEM_ZORDER_KEYS,
              "z-order clustering key (bit-interleaved 2-D bucket "
