@@ -799,3 +799,85 @@ def ivf_search_many(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivf_sq_search_many(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    levels: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "sq_code",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Compressed two-stage batched ANN: IVF coarse prune + exact
+    integer SQ scoring — ``ivf_search_many`` where the survivors are
+    scored through their int8 codes instead of raw vectors (the
+    IVF+SQ index layout FAISS calls IVFSQ; 4× less corpus IO, and the
+    score is ``sq_topk``'s centered-code dot, pure BIGINT arithmetic).
+
+    ``assigned`` must carry ``code_col`` (run :func:`sq_encode` after
+    :func:`ivf_assign`); ``queries`` must carry both the raw vector
+    (probe ranking stays full-precision — it's broadcast-sized) and
+    its code on the SAME corpus bounds.
+
+    Plan shape: the (query × centroid) probe ranking is broadcast; the
+    corpus joins it ON ``centroid_id`` so a corpus row is scored once
+    per query that probes its cell — at scale with the corpus written
+    partitioned by ``centroid_id``, partition pruning skips the
+    (1 − nprobe/nlist) remainder before any IO. Output:
+    (query_id, id, sq_score), k rows per query, ties on id.
+    """
+    from pyspark.sql import Window
+
+    half = F.lit(levels // 2)
+    c = F.broadcast(
+        centroids.select("centroid_id", F.col(vec_col).alias("_cvec"))
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            F.col(code_col).alias("_qcode"),
+        )
+    )
+    pw = Window.partitionBy("_qid").orderBy(
+        F.desc("_psim"), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(c)
+        .select(
+            "_qid",
+            "_qcode",
+            "centroid_id",
+            cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("_psim"),
+        )
+        .withColumn("_rn", F.row_number().over(pw))
+        .filter(F.col("_rn") <= nprobe)
+        .select("_qid", "_qcode", "centroid_id")
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col(code_col),
+            F.col("_qcode"),
+            lambda a, b: (a - half) * (b - half),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        score.alias("sq_score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sq_score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

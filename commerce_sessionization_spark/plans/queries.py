@@ -984,37 +984,11 @@ def q_mmr_diverse_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Unrolled greedy: sel{t} picks round t's argmax of the exact integer
 # objective 7·sq − 3·ms (ms = max q6-sim to the picks so far); ms{t}
 # carries the shrinking free set with its updated frontier. k=5 ⇒ five
-# levels. Ties pin to (objective DESC, vec_id) in both engines.
-SQL_MMR_DIVERSE_TOPK = """
-WITH qv AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-  FROM embeddings WHERE vec_id < 3
-), scored AS (
-  SELECT q.query_id, e.vec_id,
-         list_dot_product(e.embedding::DOUBLE[], q.qvec)
-           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                    e.embedding::DOUBLE[]))
-              * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine
-  FROM embeddings e, qv q
-), cand AS (
-  SELECT query_id, vec_id, CAST(floor(cosine * 1000000.0) AS BIGINT) AS sq
-  FROM (
-    SELECT query_id, vec_id, cosine,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cosine DESC, vec_id) AS rn
-    FROM scored
-  ) WHERE rn <= 20
-), cvec AS (
-  SELECT c.query_id, c.vec_id, c.sq, e.embedding::DOUBLE[] AS v
-  FROM cand c JOIN embeddings e USING (vec_id)
-), pairs AS (
-  SELECT a.query_id, a.vec_id AS aid, b.vec_id AS bid,
-         CAST(floor(list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v))
-                 * sqrt(list_dot_product(b.v, b.v)))
-              * 1000000.0) AS BIGINT) AS pq
-  FROM cvec a JOIN cvec b ON a.query_id = b.query_id
-), sel1 AS (
+# levels. Ties pin to (objective DESC, vec_id) in both engines. The
+# suffix is shared by every oracle that ends in an exact-MMR stage
+# (mmr_diverse_topk, compressed_retrieval_pipeline); it expects CTEs
+# cand(query_id, vec_id, sq) and pairs(query_id, aid, bid, pq).
+_MMR_GREEDY_SUFFIX = """, sel1 AS (
   SELECT query_id, vec_id, sq, 7 * sq AS mq FROM (
     SELECT query_id, vec_id, sq,
            row_number() OVER (PARTITION BY query_id
@@ -1085,6 +1059,185 @@ FROM (
 )
 ORDER BY query_id, mmr_rank
 """
+
+SQL_MMR_DIVERSE_TOPK = """
+WITH qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qvec)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine
+  FROM embeddings e, qv q
+), cand AS (
+  SELECT query_id, vec_id, CAST(floor(cosine * 1000000.0) AS BIGINT) AS sq
+  FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= 20
+), cvec AS (
+  SELECT c.query_id, c.vec_id, c.sq, e.embedding::DOUBLE[] AS v
+  FROM cand c JOIN embeddings e USING (vec_id)
+), pairs AS (
+  SELECT a.query_id, a.vec_id AS aid, b.vec_id AS bid,
+         CAST(floor(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v)))
+              * 1000000.0) AS BIGINT) AS pq
+  FROM cvec a JOIN cvec b ON a.query_id = b.query_id
+)""" + _MMR_GREEDY_SUFFIX
+
+
+def q_compressed_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed retrieval loop graded END-TO-END by value (round-9
+    verdict stretch item 8): SQ-compress the corpus on the global
+    min/max grid (4×, exact integer codes) → IVF coarse prune
+    (nprobe=4 of nlist=8 seed cells — at scale, partition pruning
+    skips 50% of corpus IO) → integer SQ dot shortlists top-20 per
+    query → exact-cosine refine of the 20 survivors → MMR-diversified
+    top-5 on the q6 lattice. Every stage is the already-oracled
+    operator (sq_topk / ivf_batch_topk / mmr_diverse_topk recipes), so
+    the full chain hash-matches one DuckDB replay — a green row here
+    means the COMPOSITION is right, not just the parts. (The PCA-
+    compressed variant of this chain stays walled in SCALE.md: an
+    eigensolve has no SQL replay.) The corpus flows once: codes into
+    the probed cells, 20 rows per query past the shortlist."""
+    from commerce_sessionization_spark.operators.similarity import (
+        ivf_assign,
+        ivf_sq_search_many,
+        mmr_rerank_exact,
+        seed_centroids,
+        sq_bounds,
+        sq_encode,
+    )
+    from commerce_sessionization_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, nlist=8)
+    assigned = ivf_assign(emb, cents)
+    bounds = sq_bounds(emb, dim=64).localCheckpoint()
+    coded = sq_encode(assigned, bounds)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qcoded = sq_encode(queries, bounds)
+    short = ivf_sq_search_many(coded, cents, qcoded, k=20, nprobe=4)
+    cands = (
+        short.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(
+            F.broadcast(
+                queries.select(
+                    "query_id", F.col("embedding").alias("_qv")
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "embedding",
+            cosine_similarity(F.col("embedding"), F.col("_qv")).alias(
+                "cosine"
+            ),
+        )
+    )
+    out = mmr_rerank_exact(cands, k=5, lam_num=7, lam_den=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "mmr_rank",
+        F.col("mmr_score_q").alias("mmr_score_q7"),
+    ).orderBy("query_id", "mmr_rank")
+
+
+SQL_COMPRESSED_RETRIEVAL_PIPELINE = """
+WITH bounds AS MATERIALIZED (
+  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+  FROM (
+    SELECT i, min(v) AS mn, max(v) AS mx
+    FROM (SELECT generate_subscripts(embedding, 1) AS i,
+                 unnest(embedding::DOUBLE[]) AS v
+          FROM embeddings)
+    GROUP BY i)
+), codes AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(
+           list_zip(embedding::DOUBLE[], mns, mxs),
+           z -> CASE WHEN z[3] = z[2] THEN 0
+                ELSE least(255, greatest(0,
+                  CAST(floor((z[1] - z[2]) * 255 / (z[3] - z[2]))
+                       AS INTEGER))) END
+         ) AS c
+  FROM embeddings, bounds
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id,
+         embedding::DOUBLE[] AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, s.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.embedding::DOUBLE[], s.cv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+             s.centroid_id) AS rn
+    FROM embeddings e, seeds s
+  ) WHERE rn = 1
+), qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 3
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, s.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.qvec, s.cv)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+             s.centroid_id) AS rn
+    FROM qv q, seeds s
+  ) WHERE rn <= 4
+), qcodes AS (
+  SELECT vec_id AS query_id, c AS qc FROM codes WHERE vec_id < 3
+), shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY
+             CAST(list_sum(list_transform(list_zip(c.c, qc.qc),
+                  z -> (z[1] - 128) * (z[2] - 128))) AS BIGINT) DESC,
+             a.vec_id) AS rn
+    FROM assign a
+    JOIN probes p ON p.centroid_id = a.centroid_id
+    JOIN codes c ON c.vec_id = a.vec_id
+    JOIN qcodes qc ON qc.query_id = p.query_id
+  ) WHERE rn <= 20
+), cand AS (
+  SELECT s.query_id, s.vec_id,
+         CAST(floor(list_dot_product(e.embedding::DOUBLE[], q.qvec)
+              / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                       e.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(q.qvec, q.qvec)))
+              * 1000000.0) AS BIGINT) AS sq
+  FROM shortlist s
+  JOIN embeddings e USING (vec_id)
+  JOIN qv q ON q.query_id = s.query_id
+), cvec AS (
+  SELECT c.query_id, c.vec_id, e.embedding::DOUBLE[] AS v
+  FROM cand c JOIN embeddings e USING (vec_id)
+), pairs AS (
+  SELECT a.query_id, a.vec_id AS aid, b.vec_id AS bid,
+         CAST(floor(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v)))
+              * 1000000.0) AS BIGINT) AS pq
+  FROM cvec a JOIN cvec b ON a.query_id = b.query_id
+)""" + _MMR_GREEDY_SUFFIX
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12500,6 +12653,16 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "twin of the graded next-fit; rows-only — FFD's "
              "bin-remainder state has no SQL replay; laws + waste "
              "receipt pinned in tests/SCALE.md)"),
+    # round-10: the composed retrieval loop (r9 verdict stretch item
+    # 8) — the SQ-compress -> IVF-prune -> SQ-shortlist -> exact-refine
+    # -> exact-MMR chain graded end-to-end by one DuckDB replay;
+    # rotation candidate for the round-10 window
+    QueryDef("compressed_retrieval_pipeline",
+             q_compressed_retrieval_pipeline,
+             SQL_COMPRESSED_RETRIEVAL_PIPELINE,
+             "compressed two-stage retrieval graded end-to-end: SQ "
+             "codes + IVF probe shortlist, exact-cosine refine, "
+             "integer-lattice MMR diverse top-5"),
     # round-10: the ER blocking pre-flight promoted from
     # tools/er_blocking_probe.py (r9 verdict item 6) — rotation
     # candidate for the round-10 window

@@ -463,6 +463,75 @@ class TestIVFSearchMany:
                 looped.add((qrow.query_id, r.vec_id))
         assert batched == looped and len(batched) == 5 * 7
 
+    def test_ivf_sq_exhaustive_probe_equals_sq_topk(self, spark):
+        """ivf_sq_search_many at nprobe == nlist must reduce to plain
+        sq_topk per query (the exhaustive-probe == brute-force grading
+        identity the raw-cosine batcher pins above, on the compressed
+        scoring path)."""
+        from commerce_sessionization_spark.operators.similarity import (
+            ivf_assign,
+            ivf_sq_search_many,
+            seed_centroids,
+            sq_bounds,
+            sq_encode,
+            sq_topk,
+        )
+
+        corpus = _planted_vectors(spark, n=200, d=8).cache()
+        cents = seed_centroids(corpus, nlist=5)
+        bounds = sq_bounds(corpus, dim=8).localCheckpoint()
+        coded = sq_encode(ivf_assign(corpus, cents), bounds)
+        queries = corpus.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        qcoded = sq_encode(queries, bounds)
+        batched = {
+            (r.query_id, r.vec_id, r.sq_score)
+            for r in ivf_sq_search_many(
+                coded, cents, qcoded, k=6, nprobe=5
+            ).collect()
+        }
+        looped = set()
+        for qid in (0, 1):
+            one = qcoded.filter(F.col("query_id") == qid)
+            for r in sq_topk(coded, one, k=6).collect():
+                looped.add((qid, r.vec_id, r.sq_score))
+        assert batched == looped and len(batched) == 2 * 6
+
+    def test_ivf_sq_prunes_unprobed_cells(self, spark):
+        """At nprobe < nlist, no result may come from an unprobed cell —
+        the pruning IS the compression story, so pin that it happens."""
+        from commerce_sessionization_spark.operators.similarity import (
+            ivf_assign,
+            ivf_sq_search_many,
+            seed_centroids,
+            sq_bounds,
+            sq_encode,
+        )
+
+        corpus = _planted_vectors(spark, n=200, d=8).cache()
+        cents = seed_centroids(corpus, nlist=5)
+        bounds = sq_bounds(corpus, dim=8).localCheckpoint()
+        assigned = ivf_assign(corpus, cents)
+        coded = sq_encode(assigned, bounds)
+        queries = corpus.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        qcoded = sq_encode(queries, bounds)
+        hits = ivf_sq_search_many(coded, cents, qcoded, k=50, nprobe=2)
+        cell_of = {
+            r.vec_id: r.centroid_id
+            for r in assigned.select("vec_id", "centroid_id").collect()
+        }
+        hit_cells = {
+            (r.query_id, cell_of[r.vec_id]) for r in hits.collect()
+        }
+        per_query_cells = {}
+        for qid, cell in hit_cells:
+            per_query_cells.setdefault(qid, set()).add(cell)
+        for qid, cells in per_query_cells.items():
+            assert len(cells) <= 2, (qid, cells)
+
 
 class TestPCAQuantizeScale:
     def test_quantize_scale_forwarded_and_grid_derived(self, spark):

@@ -253,6 +253,8 @@ _INTENDED_LOOP_JOINS = {
     "stream_vector_stats",     # the same 1-row n anchor on the maintained state
     "mmr_diverse_topk",        # broadcast 3-row query vectors (all_pairs_topk)
     "mmr_diverse_topk_fast",   # same broadcast queries, double-path twin
+    "compressed_retrieval_pipeline",  # 1-row bounds + 8-row centroid +
+    # 3-row query broadcasts (sq_encode / ivf_assign / probe ranking)
     "hard_negatives",          # broadcast 3-row anchor vectors
     "ivf_batch_topk",          # broadcast 3-row queries x 8-row centroid probe
     "centroid_confusion",      # broadcast 10-row label-centroid table
