@@ -12296,11 +12296,16 @@ CATALOG: list[QueryDef] = [
     # inside centroid_confusion and label_centroids; the greedy prune
     # stays oracle-checked in EXTENDED); the slot grades the
     # cluster-purity audit the gate has never seen.
-    QueryDef("centroid_confusion", q_centroid_confusion,
-             SQL_CENTROID_CONFUSION,
-             "nearest-centroid confusion matrix over the embedding "
-             "space (cluster-purity audit; exact-decimal centroids "
-             "broadcast)"),
+    # round-10 rotation: centroid_confusion -> EXTENDED after its r9
+    # green grade (the nearest-centroid cosine E-step it graded
+    # replays verbatim inside stream_centroid_refit's oracle); the
+    # slot grades the streaming ANN-index maintenance loop by value.
+    QueryDef("stream_centroid_refit", q_stream_centroid_refit,
+             SQL_STREAM_CENTROID_REFIT,
+             "streaming k-means/IVF refit graded by value: 3-epoch MVCC "
+             "fold of per-centroid exact-decimal (sum, n) cells under a "
+             "pinned cosine E-step == one batch Lloyd M-step; refit "
+             "centroids emit with no corpus re-read"),
     QueryDef("part_hop_distances", q_part_hop_distances,
              SQL_PART_HOP_DISTANCES,
              "single-source BFS hop distances, frontier-propagated "
@@ -12349,16 +12354,28 @@ CATALOG: list[QueryDef] = [
     # local sweep) — the freed slots grade the distributed linear
     # algebra family the gate has never seen: exact-decimal grouped
     # centroids and the one-pass PCA covariance scan.
-    QueryDef("label_centroids", q_label_centroids, SQL_LABEL_CENTROIDS,
-             "per-label embedding centroids: grid-snapped exact decimal "
-             "sums per (label, dim) cell, one posexplode + one exchange "
-             "(the k-means/IVF/SemDeDup grouped-mean primitive)"),
-    QueryDef("embedding_covariance", q_embedding_covariance,
-             SQL_EMBEDDING_COVARIANCE,
-             "distributed covariance of the embedding column (PCA "
-             "sufficient statistics): integer-grid snap + exact decimal "
-             "sums, one posexplode + map-side-combined agg; 2080 cells "
-             "hash-matched at q12"),
+    # round-10 rotation: label_centroids -> EXTENDED after its r9
+    # green grade (the grid-snapped grouped-mean primitive replays
+    # inside stream_centroid_refit's refit oracle, graded this
+    # round); the slot grades the batched-IVF == brute-force
+    # identity the gate has never seen.
+    QueryDef("ivf_batch_topk", q_ivf_batch_topk, SQL_IVF_BATCH_TOPK,
+             "batched IVF ANN == per-query brute force at exhaustive "
+             "probe (one-plan multi-query path; round-9 rotation "
+             "candidate)"),
+    # round-10 rotation: embedding_covariance -> EXTENDED after its
+    # r9 green grade (the exact-decimal sufficient-stats scan stays
+    # oracle-checked there and was graded twice in r9 — batch +
+    # streaming twin); the slot grades the CCNet unigram-LM quality
+    # proxy the gate has never seen.
+    QueryDef("unigram_logprob_quality", q_unigram_logprob_quality,
+             SQL_UNIGRAM_LOGPROB_QUALITY,
+             "CCNet-style unigram-LM quality proxy: per-doc MEAN token "
+             "log-probability over regex tokens (the length-normalized "
+             "filter signal; operator-backed upgrade of the "
+             "whitespace-token sum in unigram_logprob), one ln per "
+             "distinct vocab count snapped to the 1e9 grid + exact "
+             "BIGINT doc sums"),
     QueryDef("pii_scrub", q_pii_scrub, SQL_PII_SCRUB,
              "regex PII redaction: emails/IPs/phones counted + scrubbed"),
     # --- corpus hygiene ---
@@ -12366,11 +12383,18 @@ CATALOG: list[QueryDef] = [
     # grades; the substring tier grades the same benchmark-overlap
     # family with the stricter contract (gram EXCISION, not just doc
     # flagging — broadcast bench grams, positions, ordered reassembly).
-    QueryDef("substring_decontaminate", q_substring_decontaminate,
-             SQL_SUBSTRING_DECONTAMINATE,
-             "word-8-gram excision of benchmark text from the train "
-             "split (Lee et al. decontamination; broadcast bench "
-             "grams)"),
+    # round-10 rotation: substring_decontaminate -> EXTENDED after
+    # its r9 green grade; the decontamination family's window rep is
+    # now the embedding-space tier (paraphrase leakage — no shared
+    # n-grams), which the gate has never seen. The gram-excision
+    # contract stays oracle-checked in EXTENDED and via
+    # exact_substring_dedup (sentinel), whose covering law is the
+    # same sliding-gram machinery.
+    QueryDef("semantic_decontaminate", q_semantic_decontaminate,
+             SQL_SEMANTIC_DECONTAMINATE,
+             "embedding-space decontamination: per-train-vector max "
+             "cosine vs the broadcast benchmark split + tau flag (the "
+             "paraphrase-leakage sibling of ngram_decontaminate)"),
     # --- deduplication ---
     # round-8 second swap: the streaming ingest maintainer grades a
     # strict superset of exact_dedup_docs' min-id-per-fingerprint shape
@@ -12404,21 +12428,32 @@ CATALOG: list[QueryDef] = [
     # Jaccard oracle (SQL_NGRAM_JACCARD_PAIRS), so the must-equal-
     # exhaustive semantics stay driver-graded while the gate sees the
     # PPJoin prefix/length-filter plan for the first time.
-    QueryDef("prefix_jaccard_pairs", q_prefix_jaccard_pairs,
-             SQL_NGRAM_JACCARD_PAIRS,
-             "PPJoin prefix-filtered EXACT Jaccard join: rarest-shingle "
-             "prefixes bound candidate buckets, output == exhaustive"),
+    # round-10 rotation: prefix_jaccard_pairs -> EXTENDED after its
+    # r9 green grade (the exhaustive-Jaccard oracle stays checked
+    # there, shared verbatim with ngram_jaccard_pairs /
+    # minhash_lsh_pairs); the slot grades the encoding/readability
+    # triage family the gate has never seen.
+    QueryDef("doc_encoding_readability", q_doc_encoding_readability,
+             SQL_DOC_ENCODING_READABILITY,
+             "mojibake/U+FFFD/control counts + Flesch readability over "
+             "deterministically damaged docs — encoding triage before "
+             "GPU-hours, quantized-double oracle-matched"),
     # round-9 rotation: dedup_components -> EXTENDED after 7 green
     # grades (the connected-components shape replays inside the graded
     # customer_entity_resolution, whose oracle ends with CC -> stable
     # entity ids); the slot grades weighted PageRank — the same
     # power-iteration loop with per-edge weight coefficients the gate
     # has never seen.
-    QueryDef("wpagerank_copurchase", q_wpagerank_copurchase,
-             SQL_WPAGERANK_COPURCHASE,
-             "weighted PageRank (rank splits by purchase frequency): "
-             "loop-invariant w/sum(w) coefficients, decimal-exact "
-             "5-round replay"),
+    # round-10 rotation: wpagerank_copurchase -> EXTENDED after its
+    # r9 green grade (the iterative family keeps part_hop_distances
+    # + triangle_counts sentinels graded; all four PageRank-shaped
+    # decimal oracles stay in the local sweep); the slot grades the
+    # ER blocking pre-flight bound (r9 verdict item 6).
+    QueryDef("blocking_key_audit", q_blocking_key_audit,
+             SQL_BLOCKING_KEY_AUDIT,
+             "ER blocking-key pre-flight: exact candidate-pair bound "
+             "sum(C(block,2)) + per-record verify multiplier from one "
+             "groupBy — prices a key BEFORE any 100 TB blocked join"),
     # --- iterative graph ---
     # round-8 third rotation: pagerank_neardup -> EXTENDED (its
     # decimal-exact power-iteration shape stays oracle-checked there and
@@ -12431,19 +12466,29 @@ CATALOG: list[QueryDef] = [
     # restart semantics the gate has never seen; the iterative family
     # also keeps part_hop_distances, triangle_counts and
     # wpagerank_copurchase in the window.
-    QueryDef("ppr_copurchase", q_ppr_copurchase, SQL_PPR_COPURCHASE,
-             "personalized PageRank from a seeded customer cohort "
-             "(decimal-exact 5-round replay, seeded teleport + dangling "
-             "restart)"),
+    # round-10 rotation: ppr_copurchase -> EXTENDED after its r9
+    # green grade (same displacement note as wpagerank above); the
+    # slot grades the composed SQ+IVF+MMR retrieval chain end-to-end
+    # (r9 verdict stretch item 8).
+    QueryDef("compressed_retrieval_pipeline",
+             q_compressed_retrieval_pipeline,
+             SQL_COMPRESSED_RETRIEVAL_PIPELINE,
+             "compressed two-stage retrieval graded end-to-end: SQ "
+             "codes + IVF probe shortlist, exact-cosine refine, "
+             "integer-lattice MMR diverse top-5"),
     # --- similarity / embeddings ---
     # round-9 rotation: knn_cosine -> EXTENDED after 7 green grades;
     # hard_negatives grades a strict superset of its shape (broadcast
     # query side, JVM-side cosine, per-anchor top-k window) plus the
     # cross-label exclusion the gate has never seen.
-    QueryDef("hard_negatives", q_hard_negatives, SQL_HARD_NEGATIVES,
-             "contrastive hard-negative mining: per-anchor top-10 "
-             "cross-label cosine (broadcast anchors, corpus never "
-             "shuffles)"),
+    # round-10 rotation: hard_negatives -> EXTENDED after its r9
+    # green grade (the broadcast-anchor cosine top-k shape replays
+    # inside compressed_retrieval_pipeline's refine stage and
+    # mmr_diverse_topk's ANN stage, both graded this round); the
+    # slot grades the mergeable HLL register state the gate has
+    # never seen (sketch family).
+    QueryDef("hll_registers", q_hll_registers, SQL_HLL_REGISTERS,
+             "HyperLogLog register table (mergeable sketch state)"),
     # round-4 rotation: centroid_topk's oracle (and output) is identical
     # to knn_cosine's — an IVF exhaustive-probe equals brute force by
     # construction — so the slot goes to the time-series resampling
@@ -12501,10 +12546,16 @@ CATALOG: list[QueryDef] = [
     # three MVCC streaming maintainers in the window:
     # stream_ingest_dedup, stream_vector_stats, stream_crawl_frontier);
     # the slot grades the PSI data-drift audit the gate has never seen.
-    QueryDef("orders_drift_psi", q_orders_drift_psi, SQL_ORDERS_DRIFT_PSI,
-             "population-stability drift audit between snapshot halves "
-             "(deterministic equal-width bins, decimal-snapped term "
-             "sums)"),
+    # round-10 rotation: orders_drift_psi -> EXTENDED after its r9
+    # green grade; stream_drift_psi carries the IDENTICAL oracle SQL
+    # (SQL_ORDERS_DRIFT_PSI), so the batch PSI semantics stay
+    # driver-graded while the gate sees the 3-epoch MVCC bucket-
+    # count fold for the first time (r9 verdict item 5 — the last
+    # ungraded MVCC maintainer).
+    QueryDef("stream_drift_psi", q_stream_drift_psi, SQL_ORDERS_DRIFT_PSI,
+             "streaming drift monitor graded by value: 3-epoch MVCC "
+             "fold of frozen-bounds bucket counts == the batch PSI SQL "
+             "(round-9 rotation candidate)"),
     # --- round-7 rotation: the three oracle-paired families the gate
     # had never graded. Displaced near-duplicates (all still
     # oracle-checked in EXTENDED): window_rank_suite (the window-function
@@ -12522,11 +12573,16 @@ CATALOG: list[QueryDef] = [
     # whose oracle replays it in full); the slot grades the streaming
     # PCA-statistics maintainer — the same 3-epoch MVCC fold pattern
     # over the exact-decimal sufficient-stats state.
-    QueryDef("stream_vector_stats", q_stream_vector_stats,
-             SQL_EMBEDDING_COVARIANCE,
-             "streaming PCA-stats maintainer graded by value: 3-epoch "
-             "MVCC fold of exact-decimal sufficient stats == the batch "
-             "covariance SQL"),
+    # round-10 rotation: stream_vector_stats -> EXTENDED after its
+    # r9 green grade (the MVCC maintainer family stays graded via
+    # stream_ingest_dedup (sentinel) + stream_drift_psi +
+    # stream_centroid_refit this round); the slot grades the z-order
+    # layout key math the gate has never seen.
+    QueryDef("lineitem_zorder_keys", q_lineitem_zorder_keys,
+             SQL_LINEITEM_ZORDER_KEYS,
+             "z-order clustering key (bit-interleaved 2-D bucket "
+             "ranks) graded by value — the key math behind "
+             "write_zordered's file-skipping layout"),
     QueryDef("sentence_chunks", q_sentence_chunks, SQL_SENTENCE_CHUNKS,
              "sentence-preserving offset-bucketed chunking (RAG chunker):"
              " RE2-safe segmentation, window cumsum, ordered re-assembly"
@@ -12550,21 +12606,25 @@ CATALOG: list[QueryDef] = [
     # r8; its stage gates replay inside the graded
     # llm_corpus_dsir_pipeline); the slot grades the trainer-facing
     # shard manifest the gate has never seen.
-    QueryDef("corpus_shard_manifest", q_corpus_shard_manifest,
-             SQL_CORPUS_SHARD_MANIFEST,
-             "deterministic corpus sharding manifest: sha2-derived "
-             "placement + order key (salted independently of the "
-             "train/test split hash), per-shard doc/token/byte totals"),
+    # round-10 rotation: corpus_shard_manifest -> EXTENDED after its
+    # r9 green grade (the sha2-derived placement-key discipline
+    # replays inside hash_sample_docs' gate and the graded
+    # domain_temperature_sample); the slot grades the deterministic
+    # Bernoulli sampler the gate has never seen.
+    QueryDef("hash_sample_docs", q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS,
+             "deterministic hash-mod Bernoulli sample"),
     # round-9 rotation: crawl_frontier -> EXTENDED (graded green in r8);
     # stream_crawl_frontier carries the IDENTICAL oracle SQL
     # (SQL_CRAWL_FRONTIER), so the batch frontier semantics stay
     # driver-graded while the gate sees the MVCC edge/fetched-state
     # fold for the first time.
-    QueryDef("stream_crawl_frontier", q_stream_crawl_frontier,
-             SQL_CRAWL_FRONTIER,
-             "streaming frontier maintainer graded by value: 2 page "
-             "micro-batches folded through the MVCC edge/fetched state "
-             "== the batch frontier over all pages (pure-function law)"),
+    # round-10 rotation: stream_crawl_frontier -> EXTENDED after its
+    # r9 green grade (the crawl family keeps warc_roundtrip_checksums
+    # + robots_filtered_urls + html_extract_docs sentinels graded);
+    # the slot grades the Q10 revenue-per-customer top-k shape the
+    # gate has never seen.
+    QueryDef("returned_items", q_returned_items, SQL_RETURNED_ITEMS,
+             "Q10-shaped revenue-per-customer top-20"),
     QueryDef("customer_entity_resolution", q_customer_entity_resolution,
              SQL_CUSTOMER_ENTITY_RESOLUTION,
              "entity resolution via blocked_match_pairs: capped exact-"
@@ -12576,6 +12636,65 @@ CATALOG: list[QueryDef] = [
 #: continuously oracle-checked locally, excluded from the driver's 50-query
 #: window so every driver slot carries an independent operator family.
 EXTENDED_CATALOG: list[QueryDef] = [
+    # --- round-10 rotation: the twelve r9-green window entries whose
+    # slots fund the round-10 first-grades (displacement notes beside
+    # each replacement in CATALOG). All still oracle-checked here. ---
+    QueryDef("centroid_confusion", q_centroid_confusion,
+             SQL_CENTROID_CONFUSION,
+             "nearest-centroid confusion matrix over the embedding "
+             "space (cluster-purity audit; exact-decimal centroids "
+             "broadcast)"),
+    QueryDef("label_centroids", q_label_centroids, SQL_LABEL_CENTROIDS,
+             "per-label embedding centroids: grid-snapped exact decimal "
+             "sums per (label, dim) cell, one posexplode + one exchange "
+             "(the k-means/IVF/SemDeDup grouped-mean primitive)"),
+    QueryDef("embedding_covariance", q_embedding_covariance,
+             SQL_EMBEDDING_COVARIANCE,
+             "distributed covariance of the embedding column (PCA "
+             "sufficient statistics): integer-grid snap + exact decimal "
+             "sums, one posexplode + map-side-combined agg; 2080 cells "
+             "hash-matched at q12"),
+    QueryDef("substring_decontaminate", q_substring_decontaminate,
+             SQL_SUBSTRING_DECONTAMINATE,
+             "word-8-gram excision of benchmark text from the train "
+             "split (Lee et al. decontamination; broadcast bench "
+             "grams)"),
+    QueryDef("prefix_jaccard_pairs", q_prefix_jaccard_pairs,
+             SQL_NGRAM_JACCARD_PAIRS,
+             "PPJoin prefix-filtered EXACT Jaccard join: rarest-shingle "
+             "prefixes bound candidate buckets, output == exhaustive"),
+    QueryDef("wpagerank_copurchase", q_wpagerank_copurchase,
+             SQL_WPAGERANK_COPURCHASE,
+             "weighted PageRank (rank splits by purchase frequency): "
+             "loop-invariant w/sum(w) coefficients, decimal-exact "
+             "5-round replay"),
+    QueryDef("ppr_copurchase", q_ppr_copurchase, SQL_PPR_COPURCHASE,
+             "personalized PageRank from a seeded customer cohort "
+             "(decimal-exact 5-round replay, seeded teleport + dangling "
+             "restart)"),
+    QueryDef("hard_negatives", q_hard_negatives, SQL_HARD_NEGATIVES,
+             "contrastive hard-negative mining: per-anchor top-10 "
+             "cross-label cosine (broadcast anchors, corpus never "
+             "shuffles)"),
+    QueryDef("orders_drift_psi", q_orders_drift_psi, SQL_ORDERS_DRIFT_PSI,
+             "population-stability drift audit between snapshot halves "
+             "(deterministic equal-width bins, decimal-snapped term "
+             "sums)"),
+    QueryDef("stream_vector_stats", q_stream_vector_stats,
+             SQL_EMBEDDING_COVARIANCE,
+             "streaming PCA-stats maintainer graded by value: 3-epoch "
+             "MVCC fold of exact-decimal sufficient stats == the batch "
+             "covariance SQL"),
+    QueryDef("corpus_shard_manifest", q_corpus_shard_manifest,
+             SQL_CORPUS_SHARD_MANIFEST,
+             "deterministic corpus sharding manifest: sha2-derived "
+             "placement + order key (salted independently of the "
+             "train/test split hash), per-shard doc/token/byte totals"),
+    QueryDef("stream_crawl_frontier", q_stream_crawl_frontier,
+             SQL_CRAWL_FRONTIER,
+             "streaming frontier maintainer graded by value: 2 page "
+             "micro-batches folded through the MVCC edge/fetched state "
+             "== the batch frontier over all pages (pure-function law)"),
     # round-8 second swap: displaced by the two streaming-maintainer
     # value grades (see the CATALOG notes beside stream_ingest_dedup /
     # dsir_stream_stats), both still oracle-checked here
@@ -12640,12 +12759,6 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "(hot-host-safe via map-side WindowGroupLimit pruning)"),
     # round-9 worklist item 8 (stretch): the streaming ANN-index
     # maintenance loop closed — round-10 rotation candidate
-    QueryDef("stream_centroid_refit", q_stream_centroid_refit,
-             SQL_STREAM_CENTROID_REFIT,
-             "streaming k-means/IVF refit graded by value: 3-epoch MVCC "
-             "fold of per-centroid exact-decimal (sum, n) cells under a "
-             "pinned cosine E-step == one batch Lloyd M-step; refit "
-             "centroids emit with no corpus re-read"),
     # round-9 continued: two more corpus-pipeline stages, both
     # round-10 rotation candidates
     QueryDef("pack_sequences_ffd", q_pack_sequences_ffd, None,
@@ -12657,38 +12770,9 @@ EXTENDED_CATALOG: list[QueryDef] = [
     # 8) — the SQ-compress -> IVF-prune -> SQ-shortlist -> exact-refine
     # -> exact-MMR chain graded end-to-end by one DuckDB replay;
     # rotation candidate for the round-10 window
-    QueryDef("compressed_retrieval_pipeline",
-             q_compressed_retrieval_pipeline,
-             SQL_COMPRESSED_RETRIEVAL_PIPELINE,
-             "compressed two-stage retrieval graded end-to-end: SQ "
-             "codes + IVF probe shortlist, exact-cosine refine, "
-             "integer-lattice MMR diverse top-5"),
     # round-10: the ER blocking pre-flight promoted from
     # tools/er_blocking_probe.py (r9 verdict item 6) — rotation
     # candidate for the round-10 window
-    QueryDef("blocking_key_audit", q_blocking_key_audit,
-             SQL_BLOCKING_KEY_AUDIT,
-             "ER blocking-key pre-flight: exact candidate-pair bound "
-             "sum(C(block,2)) + per-record verify multiplier from one "
-             "groupBy — prices a key BEFORE any 100 TB blocked join"),
-    QueryDef("lineitem_zorder_keys", q_lineitem_zorder_keys,
-             SQL_LINEITEM_ZORDER_KEYS,
-             "z-order clustering key (bit-interleaved 2-D bucket "
-             "ranks) graded by value — the key math behind "
-             "write_zordered's file-skipping layout"),
-    QueryDef("semantic_decontaminate", q_semantic_decontaminate,
-             SQL_SEMANTIC_DECONTAMINATE,
-             "embedding-space decontamination: per-train-vector max "
-             "cosine vs the broadcast benchmark split + tau flag (the "
-             "paraphrase-leakage sibling of ngram_decontaminate)"),
-    QueryDef("unigram_logprob_quality", q_unigram_logprob_quality,
-             SQL_UNIGRAM_LOGPROB_QUALITY,
-             "CCNet-style unigram-LM quality proxy: per-doc MEAN token "
-             "log-probability over regex tokens (the length-normalized "
-             "filter signal; operator-backed upgrade of the "
-             "whitespace-token sum in unigram_logprob), one ln per "
-             "distinct vocab count snapped to the 1e9 grid + exact "
-             "BIGINT doc sums"),
     # round-8 third rotation: displaced near-duplicates (each shape's
     # graded home is noted beside its replacement in CATALOG)
     QueryDef("bm25_search", q_bm25_search, SQL_BM25_SEARCH,
@@ -12762,11 +12846,6 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("kmv_distinct_users", q_kmv_distinct_users,
              SQL_KMV_DISTINCT_USERS,
              "KMV distinct sketch per event_type (sketch oracle-exact)"),
-    QueryDef("doc_encoding_readability", q_doc_encoding_readability,
-             SQL_DOC_ENCODING_READABILITY,
-             "mojibake/U+FFFD/control counts + Flesch readability over "
-             "deterministically damaged docs — encoding triage before "
-             "GPU-hours, quantized-double oracle-matched"),
     QueryDef("sessionize_events_bucketed", q_sessionize_events_bucketed,
              SQL_SESSIONIZE_EVENTS,
              "skew-proof bucketed sessionize == plain (byte-identical)"),
@@ -12812,14 +12891,8 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("doc_stats", q_doc_stats, SQL_DOC_STATS, "per-doc text statistics"),
     QueryDef("embedding_norms", q_embedding_norms, SQL_EMBEDDING_NORMS,
              "vector L2 norms"),
-    QueryDef("hll_registers", q_hll_registers, SQL_HLL_REGISTERS,
-             "HyperLogLog register table (mergeable sketch state)"),
-    QueryDef("hash_sample_docs", q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS,
-             "deterministic hash-mod Bernoulli sample"),
     QueryDef("top_orders_per_customer", q_top_orders_per_customer,
              SQL_TOP_ORDERS_PER_CUSTOMER, "top-k per group window"),
-    QueryDef("returned_items", q_returned_items, SQL_RETURNED_ITEMS,
-             "Q10-shaped revenue-per-customer top-20"),
     QueryDef("promo_revenue", q_promo_revenue, SQL_PROMO_REVENUE,
              "Q14-shaped conditional-aggregation ratio"),
     QueryDef("cms_cells", q_cms_cells, SQL_CMS_CELLS,
@@ -13041,14 +13114,6 @@ EXTENDED_CATALOG: list[QueryDef] = [
              SQL_NGRAM_JACCARD_PAIRS,
              "exact 3-gram Jaccard near-dup pairs (exhaustive verifier; "
              "same oracle stays driver-graded via minhash_lsh_pairs)"),
-    QueryDef("stream_drift_psi", q_stream_drift_psi, SQL_ORDERS_DRIFT_PSI,
-             "streaming drift monitor graded by value: 3-epoch MVCC "
-             "fold of frozen-bounds bucket counts == the batch PSI SQL "
-             "(round-9 rotation candidate)"),
-    QueryDef("ivf_batch_topk", q_ivf_batch_topk, SQL_IVF_BATCH_TOPK,
-             "batched IVF ANN == per-query brute force at exhaustive "
-             "probe (one-plan multi-query path; round-9 rotation "
-             "candidate)"),
     QueryDef("l_diversity_check", q_l_diversity_check,
              SQL_L_DIVERSITY_CHECK,
              "distinct l-diversity audit over a sensitive band"),

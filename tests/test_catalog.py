@@ -28,16 +28,18 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # graded via tf_idf (their slots fund the linear-algebra family).
     "pii_scrub",                  # PII scrubbing
     # round-9 rotation: ngram_decontaminate -> EXTENDED after 6 green
-    # grades; the substring tier grades the same benchmark-overlap
-    # family with the stricter excision contract.
-    "substring_decontaminate",    # decontamination (gram excision)
+    # grades; round-10 rotation: substring_decontaminate -> EXTENDED
+    # after its r9 green grade — the decontamination family's window
+    # rep is now the embedding-space tier (paraphrase leakage).
+    "semantic_decontaminate",     # decontamination (embedding tier)
     # round-8 second swap: exact_dedup_docs -> EXTENDED; the streaming
     # ingest maintainer grades a strict superset of its argmin shape
     "stream_ingest_dedup",        # exact dedup via the MVCC maintainer
     # round-9 rotation: minhash_lsh_pairs -> EXTENDED after 7 green
-    # grades; prefix_jaccard_pairs carries the IDENTICAL exhaustive-
-    # Jaccard oracle so the must-equal-exhaustive semantics stay graded.
-    "prefix_jaccard_pairs",       # exact Jaccard self-join (PPJoin)
+    # grades; round-10: prefix_jaccard_pairs -> EXTENDED after its r9
+    # green grade (the exhaustive-Jaccard oracle stays checked there).
+    # The near-dup similarity family's graded reps this round are the
+    # ANN/retrieval tier below plus the dedup sentinels above.
     # round-9 rotation: dedup_components -> EXTENDED after 7 green
     # grades; the CC shape replays inside customer_entity_resolution's
     # graded oracle (blocking + verify + connected components).
@@ -46,9 +48,11 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # + ordered reassembly, plus sliding-gram interval union).
     "exact_substring_dedup",      # ExactSubstr substring-level dedup
     # round-9 rotation: knn_cosine -> EXTENDED after 7 green grades;
-    # hard_negatives grades a strict superset (broadcast anchors,
-    # JVM-side cosine, per-anchor top-k window + cross-label filter).
-    "hard_negatives",             # cosine top-k mining (ANN family)
+    # round-10: hard_negatives -> EXTENDED after its r9 green grade —
+    # its broadcast-anchor cosine top-k shape replays inside the two
+    # graded retrieval queries below.
+    "ivf_batch_topk",             # batched IVF == brute-force identity
+    "compressed_retrieval_pipeline",  # composed SQ+IVF+MMR chain
     "cms_heavy_hitters",          # count-min sketch
     # round-8 third swap: stratified_sample_docs -> EXTENDED; the
     # temperature sampler is the same per-stratum hash gate with
@@ -85,20 +89,36 @@ REQUIRED_IN_DRIVER_WINDOW = {
     # round-9 rotation: hits_copurchase -> EXTENDED (graded r8); the
     # decimal power-iteration loop stays graded via ppr + wpagerank,
     # which add seeded-teleport and edge-weight semantics.
-    "ppr_copurchase",             # iterative graph (personalized PR)
-    "wpagerank_copurchase",       # iterative graph (weighted PR)
+    # round-10 rotation: ppr_copurchase + wpagerank_copurchase ->
+    # EXTENDED after their r9 green grades; the iterative-graph family
+    # keeps part_hop_distances + triangle_counts graded (below).
     # round-9 rotation: hourly_rollup_merge -> EXTENDED after 5 green
     # grades; the merge-law family stays graded via the three MVCC
     # streaming maintainers below.
-    "orders_drift_psi",           # PSI data-drift audit (DQ family)
-    "events_key_skew",            # join-key skew diagnostic
-    "embedding_covariance",       # one-pass PCA sufficient stats
-    "label_centroids",            # exact-decimal grouped centroids
-    "centroid_confusion",         # cluster-purity audit
-    "mmr_diverse_topk",           # MMR diversified re-rank (rows-only)
-    "corpus_shard_manifest",      # trainer-facing shard layout
-    "stream_vector_stats",        # streaming PCA-stats maintainer
-    "stream_crawl_frontier",      # streaming frontier maintainer
+    # round-10 rotation: orders_drift_psi -> EXTENDED after its r9
+    # green grade; stream_drift_psi carries the IDENTICAL oracle SQL.
+    "stream_drift_psi",           # PSI drift audit, MVCC-maintained
+    "events_key_skew",            # join-key skew diagnostic (r9 red
+                                  # fixed this round — must re-grade)
+    # round-10 rotation: embedding_covariance / label_centroids /
+    # centroid_confusion / stream_vector_stats -> EXTENDED after their
+    # r9 green grades; the exact-decimal linear-algebra + maintainer
+    # family's graded rep is the streaming refit (its oracle replays
+    # the grouped-mean AND the cosine E-step).
+    "stream_centroid_refit",      # streaming k-means/IVF refit
+    "mmr_diverse_topk",           # MMR re-rank (value-oracled r10 —
+                                  # r9 red fixed, must re-grade)
+    "unigram_logprob_quality",    # CCNet unigram-LM quality proxy
+    "blocking_key_audit",         # ER blocking pre-flight bound
+    "lineitem_zorder_keys",       # z-order layout key math
+    # round-10 rotation: corpus_shard_manifest + stream_crawl_frontier
+    # -> EXTENDED after their r9 green grades (crawl family keeps
+    # warc/robots/html sentinels; shard placement-key discipline
+    # replays inside hash_sample_docs' gate).
+    "hash_sample_docs",           # deterministic Bernoulli sampler
+    "doc_encoding_readability",   # encoding/readability triage
+    "hll_registers",              # mergeable HLL sketch state
+    "returned_items",             # Q10 revenue top-k shape
     "market_share",               # Q8 snowflake, double-role dim join
     # round-3 continued rotation: four new first-class families promoted
     # (displacing near-duplicates: session_funnel ~ session_pattern_match
@@ -368,9 +388,13 @@ def test_rotation_tool_contract():
     assert set(gr.SENTINELS) <= set(window)
     counts = gr.grade_counts()
     rotating = [n for n in window if n not in set(gr.SENTINELS)]
+    # rows-only queries never enter the proposal (they'd be permanent
+    # red rows under the window contract)
+    oracled = {q.name for q in FULL_CATALOG if q.oracle is not None}
+    assert set(rotating) <= oracled
     # every rotating slot goes to a query graded no more often than any
-    # non-sentinel left outside the window
+    # sql-oracled non-sentinel left outside the window
     max_in = max(counts.get(n, {}).get("graded", 0) for n in rotating)
-    outside = names - set(window) - set(gr.SENTINELS)
+    outside = (names & oracled) - set(window) - set(gr.SENTINELS)
     min_out = min(counts.get(n, {}).get("graded", 0) for n in outside)
     assert max_in <= min_out or max_in == 0

@@ -97,11 +97,14 @@ SENTINELS = [
 #: rotating pool automatically.) Round-10 queue: the round-9 additions
 #: plus the two batch/stream twins whose graded siblings entered in r9.
 PRIORITY = [
+    # round-10 queue (r9 verdict item 4; stream_centroid_refit and
+    # semantic_decontaminate graded green in r9 and left the queue)
     "stream_drift_psi",        # streaming PSI maintainer (batch twin graded r9)
     "ivf_batch_topk",          # batched IVF == brute force identity
-    "stream_centroid_refit",   # streaming k-means/IVF refit (new r9)
-    "semantic_decontaminate",  # embedding-space decontamination (new r9)
     "unigram_logprob_quality",  # CCNet unigram-LM quality proxy (new r9)
+    "lineitem_zorder_keys",    # z-order key math (new r9, local-graded)
+    "blocking_key_audit",      # ER pre-flight bound (new r10, verdict item 6)
+    "compressed_retrieval_pipeline",  # composed SQ+IVF+MMR chain (new r10)
 ]
 
 WINDOW_SIZE = 50
@@ -139,10 +142,15 @@ def propose_window(window_size: int = WINDOW_SIZE) -> list[str]:
     missing = [s for s in SENTINELS if s not in order]
     if missing:
         raise SystemExit(f"sentinels not in catalog: {missing}")
+    # rows-only queries can never grade green (the driver marks an
+    # oracle-less window row `err: no_oracle` — round 9's permanent red
+    # slot); the window contract in tests/test_catalog.py forbids them,
+    # so they never enter the rotating pool.
+    sql_oracled = {q.name for q in FULL_CATALOG if q.oracle is not None}
     counts = grade_counts()
     prio = {n: i for i, n in enumerate(PRIORITY)}
     rotating = sorted(
-        (n for n in names if n not in SENTINELS),
+        (n for n in names if n not in SENTINELS and n in sql_oracled),
         key=lambda n: (
             counts.get(n, {}).get("graded", 0),
             prio.get(n, len(PRIORITY)),
