@@ -165,6 +165,20 @@ HEADLINE = [
     "wpagerank_copurchase_fast",
     "hits_copurchase_fast",
     "stream_centroid_refit",
+    # round-10: the batched-IVF one-plan path, the composed compressed-
+    # retrieval chain, the exact/double MMR twin pair (mmr_diverse_topk
+    # above is now the integer-lattice exact mode; the double path
+    # benches beside it), the streaming PSI maintainer, and the rest of
+    # the round's graded additions
+    "ivf_batch_topk",
+    "compressed_retrieval_pipeline",
+    "mmr_diverse_topk_fast",
+    "stream_drift_psi",
+    "semantic_decontaminate",
+    "unigram_logprob_quality",
+    "lineitem_zorder_keys",
+    "blocking_key_audit",
+    "pack_sequences_ffd",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off
