@@ -107,6 +107,14 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--phases", type=int, default=4,
                     help="total phases in ABBA... order (must be even)")
+    ap.add_argument("--warmup", type=int, default=1,
+                    help="discarded lead-in phases (base tree). The "
+                         "first measured phase must NOT start from a "
+                         "cold idle box: the r10 first run measured A "
+                         "at load 0.24 and B at 12.5 because only "
+                         "phase 1 enjoyed the cold start — ABBA "
+                         "cancels linear drift, not the lead-in "
+                         "transient")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.phases % 2:
@@ -122,6 +130,14 @@ def main() -> None:
     for blk in range(args.phases // 4 + 1):
         order += ["A", "B", "B", "A"]
     order = order[: args.phases]
+
+    for w in range(args.warmup):
+        res = run_phase(base_tree, queries, args.repeats)
+        print(
+            f"# warmup {w + 1}/{args.warmup} (discarded) "
+            f"load={res['load_avg']}",
+            file=sys.stderr,
+        )
 
     phase_timings: dict[str, list[dict[str, float]]] = {"A": [], "B": []}
     loads = []
