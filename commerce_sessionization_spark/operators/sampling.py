@@ -255,6 +255,135 @@ def dsir_score(
     )
 
 
+#: Rational-sort resolution for :func:`mixture_waterfill`: with integer
+#: weights ≤ 1e6, two distinct ratios a1/w1 ≠ a2/w2 differ by at least
+#: 1/(w1·w2) ≥ 1e-12, so floor(a·1e12/w) is a collision-free exact sort
+#: key — no floating-point division anywhere in the pivot search.
+_WATERFILL_KEY_SCALE = 10**12
+
+
+def mixture_waterfill(
+    avail: DataFrame,
+    budget: DataFrame,
+    domain_col: str = "domain",
+    avail_col: str = "available",
+    target_col: str = "target_ppm",
+) -> DataFrame:
+    """Token-budget waterfilling across domains: the mixture-planning
+    step that runs BEFORE any sampler. Given per-domain availability
+    ``A_d`` (tokens on disk), integer target weights ``w_d`` (ppm-style,
+    any positive integer scale), and a total training budget ``B``,
+    compute the unique allocation ``t_d = min(A_d, w_d·s)`` whose sum
+    exhausts the budget — low-resource domains saturate at what they
+    have, and the water level ``s`` (tokens per weight unit) rises until
+    the remaining domains absorb the rest in target proportion. This is
+    the standard feasibility solve behind temperature/mixture recipes
+    (the "epochs over low-resource languages" tables in multilingual-LM
+    papers): targets alone overshoot what small domains can supply, and
+    naive renormalisation silently shifts the mixture.
+
+    Exactness: domains sort by the collision-free integer key
+    ``floor(A·1e12/w)`` (see ``_WATERFILL_KEY_SCALE``) — the saturated
+    set is always a prefix of that order. The pivot test for position k
+    ("does domain k still saturate?") is the cross-multiplied rational
+    comparison ``A_k·(TW − prevW_k) < w_k·(B − prevA_k)`` in
+    decimal(38,0), and unsaturated allocations are the exact integer
+    division ``floor(w_d·R / W)`` via the subtract-modulo identity —
+    no float enters the solve, so the result is reproducible across
+    engines, partitionings, and scales.
+
+    Scale shape: one groupBy has already reduced the corpus to ≤ |domains|
+    rows before this operator runs; everything here is arithmetic over
+    that tiny frame plus one broadcast of the 1-row (totals × budget)
+    anchor and one broadcast of the 1-row saturated-prefix residual.
+    Zero wide shuffles; the corpus itself never enters.
+
+    ``budget`` is a 1-row DataFrame with a ``budget`` column (keep it a
+    DataFrame so data-derived budgets stay inside the plan — no
+    driver-side collect).
+
+    Returns one row per input domain: ``domain, available, target_ppm,
+    saturated (int), alloc_tokens, fill_ppm`` where fill_ppm =
+    floor(alloc·1e6/available) (1e6 for empty domains).
+    """
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    base = avail.select(
+        F.col(domain_col).alias("domain"),
+        F.col(avail_col).cast("long").alias("_a"),
+        F.col(target_col).cast("long").alias("_w"),
+    )
+    # Zero-weight domains take no part in the fill: alloc = 0.
+    zero_w = base.filter(F.col("_w") <= 0).select(
+        "domain",
+        F.col("_a").alias("available"),
+        F.col("_w").alias("target_ppm"),
+        F.lit(0).alias("saturated"),
+        F.lit(0).cast("long").alias("alloc_tokens"),
+        F.lit(0).cast("long").alias("fill_ppm"),
+    )
+    live = base.filter(F.col("_w") > 0)
+    anchor = (
+        live.agg(F.sum("_w").cast(d38).alias("_tw"))
+        .crossJoin(budget.select(F.col("budget").cast(d38).alias("_b")))
+    )
+    p = (F.col("_a").cast(d38) * F.lit(_WATERFILL_KEY_SCALE).cast(d38))
+    key = ((p - p % F.col("_w").cast(d38)) / F.col("_w").cast(d38)).cast(d38)
+    win = Window.orderBy("_key", "domain")
+    ranked = (
+        live.withColumn("_key", key)
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("_cuma", F.sum("_a").over(win).cast(d38))
+        .withColumn("_cumw", F.sum("_w").over(win).cast(d38))
+        .withColumn(
+            "_sat",
+            (
+                F.col("_a").cast(d38)
+                * (F.col("_tw") - (F.col("_cumw") - F.col("_w")))
+                < F.col("_w").cast(d38)
+                * (F.col("_b") - (F.col("_cuma") - F.col("_a")))
+            ).cast("int"),
+        )
+    )
+    residual = ranked.agg(
+        (F.max("_b") - F.coalesce(
+            F.sum(F.when(F.col("_sat") == 1, F.col("_a"))), F.lit(0)
+        ).cast(d38)).alias("_r"),
+        (F.max("_tw") - F.coalesce(
+            F.sum(F.when(F.col("_sat") == 1, F.col("_w"))), F.lit(0)
+        ).cast(d38)).alias("_rw"),
+    )
+    wr = F.col("_w").cast(d38) * F.col("_r")
+    alloc = F.when(F.col("_sat") == 1, F.col("_a").cast(d38)).otherwise(
+        F.when(
+            F.col("_rw") > 0,
+            (wr - wr % F.col("_rw")) / F.col("_rw"),
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    filled = (
+        ranked.crossJoin(F.broadcast(residual))
+        .withColumn("_alloc", F.greatest(F.lit(0).cast("long"), alloc))
+        .select(
+            "domain",
+            F.col("_a").alias("available"),
+            F.col("_w").alias("target_ppm"),
+            F.col("_sat").alias("saturated"),
+            F.col("_alloc").alias("alloc_tokens"),
+            F.when(F.col("_a") <= 0, F.lit(1000000).cast("long"))
+            .otherwise(
+                F.floor(
+                    F.col("_alloc").cast(d38)
+                    * F.lit(1000000).cast(d38)
+                    / F.col("_a").cast(d38)
+                ).cast("long")
+            )
+            .alias("fill_ppm"),
+        )
+    )
+    return filled.unionByName(zero_w)
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,

@@ -8665,6 +8665,120 @@ WHERE ({_DOC_HASH_SQL.replace("doc_id", "d.doc_id")}) % 1000000 < r.thresh_ppm
 """
 
 
+def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture feasibility solve: waterfill 90% of the corpus's tokens
+    across languages under temperature-α=0.5 targets. Temperature
+    upweights low-resource languages past what they can supply at a
+    high budget — at sf0.01 four of the five languages saturate at
+    their availability and ``en`` absorbs the residual — and naive
+    target renormalisation would silently shift the mixture; this
+    computes the unique feasible allocation instead — the planning
+    step a 100 TB mixture job runs before committing sampler rates
+    (``domain_temperature_sample`` is the sampler this parameterises).
+
+    The target ppm reuses ``domain_temperature_sample``'s proven float
+    step (one correctly-rounded sqrt per language, decimal-snapped
+    sum); everything downstream is integer-exact in decimal(38,0) /
+    HUGEINT — collision-free rational sort key, cross-multiplied
+    pivot tests, subtract-modulo integer division (see
+    ``operators.sampling.mixture_waterfill``). Scale: the corpus
+    collapses to |languages| rows in one map-side-combinable agg; the
+    solve is arithmetic over that tiny frame.
+    """
+    from commerce_sessionization_spark.operators.sampling import (
+        mixture_waterfill,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("lang").agg(
+        F.sum("n_chars").alias("available"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    denom = avail.agg(
+        F.sum(F.sqrt(F.col("_c").cast("double")).cast("decimal(28,12)"))
+        .cast("double").alias("_s")
+    )
+    targets = avail.crossJoin(F.broadcast(denom)).select(
+        F.col("lang").alias("domain"),
+        "available",
+        F.floor(
+            F.lit(1000000.0)
+            * F.sqrt(F.col("_c").cast("double"))
+            / F.col("_s")
+        ).cast("long").alias("target_ppm"),
+    )
+    budget = (
+        avail.agg(F.sum("available").alias("_ta"))
+        .selectExpr("_ta * 9 div 10 AS budget")
+    )
+    return mixture_waterfill(targets, budget)
+
+
+SQL_MIXTURE_WATERFILL = """
+WITH avail AS (
+  SELECT lang AS domain,
+         CAST(sum(n_chars) AS BIGINT) AS available,
+         count(*) AS c
+  FROM documents GROUP BY lang
+), denom AS (
+  SELECT CAST(sum(CAST(sqrt(CAST(c AS DOUBLE)) AS DECIMAL(28,12)))
+              AS DOUBLE) AS s
+  FROM avail
+), targets AS (
+  SELECT domain, available,
+         CAST(floor(1000000.0 * sqrt(CAST(c AS DOUBLE)) / s)
+              AS BIGINT) AS w
+  FROM avail, denom
+), anchor AS (
+  SELECT (SELECT CAST(sum(w) AS HUGEINT) FROM targets WHERE w > 0) AS tw,
+         (SELECT (CAST(sum(available) AS HUGEINT) * 9) // 10
+          FROM targets) AS b
+), ranked AS (
+  SELECT t.*,
+         sum(available) OVER w AS cuma,
+         sum(w)         OVER w AS cumw
+  FROM targets t WHERE w > 0
+  WINDOW w AS (ORDER BY (CAST(available AS HUGEINT) * 1000000000000) // w,
+                        domain
+               ROWS UNBOUNDED PRECEDING)
+), sat AS (
+  SELECT r.*, a.tw, a.b,
+         CASE WHEN CAST(available AS HUGEINT)
+                   * (a.tw - (CAST(cumw AS HUGEINT) - w))
+                 < CAST(w AS HUGEINT)
+                   * (a.b - (CAST(cuma AS HUGEINT) - available))
+              THEN 1 ELSE 0 END AS saturated
+  FROM ranked r CROSS JOIN anchor a
+), resid AS (
+  SELECT max(b) - coalesce(sum(CASE WHEN saturated = 1
+                                    THEN CAST(available AS HUGEINT) END),
+                           0) AS rr,
+         max(tw) - coalesce(sum(CASE WHEN saturated = 1
+                                     THEN CAST(w AS HUGEINT) END),
+                            0) AS rw
+  FROM sat
+), alloc AS (
+  SELECT domain, available, w AS target_ppm, saturated,
+         CAST(greatest(
+             0,
+             CASE WHEN saturated = 1 THEN CAST(available AS HUGEINT)
+                  WHEN rw > 0 THEN (CAST(w AS HUGEINT) * rr) // rw
+                  ELSE 0 END) AS BIGINT) AS alloc_tokens
+  FROM sat CROSS JOIN resid
+)
+SELECT domain, available, target_ppm, saturated, alloc_tokens,
+       CASE WHEN available <= 0 THEN CAST(1000000 AS BIGINT)
+            ELSE CAST((CAST(alloc_tokens AS HUGEINT) * 1000000)
+                      // available AS BIGINT)
+       END AS fill_ppm
+FROM alloc
+UNION ALL
+SELECT domain, available, w AS target_ppm, 0 AS saturated,
+       CAST(0 AS BIGINT) AS alloc_tokens, CAST(0 AS BIGINT) AS fill_ppm
+FROM targets WHERE w <= 0
+"""
+
+
 # --------------------------------------------------------------------------
 # Linear classifier inference (model-scoring family)
 # --------------------------------------------------------------------------
@@ -12799,6 +12913,15 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "DSIR end-to-end: Gumbel-top-k importance resample over "
              "the quantized weights (samples prop. to exp(w) without "
              "replacement, hash-derived noise, exp-free)"),
+    # round-10: mixture planning joins the sampler family — the
+    # feasibility solve that parameterises domain_temperature_sample.
+    QueryDef("mixture_waterfill", q_mixture_waterfill,
+             SQL_MIXTURE_WATERFILL,
+             "token-budget waterfill across sources under temperature "
+             "targets: saturating domains capped at availability, "
+             "integer-exact pivot search (collision-free rational sort "
+             "key + cross-multiplied comparisons, zero float in the "
+             "solve)"),
     QueryDef("boilerplate_extract_docs", q_boilerplate_extract_docs,
              SQL_BOILERPLATE_EXTRACT_DOCS,
              "jusText-style per-block boilerplate removal (length + "

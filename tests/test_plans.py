@@ -238,6 +238,7 @@ _INTENDED_LOOP_JOINS = {
     "event_gapfill_interp",    # 1-row global bucket-range anchor
     "domain_mixture_sample",   # 1-row corpus totals anchor
     "domain_temperature_sample",  # 1-row sqrt-denominator anchor
+    "mixture_waterfill",       # 1-row denom / totals×budget / residual anchors
     "gdpr_purge_audit",        # three 1-row (total x purged) count crosses
     "semdedup_prune",          # broadcast 16-row seed centroids (×3 refs)
     "sq_topk",                 # 1-row bounds + 1-row query-code broadcasts
