@@ -179,6 +179,7 @@ HEADLINE = [
     "lineitem_zorder_keys",
     "blocking_key_audit",
     "pack_sequences_ffd",
+    "mixture_waterfill",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

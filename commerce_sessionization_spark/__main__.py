@@ -155,6 +155,27 @@ def main(argv: list[str] | None = None) -> int:
                          "100 TB corpus to a blocking key)")
     sk.add_argument("--master", default=None)
 
+    mx = sub.add_parser(
+        "mixture",
+        help="token-budget waterfill plan: per-domain allocation under "
+             "integer target weights with availability caps (run "
+             "BEFORE committing sampler rates — temperature targets "
+             "overshoot low-resource domains)",
+    )
+    mx.add_argument("table", help="parquet path, or a testdata table name "
+                                  "when --sf-dir is given")
+    mx.add_argument("domain", help="domain column (e.g. lang, source)")
+    mx.add_argument("size", help="per-row size column to sum as "
+                                 "availability (e.g. n_chars)")
+    mx.add_argument("budget", type=int, help="total token budget")
+    mx.add_argument("--sf-dir", default=None,
+                    help="resolve `table` inside this testdata dir")
+    mx.add_argument("--temperature", type=float, default=0.5,
+                    help="target weight ∝ count^T (1.0 = proportional, "
+                         "0.0 = uniform; default the multilingual-LM "
+                         "0.5)")
+    mx.add_argument("--master", default=None)
+
     dr = sub.add_parser(
         "drift",
         help="PSI distribution-drift audit between two snapshots of a "
@@ -670,6 +691,47 @@ def main(argv: list[str] | None = None) -> int:
                 blocking_key_audit(df, keys).show(
                     1, truncate=False, vertical=True
                 )
+        elif args.cmd == "mixture":
+            from pyspark.sql import functions as F
+
+            from commerce_sessionization_spark.operators.sampling import (
+                mixture_waterfill,
+            )
+
+            if args.sf_dir:
+                from commerce_sessionization_spark.sources.tables import load_table
+
+                df = load_table(spark, args.sf_dir, args.table)
+            else:
+                df = spark.read.parquet(args.table)
+            avail = df.groupBy(F.col(args.domain).alias("domain")).agg(
+                F.sum(args.size).alias("available"),
+                F.count(F.lit(1)).alias("_c"),
+            )
+            # integer ppm targets ∝ count^T via the decimal-snapped
+            # pow/sum (the domain_temperature_sample float discipline)
+            denom = avail.agg(
+                F.sum(
+                    F.pow(F.col("_c").cast("double"), F.lit(args.temperature))
+                    .cast("decimal(28,12)")
+                ).cast("double").alias("_s")
+            )
+            targets = avail.crossJoin(F.broadcast(denom)).select(
+                "domain",
+                "available",
+                F.floor(
+                    F.lit(1000000.0)
+                    * F.pow(F.col("_c").cast("double"),
+                            F.lit(args.temperature))
+                    / F.col("_s")
+                ).cast("long").alias("target_ppm"),
+            )
+            budget = spark.range(1).select(
+                F.lit(args.budget).cast("long").alias("budget")
+            )
+            mixture_waterfill(targets, budget).orderBy(
+                F.desc("alloc_tokens")
+            ).show(truncate=False)
         elif args.cmd == "drift":
             from commerce_sessionization_spark.operators.dq import (
                 data_drift_psi,

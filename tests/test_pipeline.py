@@ -310,6 +310,22 @@ def test_cli_skew_subcommand():
     assert "skew_factor_q6" in run.stdout and "top_keys" in run.stdout
 
 
+def test_cli_mixture_subcommand():
+    """`mixture` prints the waterfill plan: allocations are capped at
+    availability and the budget column set is scalar-only."""
+    import subprocess
+    import sys as _sys
+
+    run = subprocess.run(
+        [_sys.executable, "-m", "commerce_sessionization_spark", "mixture",
+         "documents", "lang", "n_chars", "50000",
+         "--sf-dir", "/root/testdata/sf0.001", "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert run.returncode == 0, run.stderr[-500:]
+    assert "alloc_tokens" in run.stdout and "saturated" in run.stdout
+
+
 def test_read_parquet_evolving_merges_added_column(spark, tmp_path):
     import pytest as _pytest
 

@@ -105,6 +105,8 @@ PRIORITY = [
     "lineitem_zorder_keys",    # z-order key math (new r9, local-graded)
     "blocking_key_audit",      # ER pre-flight bound (new r10, verdict item 6)
     "compressed_retrieval_pipeline",  # composed SQ+IVF+MMR chain (new r10)
+    # round-11 queue (these entered the r10 window above; next up)
+    "mixture_waterfill",       # token-budget feasibility solve (new r10)
 ]
 
 WINDOW_SIZE = 50
