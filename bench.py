@@ -180,6 +180,7 @@ HEADLINE = [
     "blocking_key_audit",
     "pack_sequences_ffd",
     "mixture_waterfill",
+    "cdc_chunk_docs",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

@@ -666,6 +666,138 @@ def segment_dedup(
     )
 
 
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking on word anchors: token t is an anchor
+    iff sha256-hash(t) % ``divisor`` == 0, and a chunk is the token run
+    from one anchor (inclusive) to the token before the next. Expected
+    chunk length ≈ ``divisor`` tokens, but boundaries move with
+    CONTENT, not position — inserting or deleting words re-chunks only
+    the run between the two surrounding anchors, so every other
+    chunk's fingerprint survives the edit. Fixed-window segmentation
+    (``segment_dedup``) loses ALL fingerprints downstream of an
+    insertion because every window shifts by one; this is the
+    word-level analogue of storage CDC (LBFS/rsync-style chunking)
+    and the reason shifted boilerplate is still catchable at corpus
+    scale.
+
+    Returns one row per chunk: ``(id_col, chunk_idx, chunk_text,
+    chunk_sha)`` with chunk_idx counting anchors seen so far (a
+    pre-anchor prefix is chunk 0). Joining a doc's chunk_texts with a
+    single space reproduces its token stream exactly.
+
+    Plan shape: chunking happens entirely array-land in one projection
+    (anchor indexes via transform+filter, chunk slices via zip_with) —
+    ZERO shuffle until the chunks themselves posexplode, so the
+    per-token rows never reach an exchange. A window-cumsum-over-
+    exploded-tokens formulation computes the same thing but shuffles
+    the whole token stream (~515 B/record measured at sf0.1) just to
+    regroup what was already co-located; at 100 TB that is the
+    difference between shuffling the corpus and shuffling the chunk
+    table. The anchor test is one JVM-side sha2 per token — no Python
+    in the path.
+    """
+    d = F.lit(int(divisor))
+    toked = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
+    )
+    # anchor token indexes, 0-based (materialized stepwise: outer
+    # expressions referenced inside higher-order lambdas re-evaluate
+    # per element — see q_segment_dedup_docs)
+    idxed = toked.select(
+        id_col,
+        "_t",
+        F.filter(
+            F.transform(
+                "_t",
+                lambda t, i: F.when(
+                    hex_to_long(F.sha2(t, 256)) % d == 0, i
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda x: x >= 0,
+        ).alias("_anchors"),
+    )
+    # chunk k spans [starts[k], ends[k]): starts = anchors, plus a
+    # leading 0 when the doc doesn't open on an anchor (the chunk-0
+    # prefix); ends = starts shifted left, closed by the token count.
+    starts = F.when(
+        F.coalesce(F.try_element_at("_anchors", F.lit(1)), F.lit(-1)) == 0,
+        F.col("_anchors"),
+    ).otherwise(F.concat(F.array(F.lit(0)), F.col("_anchors")))
+    bounded = idxed.select(id_col, "_t", starts.alias("_starts"))
+    ends = F.concat(
+        F.slice(
+            "_starts", 2, F.greatest(F.size("_starts") - 1, F.lit(0))
+        ),
+        F.array(F.size("_t")),
+    )
+    chunks = bounded.select(
+        id_col,
+        F.zip_with(
+            "_starts",
+            ends,
+            lambda s, e: F.array_join(F.slice("_t", s + 1, e - s), " "),
+        ).alias("_chunks"),
+    )
+    return chunks.select(
+        id_col,
+        F.posexplode("_chunks").alias("chunk_idx", "chunk_text"),
+    ).withColumn("chunk_sha", F.sha2(F.col("chunk_text"), 256))
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 8,
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Shift-resistant duplicate-chunk stripping: CDC-chunk every
+    document (:func:`cdc_chunks`), drop any chunk occurring in ≥
+    ``min_docs`` distinct documents, reassemble survivors in order.
+    Same contract as :func:`segment_dedup` (adds ``out_col`` +
+    ``n_kept``, plus ``n_chunks``) but catches boilerplate at ANY
+    offset: a nav bar preceded by different headers in every page
+    still chunks identically from its first anchor on, where fixed
+    segmentation sees |header|-dependent windows and misses all of it.
+    """
+    chunks = cdc_chunks(df, id_col, text_col, divisor)
+    boiler = (
+        chunks.groupBy("chunk_sha")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("chunk_sha")
+    )
+    kept = chunks.join(boiler, "chunk_sha", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda x: x["chunk_text"],
+            ),
+            " ",
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_chunks = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    return (
+        df.join(n_chunks, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)))
+        .withColumn("n_chunks", F.coalesce(F.col("n_chunks"), F.lit(0)))
+    )
+
+
 def _word_tokens(df, id_col: str, text_col: str):
     """(_id, _w) projection on literal single-space word splits — the
     tokenization contract exact-substring dedup/decontam share."""

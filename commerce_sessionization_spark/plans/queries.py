@@ -3331,6 +3331,69 @@ GROUP BY n.doc_id, n.n_segments
 """
 
 
+def q_cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-resistant boilerplate stripping via content-defined
+    chunking: token t is an anchor iff sha256(t) % 8 == 0, chunks run
+    anchor-to-anchor, and any chunk occurring in ≥2 distinct docs is
+    dropped everywhere (``operators.dedup.cdc_chunk_dedup``). Unlike
+    ``segment_dedup_docs``'s fixed 4-token windows, boundaries move
+    with content — a duplicated run is caught at ANY offset, and an
+    insertion invalidates only the one chunk it lands in (the LBFS /
+    rsync chunking idea applied to words; shift-resistance law pinned
+    in tests/test_cdc_chunks.py).
+    """
+    from commerce_sessionization_spark.operators.dedup import (
+        cdc_chunk_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = cdc_chunk_dedup(docs, divisor=8, min_docs=2)
+    return out.select(
+        "doc_id", "clean_text",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
+
+
+SQL_CDC_CHUNK_DOCS = f"""
+WITH toks AS (
+  SELECT doc_id, g.i AS pos, w[g.i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) g
+), flagged AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN ({_hex2int_sql("sha256(tok)")}) % 8 = 0
+              THEN 1 ELSE 0 END AS anchor
+  FROM toks
+), chunked AS (
+  SELECT doc_id, pos, tok,
+         sum(anchor) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS chunk_idx
+  FROM flagged
+), chunks AS (
+  SELECT doc_id, chunk_idx,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+  FROM chunked GROUP BY doc_id, chunk_idx
+), boiler AS (
+  SELECT chunk_text FROM chunks
+  GROUP BY chunk_text HAVING count(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT * FROM chunks
+  WHERE chunk_text NOT IN (SELECT chunk_text FROM boiler)
+), nchunks AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+  FROM chunks GROUP BY doc_id
+)
+SELECT n.doc_id,
+       coalesce(string_agg(k.chunk_text, ' ' ORDER BY k.chunk_idx),
+                '') AS clean_text,
+       n.n_chunks,
+       CAST(count(k.chunk_text) AS BIGINT) AS n_kept
+FROM nchunks n LEFT JOIN kept k USING (doc_id)
+GROUP BY n.doc_id, n.n_chunks
+"""
+
+
 # --------------------------------------------------------------------------
 # Token-level exact-substring dedup (ExactSubstr, Lee et al. 2022)
 # --------------------------------------------------------------------------
@@ -12907,6 +12970,12 @@ EXTENDED_CATALOG: list[QueryDef] = [
     QueryDef("segment_dedup_docs", q_segment_dedup_docs, SQL_SEGMENT_DEDUP_DOCS,
              "corpus boilerplate removal: cross-doc duplicate segments "
              "(fixed-segment subset of exact_substring_dedup's plan)"),
+    # round-10: the shift-resistant twin — content-defined boundaries
+    # catch duplicated runs at any offset where fixed windows miss them.
+    QueryDef("cdc_chunk_docs", q_cdc_chunk_docs, SQL_CDC_CHUNK_DOCS,
+             "content-defined-chunking dedup (anchor tokens via "
+             "sha%8==0, LBFS-style): duplicate chunks dropped at any "
+             "offset; insertion invalidates only the chunk it lands in"),
     # round-8 rotation: displaced near-duplicates (see the CATALOG note
     # beside llm_corpus_dsir_pipeline for where each shape stays graded)
     QueryDef("dsir_resample", q_dsir_resample, SQL_DSIR_RESAMPLE,

@@ -107,6 +107,7 @@ PRIORITY = [
     "compressed_retrieval_pipeline",  # composed SQ+IVF+MMR chain (new r10)
     # round-11 queue (these entered the r10 window above; next up)
     "mixture_waterfill",       # token-budget feasibility solve (new r10)
+    "cdc_chunk_docs",          # content-defined-chunking dedup (new r10)
 ]
 
 WINDOW_SIZE = 50
