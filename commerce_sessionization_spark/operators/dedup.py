@@ -686,9 +686,10 @@ def cdc_chunks(
     scale.
 
     Returns one row per chunk: ``(id_col, chunk_idx, chunk_text,
-    chunk_sha)`` with chunk_idx counting anchors seen so far (a
-    pre-anchor prefix is chunk 0). Joining a doc's chunk_texts with a
-    single space reproduces its token stream exactly.
+    chunk_sha)`` with chunk_idx the 0-based chunk position within the
+    document (a pre-anchor prefix, when the doc doesn't open on an
+    anchor, is chunk 0). Joining a doc's chunk_texts in chunk_idx
+    order with a single space reproduces its token stream exactly.
 
     Plan shape: chunking happens entirely array-land in one projection
     (anchor indexes via transform+filter, chunk slices via zip_with) —

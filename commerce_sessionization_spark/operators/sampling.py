@@ -271,8 +271,9 @@ def mixture_waterfill(
 ) -> DataFrame:
     """Token-budget waterfilling across domains: the mixture-planning
     step that runs BEFORE any sampler. Given per-domain availability
-    ``A_d`` (tokens on disk), integer target weights ``w_d`` (ppm-style,
-    any positive integer scale), and a total training budget ``B``,
+    ``A_d`` (tokens on disk), integer target weights ``w_d`` (ppm
+    scale: each weight must be ≤ 1e6 — the collision-free sort key
+    below is only exact under that bound), and a training budget ``B``,
     compute the unique allocation ``t_d = min(A_d, w_d·s)`` whose sum
     exhausts the budget — low-resource domains saturate at what they
     have, and the water level ``s`` (tokens per weight unit) rises until
@@ -372,9 +373,16 @@ def mixture_waterfill(
             F.col("_alloc").alias("alloc_tokens"),
             F.when(F.col("_a") <= 0, F.lit(1000000).cast("long"))
             .otherwise(
-                F.floor(
-                    F.col("_alloc").cast(d38)
-                    * F.lit(1000000).cast(d38)
+                # subtract-modulo exact floor division: Spark decimal
+                # division HALF_UP-rounds at scale 6 before floor, so
+                # frac >= 1-5e-7 would round up past the oracle's //
+                (
+                    (
+                        F.col("_alloc").cast(d38) * F.lit(1000000).cast(d38)
+                        - (F.col("_alloc").cast(d38)
+                           * F.lit(1000000).cast(d38))
+                        % F.col("_a").cast(d38)
+                    )
                     / F.col("_a").cast(d38)
                 ).cast("long")
             )

@@ -119,6 +119,21 @@ def test_zero_weight_and_zero_availability_domains(spark):
     assert got["live"][3] <= 400
 
 
+def test_fill_ppm_floor_is_exact_not_half_up(spark):
+    # alloc=2 over available=2,000,001 → fill = floor(0.9999995·1e6) = 0.
+    # Spark decimal division HALF_UP-rounds at scale 6 (0.9999995 → 1.0)
+    # before a floor, so a naive division reports 1; the subtract-modulo
+    # identity must hold the exact 0 (matches the oracle's integer //).
+    avail = spark.createDataFrame(
+        [("a", 2_000_001, 1_000_000)],
+        "domain string, available long, target_ppm long",
+    )
+    bdf = spark.createDataFrame([(2,)], "budget long")
+    row = mixture_waterfill(avail, bdf).collect()[0]
+    assert row.saturated == 0 and row.alloc_tokens == 2
+    assert row.fill_ppm == 0
+
+
 def test_empty_input_yields_empty_output(spark):
     assert _run(spark, [], budget=10) == {}
 

@@ -14,7 +14,8 @@ box stable:
 - Phases run in ABBA order (A, B, B, A). Any drift that is LINEAR in
   wall-clock time cancels exactly in the per-side sums: side A's two
   phases straddle side B's, so both sides see the same mean epoch.
-- The artifact reports per-query ratios (median-of-phases A / B) and
+- The artifact reports per-query work/base ratios (median over the
+  working tree's phases divided by median over the base phases) and
   their geometric mean — a number that stays meaningful when the
   absolute seconds do not. ratio > 1 means the working tree is slower.
 
@@ -117,8 +118,13 @@ def main() -> None:
                          "transient")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
-    if args.phases % 2:
-        raise SystemExit("--phases must be even (ABBA pairing)")
+    if args.phases % 4:
+        # an even-but-not-4k count (6, 10, ...) truncates ABBA blocks
+        # into a schedule where the two sides see different mean epochs
+        # — linear drift then does NOT cancel, silently defeating the
+        # harness. Whole ABBA blocks only.
+        raise SystemExit("--phases must be a multiple of 4 (whole ABBA "
+                         "blocks; truncated blocks break drift symmetry)")
 
     base_tree = ensure_worktree(args.base)
     if args.queries:
