@@ -309,12 +309,21 @@ def mixture_waterfill(
     """
     from pyspark.sql import Window
 
+    from pyspark import StorageLevel
+
     d38 = "decimal(38,0)"
+    # persist the |domains|-row frame: the solve references it from
+    # seven branches (live/zero_w/anchor/ranked/residual/filled), and
+    # without the cache every branch re-runs the caller's corpus
+    # aggregation — 12 parquet scans of the corpus instead of 1 in the
+    # catalog query's plan (PLANS.md receipt). Model-sized, so the
+    # leaked cache block is a few KB per call (the graph operators'
+    # persist convention).
     base = avail.select(
         F.col(domain_col).alias("domain"),
         F.col(avail_col).cast("long").alias("_a"),
         F.col(target_col).cast("long").alias("_w"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # Zero-weight domains take no part in the fill: alloc = 0.
     zero_w = base.filter(F.col("_w") <= 0).select(
         "domain",

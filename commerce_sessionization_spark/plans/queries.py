@@ -8752,11 +8752,15 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         mixture_waterfill,
     )
 
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
+    # one corpus scan: denom / targets / budget all branch from this
+    # |languages|-row frame (see mixture_waterfill's persist note)
     avail = docs.groupBy("lang").agg(
         F.sum("n_chars").alias("available"),
         F.count(F.lit(1)).alias("_c"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     denom = avail.agg(
         F.sum(F.sqrt(F.col("_c").cast("double")).cast("decimal(28,12)"))
         .cast("double").alias("_s")
