@@ -59,10 +59,17 @@ PINNED = [
     "wpagerank_copurchase_fast",
     "hits_copurchase_fast",
     "stream_centroid_refit",
-    "semantic_decontaminate",
+    # semantic_decontaminate deliberately NOT pinned: an empty
+    # benchmark split now raises (ADVICE r9 — the gate must not pass
+    # every train row with zero coverage); its loud-raise contract has
+    # its own pin below, the pq_adc_topk pattern.
     "unigram_logprob_quality",
     "lineitem_zorder_keys",
     "pack_sequences_ffd",
+    # round-10 additions: the waterfill must yield an empty plan (not a
+    # null-budget crash), CDC chunking an empty chunk table
+    "mixture_waterfill",
+    "cdc_chunk_docs",
 ]
 
 
@@ -85,6 +92,15 @@ def test_pinned_queries_survive_empty_tables(spark, empty_sf):
         except Exception as e:  # noqa: BLE001 — we report them all at once
             failures[name] = f"{type(e).__name__}: {e}"
     assert not failures, failures
+
+
+def test_semantic_decontaminate_empty_bench_fails_loudly(spark, empty_sf):
+    """An empty benchmark split makes the decontamination gate
+    meaningless (it would pass every train row with zero coverage) —
+    the contract is an explicit ValueError, not a silent empty pass."""
+    queries = all_spark_queries()
+    with pytest.raises(ValueError, match="benchmark split is empty"):
+        queries["semantic_decontaminate"](spark, empty_sf).count()
 
 
 def test_pq_seeding_fails_loudly_not_cryptically(spark, empty_sf):
