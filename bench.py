@@ -181,6 +181,7 @@ HEADLINE = [
     "pack_sequences_ffd",
     "mixture_waterfill",
     "cdc_chunk_docs",
+    "leakage_safe_split",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

@@ -54,6 +54,47 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across
+    sides: hash the CLUSTER representative, not the document id.
+
+    A plain hashed split (:func:`hash_split`) puts two near-identical
+    documents on opposite sides of the split with probability
+    2·p·(1-p) — at a 90/10 split, ~18% of every near-dup pair leaks
+    the test set into training, which inflates eval exactly on the
+    examples dedup was supposed to control. This operator first
+    resolves ``pairs`` (any near-dup edge list: MinHash-LSH, SimHash,
+    n-gram Jaccard, embedding cosine) into connected components
+    (``dedup_components``: min-label propagation with pointer jumping),
+    then splits on the component representative — every member of a
+    near-dup cluster lands on the same side by construction, and
+    singletons (component_id == own id) split identically to
+    :func:`hash_split`, so a pair-free corpus degrades to the plain
+    split bit-for-bit.
+
+    Scale shape: the component loop touches only the (tiny) pair set;
+    docs join components on the id (one shuffle) and the split label
+    is one sha256 per row. Adds ``component_id`` and ``out_col``.
+    """
+    from commerce_sessionization_spark.operators.dedup import (
+        dedup_components,
+    )
+
+    comps = dedup_components(pairs, docs.select(id_col), id_col)
+    joined = docs.join(comps, id_col)
+    return hash_split(
+        joined, id_col="component_id", weights=weights, seed=seed,
+        out_col=out_col,
+    )
+
+
 def weighted_priority(id_col: Column, weight_col: Column, seed: str = "ws") -> Column:
     """A-ES weighted-sampling priority: −ln(u)/w with u hash-derived.
 

@@ -3282,6 +3282,43 @@ FROM (SELECT doc_id, ({_SPLIT_HASH_SQL}) % 10000 AS h FROM documents)
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-safe 90/5/5 split: the 3-gram Jaccard ≥ 0.8 pair graph
+    resolves to components, and the split hashes the component
+    representative — near-duplicate documents can never straddle
+    train/test (a plain hashed split leaks ~18% of near-dup pairs
+    across a 90/10 boundary). Singletons split identically to
+    ``train_test_split``, so the operator degrades to the plain split
+    on a pair-free corpus (law pinned in tests/test_leakage_split.py).
+    """
+    from commerce_sessionization_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return leakage_safe_split(docs, pairs).select(
+        "doc_id", "component_id", "split"
+    )
+
+
+SQL_LEAKAGE_SAFE_SPLIT = SQL_DEDUP_COMPONENTS.replace(
+    "SELECT node AS doc_id, min(comp) AS component_id FROM reach GROUP BY node",
+    f""", comp AS (
+  SELECT node AS doc_id, min(comp) AS component_id
+  FROM reach GROUP BY node
+)
+SELECT doc_id, component_id,
+       CASE WHEN h < 9000 THEN 'train'
+            WHEN h < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, component_id,
+             ({_hex2int_sql("sha256('split:' || component_id::VARCHAR)")})
+             % 10000 AS h
+      FROM comp)""",
+)
+
+
 # --------------------------------------------------------------------------
 # Corpus boilerplate removal (segment-level dedup)
 # --------------------------------------------------------------------------
@@ -13111,6 +13148,13 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "Q7-shaped double-role dimension join with pair disjunction"),
     QueryDef("train_test_split", q_train_test_split, SQL_TRAIN_TEST_SPLIT,
              "deterministic hash-keyed train/val/test assignment"),
+    # round-10: the near-dup-safe variant — split on the component
+    # representative so duplicate clusters never straddle train/test.
+    QueryDef("leakage_safe_split", q_leakage_safe_split,
+             SQL_LEAKAGE_SAFE_SPLIT,
+             "near-dup-safe split: CC over the Jaccard pair graph, "
+             "split hashed on the component representative (plain "
+             "hashed splits leak ~18% of near-dup pairs at 90/10)"),
     QueryDef("llm_corpus_pipeline", q_llm_corpus_pipeline,
              SQL_LLM_CORPUS_PIPELINE,
              "composed corpus prep: quality gate -> dedup -> near-dup "

@@ -108,6 +108,7 @@ PRIORITY = [
     # round-11 queue (these entered the r10 window above; next up)
     "mixture_waterfill",       # token-budget feasibility solve (new r10)
     "cdc_chunk_docs",          # content-defined-chunking dedup (new r10)
+    "leakage_safe_split",      # near-dup-safe train/test split (new r10)
 ]
 
 WINDOW_SIZE = 50
