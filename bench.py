@@ -182,6 +182,7 @@ HEADLINE = [
     "mixture_waterfill",
     "cdc_chunk_docs",
     "leakage_safe_split",
+    "mixture_sample_plan",
 ]
 
 #: Per-query repeat count; the reported figure is the median, so one-off

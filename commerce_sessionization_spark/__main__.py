@@ -155,6 +155,27 @@ def main(argv: list[str] | None = None) -> int:
                          "100 TB corpus to a blocking key)")
     sk.add_argument("--master", default=None)
 
+    sp = sub.add_parser(
+        "split",
+        help="train/val/test assignment; --leakage-safe resolves the "
+             "near-dup pair graph first and splits on the component "
+             "representative so duplicate clusters never straddle "
+             "train/test",
+    )
+    sp.add_argument("table", help="parquet path, or a testdata table name "
+                                  "when --sf-dir is given")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--sf-dir", default=None,
+                    help="resolve `table` inside this testdata dir")
+    sp.add_argument("--out", default=None,
+                    help="write assignments parquet here (default: show)")
+    sp.add_argument("--leakage-safe", action="store_true",
+                    help="split on near-dup components (3-gram Jaccard "
+                         ">= --threshold pair graph over --text-col)")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--threshold", type=float, default=0.8)
+    sp.add_argument("--master", default=None)
+
     mx = sub.add_parser(
         "mixture",
         help="token-budget waterfill plan: per-domain allocation under "
@@ -691,6 +712,37 @@ def main(argv: list[str] | None = None) -> int:
                 blocking_key_audit(df, keys).show(
                     1, truncate=False, vertical=True
                 )
+        elif args.cmd == "split":
+            from commerce_sessionization_spark.operators.dedup import (
+                ngram_jaccard_pairs,
+            )
+            from commerce_sessionization_spark.operators.sampling import (
+                hash_split,
+                leakage_safe_split,
+            )
+
+            if args.sf_dir:
+                from commerce_sessionization_spark.sources.tables import load_table
+
+                df = load_table(spark, args.sf_dir, args.table)
+            else:
+                df = spark.read.parquet(args.table)
+            if args.leakage_safe:
+                pairs = ngram_jaccard_pairs(
+                    df, n=3, threshold=args.threshold,
+                    id_col=args.id_col, text_col=args.text_col,
+                )
+                out = leakage_safe_split(df, pairs, id_col=args.id_col)
+                cols = [args.id_col, "component_id", "split"]
+            else:
+                out = hash_split(df, args.id_col)
+                cols = [args.id_col, "split"]
+            result = out.select(*cols)
+            if args.out:
+                result.write.mode("overwrite").parquet(args.out)
+                print(f"wrote {args.out}")
+            else:
+                result.groupBy("split").count().orderBy("split").show()
         elif args.cmd == "mixture":
             from pyspark.sql import functions as F
 

@@ -8883,6 +8883,42 @@ FROM targets WHERE w <= 0
 """
 
 
+def q_mixture_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture plan EXECUTED: ``mixture_waterfill``'s per-language
+    fill ratios become parts-per-million hash gates on the doc id (the
+    ``domain_mixture_sample`` gate discipline), so the corpus that
+    comes out actually carries the feasible allocation the solve
+    promised — saturated languages keep everything (fill = 1e6),
+    the residual-absorbing language keeps its proportional share.
+    Planning and execution graded as ONE composed query: a drift
+    between the solver's ppm grid and the sampler's gate would
+    hash-mismatch here even if each half passed alone.
+
+    Scale shape: the plan is a |languages|-row broadcast; the corpus
+    scans once through a codegen filter. One sha256 per row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    plan = q_mixture_waterfill(spark, sf_dir).select(
+        "domain", "fill_ppm"
+    )
+    h = hex_to_long(F.sha2(F.col("doc_id").cast("string"), 256))
+    return (
+        docs.join(
+            F.broadcast(plan), docs["lang"] == plan["domain"]
+        )
+        .filter((h % 1000000) < F.col("fill_ppm"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+SQL_MIXTURE_SAMPLE_PLAN = f"""
+WITH plan AS ({SQL_MIXTURE_WATERFILL})
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN plan p ON p.domain = d.lang
+WHERE ({_hex2int_sql("sha256(d.doc_id::VARCHAR)")}) % 1000000 < p.fill_ppm
+"""
+
+
 # --------------------------------------------------------------------------
 # Linear classifier inference (model-scoring family)
 # --------------------------------------------------------------------------
@@ -13032,6 +13068,11 @@ EXTENDED_CATALOG: list[QueryDef] = [
              "integer-exact pivot search (collision-free rational sort "
              "key + cross-multiplied comparisons, zero float in the "
              "solve)"),
+    QueryDef("mixture_sample_plan", q_mixture_sample_plan,
+             SQL_MIXTURE_SAMPLE_PLAN,
+             "the waterfill EXECUTED: fill ratios become ppm hash "
+             "gates, planning + sampling graded as one composed query "
+             "(a solver/sampler grid drift would hash-mismatch here)"),
     QueryDef("boilerplate_extract_docs", q_boilerplate_extract_docs,
              SQL_BOILERPLATE_EXTRACT_DOCS,
              "jusText-style per-block boilerplate removal (length + "

@@ -326,6 +326,28 @@ def test_cli_mixture_subcommand():
     assert "alloc_tokens" in run.stdout and "saturated" in run.stdout
 
 
+def test_cli_split_subcommand(tmp_path):
+    """`split --leakage-safe` writes component-keyed assignments."""
+    import subprocess
+    import sys as _sys
+
+    out = str(tmp_path / "splits")
+    run = subprocess.run(
+        [_sys.executable, "-m", "commerce_sessionization_spark", "split",
+         "documents", "--leakage-safe", "--sf-dir",
+         "/root/testdata/sf0.001", "--out", out, "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert run.returncode == 0, run.stderr[-500:]
+    import duckdb
+
+    got = duckdb.sql(
+        f"SELECT count(*) AS n, count(DISTINCT split) AS s, "
+        f"count(component_id) AS c FROM read_parquet('{out}/*.parquet')"
+    ).fetchone()
+    assert got[0] == 500 and got[1] >= 2 and got[2] == 500
+
+
 def test_read_parquet_evolving_merges_added_column(spark, tmp_path):
     import pytest as _pytest
 

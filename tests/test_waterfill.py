@@ -138,6 +138,31 @@ def test_empty_input_yields_empty_output(spark):
     assert _run(spark, [], budget=10) == {}
 
 
+def test_sample_plan_delivers_the_allocation(spark):
+    """Composition law: the executed sample's per-language char mass
+    tracks the waterfill allocation — saturated languages keep every
+    doc, the residual absorber keeps ≈ fill_ppm of its chars."""
+    from commerce_sessionization_spark.plans.queries import (
+        q_mixture_sample_plan,
+    )
+
+    plan = {r.domain: r for r in q_mixture_waterfill(spark, SF_DIR).collect()}
+    kept = (
+        q_mixture_sample_plan(spark, SF_DIR)
+        .groupBy("lang")
+        .agg({"n_chars": "sum", "*": "count"})
+        .collect()
+    )
+    for r in kept:
+        p = plan[r.lang]
+        if p.saturated:
+            # fill_ppm == 1e6 ⇒ the gate passes every doc
+            assert r["sum(n_chars)"] == p.available
+        else:
+            # hash gate ⇒ kept chars ≈ alloc within sampling noise
+            assert abs(r["sum(n_chars)"] - p.alloc_tokens) < 0.25 * p.available
+
+
 def test_catalog_query_runs_and_is_feasible(spark):
     rows = q_mixture_waterfill(spark, SF_DIR).collect()
     assert rows, "documents table has languages"

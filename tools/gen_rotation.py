@@ -109,6 +109,7 @@ PRIORITY = [
     "mixture_waterfill",       # token-budget feasibility solve (new r10)
     "cdc_chunk_docs",          # content-defined-chunking dedup (new r10)
     "leakage_safe_split",      # near-dup-safe train/test split (new r10)
+    "mixture_sample_plan",     # waterfill plan executed as a sampler (r10)
 ]
 
 WINDOW_SIZE = 50
