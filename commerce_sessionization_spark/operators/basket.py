@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def association_rules(
@@ -50,9 +51,18 @@ def association_rules(
     consequent_count, confidence, lift``. Multiplicity within a basket
     is ignored (set semantics), matching the standard formulation.
     """
-    items = df.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    # pinned: the distinct item set feeds THREE consumers — the eager
+    # n_baskets count below, the pass-1 frequency aggregate, and the
+    # pass-2 probe join — and its subtree re-reads (and re-distincts)
+    # the fact table per consumer when unpinned. Serialized level (cf.
+    # the graph-loop pins): the basket-item pair set is fact-scale.
+    items = (
+        df.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
 
     n_baskets = items.select("basket").distinct().count()
     min_count = max(1, int(min_support * n_baskets + 0.5))

@@ -767,7 +767,12 @@ def cdc_chunk_dedup(
     still chunks identically from its first anchor on, where fixed
     segmentation sees |header|-dependent windows and misses all of it.
     """
-    chunks = cdc_chunks(df, id_col, text_col, divisor)
+    # pinned: the chunk table feeds THREE consumers (the boilerplate
+    # frequency count, the anti-join probe side, and the per-doc chunk
+    # count), and its subtree prices one sha2 per TOKEN — unpinned, the
+    # whole per-token hashing pass executes three times (cf. the
+    # minhash_lsh_dedup_pairs cands pin).
+    chunks = cdc_chunks(df, id_col, text_col, divisor).localCheckpoint()
     boiler = (
         chunks.groupBy("chunk_sha")
         .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
@@ -906,7 +911,11 @@ def exact_substring_dedup(
         raise ValueError(f"count_mode must be docs|occurrences: {count_mode}")
 
     toks = _word_tokens(df, id_col, text_col)
-    grams = _word_kgrams(toks, window)
+    # pinned: the gram stream feeds BOTH the dup-frequency aggregate and
+    # the covered-position probe join, and its subtree prices one sha2
+    # per word k-gram — unpinned, the tokenize+hash pass executed twice
+    # (cf. the cdc_chunk_dedup chunk pin). Narrow (_id, _p, _h) rows.
+    grams = _word_kgrams(toks, window).localCheckpoint()
     freq = (
         F.count_distinct(F.col("_id"))
         if count_mode == "docs"

@@ -173,6 +173,12 @@ def pagerank(
             .cast("double")
             .alias("_wsum")
         )
+    # pinned: out_deg feeds BOTH the wedges build and the dangling-node
+    # anti-join, and each reference re-scans (and re-aggregates) the full
+    # pinned edge list — a |V|-sized checkpoint replaces a second |E|
+    # pass (measured as one of the two edge-scan jobs in the iters=0
+    # setup split; the values are byte-identical, only computed once).
+    out_deg = out_deg.localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     base = F.lit((1.0 - damping) / n_vert)
     small = n_vert <= broadcast_vertices
 
@@ -749,16 +755,21 @@ def hits(
         return F.broadcast(df) if small else df
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        # pin raw FIRST: the norm aggregate and the normalized projection
+        # both read it, and raw's subtree is the half-round's real work
+        # (edges join + aggregation) — unpinned it executed twice per
+        # half-round (cf. pagerank, which aggregates its dangling scalar
+        # from the already-checkpointed rank table for the same reason).
+        # The normalized output stays lazy: it is one broadcast crossJoin
+        # over the pinned raw, so re-deriving it per consumer is a scan
+        # of |V| materialized rows, not a re-join of the edge list.
+        raw = raw.localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         norm = raw.agg(_sum0(F.col(col)).alias("_norm"))
-        return (
-            raw.crossJoin(F.broadcast(norm))
-            .select(
-                "node",
-                F.when(F.col("_norm") > 0, F.col(col) / F.col("_norm"))
-                .otherwise(F.lit(0.0))
-                .alias(col),
-            )
-            .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+        return raw.crossJoin(F.broadcast(norm)).select(
+            "node",
+            F.when(F.col("_norm") > 0, F.col(col) / F.col("_norm"))
+            .otherwise(F.lit(0.0))
+            .alias(col),
         )
 
     hub = verts.select("node", F.lit(1.0).alias("hub")).localCheckpoint(

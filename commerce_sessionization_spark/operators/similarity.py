@@ -96,11 +96,26 @@ def ivf_assign(
     scored = df.crossJoin(c).withColumn(
         "_sim", cosine_similarity(F.col(vec_col), F.col("_cvec"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("_cid"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(df["*"], F.col("_cid").alias(centroid_id_col))
+    # argmax as ONE map-side-combinable aggregate, not a row_number
+    # window: the window formulation shuffles n×nlist rows each carrying
+    # the full vector payload just to rank them, while max_by collapses
+    # every group to its winner inside the scan partition (the crossJoin
+    # fanout never reaches the exchange — n rows cross, not n×nlist).
+    # Ordering (_sim desc, then smallest _cid) is replicated exactly as
+    # max of (_sim, −_cid): sims are computed by the identical codegen
+    # expression per (row, centroid), so the winner — and therefore
+    # every output value — is unchanged.
+    payload = F.struct(
+        *[F.col(col) for col in df.columns], F.col("_cid")
+    )
+    best = scored.groupBy(F.col(id_col).alias("_gid")).agg(
+        F.max_by(
+            payload, F.struct(F.col("_sim"), (-F.col("_cid")).alias("_nc"))
+        ).alias("_w")
+    )
+    return best.select(
+        *[F.col(f"_w.{col}").alias(col) for col in df.columns],
+        F.col("_w._cid").alias(centroid_id_col),
     )
 
 

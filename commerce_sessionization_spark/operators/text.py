@@ -311,6 +311,13 @@ def cross_doc_span_stats(
             )
         ).alias("_s"),
     ).select("_id", hex_to_long(F.sha2(F.col("_s"), 256)).alias("_h"))
+    # pinned: the span stream feeds BOTH the dup-set aggregate and the
+    # probe side of the left join, and its subtree prices one sha2 per
+    # span — unpinned, the whole tokenize+hash pass executed twice
+    # (cf. the cdc_chunk_dedup chunk pin). The materialized rows are the
+    # narrow (doc, 60-bit hash) pairs, far cheaper to hold than the
+    # second hashing pass they replace.
+    spans = spans.localCheckpoint()
     dup_hashes = (
         spans.groupBy("_h")
         .agg(F.count_distinct(F.col("_id")).alias("_nd"))

@@ -8477,7 +8477,16 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LIMIT evaluates, so both engines seed the identical centroid count
     nlist = max(16, math.ceil(math.sqrt(n))) if n else 16
     cents = seed_centroids(emb, nlist=nlist)
-    assigned = ivf_assign(emb, cents).select("vec_id", "embedding", "centroid_id")
+    # pinned: the assignment (an n·√n·d cosine argmax — the expensive
+    # stage by design) feeds THREE consumers: both sides of the
+    # within-cluster self-join and the kept/dropped join-back. Unpinned,
+    # the argmax scan re-executed per consumer (exchange reuse only
+    # covers the two same-key self-join sides, not the vec_id join).
+    assigned = (
+        ivf_assign(emb, cents)
+        .select("vec_id", "embedding", "centroid_id")
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
     left = assigned.select(
         "centroid_id",
         F.col("vec_id").alias("_vid"),

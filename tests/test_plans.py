@@ -239,6 +239,7 @@ _INTENDED_LOOP_JOINS = {
     "domain_mixture_sample",   # 1-row corpus totals anchor
     "domain_temperature_sample",  # 1-row sqrt-denominator anchor
     "mixture_waterfill",       # 1-row denom / totals×budget / residual anchors
+    "mixture_sample_plan",     # composes mixture_waterfill's scalar anchors
     "gdpr_purge_audit",        # three 1-row (total x purged) count crosses
     "semdedup_prune",          # broadcast 16-row seed centroids (×3 refs)
     "sq_topk",                 # 1-row bounds + 1-row query-code broadcasts
