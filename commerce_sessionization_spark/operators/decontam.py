@@ -108,7 +108,8 @@ def semantic_contamination(
     contaminated), one row per train vector.
     """
     from commerce_sessionization_spark.functions.vectors import (
-        cosine_similarity,
+        dot_product,
+        l2_norm,
     )
 
     # An empty benchmark side would make the crossJoin drop EVERY train
@@ -120,15 +121,27 @@ def semantic_contamination(
             "semantic_contamination: benchmark split is empty — the "
             "gate would pass every train row with zero coverage"
         )
+    # norms hoisted out of the pair projection (cf. similarity.py): the
+    # train norm computes once per row instead of once per (row, bench)
+    # pair, the bench norms ride the broadcast — same doubles, same
+    # dot/(|a|·|b|) parenthesization, so max_cos is bit-unchanged.
     b = F.broadcast(
-        bench_vecs.select(F.col(vec_col).alias("_bvec"))
+        bench_vecs.select(
+            F.col(vec_col).alias("_bvec"),
+            l2_norm(F.col(vec_col)).alias("_bn"),
+        )
     )
     return (
-        train_vecs.select(F.col(id_col), F.col(vec_col))
+        train_vecs.select(
+            F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_tn")
+        )
         .crossJoin(b)
         .select(
             id_col,
-            cosine_similarity(F.col(vec_col), F.col("_bvec")).alias("_cos"),
+            (
+                dot_product(F.col(vec_col), F.col("_bvec"))
+                / (F.col("_tn") * F.col("_bn"))
+            ).alias("_cos"),
         )
         .groupBy(id_col)
         .agg(F.max("_cos").alias("max_cos"))

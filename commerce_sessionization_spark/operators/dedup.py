@@ -193,6 +193,11 @@ def ngram_jaccard_pairs(
         "_id",
         F.explode(shingles_from_words(F.col("_w"), n)).alias("shingle"),
     )
+    # pinned: the shingle stream feeds the per-doc size aggregate AND the
+    # self-join (whose two sides already share one exchange) — unpinned,
+    # the tokenize+shingle pass executed twice (cf. the k-gram pin in
+    # exact_substring_dedup).
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
 
     left = sh.alias("l")

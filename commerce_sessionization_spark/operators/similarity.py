@@ -20,7 +20,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from commerce_sessionization_spark.functions.vectors import cosine_similarity
+from commerce_sessionization_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
+
+# Norm hoisting (used by every cross-scoring path below): cosine is
+# dot(a,b) / (|a|·|b|), and computing it per PAIR re-derives both norms
+# once per partner — |queries|× per corpus row. Hoisting |a| into a
+# projection before the crossJoin and |b| into the broadcast side keeps
+# the VALUES bit-identical (the same sqrt of the same left-to-right sum,
+# divided by the same product, just computed once) while cutting the
+# per-pair work to the dot product alone.
 
 
 def brute_force_topk(
@@ -36,12 +48,21 @@ def brute_force_topk(
     The query side is crossJoin(broadcast(...)) — no collect, no shuffle of
     the corpus; ordering ties break on id for determinism.
     """
-    q = F.broadcast(query_df.select(F.col(query_vec_col).alias("_qvec")))
+    q = F.broadcast(
+        query_df.select(
+            F.col(query_vec_col).alias("_qvec"),
+            l2_norm(F.col(query_vec_col)).alias("_qn"),
+        )
+    )
     return (
-        df.crossJoin(q)
+        df.select(id_col, vec_col, l2_norm(F.col(vec_col)).alias("_vn"))
+        .crossJoin(q)
         .select(
             id_col,
-            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+            (
+                dot_product(F.col(vec_col), F.col("_qvec"))
+                / (F.col("_vn") * F.col("_qn"))
+            ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
@@ -59,13 +80,22 @@ def all_pairs_topk(
     """k nearest corpus rows per query row (queries broadcast)."""
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
         )
     )
-    scored = corpus.crossJoin(q).select(
-        F.col("_qid").alias(query_id_col),
-        F.col(id_col),
-        cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    scored = (
+        corpus.select(id_col, vec_col, l2_norm(F.col(vec_col)).alias("_vn"))
+        .crossJoin(q)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            (
+                dot_product(F.col(vec_col), F.col("_qvec"))
+                / (F.col("_vn") * F.col("_qn"))
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
@@ -90,11 +120,21 @@ def ivf_assign(
     """
     c = F.broadcast(
         centroids.select(
-            F.col(centroid_id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+            F.col(centroid_id_col).alias("_cid"),
+            F.col(vec_col).alias("_cvec"),
+            l2_norm(F.col(vec_col)).alias("_cn"),
         )
     )
-    scored = df.crossJoin(c).withColumn(
-        "_sim", cosine_similarity(F.col(vec_col), F.col("_cvec"))
+    # row norm hoisted before the crossJoin (see module note): the same
+    # double as the per-pair formulation, computed once instead of nlist×
+    scored = (
+        df.withColumn("_vn", l2_norm(F.col(vec_col)))
+        .crossJoin(c)
+        .withColumn(
+            "_sim",
+            dot_product(F.col(vec_col), F.col("_cvec"))
+            / (F.col("_vn") * F.col("_cn")),
+        )
     )
     # argmax as ONE map-side-combinable aggregate, not a row_number
     # window: the window formulation shuffles n×nlist rows each carrying
@@ -280,17 +320,28 @@ def embedding_dedup_pairs(
         )
     else:
         bucketed = df.withColumn("_bucket", F.lit(0))
+    # norm per VECTOR, not per verified pair (cf. the module note on
+    # norm hoisting) — carried through both self-join sides
+    bucketed = bucketed.withColumn("_nrm", l2_norm(F.col(vec_col)))
     l = bucketed.select(
-        F.col("_bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("_va")
+        F.col("_bucket"),
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
     )
     r = bucketed.select(
         F.col("_bucket").alias("_bucket_r"),
         F.col(id_col).alias("b"),
         F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
     )
     return (
         l.join(r, (F.col("_bucket") == F.col("_bucket_r")) & (F.col("a") < F.col("b")))
-        .withColumn("cosine", cosine_similarity(F.col("_va"), F.col("_vb")))
+        .withColumn(
+            "cosine",
+            dot_product(F.col("_va"), F.col("_vb"))
+            / (F.col("_na") * F.col("_nb")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
@@ -728,10 +779,14 @@ def hard_negatives(
             F.col(id_col).alias(anchor_id_col),
             F.col(vec_col).alias("_avec"),
             F.col(label_col).alias("_albl"),
+            l2_norm(F.col(vec_col)).alias("_an"),
         )
     )
+    # norms hoisted (module note): corpus norm once per row instead of
+    # once per (row, anchor) pair; values bit-unchanged
     scored = (
-        corpus.crossJoin(a)
+        corpus.withColumn("_vn", l2_norm(F.col(vec_col)))
+        .crossJoin(a)
         .filter(
             (F.col(label_col) != F.col("_albl"))
             & (F.col(id_col) != F.col(anchor_id_col))
@@ -740,7 +795,10 @@ def hard_negatives(
             anchor_id_col,
             id_col,
             label_col,
-            cosine_similarity(F.col(vec_col), F.col("_avec")).alias("cosine"),
+            (
+                dot_product(F.col(vec_col), F.col("_avec"))
+                / (F.col("_vn") * F.col("_an"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(anchor_id_col).orderBy(
@@ -780,7 +838,9 @@ def ivf_search_many(
 
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
         )
     )
     c = F.broadcast(
@@ -794,17 +854,25 @@ def ivf_search_many(
         .select(
             "_qid",
             "_qvec",
+            "_qn",
             "centroid_id",
             cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("_psim"),
         )
         .withColumn("_rn", F.row_number().over(pw))
         .filter(F.col("_rn") <= nprobe)
-        .select("_qid", "_qvec", "centroid_id")
+        .select("_qid", "_qvec", "_qn", "centroid_id")
     )
+    # only the QUERY norm is hoisted here: hoisting the corpus norm
+    # would compute it before the cell-pruning join — i.e. for every
+    # row the IVF prune is about to skip, which is exactly backwards at
+    # scale. The corpus norm stays per scored pair; values unchanged.
     scored = assigned.join(F.broadcast(probes), "centroid_id").select(
         F.col("_qid").alias(query_id_col),
         F.col(id_col),
-        cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+        (
+            dot_product(F.col(vec_col), F.col("_qvec"))
+            / (l2_norm(F.col(vec_col)) * F.col("_qn"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.col(id_col)

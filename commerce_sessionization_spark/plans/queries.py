@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from commerce_sessionization_spark.functions.hashing import hex_to_long
-from commerce_sessionization_spark.functions.vectors import cosine_similarity, l2_norm
+from commerce_sessionization_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
 from commerce_sessionization_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup_pairs,
@@ -8482,26 +8486,38 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within-cluster self-join and the kept/dropped join-back. Unpinned,
     # the argmax scan re-executed per consumer (exchange reuse only
     # covers the two same-key self-join sides, not the vec_id join).
+    # the vector norm rides the pin: computed once per vector instead of
+    # once per within-cluster PAIR (cosine = dot/(|a|·|b|) with the norms
+    # hoisted — same doubles, same parenthesization, values unchanged)
     assigned = (
         ivf_assign(emb, cents)
-        .select("vec_id", "embedding", "centroid_id")
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            l2_norm(F.col("embedding")).alias("_nrm"),
+        )
         .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     left = assigned.select(
         "centroid_id",
         F.col("vec_id").alias("_vid"),
         F.col("embedding").alias("_lv"),
+        F.col("_nrm").alias("_ln"),
     )
     right = assigned.select(
         "centroid_id",
         F.col("vec_id").alias("_wid"),
         F.col("embedding").alias("_rv"),
+        F.col("_nrm").alias("_rn"),
     )
     dropped = (
         left.join(right, "centroid_id")
         .filter(F.col("_wid") < F.col("_vid"))
         .filter(
-            cosine_similarity(F.col("_lv"), F.col("_rv")) > F.lit(_SEMDEDUP_TAU)
+            dot_product(F.col("_lv"), F.col("_rv"))
+            / (F.col("_ln") * F.col("_rn"))
+            > F.lit(_SEMDEDUP_TAU)
         )
         .select(F.col("_vid").alias("vec_id"))
         .distinct()
