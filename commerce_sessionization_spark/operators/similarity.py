@@ -679,6 +679,14 @@ def mmr_rerank_exact(
     import numpy as np
     import pandas as pd
 
+    # Pin the candidate set: the a/b sides of the within-query self-join
+    # below are two consumers of this subtree, and in the composed
+    # pipelines (mmr_diverse_topk's brute-force top-20, the retrieval
+    # pipeline's IVF+SQ shortlist + exact refine) that subtree prices a
+    # full corpus scoring pass — unpinned it executed twice. The pinned
+    # frame is ANN-top-N-sized (tens of rows per query) by contract.
+    candidates = candidates.localCheckpoint()
+
     g = F.lit(float(grid))
     a = candidates.select(
         F.col(query_col).alias("_q"),
