@@ -146,7 +146,9 @@ def extract_image_features(
                 recs, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
             )
 
-    return df.filter(F.col("modality") == "image").mapInPandas(
+    return df.filter(F.col("modality") == "image").select(
+        "asset_id", "content"
+    ).mapInPandas(
         batches, schema=IMAGE_FEATURES_SCHEMA
     )
 
@@ -197,7 +199,9 @@ def extract_audio_features(
                 recs, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
             )
 
-    return df.filter(F.col("modality") == "audio").mapInPandas(
+    return df.filter(F.col("modality") == "audio").select(
+        "asset_id", "content"
+    ).mapInPandas(
         batches, schema=AUDIO_FEATURES_SCHEMA
     )
 
@@ -247,7 +251,9 @@ def extract_audio_spectral(df: DataFrame, fake: bool = False) -> DataFrame:
                 recs, columns=[f.name for f in AUDIO_SPECTRAL_SCHEMA.fields]
             )
 
-    return df.filter(F.col("modality") == "audio").mapInPandas(
+    return df.filter(F.col("modality") == "audio").select(
+        "asset_id", "content"
+    ).mapInPandas(
         batches, schema=AUDIO_SPECTRAL_SCHEMA
     )
 
@@ -362,7 +368,9 @@ def sample_video_frames(
                 columns=["asset_id", "frame_idx", "frame_phash"],
             )
 
-    return df.filter(F.col("modality") == "video").mapInPandas(
+    return df.filter(F.col("modality") == "video").select(
+        "asset_id", "content"
+    ).mapInPandas(
         batches, schema=FRAME_SAMPLE_SCHEMA
     )
 
@@ -425,7 +433,9 @@ def extract_audio_mfcc(
                 recs, columns=[f.name for f in AUDIO_MFCC_SCHEMA.fields]
             )
 
-    return df.filter(F.col("modality") == "audio").mapInPandas(
+    return df.filter(F.col("modality") == "audio").select(
+        "asset_id", "content"
+    ).mapInPandas(
         batches, schema=AUDIO_MFCC_SCHEMA
     )
 
@@ -512,7 +522,9 @@ def extract_video_frame_features(
                 recs, columns=[f.name for f in FRAME_FEATURES_SCHEMA.fields]
             )
 
-    return df.filter(F.col("modality") == "video").mapInPandas(
+    return df.filter(F.col("modality") == "video").select(
+        "asset_id", "content"
+    ).mapInPandas(
         batches, schema=FRAME_FEATURES_SCHEMA
     )
 
@@ -583,7 +595,9 @@ def detect_scene_cuts(df: DataFrame, fake: bool = False) -> DataFrame:
                 recs, columns=[f.name for f in SCENE_CUT_SCHEMA.fields]
             )
 
-    return df.filter(F.col("modality") == "video").mapInPandas(
+    return df.filter(F.col("modality") == "video").select(
+        "asset_id", "content"
+    ).mapInPandas(
         batches, schema=SCENE_CUT_SCHEMA
     )
 
@@ -650,7 +664,9 @@ def standardize_audio(
                 recs, columns=[f.name for f in RESAMPLED_AUDIO_SCHEMA.fields]
             )
 
-    return df.filter(F.col("modality") == "audio").mapInPandas(
+    return df.filter(F.col("modality") == "audio").select(
+        "asset_id", "content"
+    ).mapInPandas(
         batches, schema=RESAMPLED_AUDIO_SCHEMA
     )
 
@@ -821,7 +837,9 @@ def extract_container_metadata(df: DataFrame, fake: bool = False) -> DataFrame:
                     )
             yield pd.DataFrame.from_records(recs, columns=cols)
 
-    return df.mapInPandas(batches, schema=CONTAINER_META_SCHEMA)
+    return df.select("asset_id", "content").mapInPandas(
+        batches, schema=CONTAINER_META_SCHEMA
+    )
 
 
 IMAGE_METADATA_SCHEMA = StructType(
@@ -944,7 +962,9 @@ def extract_image_metadata(df: DataFrame, fake: bool = False) -> DataFrame:
                 recs.append(rec)
             yield pd.DataFrame.from_records(recs, columns=cols)
 
-    return df.filter(F.col("modality") == "image").mapInPandas(
+    return df.filter(F.col("modality") == "image").select(
+        "asset_id", "content"
+    ).mapInPandas(
         batches, schema=IMAGE_METADATA_SCHEMA
     )
 
@@ -1037,7 +1057,9 @@ def resize_images(df: DataFrame, max_dim: int = 64, fake: bool = False) -> DataF
                 recs, columns=["asset_id", "width", "height", "content"]
             )
 
-    return df.filter(F.col("modality") == "image").mapInPandas(
+    return df.filter(F.col("modality") == "image").select(
+        "asset_id", "content"
+    ).mapInPandas(
         batches, schema=RESIZED_IMAGE_SCHEMA
     )
 
