@@ -220,7 +220,24 @@ def pagerank(
         # own key layout, so one shuffle per round is inherent (the
         # standard Pregel cost); pin as compressed columnar (cf. edges).
         wedges = wedges.persist(StorageLevel.MEMORY_AND_DISK)
-    dang_nodes = vertices.join(out_deg, id_col, "left_anti").localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+    # Dangling-node fast path (round-11, guide §2.4): count the dangling
+    # set ONCE before the loop. Symmetrized and bipartite graphs — every
+    # catalog caller — have NO dangling vertices, yet the loop was paying
+    # a per-iteration semi-join + aggregate + 1-row broadcast + crossJoin
+    # just to add an exactly-0.0 term: sum over an empty set is 0.0 via
+    # _sum0's coalesce, 0.0/N = 0.0 (and 0.0·p(v) = 0.0 for seeds), and
+    # IEEE x + 0.0 = x for the positive finite ranks here — so skipping
+    # the machinery is bit-identical in both arithmetic modes (oracle
+    # hash-verified). Graphs that DO dangle keep the exact same
+    # per-iteration aggregate as before; only the |V|-sized checkpoint is
+    # gated on actually needing it.
+    dang_lazy = vertices.join(out_deg, id_col, "left_anti")
+    n_dang = dang_lazy.count()
+    dang_nodes = (
+        dang_lazy.localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+        if n_dang > 0
+        else None
+    )
 
     init_rank = (
         F.lit(1.0 / n_vert) if seeds is None else F.col("_pers")
@@ -230,11 +247,6 @@ def pagerank(
     ).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
 
     for _ in range(iterations):
-        dangling = ranks.join(
-            F.broadcast(dang_nodes) if small else dang_nodes,
-            id_col,
-            "left_semi",
-        ).agg(_sum0(F.col("rank")).alias("_dangling"))
         rank_side = F.broadcast(ranks) if small else ranks
         contribs = (
             wedges.join(rank_side, F.col("_src") == F.col(id_col))
@@ -249,10 +261,14 @@ def pagerank(
             .groupBy(id_col)
             .agg(_sum(F.col("_c")).alias("_in"))
         )
+        # the dangling term only exists when dangling vertices do (see
+        # the fast-path note above); when it does, _dangling rides a
+        # 1-row broadcast exactly as before
+        dang_term = F.col("_dangling") if n_dang > 0 else F.lit(0.0)
         if seeds is None:
             new_rank = base + F.lit(damping) * (
                 F.coalesce(F.col("_in"), F.lit(0.0))
-                + F.col("_dangling") / n_vert
+                + dang_term / n_vert
             )
             vert_cols = [F.col(id_col)]
         else:
@@ -260,15 +276,19 @@ def pagerank(
                 damping
             ) * (
                 F.coalesce(F.col("_in"), F.lit(0.0))
-                + F.col("_dangling") * F.col("_pers")
+                + dang_term * F.col("_pers")
             )
             vert_cols = [F.col(id_col), F.col("_pers")]
-        ranks = (
-            vertices.select(*vert_cols)
-            .join(contribs, id_col, "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(F.col(id_col), new_rank.alias("rank"))
-            .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+        nxt = vertices.select(*vert_cols).join(contribs, id_col, "left")
+        if n_dang > 0:
+            dangling = ranks.join(
+                F.broadcast(dang_nodes) if small else dang_nodes,
+                id_col,
+                "left_semi",
+            ).agg(_sum0(F.col("rank")).alias("_dangling"))
+            nxt = nxt.crossJoin(F.broadcast(dangling))
+        ranks = nxt.select(F.col(id_col), new_rank.alias("rank")).localCheckpoint(
+            storageLevel=StorageLevel.MEMORY_AND_DISK
         )
     # the returned ranks are checkpoint-materialized, so every pinned
     # loop-invariant can be dropped without invalidating the result —

@@ -22,8 +22,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from commerce_sessionization_spark.plans.queries import all_spark_queries  # noqa: E402
 from commerce_sessionization_spark.session import get_spark  # noqa: E402
 
+import os  # noqa: E402
+
 SF_DIR = "/root/testdata/sf0.1"
-OUT = Path(__file__).resolve().parent.parent / "plans" / "r10"
+OUT = (
+    Path(__file__).resolve().parent.parent
+    / "plans"
+    / os.environ.get("PLANS_ROUND", "r11")
+)
 
 
 def main() -> int:
