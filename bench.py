@@ -205,7 +205,7 @@ def compact_line(full: dict) -> str:
     """
     keep = (
         "metric", "value", "unit", "sf", "repeats", "load_avg",
-        "load_warning",
+        "load_warning", "n_queries", "prev_set_total",
     )
     return json.dumps({k: full[k] for k in keep if k in full})
 
@@ -264,7 +264,21 @@ def main() -> None:
         # 1-min load average at bench START (pre-warmup): distinguishes
         # a real plan regression from a contended box across rounds
         "load_avg": load_avg,
+        # bounded scalars for the driver's round-over-round comparison
+        # (round-11): `value` is incomparable across rounds whenever the
+        # headline set grows, which made round-10's ~5% improvement read
+        # as a 6% regression. n_queries sizes the set; prev_set_total is
+        # THIS run's total restricted to the PREVIOUS round's benched
+        # set (names pinned in the committed bench_prev_set.json), i.e.
+        # a like-for-like total against the previous round's artifact.
+        "n_queries": len(timings),
     }
+    prev_file = Path(__file__).resolve().parent / "bench_prev_set.json"
+    if prev_file.exists():
+        prev_names = set(json.loads(prev_file.read_text())["queries"])
+        full["prev_set_total"] = round(
+            sum(t for n, t in timings.items() if n in prev_names), 3
+        )
     # Load honesty (round-8 VERDICT item 5): the r8 official artifact
     # ran at load 5.48 and read +14% vs the idle canonical number. A
     # loaded box can't be refused from in here (the driver owns the

@@ -50,6 +50,13 @@ def association_rules(
     ``antecedent, consequent, pair_count, antecedent_count,
     consequent_count, confidence, lift``. Multiplicity within a basket
     is ignored (set semantics), matching the standard formulation.
+    Eager-pin contract (round-11, documents the round-10 change):
+    constructing this DataFrame runs Spark jobs immediately — a
+    multiply-consumed intermediate is ``localCheckpoint``-pinned, so the
+    input is snapshotted at CALL time (not action time), pushdown does
+    not cross the pin, and the pin is not fault-tolerant to executor
+    loss (an acceptable trade for a materialize-once single execution;
+    recompute-from-source callers should re-invoke the operator).
     """
     # pinned: the distinct item set feeds THREE consumers — the eager
     # n_baskets count below, the pass-1 frequency aggregate, and the

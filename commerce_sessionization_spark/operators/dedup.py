@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from commerce_sessionization_spark.functions.hashing import hex_to_long
 
@@ -188,6 +189,14 @@ def ngram_jaccard_pairs(
     scale — use ``minhash_lsh_dedup`` there.
 
     Output: (a, b, jaccard) with jaccard rounded to 6 decimals.
+
+    Eager-pin contract (round-11, documents the round-10 change):
+    constructing this DataFrame runs Spark jobs immediately — the
+    multiply-consumed intermediate is ``localCheckpoint``-pinned, so the
+    input is snapshotted at CALL time (not action time), pushdown does
+    not cross the pin, and the pin is not fault-tolerant to executor
+    loss (an acceptable trade for a materialize-once single execution;
+    recompute-from-source callers should re-invoke the operator).
     """
     sh = _with_words(df, id_col, text_col).select(
         "_id",
@@ -197,7 +206,7 @@ def ngram_jaccard_pairs(
     # self-join (whose two sides already share one exchange) — unpinned,
     # the tokenize+shingle pass executed twice (cf. the k-gram pin in
     # exact_substring_dedup).
-    sh = sh.localCheckpoint()
+    sh = sh.localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
 
     left = sh.alias("l")
@@ -771,13 +780,23 @@ def cdc_chunk_dedup(
     offset: a nav bar preceded by different headers in every page
     still chunks identically from its first anchor on, where fixed
     segmentation sees |header|-dependent windows and misses all of it.
+    
+    Eager-pin contract (round-11, documents the round-10 change):
+    constructing this DataFrame runs Spark jobs immediately — a
+    multiply-consumed intermediate is ``localCheckpoint``-pinned, so the
+    input is snapshotted at CALL time (not action time), pushdown does
+    not cross the pin, and the pin is not fault-tolerant to executor
+    loss (an acceptable trade for a materialize-once single execution;
+    recompute-from-source callers should re-invoke the operator).
     """
     # pinned: the chunk table feeds THREE consumers (the boilerplate
     # frequency count, the anti-join probe side, and the per-doc chunk
     # count), and its subtree prices one sha2 per TOKEN — unpinned, the
     # whole per-token hashing pass executes three times (cf. the
     # minhash_lsh_dedup_pairs cands pin).
-    chunks = cdc_chunks(df, id_col, text_col, divisor).localCheckpoint()
+    chunks = cdc_chunks(df, id_col, text_col, divisor).localCheckpoint(
+        storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     boiler = (
         chunks.groupBy("chunk_sha")
         .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
@@ -911,6 +930,14 @@ def exact_substring_dedup(
     (doc, pos) — uniform, skew-free; ordered reassembly is the same
     groupBy(doc) array_sort(collect_list) shape as ``segment_dedup``.
     All built-ins, whole-stage codegen end to end.
+
+    Eager-pin contract (round-11, documents the round-10 change):
+    constructing this DataFrame runs Spark jobs immediately — a
+    multiply-consumed intermediate is ``localCheckpoint``-pinned, so the
+    input is snapshotted at CALL time (not action time), pushdown does
+    not cross the pin, and the pin is not fault-tolerant to executor
+    loss (an acceptable trade for a materialize-once single execution;
+    recompute-from-source callers should re-invoke the operator).
     """
     if count_mode not in ("docs", "occurrences"):
         raise ValueError(f"count_mode must be docs|occurrences: {count_mode}")
@@ -920,7 +947,9 @@ def exact_substring_dedup(
     # the covered-position probe join, and its subtree prices one sha2
     # per word k-gram — unpinned, the tokenize+hash pass executed twice
     # (cf. the cdc_chunk_dedup chunk pin). Narrow (_id, _p, _h) rows.
-    grams = _word_kgrams(toks, window).localCheckpoint()
+    grams = _word_kgrams(toks, window).localCheckpoint(
+        storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     freq = (
         F.count_distinct(F.col("_id"))
         if count_mode == "docs"

@@ -603,9 +603,24 @@ def shortest_paths(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     spark = edges.sparkSession
-    settled = spark.createDataFrame([(source, 0)], "node long, dist int")
-    frontier = settled
+    seed = spark.createDataFrame([(source, 0)], "node long, dist int")
+    # settled only ACCUMULATES (each round's frontier is disjoint from
+    # every earlier one by the anti-join), so it never needs its own
+    # checkpoint: a lazy union of the per-round PINNED frontiers is the
+    # same relation, and dropping the per-round settled checkpoint
+    # removes one action + |settled| materialization per round
+    # (round-11, guide §2.4/§5 — the union members are all pinned, so
+    # nothing recomputes).
+    frames = [seed]
+    frontier = seed
     n_frontier = 1
+
+    def _settled() -> DataFrame:
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionAll(f)
+        return out
+
     # broadcast the frontier while it's dimension-sized (the common BFS
     # regime); a web-scale frontier that outgrows this falls back to a
     # shuffle join — same result, the plan billion-node graphs need
@@ -620,16 +635,16 @@ def shortest_paths(
             adj.join(fr, "nbr")
             .select("node")
             .distinct()
-            .join(settled, "node", "left_anti")
+            .join(_settled(), "node", "left_anti")
             .select("node", F.lit(r).alias("dist"))
             .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         )
-        settled = settled.unionAll(reached).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+        frames.append(reached)
         frontier = reached
         n_frontier = reached.count()
-    # settled is checkpoint-materialized: release the adjacency pin
+    # every frame is checkpoint-materialized: release the adjacency pin
     adj.unpersist(blocking=False)
-    return settled
+    return _settled()
 
 
 def weighted_shortest_paths(
@@ -742,22 +757,48 @@ def hits(
     (compressed columnar), each half-round is one score⋈edges join +
     one aggregation, the score table broadcasts while the vertex set
     is dimension-sized (past ``broadcast_vertices`` the join falls
-    back to shuffle — the billion-node plan), the normalizer is a
-    1-row broadcast crossJoin, and each round's score tables are
-    serialized localCheckpoints for O(1) lineage. Every pin is
-    released before returning (cf. the round-8 pin-leak receipts).
+    back to shuffle — the billion-node plan), and each round's score
+    tables are serialized localCheckpoints for O(1) lineage. In the
+    broadcast regime the L1 normalizer rides a whole-table window over
+    the half-round's |V| rows, so fill + norm + divide execute in ONE
+    pass per half-round (round-11, guide §2.4; decimal window sums are
+    order-independent, so exact-mode values are unchanged — oracle
+    hash-verified); past ``broadcast_vertices`` the normalizer stays a
+    1-row broadcast crossJoin over the pinned raw table, which never
+    funnels |V| rows through one window task. The explicitly pinned
+    edge list is released before returning; the per-round score
+    checkpoints are reclaimed by the context cleaner once unreferenced
+    (localCheckpoint blocks are not CacheManager-tracked, so there is
+    no eager release point for them).
 
     Output: (node, authority, hub) for every node in the graph.
     """
+    from pyspark.sql import Window
+
+    _whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     if exact:
         def _sum0(col: F.Column) -> F.Column:
             return (
                 F.coalesce(F.sum(_dec(col)), F.lit(0).cast("decimal(38,18)"))
                 .cast("double")
             )
+
+        def _sum0_win(col: F.Column) -> F.Column:
+            return (
+                F.coalesce(
+                    F.sum(_dec(col)).over(_whole),
+                    F.lit(0).cast("decimal(38,18)"),
+                )
+                .cast("double")
+            )
     else:
         def _sum0(col: F.Column) -> F.Column:
             return F.coalesce(F.sum(col), F.lit(0.0))
+
+        def _sum0_win(col: F.Column) -> F.Column:
+            return F.coalesce(F.sum(col).over(_whole), F.lit(0.0))
 
     edges = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
@@ -771,18 +812,54 @@ def hits(
     n_vert = verts.count()
     small = n_vert <= broadcast_vertices
 
+    if small:
+        # zero-exchange loop layout (round-11, cf. pagerank's wedges):
+        # the authority pass aggregates by _dst and the hub pass by
+        # _src, so keep TWO cached copies of the 2-column edge list,
+        # each hash-laid-out on its pass's grouping key, and verts
+        # laid out by node. The score table is broadcast into the edge
+        # join (partitioning preserved), the groupBy key matches the
+        # cache layout, and the vertex fill-join sees both sides
+        # clustered on node — so a half-round's only exchange is the
+        # single-partition normalizer window. Costs one extra columnar
+        # copy of the edges; past broadcast_vertices the loop keeps the
+        # single pin and per-round shuffles (the billion-node plan).
+        e_bydst = edges.repartition(F.col("_dst")).cache()
+        e_bysrc = edges.repartition(F.col("_src")).cache()
+        verts = verts.repartition(F.col("node")).cache()
+    else:
+        e_bydst = e_bysrc = edges
+
     def _bcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
-        # pin raw FIRST: the norm aggregate and the normalized projection
-        # both read it, and raw's subtree is the half-round's real work
-        # (edges join + aggregation) — unpinned it executed twice per
-        # half-round (cf. pagerank, which aggregates its dangling scalar
-        # from the already-checkpointed rank table for the same reason).
-        # The normalized output stays lazy: it is one broadcast crossJoin
-        # over the pinned raw, so re-deriving it per consumer is a scan
-        # of |V| materialized rows, not a re-join of the edge list.
+        if small:
+            # one-pass normalize (round-11): the L1 norm is a sum over
+            # the SAME |V| rows being projected, so computing it as a
+            # whole-table window lets fill + norm + divide run — and
+            # checkpoint — in a single action per half-round. The old
+            # shape pinned raw, then re-read it per consumer through a
+            # crossJoin(broadcast(norm)), paying a norm-broadcast job
+            # for every downstream reference. The window funnels |V|
+            # rows through one task, which is exactly the broadcast
+            # regime's size contract (dimension-sized vertex set); the
+            # decimal sum is order-independent so exact-mode values are
+            # unchanged. Checkpointing the NORMALIZED table (not raw)
+            # keeps lineage O(1) and makes every consumer a plain scan.
+            norm = _sum0_win(F.col(col))
+            return raw.select(
+                "node",
+                F.when(norm > 0, F.col(col) / norm)
+                .otherwise(F.lit(0.0))
+                .alias(col),
+            ).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+        # big regime: pin raw FIRST — the norm aggregate and the
+        # normalized projection both read it, and raw's subtree is the
+        # half-round's real work (edges join + aggregation); unpinned it
+        # executed twice per half-round. The normalized output stays
+        # lazy: one broadcast crossJoin over the pinned raw, never |V|
+        # rows through a single window task.
         raw = raw.localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         norm = raw.agg(_sum0(F.col(col)).alias("_norm"))
         return raw.crossJoin(F.broadcast(norm)).select(
@@ -798,7 +875,7 @@ def hits(
     auth = verts.select("node", F.lit(1.0).alias("authority"))
     for _ in range(iterations):
         a_raw = (
-            edges.join(
+            e_bydst.join(
                 _bcast(hub.select(F.col("node").alias("_src"), "hub")),
                 "_src",
             )
@@ -812,7 +889,7 @@ def hits(
             "authority",
         )
         h_raw = (
-            edges.join(
+            e_bysrc.join(
                 _bcast(
                     auth.select(F.col("node").alias("_dst"), "authority")
                 ),
@@ -838,6 +915,10 @@ def hits(
         .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     edges.unpersist(blocking=False)
+    if small:
+        e_bydst.unpersist(blocking=False)
+        e_bysrc.unpersist(blocking=False)
+        verts.unpersist(blocking=False)
     return out
 
 
@@ -898,6 +979,11 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         bad = deg.filter(F.col("deg") < k).select("node")
+        # the two renamed broadcasts of bad LOOK like a double
+        # aggregation in the static plan, but AQE dedupes the
+        # canonically-equal broadcast stages at runtime (verified via
+        # the SQL metrics API: one Generate/agg pair executes per
+        # round) — left as is, round-11 audit
         cur = (
             cur.join(bad.withColumnRenamed("node", "a"), "a", "left_anti")
             .join(bad.withColumnRenamed("node", "b"), "b", "left_anti")

@@ -118,6 +118,18 @@ def ivf_assign(
     ``centroid_id`` so a search probes only matching partitions (partition
     pruning does the (1 − nprobe/nlist) skip for free).
     """
+    # the max_by payload struct reserves these internal field names and
+    # re-projects fields by name, so an input column that collides (or
+    # contains the struct-path separator) would resolve ambiguously —
+    # fail loudly instead (ADVICE r10 item 2)
+    reserved = {"_cid", "_cvec", "_cn", "_vn", "_sim", "_gid", "_w", "_nc"}
+    bad = [c for c in df.columns if c in reserved or "." in c or "`" in c]
+    if bad:
+        raise ValueError(
+            f"ivf_assign: input columns {bad!r} collide with reserved "
+            "internal names or contain struct-path characters; rename "
+            "them before calling"
+        )
     c = F.broadcast(
         centroids.select(
             F.col(centroid_id_col).alias("_cid"),
@@ -153,9 +165,12 @@ def ivf_assign(
             payload, F.struct(F.col("_sim"), (-F.col("_cid")).alias("_nc"))
         ).alias("_w")
     )
+    # getField (not a dotted f-string path) so field resolution never
+    # re-parses column names as struct paths (ADVICE r10 item 2)
+    w = F.col("_w")
     return best.select(
-        *[F.col(f"_w.{col}").alias(col) for col in df.columns],
-        F.col("_w._cid").alias(centroid_id_col),
+        *[w.getField(col).alias(col) for col in df.columns],
+        w.getField("_cid").alias(centroid_id_col),
     )
 
 
@@ -675,6 +690,13 @@ def mmr_rerank_exact(
 
     Output: (query, id, mmr_rank, mmr_score_q) — mmr_score_q is the
     integer objective scaled by ``lam_den·grid``; k rows per query.
+    Eager-pin contract (round-11, documents the round-10 change):
+    constructing this DataFrame runs Spark jobs immediately — a
+    multiply-consumed intermediate is ``localCheckpoint``-pinned, so the
+    input is snapshotted at CALL time (not action time), pushdown does
+    not cross the pin, and the pin is not fault-tolerant to executor
+    loss (an acceptable trade for a materialize-once single execution;
+    recompute-from-source callers should re-invoke the operator).
     """
     import numpy as np
     import pandas as pd

@@ -61,6 +61,31 @@ def test_compact_line_tolerates_missing_optional_fields():
     assert parsed["value"] == 1.0
 
 
+def test_comparison_scalars_ride_the_compact_line():
+    """Round-11 (VERDICT r10 item 2): the single-total stdout line made
+    round-over-round totals incomparable whenever the headline set grew.
+    The bounded scalars n_queries / prev_set_total must survive into the
+    line — and keep it under the 500-byte tail window."""
+    fat = _fat_payload()
+    fat["n_queries"] = 500
+    fat["prev_set_total"] = 118.932
+    parsed = json.loads(bench.compact_line(fat))
+    assert parsed["n_queries"] == 500
+    assert parsed["prev_set_total"] == 118.932
+    assert len(bench.compact_line(fat).encode()) < 500
+
+
+def test_prev_set_file_matches_catalog():
+    """bench_prev_set.json (the like-for-like comparison set) must name
+    only queries that exist in the current HEADLINE — a renamed/dropped
+    query would silently shrink prev_set_total."""
+    prev = json.loads(
+        (Path(__file__).resolve().parent.parent / "bench_prev_set.json").read_text()
+    )
+    missing = [n for n in prev["queries"] if n not in bench.HEADLINE]
+    assert not missing, f"prev-set names missing from HEADLINE: {missing}"
+
+
 def test_headline_queries_all_exist_in_catalog():
     from commerce_sessionization_spark.plans.queries import all_spark_queries
 
