@@ -100,10 +100,26 @@ def vector_sufficient_stats(
     Engine-replayable by construction: each component is snapped to an
     integer grid (``floor(x·10^scale)`` — one double multiply + floor,
     bit-identical in any IEEE engine, no decimal-cast rounding-rule
-    dependence at all), and products and sums accumulate in EXACT
-    decimal (grid integers fit ``decimal(19,0)`` for |x| < 10^(19−scale);
-    products are exact ``decimal(38,0)``), which is order-independent,
-    unlike double sums.
+    dependence at all), and every sum is EXACT integer arithmetic,
+    which is order-independent, unlike double sums.
+
+    Round-11 accumulation fast path (same values, ~half the cost): a
+    cheap narrow pre-scan takes max|cell| over the quantized grid; when
+    every product fits 63 bits — |cell| ≤ 3 037 000 499 =
+    floor(sqrt(2^63−1)), i.e. |x| ≲ 3.03 at the default scale 9, true
+    for unit-style embeddings — cells and products live in LONGs. Each
+    product splits into ``hi = p div 10^9`` / ``lo = p % 10^9`` (trunc
+    div/mod, so ``p = hi·10^9 + lo`` exactly, signs included); hi and
+    lo sum as plain longs per (moment, scan-partition) — a
+    map-task-bounded total (< 2^63 while one scan task holds < ~10^9
+    rows, i.e. any sane split size) — and only the per-task partials
+    merge in ``decimal(38,0)``. The reconstruction
+    ``Σp = 10^9·Σhi + Σlo`` is exact integer algebra, so the output is
+    bit-identical to the all-decimal(38) accumulation (oracle
+    hash-verified) while the BigDecimal adds drop from one per cell to
+    one per task. Vectors outside the long domain keep the decimal
+    path: identical values either way, only the accumulator type — and
+    the pre-scan cost (one scan, no explode) — differ.
 
     The plan is the scalable one, not the obvious one: the per-row
     upper-triangle product array is built JVM-side with nested
@@ -118,11 +134,27 @@ def vector_sufficient_stats(
     units). 1-indexed dimensions (matches SQL ``generate_subscripts``).
     """
     grid = float(10 ** quantize_scale)
-    vq = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(grid)).cast("decimal(19,0)"),
-    )
-    df = df.select(vq.alias("_v"))
+    # floor(sqrt(2^63 - 1)): products of such cells always fit a long
+    _B = 3_037_000_499
+    cell = lambda x: F.floor(x.cast("double") * F.lit(grid))  # noqa: E731
+    vq_long = F.transform(F.col(vec_col), lambda x: cell(x).cast("long"))
+    # narrow pre-scan (no explode): does every cell sit inside the
+    # long-product domain? Chooses the accumulator type only — both
+    # branches compute the identical integer sums.
+    mx_row = df.select(
+        F.max(
+            F.array_max(F.transform(vq_long, lambda v: F.abs(v)))
+        ).alias("mx")
+    ).collect()[0]
+    long_ok = mx_row["mx"] is not None and int(mx_row["mx"]) <= _B
+    if long_ok:
+        df = df.select(vq_long.alias("_v"))
+    else:
+        df = df.select(
+            F.transform(
+                F.col(vec_col), lambda x: cell(x).cast("decimal(19,0)")
+            ).alias("_v")
+        )
     if dim is None:
         dim = df.select(F.size("_v").alias("d")).limit(1).collect()[0]["d"]
     d = int(dim)
@@ -141,11 +173,41 @@ def vector_sufficient_stats(
             )
         ),
     )
-    exploded = df.select(F.posexplode(moments).alias("_k", "_x"))
-    sums = exploded.groupBy("_k").agg(
-        F.sum(F.col("_x").cast("decimal(38,0)")).alias("s"),
-        F.count(F.lit(1)).alias("_n"),
-    )
+    if long_ok:
+        _SPLIT = 10 ** 9
+        exploded = df.select(
+            F.spark_partition_id().alias("_pid"),
+            F.posexplode(moments).alias("_k", "_x"),
+        ).select(
+            "_pid",
+            "_k",
+            F.expr(f"_x div {_SPLIT}").alias("_hi"),
+            (F.col("_x") % F.lit(_SPLIT)).alias("_lo"),
+        )
+        # level 1: long sums per (moment, scan task) — grouping on the
+        # task's own partition id makes every group single-task, so the
+        # partial totals stay inside the documented long bound; level 2
+        # merges the few per-task partials in decimal and reconstructs
+        # Σp = 10^9·Σhi + Σlo exactly.
+        part = exploded.groupBy("_k", "_pid").agg(
+            F.sum("_hi").alias("_phi"),
+            F.sum("_lo").alias("_plo"),
+            F.count(F.lit(1)).alias("_pn"),
+        )
+        sums = part.groupBy("_k").agg(
+            (
+                F.sum(F.col("_phi").cast("decimal(38,0)")) * F.lit(_SPLIT)
+                + F.sum(F.col("_plo").cast("decimal(38,0)"))
+            ).cast("decimal(38,0)").alias("s"),
+            F.sum("_pn").alias("_n"),
+        )
+    else:
+        # wide-domain fallback: the pre-round all-decimal accumulation
+        exploded = df.select(F.posexplode(moments).alias("_k", "_x"))
+        sums = exploded.groupBy("_k").agg(
+            F.sum(F.col("_x").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
     # Decode flat index k (0-based) -> (i, j). First d entries are means.
     k = F.col("_k")
     is_mean = k < F.lit(d)

@@ -533,6 +533,66 @@ class TestIVFSearchMany:
             assert len(cells) <= 2, (qid, cells)
 
 
+class TestSufficientStatsLongSplit:
+    """Round-11: the hi/lo long-split accumulation must be bit-identical
+    to exact integer sums, negatives included, and the out-of-domain
+    guard must raise instead of silently wrapping."""
+
+    def test_exact_sums_with_negative_components(self, spark):
+        from decimal import Decimal
+
+        from commerce_sessionization_spark.operators.ml import (
+            vector_sufficient_stats,
+        )
+
+        # components straddle 0 and approach the long-product domain at
+        # scale 9 (|x| up to ~2.9), so products of both signs and
+        # |hi| > 0 paths are all exercised
+        vecs = [
+            [-2.9, 1.7, -0.001],
+            [0.33, -2.2, 2.8],
+            [1.0, 0.0, -1.5],
+            [-0.77, -0.88, 0.99],
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+        )
+        rows = vector_sufficient_stats(df).collect()
+        got = {(r.i, r.j): int(r.s) for r in rows}
+        import math
+
+        q = [[math.floor(x * 1e9) for x in v] for v in vecs]
+        d = 3
+        assert got[(-1, -1)] == len(vecs)
+        for i in range(1, d + 1):
+            assert got[(i, -1)] == sum(r[i - 1] for r in q), i
+            for j in range(i, d + 1):
+                want = sum(r[i - 1] * r[j - 1] for r in q)
+                assert got[(i, j)] == want, (i, j, got[(i, j)], want)
+
+    def test_out_of_domain_vectors_take_exact_decimal_fallback(self, spark):
+        import math
+
+        from commerce_sessionization_spark.operators.ml import (
+            vector_sufficient_stats,
+        )
+
+        # |x| = 8.6 > 3.03: products overflow a long at scale 9, so the
+        # pre-scan must route to the decimal path — values still exact
+        vecs = [[8.6, -7.9], [-4.4, 5.5]]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        rows = vector_sufficient_stats(df, dim=2).collect()
+        got = {(r.i, r.j): int(r.s) for r in rows}
+        q = [[math.floor(x * 1e9) for x in v] for v in vecs]
+        for i in (1, 2):
+            assert got[(i, -1)] == sum(r[i - 1] for r in q)
+            for j in range(i, 3):
+                assert got[(i, j)] == sum(r[i - 1] * r[j - 1] for r in q)
+
+
 class TestPCAQuantizeScale:
     def test_quantize_scale_forwarded_and_grid_derived(self, spark):
         """ADVICE r8: pca_fit hardcoded grid=1e9 while the stats pass
