@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def passjoin_segments(
@@ -105,9 +106,16 @@ def blocked_match_pairs(
     pad = F.rpad(
         F.substring(F.col(match_col), 1, prefix_len), prefix_len, pad_char
     )
+    # pinned (round-11): base feeds BOTH the signature and the probe
+    # side, so its whole subtree — the input scan/union plus the
+    # block-cap aggregate + semi-join above — executed twice. The
+    # materialized rows are the narrow (_id, block keys, padded prefix)
+    # projection, far cheaper to hold than the second cap pass they
+    # replace (serialized level, cf. the dedup token pins; eager-pin
+    # contract as documented on those operators).
     base = df.select(
         F.col(id_col).alias("_id"), *block_keys, pad.alias("_p")
-    )
+    ).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
 
     # signature side: each record's max_dist+1 template segments at
     # their home slots
