@@ -3,7 +3,11 @@
 Runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32) against
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE
 COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"sf": ..., "repeats": ..., "load_avg": ...}. The full payload — the
+"sf": ..., "repeats": ..., "load_avg": ..., "n_queries": ...,
+"prev_set_total": ...} — the last two (round-11) keep round-over-round
+totals comparable when the headline set grows: prev_set_total is THIS
+run's total over the previous round's benched set (names pinned in
+bench_prev_set.json). The full payload — the
 per-query timings dict and the per-query spread noise floor — is written
 to ``bench_result.json`` beside this file. stdout stays compact because
 the driver captures only a bounded TAIL of it: rounds 6 and 7 embedded
@@ -294,7 +298,14 @@ def main() -> None:
     # stdout-tail window and the truncated head lost `value`.
     # tools/compare_bench.py reads per-query detail from
     # bench_result.json / committed previews.
-    Path(__file__).resolve().parent.joinpath("bench_result.json").write_text(
+    here = Path(__file__).resolve().parent
+    here.joinpath("bench_result.json").write_text(json.dumps(full) + "\n")
+    # the driver benches twice (main + low-core) and the second run
+    # overwrites bench_result.json — a per-core-count copy preserves
+    # BOTH runs' per-query timings so per-query scaling is inspectable
+    # after the fact (round-11; VERDICT r10 noted scaling.per_query is
+    # permanently empty from stdout alone)
+    here.joinpath(f"bench_result_c{CPUS}.json").write_text(
         json.dumps(full) + "\n"
     )
     print(compact_line(full))
