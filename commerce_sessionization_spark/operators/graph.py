@@ -36,6 +36,11 @@ def _dec(col: F.Column) -> F.Column:
     return col.cast("decimal(38,18)")
 
 
+#: hi/lo split base for the exact-mode long accumulation (cf. the same
+#: constant in operators/ml.py's sufficient-stats split)
+_SPLIT = 10**9
+
+
 def _sc_parallelism(df: DataFrame) -> int:
     """Cluster-wide slot count, used to size checkpoint partitioning."""
     return df.sparkSession.sparkContext.defaultParallelism
@@ -101,7 +106,15 @@ def pagerank(
     decimal accumulation for bit-exact cross-engine replay (see module
     docstring); leave it off on the scale path. The per-edge term stays
     ``rank / outdeg`` (NOT a precomputed reciprocal) in both modes so
-    the DuckDB oracle's division replays bit-for-bit.
+    the DuckDB oracle's division replays bit-for-bit — since round 11
+    the division is EVALUATED once per source vertex on the rank side
+    (outdeg rides the rank checkpoint) instead of once per edge: same
+    operands, same IEEE double per edge, identical sums. In the exact
+    broadcast regime the per-round decimal(38,18) aggregation further
+    runs as a hi/lo long split (see the inline derivation at the loop)
+    whose merged value is bit-identical to the all-decimal sum; the
+    split is gated on the provable domain (unweighted, 0 <= damping
+    <= 1, broadcast regime) and falls back to all-decimal elsewhere.
     """
     if exact:
         def _sum(col: F.Column) -> F.Column:
@@ -182,15 +195,27 @@ def pagerank(
     base = F.lit((1.0 - damping) / n_vert)
     small = n_vert <= broadcast_vertices
 
-    # loop-invariant hoists: degree lives ON the edge row; the dangling
-    # membership set is fixed by the topology. In the weighted variant
-    # the whole per-edge coefficient w/W is loop-invariant, so it is
-    # computed ONCE here (one double division per edge total, not per
-    # round) and each round is a plain rank×coef multiply.
+    # loop-invariant hoists: degree lives ON the VERTEX row (round-11 —
+    # see below), and the dangling membership set is fixed by the
+    # topology. In the weighted variant the whole per-edge coefficient
+    # w/W is loop-invariant, so it is computed ONCE here (one double
+    # division per edge total, not per round) and each round is a plain
+    # rank×coef multiply.
     if weight_col is None:
-        wedges = edges.join(
-            out_deg, src == out_deg[id_col]
-        ).select(src.alias("_src"), F.col(dst_col).alias("_dst"), "_outdeg")
+        # Round-11 (guide §2.3, shuffle fewer bytes / narrower rows): the
+        # unweighted per-edge term rank/outdeg is a PER-SOURCE value, so
+        # outdeg moves from the |E|-row edge layout to the |V|-row rank
+        # table (carried through each round's checkpoint) and the
+        # division happens once per vertex on the small side instead of
+        # once per edge — same operands, same IEEE double per edge, so
+        # the aggregate input is the identical multiset (oracle
+        # hash-verified). The old edges⋈out_deg build also filtered
+        # nothing (every edge's src has outdeg >= 1 by construction), so
+        # the wedges layout drops both the join and the _outdeg column.
+        wedges = edges.select(src.alias("_src"), F.col(dst_col).alias("_dst"))
+        vertices = vertices.join(
+            F.broadcast(out_deg) if small else out_deg, id_col, "left"
+        )
     else:
         wedges = edges.join(out_deg, src == out_deg[id_col]).select(
             src.alias("_src"),
@@ -220,6 +245,11 @@ def pagerank(
         # own key layout, so one shuffle per round is inherent (the
         # standard Pregel cost); pin as compressed columnar (cf. edges).
         wedges = wedges.persist(StorageLevel.MEMORY_AND_DISK)
+        if weight_col is None:
+            # the vertices⋈out_deg augmentation above must not re-run
+            # per reference in this regime (the small branch folds it
+            # into the vertices cache)
+            vertices = vertices.persist(StorageLevel.MEMORY_AND_DISK)
     # Dangling-node fast path (round-11, guide §2.4): count the dangling
     # set ONCE before the loop. Symmetrized and bipartite graphs — every
     # catalog caller — have NO dangling vertices, yet the loop was paying
@@ -231,7 +261,13 @@ def pagerank(
     # hash-verified). Graphs that DO dangle keep the exact same
     # per-iteration aggregate as before; only the |V|-sized checkpoint is
     # gated on actually needing it.
-    dang_lazy = vertices.join(out_deg, id_col, "left_anti")
+    dang_lazy = (
+        # unweighted: dangling membership already rides the vertex row
+        # (null _outdeg from the left join above) — no anti-join needed
+        vertices.where(F.col("_outdeg").isNull())
+        if weight_col is None
+        else vertices.join(out_deg, id_col, "left_anti")
+    )
     n_dang = dang_lazy.count()
     dang_nodes = (
         dang_lazy.localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
@@ -242,25 +278,102 @@ def pagerank(
     init_rank = (
         F.lit(1.0 / n_vert) if seeds is None else F.col("_pers")
     )
+    # unweighted: carry the loop-invariant _outdeg through every round's
+    # rank checkpoint (8 bytes/vertex) so the per-source contribution can
+    # be computed on the rank side before the edge join
+    carry = ["_outdeg"] if weight_col is None else []
     ranks = vertices.select(
-        F.col(id_col), init_rank.alias("rank")
+        F.col(id_col), init_rank.alias("rank"), *carry
     ).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
 
+    # Exact-mode long-split accumulation (round-11, guide §2.3 — same
+    # derivation as operators/ml.py's sufficient-stats split): in the
+    # zero-exchange broadcast regime the per-round decimal(38,18) sum is
+    # the only Int128 work left on the |E|-scale path. The unweighted
+    # per-source addend c = rank/outdeg is quantized ONCE per vertex:
+    # d = cast(c as decimal(20,18)) — identical value to the oracle's
+    # decimal(38,18) cast for |c| < 100 (same scale, same HALF_UP) —
+    # then t = d·10^9 (decimal(31,18), exact), hi = floor(t),
+    # lo = (t − hi)·10^9 (both exact: t has 9 fractional digits), so
+    # hi·10^9 + lo = d·10^18 exactly for either sign (frac ∈ [0,1)).
+    # Per (dst, scan-partition) the hi/lo streams sum as plain LONGs —
+    # 0 ≤ damping ≤ 1 keeps total rank mass at 1 (±|E|·5e-19 decimal
+    # rounding), so every addend obeys c ∈ [0, 1+ε], hi ≤ 10^9, and a
+    # partial stays under 2^63 while a task holds < ~9·10^9 rows — and
+    # only the per-task partials merge in decimal(38,0), reconstructing
+    # Σd = (10^9·Σhi + Σlo)/10^18 by exact integer algebra (the final
+    # /10^18 division is exact: an integer over 10^18 has exactly 18
+    # fractional digits, representable at scale 18). Values are
+    # bit-identical to the all-decimal sum (oracle hash-verified); both
+    # grouping levels ride the existing hash(_dst) layout, so the round
+    # stays ZERO-exchange. Outside the gated domain (weighted, shuffle
+    # regime, or damping outside [0,1]) the all-decimal path is kept.
+    use_split = (
+        exact
+        and weight_col is None
+        and small
+        and partition_invariants
+        and 0.0 <= damping <= 1.0
+    )
     for _ in range(iterations):
-        rank_side = F.broadcast(ranks) if small else ranks
-        contribs = (
-            wedges.join(rank_side, F.col("_src") == F.col(id_col))
-            .select(
-                F.col("_dst").alias(id_col),
-                (
-                    F.col("rank") / F.col("_outdeg")
-                    if weight_col is None
-                    else F.col("rank") * F.col("_coef")
-                ).alias("_c"),
+        if weight_col is None:
+            c = F.col("rank") / F.col("_outdeg")
+            if use_split:
+                d20 = c.cast("decimal(20,18)")
+                t = d20 * F.lit(_SPLIT)
+                hi = F.floor(t)
+                side = ranks.select(
+                    F.col(id_col),
+                    hi.cast("long").alias("_hi"),
+                    ((t - hi).cast("decimal(10,9)") * F.lit(_SPLIT))
+                    .cast("long")
+                    .alias("_lo"),
+                )
+            else:
+                side = ranks.select(F.col(id_col), c.alias("_c"))
+        else:
+            side = ranks
+        rank_side = F.broadcast(side) if small else side
+        joined = wedges.join(rank_side, F.col("_src") == F.col(id_col))
+        if use_split:
+            contribs = (
+                joined.select(
+                    F.col("_dst").alias(id_col),
+                    F.spark_partition_id().alias("_pid"),
+                    "_hi",
+                    "_lo",
+                )
+                .groupBy(id_col, "_pid")
+                .agg(F.sum("_hi").alias("_phi"), F.sum("_lo").alias("_plo"))
+                .groupBy(id_col)
+                .agg(
+                    (
+                        (
+                            F.sum(F.col("_phi").cast("decimal(38,0)"))
+                            * F.lit(_SPLIT)
+                            + F.sum(F.col("_plo").cast("decimal(38,0)"))
+                        )
+                        .cast("decimal(38,0)")
+                        .cast("decimal(38,18)")
+                        / F.lit(10**18)
+                    )
+                    .cast("double")
+                    .alias("_in")
+                )
             )
-            .groupBy(id_col)
-            .agg(_sum(F.col("_c")).alias("_in"))
-        )
+        else:
+            contribs = (
+                joined.select(
+                    F.col("_dst").alias(id_col),
+                    (
+                        F.col("_c")
+                        if weight_col is None
+                        else F.col("rank") * F.col("_coef")
+                    ).alias("_c"),
+                )
+                .groupBy(id_col)
+                .agg(_sum(F.col("_c")).alias("_in"))
+            )
         # the dangling term only exists when dangling vertices do (see
         # the fast-path note above); when it does, _dangling rides a
         # 1-row broadcast exactly as before
@@ -279,7 +392,7 @@ def pagerank(
                 + dang_term * F.col("_pers")
             )
             vert_cols = [F.col(id_col), F.col("_pers")]
-        nxt = vertices.select(*vert_cols).join(contribs, id_col, "left")
+        nxt = vertices.select(*vert_cols, *carry).join(contribs, id_col, "left")
         if n_dang > 0:
             dangling = ranks.join(
                 F.broadcast(dang_nodes) if small else dang_nodes,
@@ -287,16 +400,20 @@ def pagerank(
                 "left_semi",
             ).agg(_sum0(F.col("rank")).alias("_dangling"))
             nxt = nxt.crossJoin(F.broadcast(dangling))
-        ranks = nxt.select(F.col(id_col), new_rank.alias("rank")).localCheckpoint(
-            storageLevel=StorageLevel.MEMORY_AND_DISK
-        )
+        ranks = nxt.select(
+            F.col(id_col), new_rank.alias("rank"), *carry
+        ).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+    if carry:
+        # drop the carried loop-invariant from the output contract
+        # (lazy projection over the materialized checkpoint)
+        ranks = ranks.select(F.col(id_col), "rank")
     # the returned ranks are checkpoint-materialized, so every pinned
     # loop-invariant can be dropped without invalidating the result —
     # a long-lived session running many catalog queries would otherwise
     # accumulate spilled blocks from each graph call
     edges.unpersist(blocking=False)
     wedges.unpersist(blocking=False)
-    if small and partition_invariants:
+    if (small and partition_invariants) or weight_col is None:
         vertices.unpersist(blocking=False)
     return ranks
 

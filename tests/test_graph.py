@@ -656,3 +656,78 @@ def test_hits_catalog_fast_matches_exact_on_testdata(spark):
     for n in fast:
         assert fast[n][0] == pytest.approx(exact[n][0], abs=2e-6)
         assert fast[n][1] == pytest.approx(exact[n][1], abs=2e-6)
+
+
+class TestPagerankExactLongSplit:
+    """Round-11 long-split accumulation (graph.pagerank, broadcast
+    regime): the hi/lo LONG sums + decimal merge must reproduce the
+    all-decimal per-round sum BIT-FOR-BIT. Exact mode is
+    order-independent by contract, so the shuffle-regime
+    (partition_invariants=False) all-decimal path is a same-values
+    reference for the split path it gates on."""
+
+    def _pairs(self):
+        # ring + chords + a dangling tail + an isolated vertex:
+        # exercises contribs, the dangling aggregate, AND null _outdeg
+        return [(i, (i + 1) % 8) for i in range(8)] + [
+            (0, 4), (2, 6), (7, 8), (3, 5), (5, 3),
+        ]
+
+    @pytest.mark.parametrize("damping", [0.85, 1.0, 0.0])
+    def test_split_matches_all_decimal(self, spark, damping):
+        e = _edges(spark, self._pairs())
+        v = _verts(spark, range(10))
+        split = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                e, v, iterations=5, damping=damping, exact=True
+            ).collect()
+        }
+        ref = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                e, v, iterations=5, damping=damping, exact=True,
+                partition_invariants=False,
+            ).collect()
+        }
+        assert split == ref  # bit-identical doubles, not approx
+
+    def test_seeded_split_matches_all_decimal(self, spark):
+        e = _edges(spark, self._pairs())
+        v = _verts(spark, range(10))
+        s = _verts(spark, [0, 3])
+        split = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                e, v, iterations=5, exact=True, seeds=s
+            ).collect()
+        }
+        ref = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                e, v, iterations=5, exact=True, seeds=s,
+                partition_invariants=False,
+            ).collect()
+        }
+        assert split == ref
+
+    def test_out_of_domain_damping_falls_back(self, spark):
+        # damping > 1 voids the mass-conservation bound the long split
+        # relies on; the gate must keep the all-decimal path and still
+        # agree with the shuffle-regime reference
+        e = _edges(spark, self._pairs())
+        v = _verts(spark, range(10))
+        split = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                e, v, iterations=3, damping=1.5, exact=True
+            ).collect()
+        }
+        ref = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                e, v, iterations=3, damping=1.5, exact=True,
+                partition_invariants=False,
+            ).collect()
+        }
+        assert split == ref
